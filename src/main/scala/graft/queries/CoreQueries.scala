@@ -1,0 +1,371 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** One registered query: a Spark implementation over a testdata dir and
+  * (when SQL-expressible) the equivalent DuckDB oracle SQL. Column names
+  * and row order are deterministic on both sides — the driver hash-compares.
+  */
+final case class Q(
+    name: String,
+    impl: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Core relational query surface, mirroring the reference's operator
+  * inventory (SURVEY.md §2: scans S2-S6, filters/projections P1-P7, joins
+  * J1-J3, aggregates A1-A10, nested U3-U4) re-expressed over the driver
+  * testdata. Reference behaviors cited per query.
+  *
+  * Determinism rules (SURVEY.md §5): every multi-row result carries a
+  * total ORDER BY; double aggregates go through DECIMAL(18,2) (exact,
+  * order-independent) and convert to double once at the end; timestamps
+  * are emitted as TIMESTAMP_NTZ to match DuckDB's naive timestamps.
+  */
+object CoreQueries {
+
+  /** Spark TimestampType is UTC-adjusted; parquet-dumping it yields a
+    * tz-aware column while DuckDB's oracle emits naive timestamps. NTZ
+    * keeps the same UTC wall-clock and compares clean. */
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  /** Exact decimal sum of a 2-decimal double column, emitted as double:
+    * identical on both engines regardless of partitioning / add order. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- scans / projection / literals (S2, S3, P1; collector.py:96-111,136-154)
+    Q("q_scan",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), ntz(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, ts, user_id, event_type, value
+             FROM events ORDER BY event_id""")),
+
+    Q("q_project",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // constant column per source feed (S5; collector.py:110)
+    Q("q_lit",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), lit("bbc_news").as("src"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, 'bbc_news' AS src FROM events ORDER BY event_id")),
+
+    // timestamp parse (S4; collector.py:65-72): format then re-parse
+    Q("q_ts_parse",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          ntz(to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+            .as("parsed"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+               strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS parsed
+             FROM events ORDER BY event_id""")),
+
+    // date truncation (P7; visualizer.py:89-90,115). Emitted as yyyy-MM-dd
+    // string: parquet date32 vs DuckDB DATE land as different pandas dtypes
+    // in the driver compare; strings are dtype-stable on both engines.
+    Q("q_date_trunc",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, strftime(ts, '%Y-%m-%d') AS d FROM events ORDER BY event_id")),
+
+    // ---- filters (P3-P5; visualizer.py:87-99)
+    Q("q_filter_isin",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("event_id", "event_type")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type FROM events
+             WHERE event_type IN ('click', 'purchase') ORDER BY event_id""")),
+
+    Q("q_filter_range",
+      (s, d) => Tables.events(s, d)
+        .filter(to_date(col("ts"))
+          .between(lit("2024-01-10"), lit("2024-01-20")))
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%d') AS d FROM events
+             WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+             ORDER BY event_id""")),
+
+    // negated case-insensitive contains, null-safe (P5; visualizer.py:96-99
+    // `.str.contains(case=False, na=False)` negated)
+    Q("q_filter_contains",
+      (s, d) => Tables.documents(s, d)
+        .filter(!coalesce(lower(col("text")).contains("spark"), lit(false)))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             WHERE NOT coalesce(contains(lower(text), 'spark'), false)
+             ORDER BY doc_id""")),
+
+    // string concat fed to the analyzer (P6; collector.py:182)
+    Q("q_concat",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(" | ", col("lang"), col("source")).as("tag"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, concat_ws(' | ', lang, source) AS tag
+             FROM documents ORDER BY doc_id""")),
+
+    // ---- joins (J1-J3, T1; visualizer.py:93,175-180, collector.py:89)
+    Q("q_semi_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             ORDER BY c_custkey""")),
+
+    Q("q_anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             ORDER BY c_custkey""")),
+
+    Q("q_left_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        // customer is the small dimension: broadcast it explicitly.
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("c_name"), col("c_mktsegment"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             ORDER BY o_orderkey""")),
+
+    Q("q_inner_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+             FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- aggregates / top-k (A1-A10; visualizer.py:105-161)
+    Q("q_count",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT COUNT(*) AS n FROM events WHERE event_type = 'click'")),
+
+    Q("q_count_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Q("q_count_if",
+      (s, d) => Tables.events(s, d)
+        .agg(count(when(col("value") > 50, 1)).as("n_big"),
+          count(lit(1)).as("n")),
+      Some("""SELECT COUNT(*) FILTER (WHERE value > 50) AS n_big, COUNT(*) AS n
+             FROM events""")),
+
+    Q("q_groupby_day",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("d"),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n
+             FROM events GROUP BY 1 ORDER BY 1""")),
+
+    Q("q_groupby_count",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Q("q_groupby_multi",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 100).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"),
+      Some("""SELECT event_type, user_id % 100 AS bucket, COUNT(*) AS n
+             FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""")),
+
+    Q("q_min_max",
+      (s, d) => Tables.events(s, d)
+        .agg(ntz(min(col("ts"))).as("ts_min"), ntz(max(col("ts"))).as("ts_max")),
+      Some("SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM events")),
+
+    // top-10 with deterministic tie-break (A5/A10; visualizer.py:136)
+    Q("q_topk",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("user_id"))
+        .limit(10),
+      Some("""SELECT user_id, COUNT(*) AS n FROM events
+             GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""")),
+
+    // restrict rows to the top-k key set (A6; visualizer.py:139)
+    Q("q_topk_semi",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val top = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("user_id")).limit(10)
+          .select("user_id")
+        e.join(broadcast(top), Seq("user_id"), "left_semi")
+          .select("event_id", "user_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH top AS (SELECT user_id FROM (
+               SELECT user_id, COUNT(*) AS n FROM events
+               GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10))
+             SELECT event_id, user_id FROM events
+             WHERE EXISTS (SELECT 1 FROM top WHERE top.user_id = events.user_id)
+             ORDER BY event_id""")),
+
+    // union of per-feed batches before one append (§2.5 note; collector.py:231-240)
+    Q("q_union",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.filter(col("event_type") === "click")
+        val b = e.filter(col("event_type") === "view")
+        a.unionByName(b)
+          .select("event_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type FROM (
+               SELECT event_id, event_type FROM events WHERE event_type = 'click'
+               UNION ALL
+               SELECT event_id, event_type FROM events WHERE event_type = 'view')
+             ORDER BY event_id""")),
+
+    // explode nested arrays to rows (U3; collector.py:168-213)
+    Q("q_explode",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("token"))
+        .orderBy("doc_id", "token"),
+      Some("""SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents ORDER BY doc_id, token""")),
+
+    // enum-constrained category normalization (U4; processor.py:31-35)
+    Q("q_enum_norm",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("event_type").isin("click", "view", "purchase"),
+            col("event_type")).otherwise("Others").as("category"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+               CASE WHEN event_type IN ('click', 'view', 'purchase')
+                    THEN event_type ELSE 'Others' END AS category
+             FROM events ORDER BY event_id""")),
+
+    // deterministic field extraction (U1 analog; processor.py:63-121)
+    Q("q_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "([0-9]+)", 1).as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, regexp_extract(props, '([0-9]+)', 1) AS k_val
+             FROM events ORDER BY event_id""")),
+
+    // ranking window: per-user event sequence (generalizes A5 top-k)
+    Q("q_window_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("user_id", "rn", "event_id")
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, rn, event_id FROM (
+               SELECT user_id, event_id,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events)
+             WHERE rn <= 3 ORDER BY user_id, rn""")),
+
+    // ---- headline analytics (bench drivers; TPC-H Q1/Q3 shapes)
+    Q("q_agg_pricing",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q_join_topn",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE EXISTS (SELECT 1 FROM customer
+                           WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+             GROUP BY l_orderkey
+             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+  )
+}
