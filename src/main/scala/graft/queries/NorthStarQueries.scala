@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.Text
+
+/** North-star LLM-data-pipeline operators (SURVEY.md §2.8): deduplication
+  * (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding-cosine),
+  * similarity search (brute-force cosine top-k + LSH-bucketed ANN), and
+  * text analysis (language ID, quality scoring, token counting,
+  * fingerprinting) over the `documents` / `embeddings` testdata.
+  *
+  * Cross-engine determinism strategy:
+  *  - hashing uses md5 (identical hex in Spark and DuckDB) — never
+  *    xxhash64/murmur, which are engine-specific;
+  *  - float vectors are cast to double BEFORE arithmetic on both engines
+  *    and similarities rounded to 4 decimals so summation-order noise
+  *    can't flip a comparison;
+  *  - every threshold filter applies to the ROUNDED value so both engines
+  *    make identical keep/drop decisions.
+  *
+  * Scale notes (100 TB): all shuffles key on shingle/band/bucket — the
+  * standard distributed dedup topology. The quadratic all-pairs step only
+  * ever runs *within* a band/bucket (LSH) or label block, never globally;
+  * brute-force cosine broadcasts only the query-vector side. Hot shingles
+  * are capped by document frequency (MaxShingleDf) exactly as production
+  * dedup pipelines do — otherwise one stop-word shingle fans a single
+  * reduce key out to (df choose 2) pairs.
+  *
+  * Perf notes: dot products run through the codegen'd `graft_dot`
+  * expression ([[graft.functions.DotProduct]]) with norms computed once
+  * per vector, not per pair; shingling runs as a typed flatMap (Spark's
+  * higher-order lambdas are interpreted, ~20x slower here).
+  */
+object NorthStarQueries {
+
+  /** Doc-frequency cap for near-dup shingles: a shingle occurring in more
+    * than this many documents carries no dedup signal but quadratic join
+    * cost. Mirrored verbatim in the DuckDB oracles. */
+  private val MaxShingleDf = 5
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** (doc_id, s): distinct word-3-gram shingles per document, via typed
+    * flatMap (JVM sliding loop; HOF transform() is interpreted). */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) => Text.shingleSet(t, 3).map((id, _)) }
+      .toDF("doc_id", "s")
+  }
+
+  /** Shingles with the hot-shingle cap applied (df <= MaxShingleDf), the
+    * input to pairwise jaccard. Cached: used three times (sizes + both
+    * join sides) within one query. */
+  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(df.filter(col("df") <= MaxShingleDf), "s")
+      .select("doc_id", "s")
+      .cache()
+  }
+
+  /** embeddings widened to double with the L2 norm precomputed once per
+    * vector (never per pair). `graft_dot` is the codegen'd expression
+    * registered by GraftExtensions. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+
+  /** Oracle-side mirror of `emb`: vectors as DOUBLE[] with norms
+    * precomputed, so both engines evaluate dot/(nrm_a*nrm_b) with an
+    * identical double-arithmetic structure. */
+  private val embCte =
+    """n AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  // ---- SimHash: 16-bit signature from the first 4 hex chars of
+  // md5(token), generated as portable SQL arithmetic (instr/substr/div)
+  // so Spark and DuckDB compute bit-identical signatures.
+  private def simhashBitSums(intDiv: String): Seq[String] =
+    (0 until 16).map { k =>
+      val c = k / 4 + 1          // which hex char (1-based)
+      val p = 1 << (3 - k % 4)   // which bit of that hex digit
+      s"SUM(CASE WHEN ((instr('0123456789abcdef', substr(h, $c, 1)) - 1) $intDiv $p) % 2 = 1 THEN 1 ELSE -1 END) AS b$k"
+    }
+  private val simhashCombine: String =
+    (0 until 16).map(k => s"(CASE WHEN b$k >= 0 THEN 1 ELSE 0 END) * ${1 << k}")
+      .mkString(" + ")
+
+  private val enStopwords = "('the', 'a', 'of', 'to', 'in', 'and')"
+
+  /** Shared oracle CTE: capped distinct 3-gram shingles per doc. */
+  private val shingleCte =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+       |freq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+       |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN freq ON sh0.s = freq.s
+       |       WHERE df <= $MaxShingleDf)""".stripMargin
+
+  /** Uncapped variant (MinHash hashes the full shingle set — min() is
+    * robust to hot shingles, no cap needed). */
+  private val shingleCteUncapped =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ================= deduplication =================
+
+    // exact dedup: canonical doc per identical text (hash-groupBy; at
+    // scale this is one shuffle on a 128-bit text digest, not raw text)
+    Q("q_dedup_exact",
+      (s, d) => docs(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             FROM documents GROUP BY text ORDER BY doc_id""")),
+
+    // n-gram Jaccard near-dup: shuffle on (df-capped) shingle -> pair
+    // intersection counts -> jaccard >= 0.8 on the rounded value
+    Q("q_dedup_ngram",
+      (s, d) => {
+        val sh = cappedShingles(s, d)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+          .withColumn("jaccard",
+            round(col("inter") / (col("s1.n") + col("s2.n") - col("inter")), 4))
+          .filter(col("jaccard") >= 0.8)
+          .select("d1", "d2", "jaccard")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $shingleCte,
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             pairs AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             SELECT d1, d2, round(inter * 1.0 / (s1.n + s2.n - inter), 4) AS jaccard
+             FROM pairs
+             JOIN sizes s1 ON s1.doc_id = d1
+             JOIN sizes s2 ON s2.doc_id = d2
+             WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 4) >= 0.8
+             ORDER BY d1, d2""")),
+
+    // MinHash+LSH candidate pairs: 8 md5-minhashes, 4 bands x 2 rows;
+    // candidates = docs sharing any band signature. The join keys on
+    // (band, signature) — the LSH bucket — so the pair blow-up is bounded
+    // per bucket, never global.
+    Q("q_dedup_minhash",
+      (s, d) => {
+        val sh = shingled(s, d)
+        val seeds = 0 until 8
+        val hashed = sh.select(col("doc_id"),
+          explode(array(seeds.map(j => struct(lit(j).as("j"),
+            md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))
+              .as("h"))): _*)).as("jh"))
+          .select(col("doc_id"), col("jh.j").as("j"), col("jh.h").as("h"))
+        val minsig = hashed.groupBy("doc_id", "j").agg(min("h").as("mh"))
+        val bands = minsig
+          .groupBy(col("doc_id"), floor(col("j") / 2).as("band"))
+          .agg(concat_ws("|",
+            min(when(col("j") % 2 === 0, col("mh"))),
+            min(when(col("j") % 2 === 1, col("mh")))).as("bsig"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $shingleCteUncapped,
+             hashed AS (
+               SELECT doc_id, j, md5(j::VARCHAR || ':' || s) AS h
+               FROM sh, unnest(range(0, 8)) AS v(j)),
+             minsig AS (SELECT doc_id, j, min(h) AS mh FROM hashed GROUP BY 1, 2),
+             bands AS (
+               SELECT doc_id, j // 2 AS band,
+                      concat_ws('|', min(CASE WHEN j % 2 = 0 THEN mh END),
+                                     min(CASE WHEN j % 2 = 1 THEN mh END)) AS bsig
+               FROM minsig GROUP BY 1, 2)
+             SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+             ORDER BY d1, d2""")),
+
+    // SimHash 16-bit document signature (pair search over signatures is
+    // covered in ScalaTest; the oracle locks the signature computation)
+    Q("q_simhash",
+      (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"),
+          explode(Text.tokenSet(col("text"))).as("s"))
+          .withColumn("h", md5(col("s").cast("binary")))
+        val sums = simhashBitSums("div").map(expr)
+        toks.groupBy("doc_id")
+          .agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"), expr(simhashCombine).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+               FROM documents),
+             hashed AS (SELECT doc_id, md5(s) AS h FROM toks),
+             bits AS (
+               SELECT doc_id, ${simhashBitSums("//").mkString(", ")}
+               FROM hashed GROUP BY doc_id)
+             SELECT doc_id, $simhashCombine AS simhash
+             FROM bits ORDER BY doc_id""")),
+
+    // embedding-cosine near-dup with label blocking (IVF-style: compare
+    // only within a coarse partition, shuffle keys on label)
+    Q("q_dedup_embed",
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.select(col("vec_id").as("d1"), col("emb").as("e1"),
+          col("nrm").as("n1"), col("label"))
+        val b = e.select(col("vec_id").as("d2"), col("emb").as("e2"),
+          col("nrm").as("n2"), col("label"))
+        a.join(b, Seq("label"))
+          .filter(col("d1") < col("d2"))
+          .withColumn("sim",
+            round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 4))
+          .filter(col("sim") >= 0.4)
+          .select("d1", "d2", "sim")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $embCte
+             SELECT a.vec_id AS d1, b.vec_id AS d2,
+               round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
+             ORDER BY d1, d2""")),
+
+    // ================= similarity search =================
+
+    // brute-force cosine top-10 for 5 query vectors: the query side is
+    // broadcast (small by construction), the corpus side streams — the
+    // correct baseline topology at any scale
+    Q("q_cosine_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("sim",
+            round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("q_id", "vec_id", "sim")
+          .orderBy(col("q_id"), desc("sim"), col("vec_id"))
+      },
+      Some(s"""WITH $embCte,
+             q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+             scored AS (
+               SELECT q_id, n.vec_id,
+                 round(list_dot_product(qe, n.e) / (qn * n.nrm), 4) AS sim
+               FROM q JOIN n ON n.vec_id <> q.q_id),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+               FROM scored)
+             SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 10
+             ORDER BY q_id, sim DESC, vec_id""")),
+
+    // LSH-bucketed ANN: sign bits of the first 4 dims = 16 axis-aligned
+    // hyperplane buckets; search only within the query's bucket. The scale
+    // path: shuffle keys on bucket, turning O(N*Q) into O(N*Q/16) with
+    // co-partitioned joins.
+    Q("q_ann_bucket",
+      (s, d) => {
+        val bucket: Column => Column = e =>
+          (0 until 4).map(k =>
+            when(element_at(e, k + 1) >= 0, lit(1 << k)).otherwise(lit(0)))
+            .reduce(_ + _)
+        val e = emb(s, d).withColumn("bucket", bucket(col("emb")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+            col("nrm").as("q_nrm"), col("bucket"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+        e.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim",
+            round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id", "sim")
+          .orderBy(col("q_id"), desc("sim"), col("vec_id"))
+      },
+      Some(s"""WITH $embCte,
+             b AS (
+               SELECT vec_id, e, nrm,
+                 (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END) +
+                 (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END) +
+                 (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+               FROM n),
+             q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket FROM b WHERE vec_id < 5),
+             scored AS (
+               SELECT q_id, b.vec_id,
+                 round(list_dot_product(qe, b.e) / (qn * b.nrm), 4) AS sim
+               FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+               FROM scored)
+             SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
+             ORDER BY q_id, sim DESC, vec_id""")),
+
+    // ================= text analysis =================
+
+    // per-document stats: token counts, distinct ratio (U1-analog surface)
+    Q("q_text_stats",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("len"),
+          size(Text.tokens(col("text"))).as("n_tokens"),
+          size(Text.tokenSet(col("text"))).as("n_distinct"))
+        .withColumn("distinct_ratio",
+          round(col("n_distinct") / col("n_tokens"), 4))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS len,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0 /
+                     len(string_split(text, ' ')), 4) AS distinct_ratio
+             FROM documents ORDER BY doc_id""")),
+
+    // language-ID heuristic: English stopword density
+    Q("q_lang_id",
+      (s, d) => docs(s, d)
+        .withColumn("en_hits",
+          expr(s"size(filter(split(text, ' '), x -> x IN $enStopwords))"))
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+        .withColumn("en_ratio", round(col("en_hits") / col("n_tokens"), 4))
+        .select(col("doc_id"), col("en_ratio"),
+          when(col("en_hits") / col("n_tokens") >= 0.1, "en")
+            .otherwise("other").as("pred_lang"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+               SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), x -> x IN $enStopwords)) AS en_hits,
+                 len(string_split(text, ' ')) AS n_tokens
+               FROM documents)
+             SELECT doc_id, round(en_hits * 1.0 / n_tokens, 4) AS en_ratio,
+               CASE WHEN en_hits * 1.0 / n_tokens >= 0.1 THEN 'en' ELSE 'other' END AS pred_lang
+             FROM t ORDER BY doc_id""")),
+
+    // quality score: length saturation + lexical diversity + stopword mix
+    Q("q_quality_score",
+      (s, d) => docs(s, d)
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+        .withColumn("n_distinct", size(Text.tokenSet(col("text"))))
+        .withColumn("stop_hits",
+          expr(s"size(filter(split(text, ' '), x -> x IN $enStopwords))"))
+        .withColumn("score", round(
+          lit(0.5) * least(col("n_tokens") / 40.0, lit(1.0)) +
+            lit(0.3) * (col("n_distinct") / col("n_tokens")) +
+            lit(0.2) * least(lit(10.0) * col("stop_hits") / col("n_tokens"), lit(1.0)),
+          4))
+        .select(col("doc_id"), col("score"),
+          when(col("score") >= 0.7, "high")
+            .when(col("score") >= 0.5, "mid")
+            .otherwise("low").as("tier"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+               SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                 len(list_filter(string_split(text, ' '), x -> x IN $enStopwords)) AS stop_hits
+               FROM documents),
+             sc AS (
+               SELECT doc_id,
+                 round(0.5 * least(n_tokens / 40.0, 1.0) +
+                       0.3 * (n_distinct * 1.0 / n_tokens) +
+                       0.2 * least(10.0 * stop_hits / n_tokens, 1.0), 4) AS score
+               FROM t)
+             SELECT doc_id, score,
+               CASE WHEN score >= 0.7 THEN 'high'
+                    WHEN score >= 0.5 THEN 'mid' ELSE 'low' END AS tier
+             FROM sc ORDER BY doc_id""")),
+
+    // token counting: whitespace + BPE-ish regex segmentation
+    Q("q_token_count",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).as("n_ws"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
+             FROM documents ORDER BY doc_id""")),
+
+    // document fingerprint: md5 of normalized text (rolling-hash analog
+    // with a cross-engine-stable hash)
+    Q("q_fingerprint",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+             FROM documents ORDER BY doc_id"""))
+  )
+}
