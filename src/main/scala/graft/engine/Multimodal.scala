@@ -1,0 +1,89 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support (SURVEY.md §2.8): image/audio/video as
+  * opaque `binary` payloads with typed metadata, plus decode /
+  * feature-extract / frame-sample stages.
+  *
+  * Spark-side design for 100 TB:
+  *  - payloads travel as BinaryType columns next to their metadata
+  *    struct, so pruning a query down to metadata never reads the bytes
+  *    (parquet column pruning drops the payload pages entirely);
+  *  - per-item decode runs as `mapPartitions` over a typed Dataset —
+  *    batched, executor-parallel, no driver round-trip; a real codec
+  *    binding slots into [[MediaDecoder]] without touching the plumbing;
+  *  - frame sampling emits one row per frame via flatMap (generator
+  *    shape), keyed by (media_id, frame_no) for downstream joins.
+  *
+  * The decode itself is STUBBED: this container has no image/audio
+  * codecs, so [[StubDecoder]] derives deterministic pseudo-features from
+  * the bytes. The schema, partitioning, and batch shape — the parts that
+  * matter for the engine — are real and tested.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, width: Int, height: Int, durationMs: Long)
+  case class MediaItem(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long, n_bytes: Long, checksum: Long, features: Array[Double])
+  case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  /** Decoder boundary: a real implementation binds an image/audio codec
+    * library here (javacv, ffmpeg-cli, ...). Must be serializable — it
+    * ships to executors. */
+  trait MediaDecoder extends Serializable {
+    def features(payload: Array[Byte], dim: Int): Array[Double]
+  }
+
+  /** STUB: deterministic pseudo-decoder — byte histogram folded into a
+    * fixed-dim feature vector. Stands in for a real codec; keeps every
+    * test reproducible. */
+  object StubDecoder extends MediaDecoder {
+    override def features(payload: Array[Byte], dim: Int): Array[Double] = {
+      val acc = new Array[Double](dim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % dim) += (payload(i) & 0xff) / 255.0
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Wrap a text/blob column as media items (how opaque payloads enter
+    * the engine; in production the payloads come from object storage). */
+  def fromBinary(df: DataFrame, idCol: String, payloadCol: String,
+      kind: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      struct(lit(kind).as("kind"), lit(0).as("width"), lit(0).as("height"),
+        lit(0L).as("durationMs")).as("meta"),
+      col(payloadCol).cast("binary").as("payload"))
+
+  /** Batched feature extraction: one decode pass per partition. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 8,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions(_.map { m =>
+      var crc = 0L
+      var i = 0
+      while (i < m.payload.length) { crc = crc * 31 + (m.payload(i) & 0xff); i += 1 }
+      MediaFeatures(m.media_id, m.payload.length.toLong, crc,
+        decoder.features(m.payload, dim))
+    }).toDF()
+  }
+
+  /** Sample every `stride`-th fixed-size chunk as a "frame" (video
+    * frame-sampling shape: flatMap generator, one row per frame). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameSize: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem].flatMap { m =>
+      m.payload.grouped(frameSize).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (bytes, i) => Frame(m.media_id, i, bytes) }
+    }.toDF()
+  }
+}

@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch end-to-end wiring (SURVEY.md §3.1): the reference's
+  * `main.py` -> `process_feeds()` flow as one lazy Spark job graph.
+  *
+  * ingest -> anti-join state -> write raw -> curate -> write curated ->
+  * analyze -> explode -> write actors, all through the TableSink.
+  *
+  * The reference executes the source graph twice (raw at collector.py:234,
+  * curated at 235-236); here the ingested batch is cached once and fanned
+  * out to the three sinks (SURVEY.md §7.4 risk 5). Re-running on the same
+  * snapshots appends nothing: the state anti-join (T1/T2) makes the
+  * pipeline idempotent at the batch level.
+  */
+object Pipeline {
+
+  case class Result(newArticles: Long)
+
+  def run(spark: SparkSession, feedsDir: String, sink: TableSink,
+      analyzer: Analyze.TextAnalyzer = Analyze.RuleBasedAnalyzer): Result = {
+    val entries = Ingest.readFeedSnapshots(spark, feedsDir)
+    val news = Ingest.toNews(entries)
+    val state = Ingest.loadState(spark, sink)
+    val fresh = Ingest.newEntries(news, state).cache()
+    try {
+      val n = fresh.count() // one materialization for the empty-batch guard
+      if (n == 0) return Result(0) // T3 empty-batch short-circuit
+      sink.append(fresh, "raw")
+      val curated = Curate(fresh)
+      sink.append(curated, "curated")
+      val analyzed = Analyze.withAnalysis(spark, curated, analyzer)
+      sink.append(Analyze.explodeActors(analyzed), "actors")
+      Ingest.saveState(sink, fresh)
+      Result(n)
+    } finally fresh.unpersist()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Append-mode table storage, the Delta-semantics shim of SURVEY.md §7.4.
+  *
+  * The reference appends Arrow tables into Delta Lake
+  * (write_deltalake(path, table, mode='append'), collector.py:219-226).
+  * This environment ships no Delta jars, so the default implementation is
+  * parquet append — atomic per job via Spark's commit protocol, which
+  * covers the reference's semantics (append + re-readable table; no
+  * time travel). The trait is deliberately narrow so `format("delta")`
+  * could slot in unchanged on a cluster that has the connector.
+  */
+trait TableSink {
+  def append(df: DataFrame, table: String): Unit
+  def overwrite(df: DataFrame, table: String): Unit
+  def read(spark: SparkSession, table: String): DataFrame
+  def exists(spark: SparkSession, table: String): Boolean
+}
+
+final class ParquetTableSink(basePath: String) extends TableSink {
+  private def path(table: String) = s"$basePath/$table"
+
+  override def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(table))
+
+  override def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  override def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

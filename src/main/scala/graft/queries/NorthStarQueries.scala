@@ -415,6 +415,20 @@ object NorthStarQueries {
                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe
              FROM documents ORDER BY doc_id""")),
 
+    // multimodal plumbing: opaque binary payload + typed metadata; the
+    // oracle checks the byte-level schema survives (octet parity). The
+    // decode/feature path is exercised in ScalaTest (MultimodalSpec) —
+    // the stub decoder is not SQL-expressible.
+    Q("q_media_meta",
+      (s, d) => graft.engine.Multimodal
+        .fromBinary(docs(s, d), "doc_id", "text", "text")
+        .select(col("media_id"), length(col("payload")).as("n_bytes"),
+          col("meta.kind").as("kind"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+               'text' AS kind
+             FROM documents ORDER BY media_id""")),
+
     // document fingerprint: md5 of normalized text (rolling-hash analog
     // with a cross-engine-stable hash)
     Q("q_fingerprint",

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.engine.{Analyze, Curate, Ingest, Schemas, TableSink}
+
+/** Structured-Streaming version of the pipeline (SURVEY.md §2.2, T1-T4).
+  *
+  * The reference streams by re-running an external orchestrator loop
+  * ("Acero is a streaming engine but requires an orchestrator",
+  * README.md:110) with a JSON state file that grows forever
+  * (README.md:111). Here:
+  *
+  *  - the micro-batch loop is the engine's own (`Trigger.AvailableNow`
+  *    for drain-and-stop, `ProcessingTime` for continuous);
+  *  - the processed-ID set is `dropDuplicates("id")` backed by the state
+  *    store, bounded by a watermark on published_time — late duplicates
+  *    beyond the watermark age out instead of accumulating (the fix for
+  *    the reference's unbounded state, SURVEY.md §7.4 risk 4);
+  *  - the three-table fan-out (raw/curated/actors, collector.py:234-240)
+  *    is one `foreachBatch`, so each micro-batch is read once, not three
+  *    times — and the sink writes stay idempotent per batch.
+  *
+  * Exactly-once: checkpointed offsets + state; on restart, a re-run
+  * micro-batch re-appends only rows the dedup state has not seen.
+  */
+object StreamingPipeline {
+
+  def stream(spark: SparkSession, feedsDir: String, sink: TableSink,
+      checkpoint: String,
+      watermark: String = "7 days",
+      analyzer: Analyze.TextAnalyzer = Analyze.RuleBasedAnalyzer,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+
+    val entries = spark.readStream
+      .schema(Schemas.feedEntry)
+      .json(feedsDir)
+
+    val deduped = Ingest.toNews(entries)
+      .withWatermark("published_time", watermark)
+      .dropDuplicates("id")
+
+    deduped.writeStream
+      .queryName("graft-news-pipeline")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cached = batch.cache()
+          try {
+            sink.append(cached, "raw")
+            val curated = Curate(cached)
+            sink.append(curated, "curated")
+            val analyzed = Analyze.withAnalysis(cached.sparkSession, curated, analyzer)
+            sink.append(Analyze.explodeActors(analyzed), "actors")
+          } finally cached.unpersist()
+        }
+      }
+      .start()
+  }
+}

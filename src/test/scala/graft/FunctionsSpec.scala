@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Text
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("graft_dot: codegen and interpreted paths agree; empty and short arrays") {
+    import spark.implicits._
+    val df = spark.sql(
+      """SELECT graft_dot(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D)) AS a,
+        |       graft_dot(cast(array() as array<double>), cast(array() as array<double>)) AS b,
+        |       graft_dot(array(1.0D,2.0D), array(3.0D)) AS c,
+        |       graft_dot(cast(null as array<double>), array(1.0D)) AS d
+        |""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 3.0) // min-length semantics
+    assert(r.isNullAt(3))         // null-intolerant binary expression
+  }
+
+  test("graft_dot rejects non-double arrays at analysis time") {
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot(array('a'), array('b'))").collect())
+    assert(e.getMessage.contains("graft_dot requires"))
+  }
+
+  test("shingleSet: sliding distinct n-grams; short docs empty") {
+    assert(Text.shingleSet("a b c d", 3).toSeq == Seq("a b c", "b c d"))
+    assert(Text.shingleSet("a b", 3).isEmpty)
+    assert(Text.shingleSet("x y x y x y", 2).toSeq == Seq("x y", "y x"))
+  }
+
+  test("fingerprint normalizes before hashing") {
+    import spark.implicits._
+    val df = Seq("Hello,  World!", "hello world").toDF("t")
+      .select(Text.fingerprint(org.apache.spark.sql.functions.col("t")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1)) // same after normalization
+  }
+}
