@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming aggregation operators generalizing the reference's batch
+  * analytics (SURVEY.md §2.2 note): the dashboard's group-by-day timeline
+  * (visualizer.py:115) as an incremental event-time window, and a
+  * mapGroupsWithState counter for custom per-key state — the construct
+  * the reference approximates with its JSON state file.
+  */
+object WindowedStats {
+
+  /** Articles per tumbling event-time day, incrementally maintained.
+    * Watermark bounds the open-window state; late rows beyond it are
+    * dropped rather than accumulating (vs the reference's unbounded
+    * state file, README.md:111). Append mode: a day emits once its
+    * watermark passes — the exactly-once streaming version of A4. */
+  def dailyCounts(news: DataFrame, watermark: String = "2 days"): DataFrame =
+    news
+      .withWatermark("published_time", watermark)
+      .groupBy(window(col("published_time"), "1 day").as("w"),
+        col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("category"), col("n"))
+
+  case class FeedProgress(category: String, articles: Long, lastSeen: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-feed article
+    * counters — the typed state-store construct (KeyValueGroupedDataset)
+    * for logic windowed aggs can't express.
+    *
+    * `ttl=Some(d)` evicts idle feeds after a processing-time timeout
+    * (bounding state, unlike the reference's ever-growing file). Note the
+    * operational trade-off: registered processing-time timeouts make the
+    * engine schedule continuous no-data micro-batches to fire them, so
+    * `processAllAvailable()` never quiesces — use TTL with a real
+    * ProcessingTime trigger, not in drain-and-stop tests. */
+  def feedProgress(spark: SparkSession, news: DataFrame,
+      ttl: Option[String] = None): Dataset[FeedProgress] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    news.select(col("category"), col("published_time").cast("long").as("ts"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(timeoutConf) {
+        (category: String, rows: Iterator[(String, Long)],
+         state: GroupState[FeedProgress]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(FeedProgress(category, 0L, 0L))
+            val next = FeedProgress(category,
+              prev.articles + batch.size,
+              math.max(prev.lastSeen, if (batch.isEmpty) 0L else batch.map(_._2).max))
+            state.update(next)
+            ttl.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+}

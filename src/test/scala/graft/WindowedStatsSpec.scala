@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.WindowedStats
+
+class WindowedStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dailyCounts: event-time tumbling day window with watermark drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val news = mem.toDF().toDF("published_time", "category")
+
+    val q = WindowedStats.dailyCounts(news, watermark = "1 day")
+      .writeStream.format("memory").queryName("daily")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData((ts("2024-02-01 10:00:00"), "Politics"),
+      (ts("2024-02-01 12:00:00"), "Politics"),
+      (ts("2024-02-02 09:00:00"), "Tech"))
+    q.processAllAvailable()
+    // advance watermark past Feb 1+2 so those windows close
+    mem.addData((ts("2024-02-05 00:00:00"), "Tech"))
+    q.processAllAvailable()
+    // a late row far behind the watermark must be DROPPED
+    mem.addData((ts("2024-02-01 23:00:00"), "Politics"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-02-09 00:00:00"), "Tech")) // close Feb 5 too
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("daily")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rows.contains(("2024-02-01", "Politics", 2L))) // late row not counted
+    assert(rows.contains(("2024-02-02", "Tech", 1L)))
+    assert(rows.contains(("2024-02-05", "Tech", 1L)))
+  }
+
+  test("feedProgress: mapGroupsWithState accumulates per-key counters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val news = mem.toDF().toDF("published_time", "category")
+
+    val q = WindowedStats.feedProgress(spark, news)
+      .writeStream.format("memory").queryName("progress")
+      .outputMode(OutputMode.Update).start()
+
+    mem.addData((ts("2024-02-01 10:00:00"), "Politics"),
+      (ts("2024-02-01 11:00:00"), "Politics"),
+      (ts("2024-02-01 12:00:00"), "Tech"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-02-02 10:00:00"), "Politics"))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("progress")
+      .groupBy("category")
+      .agg(org.apache.spark.sql.functions.max("articles").as("articles"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last("Politics") == 3L) // 2 then +1, state carried across batches
+    assert(last("Tech") == 1L)
+  }
+}
