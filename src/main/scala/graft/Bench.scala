@@ -27,15 +27,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Long = {
+    def execOnce(name: String): Long = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      System.nanoTime() - t0
+      val dt = System.nanoTime() - t0
+      // queries may cache intermediates (e.g. shingle tables); drop them so
+      // accumulated blocks don't GC-tax later queries
+      spark.catalog.clearCache()
+      dt
     }
+
+    /** Min of two runs: single-run local[4] timings jitter by multiples
+      * under GC/page-cache noise; the min is the steady-state cost. */
+    def exec(name: String): Long = math.min(execOnce(name), execOnce(name))
 
     // Warmup: string/regex/date/decimal/window/join/explode expression
     // classes + parquet scan path, once, untimed.

@@ -321,6 +321,38 @@ object CoreQueries {
                FROM events)
              WHERE rn <= 3 ORDER BY user_id, rn""")),
 
+    // rollup subtotals (beyond the reference's flat group-bys; NULL
+    // subtotal markers need explicit NULLS FIRST to match across engines)
+    Q("q_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // running aggregate window (frame-based analytic function)
+    Q("q_window_running",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double").as("running_total"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_total
+             FROM orders ORDER BY o_orderkey""")),
+
     // ---- headline analytics (bench drivers; TPC-H Q1/Q3 shapes)
     Q("q_agg_pricing",
       (s, d) => Tables.lineitem(s, d)

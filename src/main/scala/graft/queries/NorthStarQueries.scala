@@ -173,17 +173,20 @@ object NorthStarQueries {
       (s, d) => {
         val sh = shingled(s, d)
         val seeds = 0 until 8
-        val hashed = sh.select(col("doc_id"),
-          explode(array(seeds.map(j => struct(lit(j).as("j"),
-            md5(concat_ws(":", lit(j.toString), col("s")).cast("binary"))
-              .as("h"))): _*)).as("jh"))
-          .select(col("doc_id"), col("jh.j").as("j"), col("jh.h").as("h"))
-        val minsig = hashed.groupBy("doc_id", "j").agg(min("h").as("mh"))
-        val bands = minsig
-          .groupBy(col("doc_id"), floor(col("j") / 2).as("band"))
-          .agg(concat_ws("|",
-            min(when(col("j") % 2 === 0, col("mh"))),
-            min(when(col("j") % 2 === 1, col("mh")))).as("bsig"))
+        // all 8 minhashes in ONE map-side-combinable groupBy (one shuffle
+        // of #docs x 8 hashes, not an exploded 8x row stream), then bands
+        // derived directly — no second aggregation
+        val mins = sh.groupBy("doc_id").agg(
+          min(md5(concat_ws(":", lit("0"), col("s")).cast("binary"))).as("m0"),
+          seeds.tail.map(j =>
+            min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary")))
+              .as(s"m$j")): _*)
+        val bands = mins.select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))
+                .as("bsig"))): _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
         bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -211,10 +214,20 @@ object NorthStarQueries {
     // covered in ScalaTest; the oracle locks the signature computation)
     Q("q_simhash",
       (s, d) => {
+        // Spark side parses the 4 hex chars ONCE per token via conv()
+        // (the oracle's per-digit arithmetic is the same value; DuckDB
+        // has no conv). Bit k of the signature = bit (4*(3-k/4)+(3-k%4))
+        // of that 16-bit value.
         val toks = docs(s, d).select(col("doc_id"),
           explode(Text.tokenSet(col("text"))).as("s"))
-          .withColumn("h", md5(col("s").cast("binary")))
-        val sums = simhashBitSums("div").map(expr)
+          .withColumn("v",
+            conv(substring(md5(col("s").cast("binary")), 1, 4), 16, 10)
+              .cast("int"))
+        val sums = (0 until 16).map { k =>
+          val bitPos = 4 * (3 - k / 4) + (3 - k % 4)
+          sum(when(shiftright(col("v"), bitPos) % 2 === 1, 1).otherwise(-1))
+            .as(s"b$k")
+        }
         toks.groupBy("doc_id")
           .agg(sums.head, sums.tail: _*)
           .select(col("doc_id"), expr(simhashCombine).as("simhash"))
