@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join topology (SURVEY.md §0 scale notes).
+  *
+  * At 100 TB a handful of hot keys (one viral article id, one dominant
+  * feed) can pin an entire shuffle partition to one task. AQE's skew-join
+  * split handles sort-merge cases adaptively
+  * (`spark.sql.adaptive.skewJoin.enabled`, on in Bench); this utility is
+  * the explicit fallback for topologies AQE can't split — e.g. when the
+  * hot side must stay hash-partitioned for a downstream stateful op.
+  *
+  * Mechanics: the probe (large, skewed) side spreads each key's rows over
+  * `salt` sub-keys; the build side replicates each row `salt` times; the
+  * join key becomes (key, salt), so a hot key fans out across `salt`
+  * tasks. Replication multiplies the build side — use only when build is
+  * orders of magnitude smaller (the usual skew shape).
+  */
+object Skew {
+
+  /** Equi-join `probe ⋈ build` on `key`, fanned out over `salt` sub-keys.
+    * Result is row-identical to the plain join for inner/left joins.
+    *
+    * `spread` must distribute rows *within* a key (a function of the key
+    * alone would re-concentrate the hot key); the default spreads by
+    * physical row position, which is correctness-neutral. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salt: Int, joinType: String = "inner",
+      spread: Column = spark_partition_id() * 31 + monotonically_increasing_id()): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val p = probe.withColumn("__salt", pmod(spread, lit(salt)).cast("int"))
+    val b = build.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    p.join(b, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -14,6 +14,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 trait TableSink {
   def append(df: DataFrame, table: String): Unit
+
+  /** Append with hive-style partition directories — the 100 TB layout:
+    * a reader filtering on the partition columns scans only matching
+    * directories (partition pruning), and retention/compaction operate
+    * per partition. Typical keys: event date, feed/category. */
+  def appendPartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit
+
   def overwrite(df: DataFrame, table: String): Unit
   def read(spark: SparkSession, table: String): DataFrame
   def exists(spark: SparkSession, table: String): Boolean
@@ -24,6 +32,12 @@ final class ParquetTableSink(basePath: String) extends TableSink {
 
   override def append(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path(table))
+
+  override def appendPartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(table))
 
   override def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(table))

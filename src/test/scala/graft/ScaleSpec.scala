@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{ParquetTableSink, Skew}
+
+/** Scale-mechanics checks: salted-join equivalence and partition-pruned
+  * reads of the partitioned sink layout. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin == plain join on a skewed fixture (inner and left)") {
+    // 1000 rows of one hot key + a tail; small dimension side
+    val probe = ((1 to 1000).map(i => ("hot", i)) ++
+      (1 to 50).map(i => (s"k$i", i))).toDF("key", "v")
+    val build = (Seq("hot") ++ (1 to 25).map(i => s"k$i"))
+      .zipWithIndex.toDF("key", "dim")
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = probe.join(build, Seq("key"), jt)
+      val salted = Skew.saltedJoin(probe, build, "key", salt = 8, joinType = jt)
+      assert(salted.count() == plain.count(), s"count mismatch for $jt")
+      assert(salted.exceptAll(plain).count() == 0, s"rows differ for $jt")
+      assert(plain.exceptAll(salted).count() == 0, s"rows differ for $jt")
+    }
+  }
+
+  test("salted probe side actually spreads the hot key over sub-keys") {
+    val probe = (1 to 1000).map(i => ("hot", i)).toDF("key", "v")
+    val spreadCount = probe
+      .withColumn("__salt",
+        pmod(spark_partition_id() * 31 + monotonically_increasing_id(), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spreadCount > 1, "hot key must fan out over multiple sub-keys")
+  }
+
+  test("partitioned sink: hive layout + partition-pruned scan") {
+    val store = TestSpark.tmpDir("pstore")
+    val sink = new ParquetTableSink(store)
+    val df = Seq(
+      ("a", "2024-02-01", 1), ("b", "2024-02-01", 2),
+      ("c", "2024-02-02", 3)).toDF("id", "day", "v")
+    sink.appendPartitioned(df, "events_p", Seq("day"))
+
+    assert(new java.io.File(s"$store/events_p/day=2024-02-01").isDirectory)
+
+    val read = sink.read(spark, "events_p").filter(col("day") === "2024-02-01")
+    assert(read.count() == 2)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition filters in:\n$plan")
+  }
+}
