@@ -342,6 +342,134 @@ object NorthStarQueries {
              SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
              ORDER BY q_id, sim DESC, vec_id""")),
 
+    // IVF cell assignment: the 10 vectors with vec_id < 10 act as the
+    // trained coarse centroids (deterministic stand-in for k-means, which
+    // has no cross-engine-reproducible SQL form). Every vector joins its
+    // nearest centroid by rounded cosine — at scale the centroid table is
+    // always broadcast (k << N) and the output is the partition key for
+    // IVF search.
+    Q("q_ivf_assign",
+      (s, d) => {
+        val e = emb(s, d)
+        val cents = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("cell"), col("emb").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+        e.join(broadcast(cents))
+          .withColumn("sim",
+            round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("vec_id", "cell", "sim")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $embCte,
+             c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < 10),
+             scored AS (
+               SELECT n.vec_id, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+               FROM n CROSS JOIN c),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+               FROM scored)
+             SELECT vec_id, cell, sim FROM ranked WHERE rn = 1
+             ORDER BY vec_id""")),
+
+    // IVF probe-1 search: queries 100..104 scan ONLY their assigned cell
+    // (vs q_cosine_topk's full scan) — the N/k cost shape of inverted-file
+    // ANN; the join keys on cell, i.e. co-partitioned at scale.
+    Q("q_ivf_search",
+      (s, d) => {
+        val e = emb(s, d)
+        val cents = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("cell"), col("emb").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+        val assigned = e.join(broadcast(cents))
+          .withColumn("csim",
+            round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+        val queries = assigned
+          .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+            col("nrm").as("q_nrm"), col("cell"))
+        val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+        assigned.join(broadcast(queries), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim",
+            round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id", "sim")
+          .orderBy(col("q_id"), desc("sim"), col("vec_id"))
+      },
+      Some(s"""WITH $embCte,
+             c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < 10),
+             scored AS (
+               SELECT n.vec_id, n.e, n.nrm, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS csim
+               FROM n CROSS JOIN c),
+             assigned AS (
+               SELECT vec_id, e, nrm, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                 FROM scored) WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+                   FROM assigned WHERE vec_id >= 100 AND vec_id < 105),
+             cand AS (
+               SELECT q_id, a.vec_id,
+                 round(list_dot_product(qe, a.e) / (qn * a.nrm), 4) AS sim
+               FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.q_id),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+               FROM cand)
+             SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
+             ORDER BY q_id, sim DESC, vec_id""")),
+
+    // near-dup groups: connected components over the jaccard>=0.8 pair
+    // graph, labeled by the component's min doc_id. Spark side: iterative
+    // min-label propagation (the components here are tiny chains; a
+    // 100 TB corpus would use the large-star/small-star variant, same
+    // shuffle-on-vertex topology per round). Oracle: recursive CTE
+    // transitive closure.
+    Q("q_dedup_groups",
+      (s, d) => {
+        val sh = cappedShingles(s, d) // one cached shingle table, reused 3x
+        val pairs = sh.as("a")
+          .join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val edges = pairs
+          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+          .filter(round(col("inter") / (col("s1.n") + col("s2.n") - col("inter")), 4) >= 0.8)
+          .select(col("d1"), col("d2"))
+        graft.engine.Graph.connectedComponents(s, edges)
+          .select(col("vertex").as("doc_id"), col("component").as("group_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             p0 AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (
+               SELECT d1, d2 FROM p0
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2
+               WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 4) >= 0.8),
+             edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+             reach(doc_id, lbl) AS (
+               SELECT d1, d1 FROM edges
+               UNION
+               SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.doc_id)
+             SELECT doc_id, min(lbl) AS group_id FROM reach
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // ================= text analysis =================
 
     // per-document stats: token counts, distinct ratio (U1-analog surface)

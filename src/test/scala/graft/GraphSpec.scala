@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val edges = Seq(
+    (2L, 1L), (2L, 3L),           // chain 1-2-3
+    (10L, 11L),                   // pair
+    (20L, 21L), (21L, 22L), (22L, 20L) // triangle
+  ).toDF("d1", "d2")
+
+  private val expected = Map(
+    1L -> 1L, 2L -> 1L, 3L -> 1L,
+    10L -> 10L, 11L -> 10L,
+    20L -> 20L, 21L -> 20L, 22L -> 20L)
+
+  test("driver union-find labels components by min id") {
+    val got = Graph.connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("iterative min-label propagation agrees with union-find") {
+    val got = Graph.connectedComponents(spark, edges, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
