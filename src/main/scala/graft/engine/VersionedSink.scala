@@ -1,0 +1,120 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Append-only table with a minimal commit log — the Delta-semantics the
+  * reference actually relies on (ACID append + "time travel",
+  * README.md:12), on plain parquet.
+  *
+  * Layout per table:
+  * {{{
+  *   <base>/<table>/d-<uuid>/part-*.parquet  unique dir per append attempt
+  *   <base>/<table>/_commits/<n>.commit      {"dir":"d-<uuid>"} — written LAST
+  * }}}
+  *
+  * Protocol (the same shape as Delta's log, minus checkpoints):
+  *  1. write the data files into a UNIQUE directory — concurrent writers
+  *     can never clobber each other's files;
+  *  2. claim the next version number by atomically creating its commit
+  *     marker (`FileSystem.create(overwrite=false)`); the marker names
+  *     the data directory. A loser of the race just re-claims the next
+  *     number — its data files are already safely in place.
+  *
+  * A version is visible iff its marker exists, so readers never see a
+  * half-written append, and a writer that dies before committing leaves
+  * only an invisible orphan directory. `readAt(v)` = union of the data
+  * dirs referenced by markers <= v (time travel).
+  *
+  * Scale note: listing grows O(commits); a production variant checkpoints
+  * the manifest periodically exactly as Delta does. The TableSink trait
+  * stays the same — this is the slot a real Delta/Iceberg writer fills on
+  * a cluster with the connector jars.
+  */
+final class VersionedParquetSink(basePath: String) extends TableSink {
+  private def tableDir(table: String) = s"$basePath/$table"
+  private def commitDir(table: String) = s"$basePath/$table/_commits"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed version numbers, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new Path(commitDir(table))
+    val f = fs(spark, commitDir(table))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    versions(spark, table).lastOption
+
+  private def dataDirOf(spark: SparkSession, table: String, v: Long): String = {
+    val marker = new Path(s"${commitDir(table)}/$v.commit")
+    val f = fs(spark, commitDir(table))
+    val in = f.open(marker)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    """"dir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body) match {
+      case Some(m) => s"${tableDir(table)}/${m.group(1)}"
+      case None => throw new IllegalStateException(
+        s"corrupt commit marker $marker: $body")
+    }
+  }
+
+  override def append(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val unique = s"d-${UUID.randomUUID()}"
+    df.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
+    val f = fs(spark, commitDir(table))
+    f.mkdirs(new Path(commitDir(table)))
+    var attempt = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
+    var committed = false
+    while (!committed) {
+      val marker = new Path(s"${commitDir(table)}/$attempt.commit")
+      try { // step 2: atomic claim of the version number
+        val out = f.create(marker, /* overwrite = */ false)
+        out.write(
+          s"""{"version":$attempt,"dir":"$unique","ts":"${java.time.Instant.now}"}"""
+            .getBytes(StandardCharsets.UTF_8))
+        out.close()
+        committed = true
+      } catch {
+        case _: java.io.IOException => attempt += 1 // lost the race; re-claim
+      }
+    }
+  }
+
+  override def appendPartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    throw new UnsupportedOperationException(
+      "VersionedParquetSink versions whole commits; use ParquetTableSink for hive partitioning")
+
+  override def overwrite(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    fs(spark, tableDir(table)).delete(new Path(tableDir(table)), true)
+    append(df, table)
+  }
+
+  /** Snapshot = union of committed versions (orphan dirs are invisible). */
+  override def read(spark: SparkSession, table: String): DataFrame =
+    readAt(spark, table, Long.MaxValue)
+
+  /** Time travel: the table as of version `v` (inclusive). */
+  def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
+    val vs = versions(spark, table).filter(_ <= v)
+    require(vs.nonEmpty, s"no committed versions <= $v for $table")
+    spark.read.parquet(vs.map(dataDirOf(spark, table, _)): _*)
+  }
+
+  override def exists(spark: SparkSession, table: String): Boolean =
+    versions(spark, table).nonEmpty
+}
