@@ -25,6 +25,17 @@ trait TableSink {
   def overwrite(df: DataFrame, table: String): Unit
   def read(spark: SparkSession, table: String): DataFrame
   def exists(spark: SparkSession, table: String): Boolean
+
+  /** Append at most once per `commitKey` (e.g. a streaming batchId).
+    * Returns false if a commit with this key already exists. The base
+    * implementation is NOT idempotent (plain parquet has nowhere durable
+    * to record the key) — a replayed foreachBatch double-appends, i.e.
+    * at-least-once. VersionedParquetSink overrides this with a real
+    * keyed commit, upgrading the streaming fan-out to exactly-once. */
+  def appendOnce(df: DataFrame, table: String, commitKey: String): Boolean = {
+    append(df, table)
+    true
+  }
 }
 
 final class ParquetTableSink(basePath: String) extends TableSink {

@@ -56,41 +56,69 @@ final class VersionedParquetSink(basePath: String) extends TableSink {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
 
-  private def dataDirOf(spark: SparkSession, table: String, v: Long): String = {
+  private def readMarker(spark: SparkSession, table: String, v: Long): String = {
     val marker = new Path(s"${commitDir(table)}/$v.commit")
-    val f = fs(spark, commitDir(table))
-    val in = f.open(marker)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val in = fs(spark, commitDir(table)).open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+  }
+
+  private def dataDirOf(spark: SparkSession, table: String, v: Long): String = {
+    val body = readMarker(spark, table, v)
     """"dir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body) match {
       case Some(m) => s"${tableDir(table)}/${m.group(1)}"
       case None => throw new IllegalStateException(
-        s"corrupt commit marker $marker: $body")
+        s"corrupt commit marker for $table v$v: $body")
     }
   }
 
-  override def append(df: DataFrame, table: String): Unit = {
+  override def append(df: DataFrame, table: String): Unit =
+    doAppend(df, table, commitKey = None)
+
+  /** Idempotent keyed append: if any committed marker carries this key,
+    * the append is a no-op — the exactly-once contract for replayed
+    * streaming micro-batches. The key check re-runs after losing a
+    * version race, so two replicas replaying the same batch commit once. */
+  override def appendOnce(df: DataFrame, table: String,
+      commitKey: String): Boolean =
+    doAppend(df, table, Some(commitKey))
+
+  private def committedKeys(spark: SparkSession, table: String): Set[String] =
+    versions(spark, table).flatMap { v =>
+      """"key"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(readMarker(spark, table, v)).map(_.group(1))
+    }.toSet
+
+  private def doAppend(df: DataFrame, table: String,
+      commitKey: Option[String]): Boolean = {
     val spark = df.sparkSession
+    if (commitKey.exists(committedKeys(spark, table).contains)) return false
     val unique = s"d-${UUID.randomUUID()}"
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     var attempt = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
-    var committed = false
-    while (!committed) {
+    while (true) {
+      val keyField = commitKey.map(k => s""","key":"$k"""").getOrElse("")
       val marker = new Path(s"${commitDir(table)}/$attempt.commit")
       try { // step 2: atomic claim of the version number
         val out = f.create(marker, /* overwrite = */ false)
         out.write(
-          s"""{"version":$attempt,"dir":"$unique","ts":"${java.time.Instant.now}"}"""
+          s"""{"version":$attempt,"dir":"$unique"$keyField,"ts":"${java.time.Instant.now}"}"""
             .getBytes(StandardCharsets.UTF_8))
         out.close()
-        committed = true
+        return true
       } catch {
-        case _: java.io.IOException => attempt += 1 // lost the race; re-claim
+        case _: java.io.IOException => // lost the race; re-check key, re-claim
+          if (commitKey.exists(committedKeys(spark, table).contains)) {
+            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            return false
+          }
+          attempt += 1
       }
     }
+    false // unreachable
   }
 
   override def appendPartitioned(df: DataFrame, table: String,

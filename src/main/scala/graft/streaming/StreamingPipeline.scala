@@ -45,15 +45,21 @@ object StreamingPipeline {
       .queryName("graft-news-pipeline")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val cached = batch.cache()
           try {
-            sink.append(cached, "raw")
+            // keyed by batchId: on a VersionedParquetSink a replayed
+            // micro-batch (crash between append and checkpoint commit)
+            // is a no-op per table -> exactly-once fan-out; on the plain
+            // parquet sink appendOnce degrades to at-least-once
+            sink.appendOnce(cached, "raw", s"batch-$batchId")
             val curated = Curate(cached)
-            sink.append(curated, "curated")
+            sink.appendOnce(curated, "curated", s"batch-$batchId")
             val analyzed = Analyze.withAnalysis(cached.sparkSession, curated, analyzer)
-            sink.append(Analyze.explodeActors(analyzed), "actors")
+            sink.appendOnce(Analyze.explodeActors(analyzed), "actors",
+              s"batch-$batchId")
+            ()
           } finally cached.unpersist()
         }
       }

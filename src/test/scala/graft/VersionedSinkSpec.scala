@@ -30,6 +30,32 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 
+  test("appendOnce is idempotent per commit key (replayed micro-batch)") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vstore5"))
+    assert(sink.appendOnce(Seq((1, "a")).toDF("id", "v"), "t", "batch-0"))
+    assert(!sink.appendOnce(Seq((1, "a")).toDF("id", "v"), "t", "batch-0")) // replay
+    assert(sink.appendOnce(Seq((2, "b")).toDF("id", "v"), "t", "batch-1"))
+    assert(sink.read(spark, "t").count() == 2) // no duplicate from the replay
+    assert(sink.versions(spark, "t") == Seq(0L, 1L))
+  }
+
+  test("streaming fan-out on versioned sink: batch replays can't double-append") {
+    val feeds = TestSpark.tmpDir("vsfeeds")
+    java.nio.file.Files.write(java.nio.file.Paths.get(feeds, "b.json"),
+      """{"title":"Mayor Ann Bell resigns","published":"Mon, 05 Feb 2024 10:30:00 GMT","description":"d","link":"l","guid":"g1","media_thumbnail":null,"feed":"Politics"}"""
+        .getBytes("UTF-8"))
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vstore6"))
+    val ckpt = TestSpark.tmpDir("vsckpt")
+    graft.streaming.StreamingPipeline.stream(spark, feeds, sink, ckpt)
+      .awaitTermination()
+    assert(sink.read(spark, "raw").count() == 1)
+    // simulate the crash-window replay: re-running batch 0's writes
+    val replayed = sink.appendOnce(
+      sink.read(spark, "raw"), "raw", "batch-0")
+    assert(!replayed)
+    assert(sink.read(spark, "raw").count() == 1)
+  }
+
   test("overwrite resets history") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("vstore3"))
     sink.append(Seq((1, "a")).toDF("id", "v"), "t")
