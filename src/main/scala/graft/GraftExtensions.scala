@@ -15,9 +15,22 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction(GraftExtensions.dotRegistration)
   }
+}
+
+object GraftExtensions {
+  private val dotRegistration = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+
+  /** Late registration for sessions built without the extensions conf
+    * (e.g. a host harness's own SparkSession): queries that need
+    * `graft_dot` call this first, so they are self-sufficient. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.catalog.functionExists("graft_dot")) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", dotRegistration._3, "scala_udf")
+    }
 }

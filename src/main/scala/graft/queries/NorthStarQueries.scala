@@ -67,11 +67,13 @@ object NorthStarQueries {
   /** embeddings widened to double with the L2 norm precomputed once per
     * vector (never per pair). `graft_dot` is the codegen'd expression
     * registered by GraftExtensions. */
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s) // vanilla-session safety
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
       .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+  }
 
   /** Oracle-side mirror of `emb`: vectors as DOUBLE[] with norms
     * precomputed, so both engines evaluate dot/(nrm_a*nrm_b) with an
