@@ -29,21 +29,31 @@ object Bench {
 
     def execOnce(name: String): Long = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        val dt = System.nanoTime() - t0
+        // queries may cache intermediates (e.g. shingle tables); drop them
+        // so accumulated blocks don't GC-tax later queries
+        spark.catalog.clearCache()
+        dt
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          spark.catalog.clearCache()
+          -1L // failure marker: a broken query must not look fast
       }
-      val dt = System.nanoTime() - t0
-      // queries may cache intermediates (e.g. shingle tables); drop them so
-      // accumulated blocks don't GC-tax later queries
-      spark.catalog.clearCache()
-      dt
     }
 
     /** Min of two runs: single-run local[4] timings jitter by multiples
-      * under GC/page-cache noise; the min is the steady-state cost. */
-    def exec(name: String): Long = math.min(execOnce(name), execOnce(name))
+      * under GC/page-cache noise; the min is the steady-state cost.
+      * Any failed run poisons the query's metric to -1. */
+    def exec(name: String): Long = {
+      val a = execOnce(name)
+      if (a < 0) return -1L
+      val b = execOnce(name)
+      if (b < 0) -1L else math.min(a, b)
+    }
 
     // Warmup: string/regex/date/decimal/window/join/explode expression
     // classes + parquet scan path, once, untimed.

@@ -23,7 +23,11 @@ object GraftExtensions {
   private val dotRegistration = (
     FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    (children: Seq[Expression]) => {
+      if (children.size != 2) throw new IllegalArgumentException(
+        s"graft_dot requires exactly 2 arguments, got ${children.size}")
+      DotProduct(children.head, children(1))
+    })
 
   /** Late registration for sessions built without the extensions conf
     * (e.g. a host harness's own SparkSession): queries that need

@@ -56,9 +56,12 @@ object Graph {
     members.toSeq.map(v => (v, find(v))).toDF("vertex", "component")
   }
 
-  /** Distributed min-label propagation until fixpoint (bounded rounds). */
+  /** Distributed min-label propagation until fixpoint. Label distance
+    * shrinks one hop per round, so rounds ~ graph diameter; a graph that
+    * hasn't converged within maxIter FAILS loudly — returning partial
+    * labels would silently split duplicate clusters. */
   private[engine] def iterativeMinLabel(edges0: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val src = edges0.columns(0)
     val dst = edges0.columns(1)
     val edges = edges0.select(col(src).as("s"), col(dst).as("t"))
@@ -68,20 +71,32 @@ object Graph {
       .withColumn("component", col("vertex")).cache()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val prop = edges.join(labels, edges("s") === labels("vertex"))
-        .groupBy(col("t").as("vertex")).agg(min("component").as("nc"))
-      val next = labels.join(prop, Seq("vertex"), "left")
-        .select(col("vertex"),
-          least(col("component"), coalesce(col("nc"), col("component")))
-            .as("component"))
-        .cache()
-      changed = next.join(
-        labels.withColumnRenamed("component", "old"), "vertex")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      iter += 1
+    try {
+      while (changed > 0 && iter < maxIter) {
+        val prop = edges.join(labels, edges("s") === labels("vertex"))
+          .groupBy(col("t").as("vertex")).agg(min("component").as("nc"))
+        val next = labels.join(prop, Seq("vertex"), "left")
+          .select(col("vertex"),
+            least(col("component"), coalesce(col("nc"), col("component")))
+              .as("component"))
+          .cache()
+        changed = next.join(
+          labels.withColumnRenamed("component", "old"), "vertex")
+          .filter(col("component") =!= col("old")).count()
+        labels.unpersist() // previous round's blocks are dead now
+        labels = next
+        iter += 1
+      }
+      if (changed > 0) throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter too large) — raise maxIter or use the " +
+          "large-star/small-star variant")
+      // pin the result before dropping the edge cache it derives from
+      val result = labels.localCheckpoint(true)
+      result
+    } finally {
+      edges.unpersist()
+      labels.unpersist()
     }
-    labels
   }
 }

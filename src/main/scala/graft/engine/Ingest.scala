@@ -29,13 +29,16 @@ object Ingest {
     * parse (collector.py:65-72), guid -> id, per-feed literal category
     * (collector.py:110). Spark 4's datetime parser can't PARSE a
     * day-of-week field ('E' is format-only), so the "Mon, " prefix is
-    * stripped first — it's redundant with the date anyway. */
+    * stripped first — it's redundant with the date anyway. Day pattern is
+    * 'd' (1-2 digits): real feeds emit both "5 Mar" and "05 Mar", and the
+    * strict parser's 'dd' would null out — and thus silently drop — the
+    * single-digit form. */
   def toNews(entries: DataFrame): DataFrame =
     entries.select(
       col("title"),
       to_timestamp(
         regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
-        "dd MMM yyyy HH:mm:ss zzz")
+        "d MMM yyyy HH:mm:ss zzz")
         .as("published_time"),
       col("description"),
       col("link"),

@@ -27,12 +27,24 @@ object Pipeline {
     try {
       val n = fresh.count() // one materialization for the empty-batch guard
       if (n == 0) return Result(0) // T3 empty-batch short-circuit
-      sink.append(fresh, "raw")
+      // Content-derived batch key: a crash between the appends and the
+      // state write re-runs the same logical batch (same fresh-id set ->
+      // same key), and appendOnce makes the re-appends no-ops on a
+      // versioned sink — exactly-once. On the plain parquet sink
+      // appendOnce degrades to at-least-once (documented on the trait),
+      // which matches the reference's own crash window
+      // (collector.py:113-115 writes state after storing).
+      val sig = fresh.agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.crc32(
+            org.apache.spark.sql.functions.col("id")))).head().getLong(0)
+      val batchKey = s"ingest-$n-$sig"
+      sink.appendOnce(fresh, "raw", batchKey)
       val curated = Curate(fresh)
-      sink.append(curated, "curated")
+      sink.appendOnce(curated, "curated", batchKey)
       val analyzed = Analyze.withAnalysis(spark, curated, analyzer)
-      sink.append(Analyze.explodeActors(analyzed), "actors")
-      Ingest.saveState(sink, fresh)
+      sink.appendOnce(Analyze.explodeActors(analyzed), "actors", batchKey)
+      if (sink.appendOnce(fresh.select("id"), "state", batchKey)) ()
       Result(n)
     } finally fresh.unpersist()
   }

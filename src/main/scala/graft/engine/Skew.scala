@@ -30,6 +30,11 @@ object Skew {
       salt: Int, joinType: String = "inner",
       spread: Column = spark_partition_id() * 31 + monotonically_increasing_id()): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
+    // right/full joins would emit every unmatched build row `salt` times
+    // (one per replica) — reject instead of returning silently wrong rows
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi joins, got $joinType")
     val p = probe.withColumn("__salt", pmod(spread, lit(salt)).cast("int"))
     val b = build.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))

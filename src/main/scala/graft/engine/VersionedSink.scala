@@ -102,15 +102,30 @@ final class VersionedParquetSink(basePath: String) extends TableSink {
     while (true) {
       val keyField = commitKey.map(k => s""","key":"$k"""").getOrElse("")
       val marker = new Path(s"${commitDir(table)}/$attempt.commit")
-      try { // step 2: atomic claim of the version number
-        val out = f.create(marker, /* overwrite = */ false)
-        out.write(
-          s"""{"version":$attempt,"dir":"$unique"$keyField,"ts":"${java.time.Instant.now}"}"""
-            .getBytes(StandardCharsets.UTF_8))
-        out.close()
-        return true
-      } catch {
-        case _: java.io.IOException => // lost the race; re-check key, re-claim
+      val created =
+        try Some(f.create(marker, /* overwrite = */ false)) // atomic claim
+        catch {
+          // Only an already-existing marker means "lost the race". Any
+          // other IO failure must propagate — retrying it as if raced
+          // would commit the same data dir under two versions.
+          case e: java.io.IOException =>
+            if (f.exists(marker)) None else throw e
+        }
+      created match {
+        case Some(out) =>
+          try {
+            out.write(
+              s"""{"version":$attempt,"dir":"$unique"$keyField,"ts":"${java.time.Instant.now}"}"""
+                .getBytes(StandardCharsets.UTF_8))
+            out.close()
+          } catch {
+            case e: Throwable => // half-written marker would poison reads
+              try { out.close() } catch { case _: Throwable => () }
+              f.delete(marker, false)
+              throw e
+          }
+          return true
+        case None => // lost the race; re-check key, re-claim next number
           if (commitKey.exists(committedKeys(spark, table).contains)) {
             f.delete(new Path(s"${tableDir(table)}/$unique"), true)
             return false

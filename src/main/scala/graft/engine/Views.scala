@@ -1,0 +1,30 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Programmatic-access surface (SURVEY.md §3.3): the reference exposes its
+  * tables for ad-hoc analysis via `DeltaTable(path).to_pandas()`; the
+  * Spark equivalent is temp-view registration so the whole engine is
+  * reachable from `spark.sql(...)` — including `graft_dot`, which is
+  * registered alongside.
+  */
+object Views {
+
+  /** Register every testdata table under its name for `spark.sql`. */
+  def registerTestdata(spark: SparkSession, sfDir: String): Unit = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    Tables.names.foreach { name =>
+      Tables.load(spark, sfDir, name).createOrReplaceTempView(name)
+    }
+  }
+
+  /** Register the pipeline's output tables (raw/curated/actors/state)
+    * from a sink for ad-hoc SQL. */
+  def registerPipeline(spark: SparkSession, sink: TableSink): Unit = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    Seq("raw", "curated", "actors", "state").foreach { t =>
+      if (sink.exists(spark, t))
+        sink.read(spark, t).createOrReplaceTempView(t)
+    }
+  }
+}

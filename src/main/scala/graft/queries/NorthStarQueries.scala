@@ -54,14 +54,24 @@ object NorthStarQueries {
   }
 
   /** Shingles with the hot-shingle cap applied (df <= MaxShingleDf), the
-    * input to pairwise jaccard. Cached: used three times (sizes + both
-    * join sides) within one query. */
+    * input to pairwise jaccard. Cached because one query uses it three
+    * times (sizes + both join sides) — and memoized per (session, dir) so
+    * repeated calls through the public SparkEntry.queries contract reuse
+    * ONE cached table instead of leaking a new set of blocks per call. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def cappedShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    sh.join(df.filter(col("df") <= MaxShingleDf), "s")
-      .select("doc_id", "s")
-      .cache()
+    val df = shingleCache.computeIfAbsent((s, d), { case (s, d) =>
+      val sh = shingled(s, d)
+      val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      sh.join(freq.filter(col("df") <= MaxShingleDf), "s")
+        .select("doc_id", "s")
+    })
+    // (re-)cache: a host's spark.catalog.clearCache() (Bench/Verify do
+    // this between queries) drops the blocks but not this memo entry
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
   }
 
   /** embeddings widened to double with the L2 norm precomputed once per

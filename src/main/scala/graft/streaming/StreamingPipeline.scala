@@ -37,9 +37,16 @@ object StreamingPipeline {
       .schema(Schemas.feedEntry)
       .json(feedsDir)
 
+    // dropDuplicatesWithinWatermark, NOT dropDuplicates("id"): plain
+    // dropDuplicates only evicts state when the event-time column is part
+    // of the dedup key, so its state would grow forever (the reference's
+    // own bug). The WithinWatermark variant evicts each id once the
+    // watermark passes its event time — bounded state, with the stated
+    // trade-off that a duplicate arriving later than the watermark delay
+    // is treated as new.
     val deduped = Ingest.toNews(entries)
       .withWatermark("published_time", watermark)
-      .dropDuplicates("id")
+      .dropDuplicatesWithinWatermark("id")
 
     deduped.writeStream
       .queryName("graft-news-pipeline")

@@ -22,10 +22,14 @@ class IngestPipelineSpec extends AnyFunSuite {
   test("toNews parses RFC-1123 timestamps and maps fields (collector.py:65-72,96-111)") {
     val dir = TestSpark.tmpDir("feed")
     writeFeed(dir, "b1.json", Seq(entry("g1", "T1", "Business"),
-      entry("g2", "T2", "Health", thumb = "https://img/2")))
+      entry("g2", "T2", "Health", thumb = "https://img/2"),
+      // single-digit day (valid RFC 822) must parse, not silently drop
+      entry("g3", "T3", "Tech", published = "Tue, 5 Mar 2024 09:15:00 GMT")))
     val news = Ingest.toNews(Ingest.readFeedSnapshots(spark, dir))
     val rows = news.orderBy("id").collect()
-    assert(rows.length == 2)
+    assert(rows.length == 3)
+    assert(rows(2).getAs[java.sql.Timestamp]("published_time").toInstant.toString
+      == "2024-03-05T09:15:00Z")
     assert(rows(0).getAs[java.sql.Timestamp]("published_time").toInstant.toString
       == "2024-02-05T10:30:00Z")
     assert(rows(0).getAs[String]("category") == "Business")
