@@ -295,6 +295,31 @@ object CoreQueries {
                     THEN event_type ELSE 'Others' END AS category
              FROM events ORDER BY event_id""")),
 
+    // semi-structured JSON extraction (props column; the analyzer-output
+    // parse path of processor.py:107-117 as a columnar op)
+    Q("q_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, json_extract(props, '$.k')::INT AS k
+             FROM events ORDER BY event_id""")),
+
+    // full JSON parse to typed struct + aggregate over the parsed field
+    Q("q_json_agg",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+               SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+               MIN(json_extract(props, '$.k')::INT) AS min_k,
+               MAX(json_extract(props, '$.k')::INT) AS max_k
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // deterministic field extraction (U1 analog; processor.py:63-121)
     Q("q_extract",
       (s, d) => Tables.events(s, d)

@@ -109,6 +109,15 @@ object NorthStarQueries {
 
   private val enStopwords = "('the', 'a', 'of', 'to', 'in', 'and')"
 
+  /** Deterministic 4-decimal rounding for RATIONAL-arithmetic scores:
+    * engines disagree on round() at exactly-representable half-boundary
+    * doubles (e.g. 0.86874999... -> DuckDB 0.8688, IEEE/Spark 0.8687),
+    * and ratios of small ints DO land there. floor/mult/add are
+    * bit-identical IEEE ops in both engines, so floor(x*1e4 + 0.5)/1e4
+    * always agrees. Cosines keep plain round(): their mantissas are
+    * effectively random, boundary hits measure-zero. */
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
   /** Shared oracle CTE: capped distinct 3-gram shingles per doc. */
   private val shingleCte =
     s"""toks AS (
@@ -159,7 +168,7 @@ object NorthStarQueries {
           .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
           .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
           .withColumn("jaccard",
-            round(col("inter") / (col("s1.n") + col("s2.n") - col("inter")), 4))
+            r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter"))))
           .filter(col("jaccard") >= 0.8)
           .select("d1", "d2", "jaccard")
           .orderBy("d1", "d2")
@@ -170,11 +179,11 @@ object NorthStarQueries {
                SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
-             SELECT d1, d2, round(inter * 1.0 / (s1.n + s2.n - inter), 4) AS jaccard
+             SELECT d1, d2, floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
              FROM pairs
              JOIN sizes s1 ON s1.doc_id = d1
              JOIN sizes s2 ON s2.doc_id = d2
-             WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 4) >= 0.8
+             WHERE floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 >= 0.8
              ORDER BY d1, d2""")),
 
     // MinHash+LSH candidate pairs: 8 md5-minhashes, 4 bands x 2 rows;
@@ -457,7 +466,7 @@ object NorthStarQueries {
         val edges = pairs
           .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
           .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-          .filter(round(col("inter") / (col("s1.n") + col("s2.n") - col("inter")), 4) >= 0.8)
+          .filter(r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter"))) >= 0.8)
           .select(col("d1"), col("d2"))
         graft.engine.Graph.connectedComponents(s, edges)
           .select(col("vertex").as("doc_id"), col("component").as("group_id"))
@@ -473,7 +482,7 @@ object NorthStarQueries {
                SELECT d1, d2 FROM p0
                JOIN sizes s1 ON s1.doc_id = d1
                JOIN sizes s2 ON s2.doc_id = d2
-               WHERE round(inter * 1.0 / (s1.n + s2.n - inter), 4) >= 0.8),
+               WHERE floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 >= 0.8),
              edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
              reach(doc_id, lbl) AS (
                SELECT d1, d1 FROM edges
@@ -492,13 +501,13 @@ object NorthStarQueries {
           size(Text.tokens(col("text"))).as("n_tokens"),
           size(Text.tokenSet(col("text"))).as("n_distinct"))
         .withColumn("distinct_ratio",
-          round(col("n_distinct") / col("n_tokens"), 4))
+          r4(col("n_distinct") / col("n_tokens")))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, length(text) AS len,
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) AS n_distinct,
-               round(len(list_distinct(string_split(text, ' '))) * 1.0 /
-                     len(string_split(text, ' ')), 4) AS distinct_ratio
+               floor(len(list_distinct(string_split(text, ' ')))::DOUBLE /
+                     len(string_split(text, ' ')) * 10000 + 0.5::DOUBLE) / 10000 AS distinct_ratio
              FROM documents ORDER BY doc_id""")),
 
     // language-ID heuristic: English stopword density
@@ -507,7 +516,7 @@ object NorthStarQueries {
         .withColumn("en_hits",
           expr(s"size(filter(split(text, ' '), x -> x IN $enStopwords))"))
         .withColumn("n_tokens", size(Text.tokens(col("text"))))
-        .withColumn("en_ratio", round(col("en_hits") / col("n_tokens"), 4))
+        .withColumn("en_ratio", r4(col("en_hits") / col("n_tokens")))
         .select(col("doc_id"), col("en_ratio"),
           when(col("en_hits") / col("n_tokens") >= 0.1, "en")
             .otherwise("other").as("pred_lang"))
@@ -517,8 +526,8 @@ object NorthStarQueries {
                  len(list_filter(string_split(text, ' '), x -> x IN $enStopwords)) AS en_hits,
                  len(string_split(text, ' ')) AS n_tokens
                FROM documents)
-             SELECT doc_id, round(en_hits * 1.0 / n_tokens, 4) AS en_ratio,
-               CASE WHEN en_hits * 1.0 / n_tokens >= 0.1 THEN 'en' ELSE 'other' END AS pred_lang
+             SELECT doc_id, floor(en_hits::DOUBLE / n_tokens * 10000 + 0.5::DOUBLE) / 10000 AS en_ratio,
+               CASE WHEN en_hits::DOUBLE / n_tokens >= 0.1 THEN 'en' ELSE 'other' END AS pred_lang
              FROM t ORDER BY doc_id""")),
 
     // quality score: length saturation + lexical diversity + stopword mix
@@ -528,11 +537,10 @@ object NorthStarQueries {
         .withColumn("n_distinct", size(Text.tokenSet(col("text"))))
         .withColumn("stop_hits",
           expr(s"size(filter(split(text, ' '), x -> x IN $enStopwords))"))
-        .withColumn("score", round(
+        .withColumn("score", r4(
           lit(0.5) * least(col("n_tokens") / 40.0, lit(1.0)) +
             lit(0.3) * (col("n_distinct") / col("n_tokens")) +
-            lit(0.2) * least(lit(10.0) * col("stop_hits") / col("n_tokens"), lit(1.0)),
-          4))
+            lit(0.2) * least(lit(10.0) * col("stop_hits") / col("n_tokens"), lit(1.0))))
         .select(col("doc_id"), col("score"),
           when(col("score") >= 0.7, "high")
             .when(col("score") >= 0.5, "mid")
@@ -546,9 +554,9 @@ object NorthStarQueries {
                FROM documents),
              sc AS (
                SELECT doc_id,
-                 round(0.5 * least(n_tokens / 40.0, 1.0) +
-                       0.3 * (n_distinct * 1.0 / n_tokens) +
-                       0.2 * least(10.0 * stop_hits / n_tokens, 1.0), 4) AS score
+                 floor((0.5::DOUBLE * least(n_tokens / 40.0::DOUBLE, 1.0::DOUBLE) +
+                       0.3::DOUBLE * (n_distinct::DOUBLE / n_tokens) +
+                       0.2::DOUBLE * least(10.0::DOUBLE * stop_hits / n_tokens, 1.0::DOUBLE)) * 10000 + 0.5::DOUBLE) / 10000 AS score
                FROM t)
              SELECT doc_id, score,
                CASE WHEN score >= 0.7 THEN 'high'
