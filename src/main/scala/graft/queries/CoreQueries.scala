@@ -346,6 +346,41 @@ object CoreQueries {
                FROM events)
              WHERE rn <= 3 ORDER BY user_id, rn""")),
 
+    // exact percentiles (linear interpolation — same semantics as
+    // DuckDB's quantile_cont; values here are integral-valued doubles so
+    // interpolation is exact on both engines)
+    Q("q_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.9) AS p90,
+               COUNT(*) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // scalar string-function battery (case, pad, trim, replace, slice)
+    Q("q_string_funcs",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          length(col("c_name")).as("len"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+               substr(c_name, 1, 8) AS pre,
+               lpad(c_custkey::VARCHAR, 10, '0') AS padded,
+               regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+               length(c_name) AS len
+             FROM customer ORDER BY c_custkey""")),
+
     // rollup subtotals (beyond the reference's flat group-bys; NULL
     // subtotal markers need explicit NULLS FIRST to match across engines)
     Q("q_rollup",
