@@ -274,6 +274,33 @@ object CoreQueries {
                SELECT event_id, event_type FROM events WHERE event_type = 'view')
              ORDER BY event_id""")),
 
+    // set operations (completing the family beyond q_union)
+    Q("q_intersect",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "click").select("user_id").distinct()
+          .intersect(
+            e.filter(col("event_type") === "purchase").select("user_id").distinct())
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+             INTERSECT
+             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+             ORDER BY user_id""")),
+
+    Q("q_except",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.select("user_id").distinct()
+          .except(
+            e.filter(col("event_type") === "purchase").select("user_id").distinct())
+          .orderBy("user_id")
+      },
+      Some("""SELECT DISTINCT user_id FROM events
+             EXCEPT
+             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+             ORDER BY user_id""")),
+
     // explode nested arrays to rows (U3; collector.py:168-213)
     Q("q_explode",
       (s, d) => Tables.documents(s, d)

@@ -109,6 +109,10 @@ object NorthStarQueries {
 
   private val enStopwords = "('the', 'a', 'of', 'to', 'in', 'and')"
 
+  /** Emit timestamps as NTZ so parquet output matches DuckDB's naive
+    * timestamps (same convention as CoreQueries.ntz). */
+  private def ntzSql(c: Column): Column = c.cast("timestamp_ntz")
+
   /** Deterministic 4-decimal rounding for RATIONAL-arithmetic scores:
     * engines disagree on round() at exactly-representable half-boundary
     * doubles (e.g. 0.86874999... -> DuckDB 0.8688, IEEE/Spark 0.8687),
@@ -490,6 +494,35 @@ object NorthStarQueries {
                SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.doc_id)
              SELECT doc_id, min(lbl) AS group_id FROM reach
              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // as-of join (engine/AsOf.scala): each click joined to the user's
+    // most recent purchase at-or-before it; DuckDB's native ASOF JOIN is
+    // the oracle. Right side pre-deduplicated per (user, ts) so the
+    // match is unambiguous in both engines.
+    Q("q_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(max("event_id").as("p_event_id"))
+        graft.engine.AsOf.asofJoin(clicks, purchases,
+          "user_id", "ts", "p_ts", Seq("p_event_id", "p_ts"))
+          .select(col("event_id"), col("user_id"),
+            col("p_event_id"), ntzSql(col("p_ts")).as("p_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+               SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             c AS (
+               SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+             SELECT c.event_id, c.user_id, p.p_event_id, p.p_ts
+             FROM c ASOF LEFT JOIN p
+               ON c.user_id = p.user_id AND c.ts >= p.p_ts
+             ORDER BY c.event_id""")),
 
     // ================= text analysis =================
 
