@@ -29,4 +29,14 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("pointer jumping converges on a 200-node chain within the round cap") {
+    // diameter 199: plain one-hop propagation would need 199 rounds and
+    // trip the maxIter guard; pointer jumping needs ~log2(200)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Graph.connectedComponents(spark, chain, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(0L))
+  }
 }
