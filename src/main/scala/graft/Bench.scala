@@ -45,30 +45,37 @@ object Bench {
       }
     }
 
-    /** Min of two runs: single-run local[4] timings jitter by multiples
-      * under GC/page-cache noise; the min is the steady-state cost.
-      * Any failed run poisons the query's metric to -1. */
-    def exec(name: String): Long = {
+    /** Min of two runs in SECONDS: single-run local[4] timings jitter by
+      * multiples under GC/page-cache noise; the min is the steady-state
+      * cost. Any failed run poisons the query's metric to -1.0 seconds
+      * (NOT -1 nanoseconds, which would scale to an invisible -1e-9). */
+    def exec(name: String): Double = {
       val a = execOnce(name)
-      if (a < 0) return -1L
+      if (a < 0) return -1.0
       val b = execOnce(name)
-      if (b < 0) -1L else math.min(a, b)
+      if (b < 0) -1.0 else math.min(a, b) / 1e9
     }
 
     // Warmup: string/regex/date/decimal/window/join/explode expression
     // classes + parquet scan path, once, untimed.
-    spark.sql(
-      """SELECT x, contains(lower(s), 'a'), regexp_extract(s, '([0-9]+)', 1),
-        |  date_format(current_timestamp(), 'yyyy-MM-dd'), to_date('2024-01-01'),
-        |  cast(x as decimal(18,2)) * cast(2 as decimal(18,2)),
-        |  row_number() OVER (PARTITION BY s ORDER BY x)
-        |FROM (SELECT id AS x, concat('a', id) AS s,
-        |        explode(split('a b', ' ')) AS t FROM range(100))""".stripMargin)
-      .write.mode("overwrite").format("noop").save()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    try {
+      spark.sql(
+        """SELECT x, contains(lower(s), 'a'), regexp_extract(s, '([0-9]+)', 1),
+          |  date_format(current_timestamp(), 'yyyy-MM-dd'), to_date('2024-01-01'),
+          |  cast(x as decimal(18,2)) * cast(2 as decimal(18,2)),
+          |  row_number() OVER (PARTITION BY s ORDER BY x)
+          |FROM (SELECT id AS x, concat('a', id) AS s,
+          |        explode(split('a b', ' ')) AS t FROM range(100))""".stripMargin)
+        .write.mode("overwrite").format("noop").save()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case e: Throwable =>
+      // a warmup failure (e.g. bad SF dir) must not kill the report —
+      // per-query markers will show what's broken
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> exec(n) / 1e9)
+    val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

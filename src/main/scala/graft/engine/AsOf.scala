@@ -34,28 +34,34 @@ object AsOf {
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
 
+    // Right values travel as ONE struct so the fill is row-atomic: a
+    // per-column last(ignoreNulls) would back-fill a null column of the
+    // matched right row from an OLDER right row, fabricating a torn row
+    // that never existed.
+    val valueStruct = struct(valueCols.map(col): _*)
+    val structType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(c, rightTypes(c))))
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .select(col("__t") +: col("__side") +: (
-        leftCols.map(col) ++
-          valueCols.map(c => lit(null).cast(rightTypes(c)).as(c))): _*)
+      .select(col("__t") +: col("__side") +:
+        lit(null).cast(structType).as("__vals") +: leftCols.map(col): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .select(col("__t") +: col("__side") +: (
+      .select(col("__t") +: col("__side") +: valueStruct.as("__vals") +:
         leftCols.map(c =>
           if (c == key) col(key)
-          else lit(null).cast(leftTypes(c)).as(c)) ++
-          valueCols.map(col)): _*)
+          else lit(null).cast(leftTypes(c)).as(c)): _*)
 
     // side 0 sorts before side 1 at equal time -> inclusive (<=) semantics
     val w = Window.partitionBy(key)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    lTagged.unionByName(rTagged)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__vals.$c").as(c)): _*)
   }
 }

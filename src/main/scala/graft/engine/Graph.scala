@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  def connectedComponents(spark: SparkSession, edges: DataFrame,
+  def connectedComponents(spark: SparkSession, edges0: DataFrame,
       driverMaxEdges: Long = 5000000L): DataFrame = {
-    val n = edges.count()
-    if (n <= driverMaxEdges) driverUnionFind(spark, edges)
-    else iterativeMinLabel(edges)
+    // edges may be an expensive derived plan (e.g. a shingle self-join);
+    // cache it so the strategy-picking count() and the actual solve don't
+    // each recompute the full upstream DAG
+    val edges = edges0.cache()
+    try {
+      val n = edges.count()
+      if (n <= driverMaxEdges) driverUnionFind(spark, edges)
+      else iterativeMinLabel(edges)
+    } finally edges.unpersist()
   }
 
   /** Exact union-find on collected edges (src, dst as first two columns). */

@@ -36,9 +36,17 @@ object Ingest {
   def toNews(entries: DataFrame): DataFrame =
     entries.select(
       col("title"),
-      to_timestamp(
-        regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
-        "d MMM yyyy HH:mm:ss zzz")
+      // RFC 822 allows a zone NAME ("GMT") or a NUMERIC offset ("+0000");
+      // java-time 'z' only parses names, so try both forms — and use
+      // try_to_timestamp so an unparseable date degrades to a dropped row
+      // instead of failing the job under ANSI mode
+      coalesce(
+        try_to_timestamp(
+          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
+          lit("d MMM yyyy HH:mm:ss zzz")),
+        try_to_timestamp(
+          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
+          lit("d MMM yyyy HH:mm:ss Z")))
         .as("published_time"),
       col("description"),
       col("link"),

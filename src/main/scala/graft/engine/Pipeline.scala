@@ -23,7 +23,11 @@ object Pipeline {
     val entries = Ingest.readFeedSnapshots(spark, feedsDir)
     val news = Ingest.toNews(entries)
     val state = Ingest.loadState(spark, sink)
-    val fresh = Ingest.newEntries(news, state).cache()
+    // dropDuplicates(id): the SAME new guid can appear in two snapshot
+    // files of one run (normal RSS-poll overlap) — the state anti-join
+    // only removes PREVIOUSLY seen ids (streaming path handles this with
+    // dropDuplicatesWithinWatermark)
+    val fresh = Ingest.newEntries(news, state).dropDuplicates("id").cache()
     try {
       val n = fresh.count() // one materialization for the empty-batch guard
       if (n == 0) return Result(0) // T3 empty-batch short-circuit
@@ -34,10 +38,14 @@ object Pipeline {
       // appendOnce degrades to at-least-once (documented on the trait),
       // which matches the reference's own crash window
       // (collector.py:113-115 writes state after storing).
+      // 60-bit md5-derived id-set digest (order-independent sum): crc32
+      // sums collide at birthday-of-2^16 rates, enough to silently no-op
+      // a real batch via appendOnce; md5 prefix sums push that to ~2^30
       val sig = fresh.agg(
         org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.crc32(
-            org.apache.spark.sql.functions.col("id")))).head().getLong(0)
+          org.apache.spark.sql.functions.expr(
+            "cast(conv(substr(md5(cast(id as binary)), 1, 15), 16, 10) as decimal(20,0))")))
+        .head().getDecimal(0)
       val batchKey = s"ingest-$n-$sig"
       sink.appendOnce(fresh, "raw", batchKey)
       val curated = Curate(fresh)

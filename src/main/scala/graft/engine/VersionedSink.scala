@@ -101,37 +101,28 @@ final class VersionedParquetSink(basePath: String) extends TableSink {
     var attempt = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
     while (true) {
       val keyField = commitKey.map(k => s""","key":"$k"""").getOrElse("")
+      // Write the FULL marker body to a temp file, then atomically rename
+      // it to <n>.commit. create-then-write would make an EMPTY marker
+      // visible first — readers would throw on it and a same-key
+      // committer would see "no key" and double-commit.
+      val tmp = new Path(s"${commitDir(table)}/.tmp-${UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try {
+        out.write(
+          s"""{"version":$attempt,"dir":"$unique"$keyField,"ts":"${java.time.Instant.now}"}"""
+            .getBytes(StandardCharsets.UTF_8))
+      } finally out.close()
       val marker = new Path(s"${commitDir(table)}/$attempt.commit")
-      val created =
-        try Some(f.create(marker, /* overwrite = */ false)) // atomic claim
-        catch {
-          // Only an already-existing marker means "lost the race". Any
-          // other IO failure must propagate — retrying it as if raced
-          // would commit the same data dir under two versions.
-          case e: java.io.IOException =>
-            if (f.exists(marker)) None else throw e
-        }
-      created match {
-        case Some(out) =>
-          try {
-            out.write(
-              s"""{"version":$attempt,"dir":"$unique"$keyField,"ts":"${java.time.Instant.now}"}"""
-                .getBytes(StandardCharsets.UTF_8))
-            out.close()
-          } catch {
-            case e: Throwable => // half-written marker would poison reads
-              try { out.close() } catch { case _: Throwable => () }
-              f.delete(marker, false)
-              throw e
-          }
-          return true
-        case None => // lost the race; re-check key, re-claim next number
-          if (commitKey.exists(committedKeys(spark, table).contains)) {
-            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
-            return false
-          }
-          attempt += 1
+      if (f.rename(tmp, marker)) return true
+      f.delete(tmp, false)
+      if (!f.exists(marker)) throw new java.io.IOException(
+        s"failed to commit marker $marker (rename failed, no competing marker)")
+      // lost the race; re-check key, re-claim next number
+      if (commitKey.exists(committedKeys(spark, table).contains)) {
+        f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+        return false
       }
+      attempt += 1
     }
     false // unreachable
   }

@@ -61,6 +61,9 @@ object NorthStarQueries {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    // evict entries whose session is gone — otherwise the memo pins
+    // stopped sessions (and their plans) for the JVM lifetime
+    shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val df = shingleCache.computeIfAbsent((s, d), { case (s, d) =>
       val sh = shingled(s, d)
       val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))

@@ -34,6 +34,19 @@ class AsOfSpec extends AnyFunSuite {
       (4L, None), (5L, None)))
   }
 
+  test("asofJoin fills row-atomically: null columns of the matched right row stay null") {
+    val right = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(1.0), None: Option[Double]),
+      ("A", ts("2024-01-01 10:05:00"), None: Option[Double], Some(2.0))
+    ).toDF("k", "rt", "a", "b")
+    val leftDf = Seq(("A", ts("2024-01-01 10:06:00"), 1L)).toDF("k", "lt", "id")
+    val r = AsOf.asofJoin(leftDf, right, "k", "lt", "rt", Seq("a", "b")).collect()(0)
+    // matched right row is t=10:05 -> (a=null, b=2.0); a MUST NOT be
+    // back-filled to 1.0 from the older row
+    assert(r.isNullAt(r.fieldIndex("a")))
+    assert(r.getDouble(r.fieldIndex("b")) == 2.0)
+  }
+
   test("asofJoin preserves left row count and rejects column collisions") {
     val l = Seq(("A", ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "v")
     val r = Seq(("A", ts("2023-12-31 00:00:00"), "y")).toDF("k", "rt", "rv")

@@ -11,14 +11,18 @@ class FunctionsSpec extends AnyFunSuite {
     val df = spark.sql(
       """SELECT graft_dot(array(1.0D,2.0D,3.0D), array(4.0D,5.0D,6.0D)) AS a,
         |       graft_dot(cast(array() as array<double>), cast(array() as array<double>)) AS b,
-        |       graft_dot(array(1.0D,2.0D), array(3.0D)) AS c,
         |       graft_dot(cast(null as array<double>), array(1.0D)) AS d
         |""".stripMargin)
     val r = df.collect()(0)
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 0.0)
-    assert(r.getDouble(2) == 3.0) // min-length semantics
-    assert(r.isNullAt(3))         // null-intolerant binary expression
+    assert(r.isNullAt(2)) // null-intolerant binary expression
+    // corrupt (length-mismatched) vectors fail loudly, like DuckDB's
+    // list_dot_product — never a truncated-prefix similarity
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot(array(1.0D,2.0D), array(3.0D))").collect())
+    assert(e.getMessage.contains("length mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("length mismatch")))
   }
 
   test("graft_dot rejects non-double arrays at analysis time") {

@@ -37,6 +37,28 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(rows(1).getAs[String]("thumbnail_url") == "https://img/2")
   }
 
+  test("toNews accepts numeric RFC-822 zone offsets (+0000)") {
+    val dir = TestSpark.tmpDir("feedz")
+    writeFeed(dir, "b.json", Seq(
+      entry("gz", "T", "Tech", published = "Mon, 05 Feb 2024 10:30:00 +0100")))
+    val rows = Ingest.toNews(Ingest.readFeedSnapshots(spark, dir)).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[java.sql.Timestamp]("published_time").toInstant.toString
+      == "2024-02-05T09:30:00Z")
+  }
+
+  test("same new guid in two snapshot files lands once (intra-batch dedup)") {
+    val feeds = TestSpark.tmpDir("dupfeeds")
+    val store = TestSpark.tmpDir("dupstore")
+    writeFeed(feeds, "f1.json", Seq(entry("gd", "Mayor Ann Bell resigns", "Politics")))
+    writeFeed(feeds, "f2.json", Seq(entry("gd", "Mayor Ann Bell resigns", "Politics")))
+    val sink = new ParquetTableSink(store)
+    val r = Pipeline.run(spark, feeds, sink)
+    assert(r.newArticles == 1)
+    assert(sink.read(spark, "raw").count() == 1)
+    assert(sink.read(spark, "actors").select("news_id").distinct().count() == 1)
+  }
+
   test("anti-join drops processed ids (collector.py:87-89)") {
     import spark.implicits._
     val news = Seq("a", "b", "c").map(id => (id, s"t$id")).toDF("id", "title")
