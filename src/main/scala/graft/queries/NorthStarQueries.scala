@@ -193,22 +193,32 @@ object NorthStarQueries {
              WHERE floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 >= 0.8
              ORDER BY d1, d2""")),
 
-    // MinHash+LSH candidate pairs: 8 md5-minhashes, 4 bands x 2 rows;
+    // MinHash+LSH candidate pairs: 8 minhashes, 4 bands x 2 rows;
     // candidates = docs sharing any band signature. The join keys on
     // (band, signature) — the LSH bucket — so the pair blow-up is bounded
     // per bucket, never global.
+    //
+    // Hashing: ONE md5 per shingle; minhash j = min over shingles of hex
+    // slice substr(h, 4j+1, 4). Each slice position selects its own argmin
+    // shingle, so the 8 slices act as 8 independent 16-bit hash functions
+    // at 1/8th the hashing cost of 8 salted md5 calls (this was the top
+    // bench-time contributor in round 1). 16-bit minhashes admit ~1e-5
+    // band-level false-positive collisions — fine for an LSH *candidate*
+    // stage, whose output feeds exact verification by construction.
     Q("q_dedup_minhash",
       (s, d) => {
+        // md5 projected BEFORE the groupBy so it provably runs once per
+        // shingle (not relying on codegen subexpression elimination
+        // across the 8 aggregate update expressions)
         val sh = shingled(s, d)
-        val seeds = 0 until 8
+          .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
         // all 8 minhashes in ONE map-side-combinable groupBy (one shuffle
-        // of #docs x 8 hashes, not an exploded 8x row stream), then bands
+        // of #docs x 8 slices, not an exploded 8x row stream), then bands
         // derived directly — no second aggregation
         val mins = sh.groupBy("doc_id").agg(
-          min(md5(concat_ws(":", lit("0"), col("s")).cast("binary"))).as("m0"),
-          seeds.tail.map(j =>
-            min(md5(concat_ws(":", lit(j.toString), col("s")).cast("binary")))
-              .as(s"m$j")): _*)
+          min(substring(col("h"), 1, 4)).as("m0"),
+          (1 until 8).map(j =>
+            min(substring(col("h"), 4 * j + 1, 4)).as(s"m$j")): _*)
         val bands = mins.select(col("doc_id"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),
@@ -224,10 +234,11 @@ object NorthStarQueries {
           .orderBy("d1", "d2")
       },
       Some(s"""WITH $shingleCteUncapped,
-             hashed AS (
-               SELECT doc_id, j, md5(j::VARCHAR || ':' || s) AS h
-               FROM sh, unnest(range(0, 8)) AS v(j)),
-             minsig AS (SELECT doc_id, j, min(h) AS mh FROM hashed GROUP BY 1, 2),
+             hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+             minsig AS (
+               SELECT doc_id, j, min(substr(h, 4 * j + 1, 4)) AS mh
+               FROM hashed, unnest(range(0, 8)) AS v(j)
+               GROUP BY 1, 2),
              bands AS (
                SELECT doc_id, j // 2 AS band,
                       concat_ws('|', min(CASE WHEN j % 2 = 0 THEN mh END),
