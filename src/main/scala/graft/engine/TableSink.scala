@@ -1,6 +1,48 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+
+/** Append-time schema enforcement, mirroring Delta's append-mode check
+  * (the reference's write_deltalake(..., mode='append') rejects drifting
+  * schemas, collector.py:219-226). Names and types must match exactly and
+  * in order; nullability is ignored — appending stricter data is always
+  * safe. Without this check a drifted append silently produces a
+  * union-schema mess at read time. */
+object SchemaCheck {
+  /** Nullability-normalized copy (recursively nullable everywhere). */
+  private def norm(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, norm(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(norm(a.elementType), containsNull = true)
+    case m: MapType => MapType(norm(m.keyType), norm(m.valueType),
+      valueContainsNull = true)
+    case other => other
+  }
+
+  def enforceAppend(table: String, existing: Option[StructType],
+      incoming: StructType): Unit =
+    existing.foreach { cur =>
+      if (norm(cur) != norm(incoming))
+        throw new IllegalArgumentException(
+          s"schema mismatch appending to '$table':\n  table:  ${cur.toDDL}\n  append: ${incoming.toDDL}\n" +
+            "(names and types must match; rewrite with overwrite() to change the schema)")
+    }
+
+  /** Name-set check for hive-partitioned appends, where a read-back
+    * schema re-types partition columns (directory values are re-inferred)
+    * and reorders them to the end — exact type equality would
+    * false-positive on every partitioned table. */
+  def enforceAppendByName(table: String, existing: Option[StructType],
+      incoming: StructType): Unit =
+    existing.foreach { cur =>
+      if (cur.fieldNames.toSet != incoming.fieldNames.toSet)
+        throw new IllegalArgumentException(
+          s"schema mismatch appending to '$table': column sets differ\n" +
+            s"  table:  ${cur.fieldNames.sorted.mkString(", ")}\n" +
+            s"  append: ${incoming.fieldNames.sorted.mkString(", ")}")
+    }
+}
 
 /** Append-mode table storage, the Delta-semantics shim of SURVEY.md §7.4.
   *
@@ -41,14 +83,23 @@ trait TableSink {
 final class ParquetTableSink(basePath: String) extends TableSink {
   private def path(table: String) = s"$basePath/$table"
 
-  override def append(df: DataFrame, table: String): Unit =
+  private def existingSchema(df: DataFrame, table: String) =
+    if (exists(df.sparkSession, table))
+      Some(df.sparkSession.read.parquet(path(table)).schema)
+    else None
+
+  override def append(df: DataFrame, table: String): Unit = {
+    SchemaCheck.enforceAppend(table, existingSchema(df, table), df.schema)
     df.write.mode(SaveMode.Append).parquet(path(table))
+  }
 
   override def appendPartitioned(df: DataFrame, table: String,
-      partitionCols: Seq[String]): Unit =
+      partitionCols: Seq[String]): Unit = {
+    SchemaCheck.enforceAppendByName(table, existingSchema(df, table), df.schema)
     df.write.mode(SaveMode.Append)
       .partitionBy(partitionCols: _*)
       .parquet(path(table))
+  }
 
   override def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(table))

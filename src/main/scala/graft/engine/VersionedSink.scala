@@ -1,47 +1,123 @@
 package graft.engine
 
 import java.nio.charset.StandardCharsets
-import java.util.UUID
+import java.util.{Base64, UUID}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
 
-/** Append-only table with a minimal commit log — the Delta-semantics the
-  * reference actually relies on (ACID append + "time travel",
+/** Append-only table with a checkpointed commit log — the Delta-semantics
+  * the reference actually relies on (ACID append + "time travel",
   * README.md:12), on plain parquet.
   *
   * Layout per table:
   * {{{
-  *   <base>/<table>/d-<uuid>/part-*.parquet  unique dir per append attempt
-  *   <base>/<table>/_commits/<n>.commit      {"dir":"d-<uuid>"} — written LAST
+  *   <base>/<table>/d-<uuid>/part-*.parquet     unique dir per append attempt
+  *   <base>/<table>/_commits/<n>.commit         commit marker — written LAST
+  *   <base>/<table>/_commits/<n>.checkpoint     manifest snapshot <= n
   * }}}
   *
-  * Protocol (the same shape as Delta's log, minus checkpoints):
+  * Protocol (the same shape as Delta's log):
   *  1. write the data files into a UNIQUE directory — concurrent writers
   *     can never clobber each other's files;
-  *  2. claim the next version number by atomically creating its commit
-  *     marker (`FileSystem.create(overwrite=false)`); the marker names
-  *     the data directory. A loser of the race just re-claims the next
-  *     number — its data files are already safely in place.
+  *  2. claim the next version number by atomically renaming the fully
+  *     written marker into place; the marker names the data directory and
+  *     carries the commit's schema (base64 DDL) and optional idempotency
+  *     key. A loser of the race just re-claims the next number — its data
+  *     files are already safely in place.
   *
   * A version is visible iff its marker exists, so readers never see a
   * half-written append, and a writer that dies before committing leaves
-  * only an invisible orphan directory. `readAt(v)` = union of the data
-  * dirs referenced by markers <= v (time travel).
+  * only an invisible orphan directory.
   *
-  * Scale note: listing grows O(commits); a production variant checkpoints
-  * the manifest periodically exactly as Delta does. The TableSink trait
-  * stays the same — this is the slot a real Delta/Iceberg writer fills on
-  * a cluster with the connector jars.
+  * '''Checkpointing''' (the O(commits) fix): every `checkpointInterval`
+  * commits the writer snapshots the whole manifest into `<n>.checkpoint`
+  * (one marker body per line). State reads are then ONE directory listing
+  * + ONE checkpoint read + the markers newer than the checkpoint — the
+  * same recipe as Delta's `_checkpoint` parquet. Markers are never
+  * deleted, so `versions()`/time travel see full history.
+  *
+  * '''Schema enforcement''': an append whose schema differs from the
+  * table's current schema (names + types, nullability ignored — an
+  * append is always allowed to be stricter) fails loudly BEFORE any data
+  * is written, mirroring Delta's append-mode check that the reference
+  * depends on (write_deltalake mode='append', collector.py:219-226).
+  *
+  * '''Compaction''' ([[compact]]): folds every live data directory into
+  * one new directory committed as the next version — the OPTIMIZE
+  * operation a streaming deployment needs once foreachBatch has appended
+  * thousands of one-file micro-batch dirs. Pre-compaction versions keep
+  * their markers and data, so time travel to them still works; readers at
+  * or after the compaction version scan only the compacted directory plus
+  * any appends that raced past it.
   */
-final class VersionedParquetSink(basePath: String) extends TableSink {
+final class VersionedParquetSink(basePath: String,
+    checkpointInterval: Int = 10) extends TableSink {
+  require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+
   private def tableDir(table: String) = s"$basePath/$table"
   private def commitDir(table: String) = s"$basePath/$table/_commits"
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed version numbers, ascending. */
+  /** One committed version: the raw marker body plus its parsed fields.
+    * `compacts` marks a compaction commit that supersedes every version
+    * <= its value; `schemaDdl` is the commit's schema. */
+  private final case class Commit(version: Long, dir: String,
+      key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
+      raw: String)
+
+  private def parseCommit(version: Long, body: String): Commit = {
+    def str(field: String): Option[String] =
+      ("\"" + field + """"\s*:\s*"([^"]+)"""").r.findFirstMatchIn(body).map(_.group(1))
+    def num(field: String): Option[Long] =
+      ("\"" + field + """"\s*:\s*(\d+)""").r.findFirstMatchIn(body).map(_.group(1).toLong)
+    val dir = str("dir").getOrElse(throw new IllegalStateException(
+      s"corrupt commit marker v$version: $body"))
+    Commit(version, dir, str("key"), num("compacts"),
+      str("schemaB64").map(b => new String(Base64.getDecoder.decode(b),
+        StandardCharsets.UTF_8)),
+      body)
+  }
+
+  private def readSmallFile(spark: SparkSession, p: String): String = {
+    val in = fs(spark, p).open(new Path(p))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Full manifest, ascending by version: ONE listing, ONE checkpoint
+    * read, plus only the markers newer than the newest checkpoint. */
+  private def manifest(spark: SparkSession, table: String): Seq[Commit] = {
+    val dir = new Path(commitDir(table))
+    val f = fs(spark, commitDir(table))
+    if (!f.exists(dir)) return Seq.empty
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val cpVersion = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted.lastOption
+    val fromCp: Seq[Commit] = cpVersion match {
+      case None => Seq.empty
+      case Some(cp) =>
+        readSmallFile(spark, s"${commitDir(table)}/$cp.checkpoint")
+          .linesIterator.filter(_.nonEmpty).map { line =>
+            val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(line)
+              .getOrElse(throw new IllegalStateException(
+                s"corrupt checkpoint line in $table cp$cp: $line"))
+              .group(1).toLong
+            parseCommit(v, line)
+          }.toSeq
+    }
+    val tail = names.filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong)
+      .filter(v => cpVersion.forall(v > _))
+      .map(v => parseCommit(v, readSmallFile(spark, s"${commitDir(table)}/$v.commit")))
+    (fromCp ++ tail).sortBy(_.version)
+  }
+
+  /** Committed version numbers, ascending (markers are never deleted, so
+    * this is full history even after checkpoints/compaction). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = new Path(commitDir(table))
     val f = fs(spark, commitDir(table))
@@ -56,75 +132,146 @@ final class VersionedParquetSink(basePath: String) extends TableSink {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
 
-  private def readMarker(spark: SparkSession, table: String, v: Long): String = {
-    val marker = new Path(s"${commitDir(table)}/$v.commit")
-    val in = fs(spark, commitDir(table)).open(marker)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
-
-  private def dataDirOf(spark: SparkSession, table: String, v: Long): String = {
-    val body = readMarker(spark, table, v)
-    """"dir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body) match {
-      case Some(m) => s"${tableDir(table)}/${m.group(1)}"
-      case None => throw new IllegalStateException(
-        s"corrupt commit marker for $table v$v: $body")
-    }
-  }
-
   override def append(df: DataFrame, table: String): Unit =
     doAppend(df, table, commitKey = None)
 
   /** Idempotent keyed append: if any committed marker carries this key,
     * the append is a no-op — the exactly-once contract for replayed
     * streaming micro-batches. The key check re-runs after losing a
-    * version race, so two replicas replaying the same batch commit once. */
+    * version race, so two replicas replaying the same batch commit once.
+    * Keys live in the manifest (markers + checkpoints), so dedup
+    * survives checkpointing and compaction. */
   override def appendOnce(df: DataFrame, table: String,
       commitKey: String): Boolean =
     doAppend(df, table, Some(commitKey))
 
-  private def committedKeys(spark: SparkSession, table: String): Set[String] =
-    versions(spark, table).flatMap { v =>
-      """"key"\s*:\s*"([^"]+)"""".r
-        .findFirstMatchIn(readMarker(spark, table, v)).map(_.group(1))
-    }.toSet
-
   private def doAppend(df: DataFrame, table: String,
       commitKey: Option[String]): Boolean = {
     val spark = df.sparkSession
-    if (commitKey.exists(committedKeys(spark, table).contains)) return false
+    val entries = manifest(spark, table)
+    if (commitKey.exists(k => entries.exists(_.key.contains(k)))) return false
+    SchemaCheck.enforceAppend(table,
+      entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL),
+      df.schema)
     val unique = s"d-${UUID.randomUUID()}"
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
+    commitLoop(spark, table, unique, commitKey, compacts = None,
+      schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true)
+  }
+
+  /** Claim the next version for data dir `unique`. Returns false iff a
+    * competing commit with the same idempotency key won the race (the
+    * orphaned data dir is deleted).
+    *
+    * Concurrency protocol (Delta-style optimistic commit): each attempt
+    * re-reads the manifest and claims EXACTLY latest+1 — the idempotency
+    * key check and the claim come from the same snapshot. A writer can
+    * only ever claim version n+1 after version n's marker is visible, so
+    * a same-key racer's commit is always seen before we'd claim past it.
+    * HDFS-style rename is atomic-no-overwrite across writers; the LOCAL
+    * filesystem's rename is check-then-move (TOCTOU), so same-JVM racers
+    * — exactly the local[*] deployment — additionally serialize the
+    * read-check-claim on a JVM lock. Cross-JVM writers need an
+    * atomic-rename fs (HDFS/ABFS), the same contract Delta's LogStore
+    * documents. */
+  private def commitLoop(spark: SparkSession, table: String, unique: String,
+      commitKey: Option[String], compacts: Option[Long], schemaDdl: String,
+      cleanupOnKeyLoss: Boolean): Boolean = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
-    var attempt = latestVersion(spark, table).map(_ + 1).getOrElse(0L)
+    val keyField = commitKey.map(k => s""","key":"$k"""").getOrElse("")
+    val compField = compacts.map(c => s""","compacts":$c""").getOrElse("")
+    val schemaB64 = Base64.getEncoder.encodeToString(
+      schemaDdl.getBytes(StandardCharsets.UTF_8))
     while (true) {
-      val keyField = commitKey.map(k => s""","key":"$k"""").getOrElse("")
-      // Write the FULL marker body to a temp file, then atomically rename
-      // it to <n>.commit. create-then-write would make an EMPTY marker
-      // visible first — readers would throw on it and a same-key
-      // committer would see "no key" and double-commit.
-      val tmp = new Path(s"${commitDir(table)}/.tmp-${UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try {
-        out.write(
-          s"""{"version":$attempt,"dir":"$unique"$keyField,"ts":"${java.time.Instant.now}"}"""
-            .getBytes(StandardCharsets.UTF_8))
-      } finally out.close()
-      val marker = new Path(s"${commitDir(table)}/$attempt.commit")
-      if (f.rename(tmp, marker)) return true
-      f.delete(tmp, false)
-      if (!f.exists(marker)) throw new java.io.IOException(
-        s"failed to commit marker $marker (rename failed, no competing marker)")
-      // lost the race; re-check key, re-claim next number
-      if (commitKey.exists(committedKeys(spark, table).contains)) {
-        f.delete(new Path(s"${tableDir(table)}/$unique"), true)
-        return false
+      val claimed: Option[Option[Long]] = // None=retry, Some(None)=key lost
+        VersionedParquetSink.localClaimLock.synchronized {
+          val entries = manifest(spark, table)
+          if (commitKey.exists(k => entries.exists(_.key.contains(k)))) {
+            Some(None)
+          } else {
+            val attempt = entries.lastOption.map(_.version + 1).getOrElse(0L)
+            // Write the FULL marker body to a temp file, then atomically
+            // rename it to <n>.commit. create-then-write would make an
+            // EMPTY marker visible first — readers would throw on it and
+            // a same-key committer would see "no key" and double-commit.
+            val tmp = new Path(s"${commitDir(table)}/.tmp-${UUID.randomUUID()}")
+            val out = f.create(tmp, true)
+            try {
+              out.write(
+                s"""{"version":$attempt,"dir":"$unique"$keyField$compField,"schemaB64":"$schemaB64","ts":"${java.time.Instant.now}"}"""
+                  .getBytes(StandardCharsets.UTF_8))
+            } finally out.close()
+            val marker = new Path(s"${commitDir(table)}/$attempt.commit")
+            if (!f.exists(marker) && f.rename(tmp, marker)) Some(Some(attempt))
+            else { f.delete(tmp, false); None } // lost the race; retry
+          }
+        }
+      claimed match {
+        case Some(Some(v)) =>
+          maybeCheckpoint(spark, table, v)
+          return true
+        case Some(None) =>
+          if (cleanupOnKeyLoss)
+            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+          return false
+        case None => () // re-read manifest and try the next version
       }
-      attempt += 1
     }
     false // unreachable
+  }
+
+  /** Snapshot the manifest into `<v>.checkpoint` when it has grown
+    * `checkpointInterval` commits past the previous checkpoint. Losing
+    * the checkpoint rename race is harmless — someone else snapshotted. */
+  private def maybeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
+    val f = fs(spark, commitDir(table))
+    val names = f.listStatus(new Path(commitDir(table))).toSeq
+      .map(_.getPath.getName)
+    val lastCp = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted.lastOption.getOrElse(-1L)
+    if (v - lastCp < checkpointInterval) return
+    val entries = manifest(spark, table).filter(_.version <= v)
+    // entries may still be mid-race-sparse (a writer between marker and
+    // rename); checkpoint only what is durably visible NOW
+    val body = entries.map(_.raw).mkString("", "\n", "\n")
+    val tmp = new Path(s"${commitDir(table)}/.cptmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(s"${commitDir(table)}/$v.checkpoint")))
+      f.delete(tmp, false)
+  }
+
+  /** OPTIMIZE: rewrite every live data directory into ONE compacted
+    * directory and commit it as the next version. Readers at or past the
+    * compaction version scan one directory (plus any appends that raced
+    * in); pre-compaction markers and data dirs are kept, so
+    * `readAt(olderVersion)` still time-travels. Returns the compaction's
+    * version number.
+    *
+    * @param targetFiles optional file count for the compacted dir (e.g.
+    *   `Some(1)` collapses a micro-batch dir-per-append history into a
+    *   single file; None keeps the current partitioning — at 100 TB you
+    *   coalesce to size, not to one file). */
+  def compact(spark: SparkSession, table: String,
+      targetFiles: Option[Int] = None): Long = {
+    val entries = manifest(spark, table)
+    require(entries.nonEmpty, s"nothing to compact for $table")
+    val maxV = entries.last.version
+    val snap = readAt(spark, table, maxV)
+    val out = targetFiles.fold(snap)(n => snap.coalesce(n))
+    val unique = s"d-${UUID.randomUUID()}"
+    out.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${tableDir(table)}/$unique")
+    // `compacts = maxV` records exactly which versions were folded in —
+    // an append that commits while the rewrite runs gets a version > maxV
+    // and stays visible alongside the compacted dir.
+    commitLoop(spark, table, unique, commitKey = None, compacts = Some(maxV),
+      schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
+        .getOrElse(snap.schema.toDDL),
+      cleanupOnKeyLoss = false)
+    latestVersion(spark, table).get
   }
 
   override def appendPartitioned(df: DataFrame, table: String,
@@ -142,13 +289,28 @@ final class VersionedParquetSink(basePath: String) extends TableSink {
   override def read(spark: SparkSession, table: String): DataFrame =
     readAt(spark, table, Long.MaxValue)
 
-  /** Time travel: the table as of version `v` (inclusive). */
+  /** Time travel: the table as of version `v` (inclusive). A compaction
+    * commit <= v replaces everything it folded in (its `compacts`
+    * high-water mark); versions before a compaction stay readable because
+    * neither their markers nor their data dirs are deleted. */
   def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
-    val vs = versions(spark, table).filter(_ <= v)
-    require(vs.nonEmpty, s"no committed versions <= $v for $table")
-    spark.read.parquet(vs.map(dataDirOf(spark, table, _)): _*)
+    val entries = manifest(spark, table).filter(_.version <= v)
+    require(entries.nonEmpty, s"no committed versions <= $v for $table")
+    val comp = entries.filter(_.compacts.isDefined)
+      .sortBy(_.version).lastOption
+    val live = comp match {
+      case None => entries
+      case Some(c) =>
+        c +: entries.filter(e => e.version > c.compacts.get && e.version != c.version)
+    }
+    spark.read.parquet(live.map(e => s"${tableDir(table)}/${e.dir}"): _*)
   }
 
   override def exists(spark: SparkSession, table: String): Boolean =
     versions(spark, table).nonEmpty
+}
+
+object VersionedParquetSink {
+  /** Serializes marker claims within one JVM (see commitLoop). */
+  private[engine] val localClaimLock = new Object
 }

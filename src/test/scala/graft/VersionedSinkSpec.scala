@@ -64,6 +64,105 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet == Set(9))
   }
 
+  test("checkpointing: reads stay correct across the checkpoint boundary") {
+    val base = TestSpark.tmpDir("vcp1")
+    val sink = new VersionedParquetSink(base, checkpointInterval = 3)
+    (0 until 8).foreach(i => sink.append(Seq((i, s"v$i")).toDF("id", "v"), "t"))
+    val cps = new java.io.File(s"$base/t/_commits").list()
+      .filter(_.endsWith(".checkpoint"))
+    assert(cps.nonEmpty, "expected at least one checkpoint after 8 commits at interval 3")
+    assert(sink.versions(spark, "t") == (0L until 8L))
+    assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet == (0 until 8).toSet)
+    // time travel across the boundary: versions folded into the
+    // checkpoint AND the marker tail both resolve
+    assert(sink.readAt(spark, "t", 1).collect().map(_.getInt(0)).toSet == Set(0, 1))
+    assert(sink.readAt(spark, "t", 6).count() == 7)
+  }
+
+  test("checkpointing: idempotency keys survive being folded into a checkpoint") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vcp2"), checkpointInterval = 2)
+    assert(sink.appendOnce(Seq((1, "a")).toDF("id", "v"), "t", "batch-0"))
+    (1 until 6).foreach(i =>
+      sink.appendOnce(Seq((i, "x")).toDF("id", "v"), "t", s"batch-$i"))
+    // batch-0's marker is now behind the newest checkpoint; the replay
+    // must still be recognized from the checkpointed manifest
+    assert(!sink.appendOnce(Seq((1, "a")).toDF("id", "v"), "t", "batch-0"))
+    assert(sink.read(spark, "t").count() == 6)
+  }
+
+  test("append with a drifted schema fails loudly before writing") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vschema"))
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    val drifted = Seq((2, 3.5)).toDF("id", "score") // renamed + retyped col
+    val e = intercept[IllegalArgumentException] {
+      sink.append(drifted, "t")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(sink.read(spark, "t").columns.toSeq == Seq("id", "v")) // intact
+    assert(sink.read(spark, "t").count() == 1)
+    // nullability differences alone must NOT reject
+    sink.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(5, "e"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType, nullable = true),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType, nullable = true)))), "t")
+    assert(sink.read(spark, "t").count() == 2)
+  }
+
+  test("plain parquet sink also rejects drifted appends") {
+    val sink = new graft.engine.ParquetTableSink(TestSpark.tmpDir("pschema"))
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    val e = intercept[IllegalArgumentException] {
+      sink.append(Seq(("x", 1)).toDF("v", "n"), "t")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("compact folds history into one dir; reads identical; time travel kept") {
+    val base = TestSpark.tmpDir("vcompact")
+    val sink = new VersionedParquetSink(base)
+    (0 until 5).foreach(i => sink.append(Seq((i, s"v$i")).toDF("id", "v"), "t"))
+    val before = sink.read(spark, "t").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val cv = sink.compact(spark, "t", targetFiles = Some(1))
+    assert(cv == 5L)
+    val after = sink.read(spark, "t")
+    assert(after.collect().map(r => (r.getInt(0), r.getString(1))).toSet == before)
+    // the snapshot scan reads exactly ONE data directory now
+    assert(after.inputFiles.map(_.split("/t/")(1).split("/")(0)).distinct.length == 1)
+    // pre-compaction time travel still resolves original dirs
+    assert(sink.readAt(spark, "t", 2).collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
+    // appends after compaction land next to the compacted dir
+    sink.append(Seq((99, "z")).toDF("id", "v"), "t")
+    assert(sink.read(spark, "t").count() == 6)
+    // keyed replay of a pre-compaction batch is still rejected
+    assert(sink.appendOnce(Seq((7, "q")).toDF("id", "v"), "t", "k7"))
+    val cv2 = sink.compact(spark, "t")
+    assert(cv2 > cv)
+    assert(!sink.appendOnce(Seq((7, "q")).toDF("id", "v"), "t", "k7"))
+    assert(sink.read(spark, "t").count() == 7)
+  }
+
+  test("concurrent same-key appendOnce: exactly one commits (race loser cleans up)") {
+    val base = TestSpark.tmpDir("vrace")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((0, "seed")).toDF("id", "v"), "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val results = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            sink.appendOnce(Seq((100 + i, "dup")).toDF("id", "v"), "t", "same-key")
+        })
+      }.map(_.get())
+      assert(results.count(identity) == 1, s"expected exactly one winner, got $results")
+    } finally pool.shutdown()
+    assert(sink.read(spark, "t").filter($"v" === "dup").count() == 1)
+    // losers' orphan dirs must not be visible (and winners' data is)
+    assert(sink.read(spark, "t").count() == 2)
+  }
+
   test("pipeline runs unchanged on the versioned sink (trait slot-in)") {
     val feeds = TestSpark.tmpDir("vfeeds")
     java.nio.file.Files.write(java.nio.file.Paths.get(feeds, "b.json"),
