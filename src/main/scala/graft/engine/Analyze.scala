@@ -28,6 +28,15 @@ object Analyze {
     * serializable — they ship to executors. */
   trait TextAnalyzer extends Serializable {
     def analyze(title: String, description: String): Option[Analysis]
+
+    /** Partition-level hook: I/O-bound implementations override this to
+      * issue concurrent requests over a whole partition (see
+      * [[HttpAnalyzer]]) instead of blocking once per row — the
+      * distributed+concurrent fix for the reference's sequential per-row
+      * loop (README.md:112). Must emit one result per input, in order. */
+    def analyzeBatch(rows: Iterator[(String, String, String)])
+        : Iterator[(String, Option[Analysis])] =
+      rows.map { case (id, title, desc) => (id, analyze(title, desc)) }
   }
 
   /** Deterministic extractor: capitalized-word runs become actors (first
@@ -79,9 +88,7 @@ object Analyze {
     import spark.implicits._
     val analyzed = news
       .select("id", "title", "description").as[(String, String, String)]
-      .mapPartitions(_.map { case (id, title, desc) =>
-        (id, analyzer.analyze(title, desc))
-      })
+      .mapPartitions(analyzer.analyzeBatch)
       .toDF("id", "analysis")
     news.join(analyzed, Seq("id"), "left")
   }
