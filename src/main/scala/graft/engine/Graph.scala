@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   *    corpus (its size tracks the duplicate rate, not the data volume),
   *    so below `driverMaxEdges` the edges are collected and solved with
   *    path-compressed union-find — one job, exact, no iteration.
-  *  - `iterativeMinLabel`: distributed min-label propagation for graphs
-  *    too big to collect; each round is one shuffle keyed on vertex.
-  *    (A 100 TB-corpus CC at billions of edges would use the
-  *    large-star/small-star refinement of the same topology.)
+  *  - `largeStarSmallStar`: the distributed path (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  *    round rewrites the EDGE set toward stars centered on component
+  *    minima, so unlike label propagation the per-round state is edges
+  *    (which only shrinks toward one-per-vertex), and convergence is
+  *    O(log^2 n) rounds with every round a groupBy-on-vertex shuffle.
+  *    This is the variant that survives edge-heavy graphs at 100 TB.
+  *  - `iterativeMinLabel`: distributed min-label propagation with pointer
+  *    jumping — kept as an alternative; its per-round state is the full
+  *    vertex label set.
   */
 object Graph {
 
@@ -31,7 +37,7 @@ object Graph {
     try {
       val n = edges.count()
       if (n <= driverMaxEdges) driverUnionFind(spark, edges)
-      else iterativeMinLabel(edges)
+      else largeStarSmallStar(edges)
     } finally edges.unpersist()
   }
 
@@ -60,6 +66,76 @@ object Graph {
       }
     val members = parent.keySet ++ parent.values
     members.toSeq.map(v => (v, find(v))).toDF("vertex", "component")
+  }
+
+  /** Large-star/small-star alternation (Kiveris et al., SoCC'14).
+    *
+    * Per round, with N(u) = neighbors of u and m(u) = min(N(u) ∪ {u}):
+    *  - '''large-star''': for every neighbor v > u, replace (u,v) with
+    *    (v, m(u)) — strictly-larger neighbors re-attach to the minimum;
+    *  - '''small-star''': direct edges large→small; for every (smaller)
+    *    neighbor v of u, replace with (v, m(u)), and attach (u, m(u)).
+    *
+    * Both steps preserve connectivity and only ever LOWER the endpoint a
+    * vertex attaches to, so the edge set converges to disjoint stars
+    * centered on component minima. Labels then read straight off the
+    * final edges. Every step is a groupBy/join keyed on vertex — the same
+    * shuffle topology at any scale; per-round localCheckpoint truncates
+    * the otherwise-doubling plan exactly as in [[iterativeMinLabel]].
+    *
+    * Non-convergence within `maxIter` FAILS loudly — partial stars would
+    * silently split duplicate clusters. */
+  private[graft] def largeStarSmallStar(edges0: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val c0 = edges0.columns(0)
+    val c1 = edges0.columns(1)
+    // canonical undirected edge set: (a < b), self-loops dropped, deduped
+    var edges = edges0.select(
+        least(col(c0).cast("long"), col(c1).cast("long")).as("a"),
+        greatest(col(c0).cast("long"), col(c1).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // ---- large-star ----
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = und.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = und.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      // ---- small-star (edges directed large u -> small v) ----
+      val dir = ls.select(col("b").as("u"), col("a").as("v"))
+      val smins = dir.groupBy("u").agg(min("v").as("m"))
+      val ss = dir.join(smins, "u")
+        .select(col("v"), col("m")).filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .union(dir.join(smins, "u")
+          .select(least(col("u"), col("m")).as("a"),
+            greatest(col("u"), col("m")).as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      // fixpoint when the canonical edge set is unchanged (both distinct)
+      converged = ss.count() == edges.count() &&
+        ss.except(edges).isEmpty
+      edges.unpersist()
+      ls.unpersist()
+      edges = ss
+      iter += 1
+    }
+    if (!converged && iter >= maxIter) throw new IllegalStateException(
+      s"large-star/small-star did not converge in $maxIter rounds — " +
+        "pathological input; raise maxIter")
+    // stars: every b is a leaf attached to its component min a
+    edges.select(col("b").as("vertex"), col("a").as("component"))
+      .union(edges.select(col("a").as("vertex"), col("a").as("component"))
+        .distinct())
   }
 
   /** Distributed min-label propagation with pointer jumping until

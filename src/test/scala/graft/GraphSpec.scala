@@ -30,6 +30,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("large-star/small-star agrees with union-find on the fixture") {
+    val got = Graph.largeStarSmallStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("large-star/small-star converges on a 200-node chain") {
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Graph.largeStarSmallStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("property: all three strategies agree on seeded random graphs") {
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val es = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = es.toDF("d1", "d2")
+      val uf = Graph.connectedComponents(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lsss = Graph.largeStarSmallStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val iml = Graph.connectedComponents(spark, df, driverMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lsss == uf, s"large/small-star vs union-find, seed=$seed")
+      assert(iml == uf, s"min-label vs union-find, seed=$seed")
+    }
+  }
+
   test("pointer jumping converges on a 200-node chain within the round cap") {
     // diameter 199: plain one-hop propagation would need 199 rounds and
     // trip the maxIter guard; pointer jumping needs ~log2(200)
