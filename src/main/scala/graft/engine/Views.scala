@@ -18,6 +18,22 @@ object Views {
     }
   }
 
+  /** Time travel surfaced through SQL: register `table` AS OF `version`
+    * as the temp view `<table>_v<version>` — the Spark face of the
+    * reference's Delta time-travel read (README.md:12). Returns the view
+    * name.
+    * {{{
+    *   val v = Views.registerSnapshot(spark, sink, "curated", 3)
+    *   spark.sql(s"SELECT category, count(*) FROM $v GROUP BY 1")
+    * }}} */
+  def registerSnapshot(spark: SparkSession, sink: VersionedParquetSink,
+      table: String, version: Long): String = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val name = s"${table}_v$version"
+    sink.readAt(spark, table, version).createOrReplaceTempView(name)
+    name
+  }
+
   /** Register the pipeline's output tables (raw/curated/actors/state)
     * from a sink for ad-hoc SQL. */
   def registerPipeline(spark: SparkSession, sink: TableSink): Unit = {

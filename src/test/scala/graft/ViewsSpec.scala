@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.Views
+import graft.engine.{VersionedParquetSink, Views}
 
 class ViewsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -17,5 +17,20 @@ class ViewsSpec extends AnyFunSuite {
         |                 cast(embedding as array<double>)) AS d
         |FROM embeddings LIMIT 1""".stripMargin).collect()(0)
     assert(math.abs(dot.getDouble(0) - 1.0) < 1e-3) // unit-norm vectors
+  }
+
+  test("registerSnapshot exposes a historical version to spark.sql (time travel)") {
+    import spark.implicits._
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("viewsnap"))
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t") // version 0
+    sink.append(Seq((3, "c")).toDF("id", "v"), "t")           // version 1
+    val v0 = Views.registerSnapshot(spark, sink, "t", 0)
+    assert(v0 == "t_v0")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $v0").collect()(0).getLong(0) == 2)
+    val v1 = Views.registerSnapshot(spark, sink, "t", 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $v1").collect()(0).getLong(0) == 3)
+    // historical view keeps serving version 0 even after newer appends
+    sink.append(Seq((4, "d")).toDF("id", "v"), "t")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $v0").collect()(0).getLong(0) == 2)
   }
 }
