@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Extended operator surface beyond SURVEY.md §2 and the first north-star
+  * wave: the remaining operations a large-scale training-data pipeline
+  * reaches for — sessionization, deterministic train/valid/test splits,
+  * per-group deterministic sampling, TF-IDF, pivot/cube shapes, binning,
+  * exact-arithmetic correlation, range (band) joins, string aggregation,
+  * and approximate distinct counts.
+  *
+  * Same determinism contract as CoreQueries: total ORDER BY everywhere,
+  * double sums through DECIMAL(18,2), md5 for anything hash-ordered
+  * (cross-engine-stable), floor(x*1e4+0.5)/1e4 for rational scores,
+  * timestamps emitted as NTZ.
+  *
+  * Scale notes per query inline — the common theme: one shuffle keyed on
+  * the natural partition key (user, doc, term, group), window functions
+  * over per-key partitions (never a global window), tiny dimension sides
+  * broadcast (bands), and sampling/splitting via per-row hashing so no
+  * coordination is needed at any parallelism.
+  */
+object ExtendedQueries {
+
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** DuckDB-side parse of 4 hex chars -> 0..65535 (no conv() there). */
+  private def hex4(h: String): String =
+    (1 to 4).map(i =>
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString("(", " + ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // Sessionization: split each user's event stream on >30min
+    // inactivity gaps — THE canonical event-log prep step. One shuffle
+    // on user_id; both windows (lag + running sum) share that partition,
+    // so Spark plans a single Exchange + sort. Deterministic tie-break
+    // (ts, event_id) pins duplicate-timestamp ordering on both engines.
+    Q("q_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapUs = unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))
+        Tables.events(s, d)
+          .withColumn("new_s",
+            when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("session_num",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy("user_id", "session_num")
+          .agg(ntz(min("ts")).as("session_start"),
+            ntz(max("ts")).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_num")
+      },
+      Some("""WITH x AS (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             y AS (
+               SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_num
+               FROM x)
+             SELECT user_id, session_num::BIGINT AS session_num,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events
+             FROM y GROUP BY user_id, session_num
+             ORDER BY user_id, session_num""")),
+
+    // Deterministic train/valid/test split (80/10/10): assignment =
+    // pure function of md5(doc_id), so ANY number of executors, reruns,
+    // or re-partitions produce the identical split — no sampling state,
+    // no coordination; the scale-correct way to split 100 TB.
+    Q("q_train_split",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 4), 16, 10).cast("int") % 10).as("hv"))
+        .select(col("doc_id"),
+          when(col("hv") < 8, "train")
+            .when(col("hv") < 9, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      Some(s"""WITH m AS (
+               SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+             p AS (SELECT doc_id, ${hex4("h")} % 10 AS hv FROM m)
+             SELECT doc_id,
+               CASE WHEN hv < 8 THEN 'train'
+                    WHEN hv < 9 THEN 'valid' ELSE 'test' END AS split
+             FROM p ORDER BY doc_id""")),
+
+    // Per-group deterministic sampling: k=2 docs per source, chosen by
+    // hash order — reservoir-sampling semantics without randomness or
+    // driver coordination. Window is per-source (one shuffle), and at
+    // scale WindowGroupLimit prunes each partition to k rows pre-sort.
+    Q("q_sample_group",
+      (s, d) => {
+        val hs = md5(col("doc_id").cast("string").cast("binary"))
+        val w = Window.partitionBy("source").orderBy(hs.asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("source", "doc_id")
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH r AS (
+               SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+               FROM documents)
+             SELECT source, doc_id FROM r WHERE rn <= 2
+             ORDER BY source, doc_id""")),
+
+    // TF-IDF top-3 terms per document. Shuffles: one on (doc, term) for
+    // tf, one on term for df (map-side combinable), then a broadcast of
+    // the scalar N. ln() mantissas are effectively random, so plain
+    // 4-decimal rounding is cross-engine safe (cosine precedent); ties
+    // break on term.
+    Q("q_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = terms.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val df_ = terms.groupBy("term")
+          .agg(countDistinct("doc_id").as("dft"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("term"))
+        tf.join(df_, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            r4(col("tf") * log(col("n_docs").cast("double") / col("dft"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("score"), col("rn"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH terms AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+                    FROM terms GROUP BY 1, 2),
+             df AS (SELECT term, count(DISTINCT doc_id) AS dft
+                    FROM terms GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             scored AS (
+               SELECT doc_id, tf.term,
+                 floor(tf * ln(n_docs::DOUBLE / dft) * 10000 + 0.5::DOUBLE) / 10000 AS score
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rn
+               FROM scored)
+             SELECT doc_id, term, score, rn::BIGINT AS rn
+             FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // Pivot: day x event-type count matrix with an explicit value list
+    // (no extra distinct-discovery pass over the fact table). One
+    // shuffle on day; per-type counts are map-side combinable.
+    Q("q_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+        .orderBy("d"),
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+             FROM events GROUP BY 1 ORDER BY d""")),
+
+    // CUBE over (returnflag, linestatus): all 4 grouping-set levels in
+    // one pass (Spark expands grouping sets before the single shuffle).
+    // NULLS FIRST pinned — engines disagree on default null order.
+    Q("q_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*)::BIGINT AS n
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Sorted string aggregation per group: collect_list is
+    // partition-order-nondeterministic, so array_sort pins it — the
+    // cross-engine-stable way to do listagg.
+    Q("q_string_agg",
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list("s_name")), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+               string_agg(s_name, ',' ORDER BY s_name) AS names,
+               count(*)::BIGINT AS n
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name""")),
+
+    // Fixed-width histogram of order totals: bucket = pure row-local
+    // arithmetic (identical IEEE division both engines), then one
+    // combinable groupBy — the scale shape for any binning.
+    Q("q_histogram",
+      (s, d) => Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 50000.0), lit(9))
+          .cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket"),
+      Some("""SELECT least(floor(o_totalprice / 50000.0), 9)::INT AS bucket,
+               count(*)::BIGINT AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // Pearson correlation via exact decimal sums: built-in corr() merges
+    // partial moments in partition order (nondeterministic doubles), so
+    // instead all six sums are DECIMAL-exact (order-independent) and the
+    // formula runs once per group in double with identical structure on
+    // both engines. Single map-side-combinable shuffle.
+    Q("q_corr_sums",
+      (s, d) => {
+        val q = col("l_quantity").cast("decimal(18,2)")
+        val p = col("l_extendedprice").cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).cast("double").as("sx"),
+            sum(p).cast("double").as("sy"),
+            sum(q * p).cast("double").as("sxy"),
+            sum(q * q).cast("double").as("sxx"),
+            sum(p * p).cast("double").as("syy"))
+          .select(col("l_returnflag"),
+            r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH sums AS (
+               SELECT l_returnflag, count(*)::BIGINT AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+               FROM lineitem GROUP BY 1)
+             SELECT l_returnflag,
+               floor((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000 + 0.5::DOUBLE) / 10000
+                 AS corr_qty_price,
+               n
+             FROM sums ORDER BY l_returnflag""")),
+
+    // Range (band) join: orders classified into price bands via a
+    // broadcast non-equi join — the tiny side broadcast makes this a
+    // BroadcastNestedLoopJoin, the correct plan for interval lookup
+    // tables at any fact-table scale.
+    Q("q_band_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("budget", 0d, 100000d), ("mid", 100000d, 250000d),
+          ("high", 250000d, 400000d), ("lux", 400000d, 600000d))
+          .toDF("band", "lo", "hi")
+        Tables.orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("band")
+      },
+      Some("""SELECT band, count(*)::BIGINT AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM orders
+             JOIN (VALUES ('budget', 0, 100000), ('mid', 100000, 250000),
+                          ('high', 250000, 400000), ('lux', 400000, 600000))
+               AS b(band, lo, hi)
+               ON o_totalprice >= lo AND o_totalprice < hi
+             GROUP BY band ORDER BY band""")),
+
+    // Approximate distinct count (HyperLogLog++): THE cardinality
+    // estimator for 100 TB (exact countDistinct shuffles every value;
+    // HLL merges fixed-size sketches). No SQL oracle — engines' sketch
+    // implementations differ by design; the driver records a rows-only
+    // check and NorthStarSpec asserts the estimate lands within 5% of
+    // exact.
+    Q("q_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          count(lit(1)).as("n_events")),
+      None)
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class ExtendedQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q_approx_distinct lands within 5% of the exact count") {
+    val row = run("q_approx_distinct").collect()(0)
+    val approx = row.getAs[Long]("approx_users")
+    val exact = graft.engine.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("q_sessionize: sessions partition each user's events; gaps split") {
+    val sessions = run("q_sessionize").collect()
+    val nEvents = sessions.map(_.getAs[Long]("n_events")).sum
+    assert(nEvents == graft.engine.Tables.events(spark, sf).count())
+    // within a user, consecutive sessions are separated by >30min
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("session_num"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // timestamp_ntz collects as LocalDateTime
+          val gapMs = java.time.Duration.between(
+            b.getAs[java.time.LocalDateTime]("session_start"),
+            a.getAs[java.time.LocalDateTime]("session_end")).abs.toMillis
+          assert(gapMs > 30 * 60 * 1000L,
+            s"sessions ${a.getAs[Long]("session_num")} and ${b.getAs[Long]("session_num")} not separated")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_train_split: deterministic and roughly 80/10/10") {
+    val a = run("q_train_split").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = run("q_train_split").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b)) // rerun-stable
+    val frac = a.groupBy(_._2).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toString)
+    assert(frac.getOrElse("valid", 0d) < 0.2 && frac.getOrElse("test", 0d) < 0.2)
+  }
+
+  test("q_sample_group: exactly min(2, group size) docs per source") {
+    val sizes = graft.engine.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run("q_sample_group").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    sizes.foreach { case (src, n) =>
+      assert(got(src) == math.min(2L, n), s"source=$src")
+    }
+  }
+
+  test("q_band_join covers every order exactly once") {
+    val n = run("q_band_join").collect().map(_.getAs[Long]("n")).sum
+    assert(n == graft.engine.Tables.orders(spark, sf).count())
+  }
+
+  test("q_corr_sums yields correlations in [-1, 1]") {
+    run("q_corr_sums").collect().foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+}
