@@ -313,6 +313,17 @@ object ExtendedQueries {
       (s, d) => Tables.events(s, d)
         .agg(approx_count_distinct("user_id").as("approx_users"),
           count(lit(1)).as("n_events")),
+      None),
+
+    // Approximate percentiles (GK sketch): fixed-size mergeable summary
+    // vs exact percentile's full sort — the 100 TB quantile path. Same
+    // rows-only contract as the HLL sketch; ExtendedQueriesSpec bounds
+    // the error against the exact q_percentile implementation.
+    Q("q_approx_percentile",
+      (s, d) => Tables.orders(s, d)
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pcts"),
+          count(lit(1)).as("n")),
       None)
   )
 }

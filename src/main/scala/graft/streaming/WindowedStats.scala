@@ -25,6 +25,23 @@ object WindowedStats {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("day"), col("category"), col("n"))
 
+  /** Event-time session windows: activity bursts per user separated by
+    * `gap` of silence — the incremental version of q_sessionize's batch
+    * lag/running-sum form, but with the engine maintaining (and merging)
+    * open sessions in the state store. A session emits once the
+    * watermark passes its close; state is bounded by watermark + gap.
+    * At scale this is one stateful shuffle keyed on user_id, identical
+    * topology to the batch query. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   case class FeedProgress(category: String, articles: Long, lastSeen: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-feed article

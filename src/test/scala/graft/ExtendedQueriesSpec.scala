@@ -19,6 +19,16 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("q_approx_percentile within 1% of exact quantiles") {
+    val row = run("q_approx_percentile").collect()(0)
+    val approx = row.getSeq[Double](0)
+    val exact = graft.engine.Tables.orders(spark, sf)
+      .stat.approxQuantile("o_totalprice", Array(0.5, 0.95, 0.99), 0.0) // exact at rel=0
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx=$a exact=$e")
+    }
+  }
+
   test("q_sessionize: sessions partition each user's events; gaps split") {
     val sessions = run("q_sessionize").collect()
     val nEvents = sessions.map(_.getAs[Long]("n_events")).sum

@@ -35,6 +35,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(spreadCount > 1, "hot key must fan out over multiple sub-keys")
   }
 
+  test("bucketed tables: co-located join plans with NO shuffle exchange") {
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("key", "a")
+      val dims = (1 to 500).map(i => (i.toLong % 100, i)).toDF("key", "b")
+      graft.engine.Bucketing.writeBucketed(facts, "bk_facts", "key", 4)
+      graft.engine.Bucketing.writeBucketed(dims, "bk_dims", "key", 4)
+
+      val joined = spark.table("bk_facts").join(spark.table("bk_dims"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // positive control: the same join on unbucketed data DOES shuffle
+      val unbucketed = facts.join(dims, "key")
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+      // and the result is right
+      assert(joined.count() == 1000L * 5)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
+
   test("partitioned sink: hive layout + partition-pruned scan") {
     val store = TestSpark.tmpDir("pstore")
     val sink = new ParquetTableSink(store)

@@ -44,6 +44,38 @@ class WindowedStatsSpec extends AnyFunSuite {
     assert(rows.contains(("2024-02-05", "Tech", 1L)))
   }
 
+  test("sessionCounts: session windows merge within gap, split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+
+    val q = WindowedStats.sessionCounts(events, gap = "30 minutes",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(
+      (ts("2024-02-01 10:00:00"), 1L), // session A...
+      (ts("2024-02-01 10:20:00"), 1L), // ...extends A (within 30min)
+      (ts("2024-02-01 11:30:00"), 1L), // new session B (70min gap)
+      (ts("2024-02-01 10:05:00"), 2L)) // user 2, own session
+    q.processAllAvailable()
+    mem.addData((ts("2024-02-01 15:00:00"), 9L)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString.take(16),
+        r.getAs[Long]("n_events")))
+      .toSet
+    assert(rows.contains((1L, "2024-02-01 10:00", 2L))) // merged session A
+    assert(rows.contains((1L, "2024-02-01 11:30", 1L))) // split session B
+    assert(rows.contains((2L, "2024-02-01 10:05", 1L)))
+  }
+
   test("feedProgress: mapGroupsWithState accumulates per-key counters") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
