@@ -303,6 +303,75 @@ object ExtendedQueries {
                ON o_totalprice >= lo AND o_totalprice < hi
              GROUP BY band ORDER BY band""")),
 
+    // Text cleaning: stopword removal — the first stage of every
+    // training-data text pipeline. Row-local array ops (one pass, no
+    // shuffle); n_removed audits how much was dropped.
+    Q("q_text_clean",
+      (s, d) => {
+        val stop = "('the', 'a', 'of', 'to', 'in', 'and')"
+        Tables.documents(s, d)
+          .withColumn("kept", expr(s"filter(split(text, ' '), x -> x NOT IN $stop)"))
+          .select(col("doc_id"),
+            array_join(col("kept"), " ").as("cleaned"),
+            (size(split(col("text"), " ")) - size(col("kept"))).as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+               array_to_string(list_filter(string_split(text, ' '),
+                 x -> x NOT IN ('the', 'a', 'of', 'to', 'in', 'and')), ' ') AS cleaned,
+               (len(string_split(text, ' ')) -
+                len(list_filter(string_split(text, ' '),
+                  x -> x NOT IN ('the', 'a', 'of', 'to', 'in', 'and'))))::INT AS n_removed
+             FROM documents ORDER BY doc_id""")),
+
+    // End-to-end dedup materialization: drop every non-canonical member
+    // of each near-dup cluster (jaccard >= 0.8 graph, component min is
+    // the keeper) — the query that actually SHRINKS the corpus, composing
+    // shingle join + connected components + anti-join. At scale the
+    // anti-join broadcasts the (tiny) victim set.
+    Q("q_dedup_keep",
+      (s, d) => {
+        val sh = NorthStarQueries.cappedShingles(s, d)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val edges = sh.as("a")
+          .join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+          .filter(r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter"))) >= 0.8)
+          .select(col("d1"), col("d2"))
+        val victims = graft.engine.Graph.connectedComponents(s, edges)
+          .filter(col("vertex") =!= col("component"))
+          .select(col("vertex").as("doc_id"))
+        Tables.documents(s, d)
+          .join(broadcast(victims), Seq("doc_id"), "left_anti")
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${NorthStarQueries.shingleCte},
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             p0 AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (
+               SELECT d1, d2 FROM p0
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2
+               WHERE floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 >= 0.8),
+             edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+             reach(doc_id, lbl) AS (
+               SELECT d1, d1 FROM edges
+               UNION
+               SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.doc_id),
+             comp AS (SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+             victims AS (SELECT doc_id FROM comp WHERE doc_id <> group_id)
+             SELECT d.doc_id, d.source FROM documents d
+             LEFT JOIN victims v ON d.doc_id = v.doc_id
+             WHERE v.doc_id IS NULL ORDER BY d.doc_id""")),
+
     // Approximate distinct count (HyperLogLog++): THE cardinality
     // estimator for 100 TB (exact countDistinct shuffles every value;
     // HLL merges fixed-size sketches). No SQL oracle — engines' sketch

@@ -58,9 +58,9 @@ object NorthStarQueries {
     * times (sizes + both join sides) — and memoized per (session, dir) so
     * repeated calls through the public SparkEntry.queries contract reuse
     * ONE cached table instead of leaking a new set of blocks per call. */
-  private val shingleCache =
+  private[queries] val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+  private[queries] def cappedShingles(s: SparkSession, d: String): DataFrame = {
     // evict entries whose session is gone — otherwise the memo pins
     // stopped sessions (and their plans) for the JVM lifetime
     shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
@@ -126,7 +126,7 @@ object NorthStarQueries {
   private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
   /** Shared oracle CTE: capped distinct 3-gram shingles per doc. */
-  private val shingleCte =
+  private[queries] val shingleCte =
     s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh0 AS (
@@ -138,7 +138,7 @@ object NorthStarQueries {
 
   /** Uncapped variant (MinHash hashes the full shingle set — min() is
     * robust to hot shingles, no cap needed). */
-  private val shingleCteUncapped =
+  private[queries] val shingleCteUncapped =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
