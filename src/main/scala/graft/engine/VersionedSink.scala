@@ -274,6 +274,40 @@ final class VersionedParquetSink(basePath: String,
     latestVersion(spark, table).get
   }
 
+  /** VACUUM: delete data directories no reader can see — orphans left by
+    * writers that died before committing — and, with
+    * `includeSuperseded=true`, the pre-compaction directories a
+    * [[compact]] superseded (which truncates time travel to the latest
+    * compaction, exactly like Delta's VACUUM vs its retention window).
+    *
+    * `graceMs` guards in-flight writers: an uncommitted directory younger
+    * than the grace period might belong to a writer between its data
+    * write and its marker claim, so it is left alone (Delta's
+    * "retention check" for the same race). Returns the deleted count. */
+  def vacuum(spark: SparkSession, table: String, graceMs: Long = 3600000L,
+      includeSuperseded: Boolean = false): Int = {
+    val f = fs(spark, tableDir(table))
+    val td = new Path(tableDir(table))
+    if (!f.exists(td)) return 0
+    val entries = manifest(spark, table)
+    val keep: Set[String] = if (!includeSuperseded) entries.map(_.dir).toSet
+    else {
+      // live = what readAt(MaxValue) scans: latest compaction + later
+      val comp = entries.filter(_.compacts.isDefined).sortBy(_.version).lastOption
+      (comp match {
+        case None => entries
+        case Some(c) =>
+          c +: entries.filter(e => e.version > c.compacts.get && e.version != c.version)
+      }).map(_.dir).toSet
+    }
+    val now = System.currentTimeMillis()
+    f.listStatus(td).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      .filter(st => !keep.contains(st.getPath.getName))
+      .filter(st => now - st.getModificationTime >= graceMs)
+      .map { st => f.delete(st.getPath, true); 1 }.sum
+  }
+
   override def appendPartitioned(df: DataFrame, table: String,
       partitionCols: Seq[String]): Unit =
     throw new UnsupportedOperationException(

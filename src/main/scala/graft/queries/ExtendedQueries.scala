@@ -331,16 +331,8 @@ object ExtendedQueries {
     // anti-join broadcasts the (tiny) victim set.
     Q("q_dedup_keep",
       (s, d) => {
-        val sh = NorthStarQueries.cappedShingles(s, d)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val edges = sh.as("a")
-          .join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-          .filter(r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter"))) >= 0.8)
+        val edges = NorthStarQueries.scoredPairs(s, d)
+          .filter(col("jaccard") >= 0.8)
           .select(col("d1"), col("d2"))
         val victims = graft.engine.Graph.connectedComponents(s, edges)
           .filter(col("vertex") =!= col("component"))

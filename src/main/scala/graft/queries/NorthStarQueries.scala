@@ -77,6 +77,27 @@ object NorthStarQueries {
     df
   }
 
+  /** Scored candidate pairs (d1 < d2, rounded jaccard) from the capped
+    * shingle self-join — the most expensive subplan in the repo, shared
+    * by q_dedup_ngram / q_dedup_groups / q_dedup_keep. Deliberately NOT
+    * cached itself: the underlying shingle table IS (and this plan reads
+    * it three times), while the pair stream is consumed once per query —
+    * caching it would only add a materialization pass. */
+  private[queries] def scoredPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = cappedShingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter"))))
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** embeddings widened to double with the L2 norm precomputed once per
     * vector (never per pair). `graft_dot` is the codegen'd expression
     * registered by GraftExtensions. */
@@ -163,23 +184,10 @@ object NorthStarQueries {
     // n-gram Jaccard near-dup: shuffle on (df-capped) shingle -> pair
     // intersection counts -> jaccard >= 0.8 on the rounded value
     Q("q_dedup_ngram",
-      (s, d) => {
-        val sh = cappedShingles(s, d)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a")
-          .join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-          .withColumn("jaccard",
-            r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter"))))
-          .filter(col("jaccard") >= 0.8)
-          .select("d1", "d2", "jaccard")
-          .orderBy("d1", "d2")
-      },
+      (s, d) => scoredPairs(s, d)
+        .filter(col("jaccard") >= 0.8)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2"),
       Some(s"""WITH $shingleCte,
              sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
              pairs AS (
@@ -474,17 +482,8 @@ object NorthStarQueries {
     // transitive closure.
     Q("q_dedup_groups",
       (s, d) => {
-        val sh = cappedShingles(s, d) // one cached shingle table, reused 3x
-        val pairs = sh.as("a")
-          .join(sh.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("inter"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val edges = pairs
-          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-          .filter(r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter"))) >= 0.8)
+        val edges = scoredPairs(s, d) // one cached pair table, shared 3x
+          .filter(col("jaccard") >= 0.8)
           .select(col("d1"), col("d2"))
         graft.engine.Graph.connectedComponents(s, edges)
           .select(col("vertex").as("doc_id"), col("component").as("group_id"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the plans themselves — the 100 TB invariants the
+  * repo's design rests on. A refactor that silently turns a broadcast
+  * join into a shuffle join, or a top-k into a global sort, would pass
+  * every correctness test and still be wrong at scale; these assertions
+  * pin the plan shapes. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** AQE only materializes its final plan (incl. codegen stages) after an
+    * action, so execute first, then read the same QueryExecution back. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("per-group top-k uses WindowGroupLimit pruning") {
+    assert(plan("q_cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("dimension joins broadcast (no shuffle on the small side)") {
+    assert(plan("q_left_join").contains("BroadcastHashJoin"))
+    assert(plan("q_band_join").contains("BroadcastNestedLoopJoin")) // non-equi
+  }
+
+  test("filters reach the parquet scan as pushed filters") {
+    val p = plan("q_agg_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("column pruning: projection-only query reads only selected columns") {
+    val p = plan("q_project")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"unused column not pruned: $readSchema")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    // codegen'd operators carry the `*(stageId)` marker in the final plan
+    assert(finalPlan("q_filter_isin").contains("*(1)"))
+  }
+
+  test("sessionize plans ONE data shuffle shared by both windows and the agg") {
+    val p = plan("q_sessionize")
+    // one hashpartitioning(user_id) feeds lag-window, sum-window AND the
+    // session groupBy; the only other exchange is the deterministic
+    // output orderBy (rangepartitioning), which is oracle-contract cost
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+}

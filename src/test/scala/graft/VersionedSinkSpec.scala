@@ -144,6 +144,30 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").count() == 7)
   }
 
+  test("vacuum deletes orphans after grace; superseded dirs only on request") {
+    val base = TestSpark.tmpDir("vvac")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    sink.append(Seq((2, "b")).toDF("id", "v"), "t")
+    // dead writer: data landed, marker never claimed
+    Seq((99, "zz")).toDF("id", "v").write.parquet(s"$base/t/d-orphan-dead")
+    // fresh orphan is protected by the grace period
+    assert(sink.vacuum(spark, "t", graceMs = 3600000L) == 0)
+    // past the grace period it goes; committed dirs stay
+    assert(sink.vacuum(spark, "t", graceMs = 0L) == 1)
+    assert(!new java.io.File(s"$base/t/d-orphan-dead").exists)
+    assert(sink.read(spark, "t").count() == 2)
+
+    // superseded pre-compaction dirs survive a default vacuum...
+    sink.compact(spark, "t", targetFiles = Some(1))
+    assert(sink.vacuum(spark, "t", graceMs = 0L) == 0)
+    assert(sink.readAt(spark, "t", 0).count() == 1) // time travel intact
+    // ...and are reclaimed with includeSuperseded (time travel truncated)
+    assert(sink.vacuum(spark, "t", graceMs = 0L, includeSuperseded = true) == 2)
+    assert(sink.read(spark, "t").count() == 2)
+    intercept[Exception] { sink.readAt(spark, "t", 0).count() }
+  }
+
   test("concurrent same-key appendOnce: exactly one commits (race loser cleans up)") {
     val base = TestSpark.tmpDir("vrace")
     val sink = new VersionedParquetSink(base)
