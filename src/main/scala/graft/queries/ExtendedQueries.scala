@@ -364,6 +364,46 @@ object ExtendedQueries {
              LEFT JOIN victims v ON d.doc_id = v.doc_id
              WHERE v.doc_id IS NULL ORDER BY d.doc_id""")),
 
+    // Int8 scalar quantization of embeddings — the storage/bandwidth
+    // path for vector corpora (4x smaller than float32, 8x than the
+    // double compute form). Row-local arithmetic; floor(x*127+0.5) is
+    // IEEE-identical on both engines. The vector is emitted as a csv
+    // string: the driver's compare canonicalizes scalars, not arrays.
+    Q("q_quantize",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          array_join(expr(
+            """transform(cast(embedding as array<double>),
+              |  x -> cast(greatest(-127, least(127, floor(x * 127 + 0.5D))) as int))"""
+              .stripMargin), ",").as("q8"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+               array_to_string(list_transform(embedding::DOUBLE[],
+                 x -> greatest(-127, least(127, floor(x * 127 + 0.5)))::INT), ',') AS q8
+             FROM embeddings ORDER BY vec_id""")),
+
+    // Benchmark-contamination check: which documents contain any probe
+    // n-gram (the held-out-set leak detector every training pipeline
+    // runs). Probes broadcast against the shingle stream — a semi-join
+    // on shingle, never a scan-per-probe; at scale the probe set is a
+    // table and the same plan holds.
+    Q("q_contamination",
+      (s, d) => {
+        import s.implicits._
+        val probes = Seq("key agg row", "batch window spark", "the line sort")
+          .toDF("s")
+        NorthStarQueries.shingled(s, d)
+          .join(broadcast(probes), "s")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${NorthStarQueries.shingleCteUncapped}
+             SELECT doc_id, count(*)::BIGINT AS n_hits
+             FROM sh
+             WHERE s IN ('key agg row', 'batch window spark', 'the line sort')
+             GROUP BY doc_id ORDER BY doc_id""")),
+
     // Approximate distinct count (HyperLogLog++): THE cardinality
     // estimator for 100 TB (exact countDistinct shuffles every value;
     // HLL merges fixed-size sketches). No SQL oracle — engines' sketch

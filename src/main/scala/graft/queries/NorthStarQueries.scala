@@ -46,7 +46,7 @@ object NorthStarQueries {
 
   /** (doc_id, s): distinct word-3-gram shingles per document, via typed
     * flatMap (JVM sliding loop; HOF transform() is interpreted). */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private[queries] def shingled(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d).select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, t) => Text.shingleSet(t, 3).map((id, _)) }
