@@ -30,6 +30,18 @@ class HttpAnalyzerSpec extends AnyFunSuite {
         badAuth.incrementAndGet()
       if (body.contains("FAIL500")) respond(x, 500, "{}")
       else if (body.contains("BADJSON")) respond(x, 200, "not json at all {{{")
+      else if (body.contains("record_analyses")) {
+        // multi-article mode: one indexed result per "Article i:" block
+        val results = """Article (\d+):\\nTitle: ([^\\"]*)""".r
+          .findAllMatchIn(body).map { m =>
+            val idx = m.group(1)
+            val actor = m.group(2).split(" ")
+              .find(_.headOption.exists(_.isUpper)).getOrElse("Nobody")
+            s"""{\\"index\\":$idx,\\"main_actors\\":[{\\"name\\":\\"$actor\\",\\"role\\":\\"politician\\"}],\\"other_actors\\":[],\\"category\\":\\"Others\\"}"""
+          }.mkString(",")
+        respond(x, 200,
+          s"""{"choices":[{"message":{"tool_calls":[{"function":{"name":"record_analyses","arguments":"{\\"results\\":[$results]}"}}]}}]}""")
+      }
       else {
         // pull the title back out of the prompt text
         val title = """Title: ([^\\\n"]*)""".r.findFirstMatchIn(body)
@@ -82,6 +94,22 @@ class HttpAnalyzerSpec extends AnyFunSuite {
       // unreachable endpoint: connection refused -> None, not a throw
       val dead = new HttpAnalyzer("http://127.0.0.1:1/x", "k", timeoutMs = 1500)
       assert(dead.analyze("Some Title", "d").isEmpty)
+    }
+  }
+
+  test("multi-article mode: one request carries several articles, indexed back") {
+    withFakeServer { (url, calls, _) =>
+      val a = new HttpAnalyzer(url, "test-key", articlesPerRequest = 3)
+      val before = calls.get()
+      val got = a.analyzeBatch(Iterator(
+        ("r1", "Mayor Quimby speaks", "d"),
+        ("r2", "", "d"),                      // skipped client-side
+        ("r3", "President Alice votes", "d"))).toSeq
+      assert(calls.get() - before == 1, "3 articles must travel in ONE request")
+      val byId = got.toMap
+      assert(byId("r1").exists(_.main_actors.head.name == "Mayor"))
+      assert(byId("r2").isEmpty) // empty title never sent, still answered
+      assert(byId("r3").exists(_.main_actors.head.name == "President"))
     }
   }
 
