@@ -145,7 +145,7 @@ object Graph {
     * components, where plain propagation needs O(diameter). A graph that
     * hasn't converged within maxIter still FAILS loudly — returning
     * partial labels would silently split duplicate clusters. */
-  private[engine] def iterativeMinLabel(edges0: DataFrame,
+  private[graft] def iterativeMinLabel(edges0: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val src = edges0.columns(0)
     val dst = edges0.columns(1)

@@ -85,7 +85,15 @@ final class HttpAnalyzer(
       inFlight.iterator.flatMap { case (chunk, sentPos, fut) =>
         val byPos: Map[Int, Analysis] =
           try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
-          catch { case _: Exception => Map.empty }
+          catch {
+            case _: InterruptedException =>
+              // Spark kills tasks by interrupt; restore the flag so the
+              // task actually dies instead of grinding through the
+              // remaining waves (subsequent get()s fail fast)
+              Thread.currentThread().interrupt()
+              Map.empty
+            case _: Exception => Map.empty
+          }
         val posToSendIdx = sentPos.zipWithIndex.toMap // chunk pos -> wire idx
         chunk.zipWithIndex.map { case ((id, _, _), pos) =>
           (id, posToSendIdx.get(pos).flatMap(byPos.get))

@@ -76,8 +76,15 @@ object RssFetcher {
     FetchResult(lines.size, Some(dest.toString), failures.result())
   }
 
-  private def openStream(url: String): InputStream =
-    URI.create(url).toURL.openStream()
+  /** Bounded connect/read timeouts: JDK default is INFINITE, and a feed
+    * that accepts the socket but never responds would otherwise hang the
+    * whole fetch loop — breaking the per-feed isolation contract. */
+  private def openStream(url: String, timeoutMs: Int = 15000): InputStream = {
+    val conn = URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(timeoutMs)
+    conn.setReadTimeout(timeoutMs)
+    conn.getInputStream
+  }
 
   private[engine] final case class Entry(title: String, published: String,
       description: String, link: String, guid: String, thumbnail: Option[String])

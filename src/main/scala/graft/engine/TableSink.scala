@@ -29,18 +29,24 @@ object SchemaCheck {
             "(names and types must match; rewrite with overwrite() to change the schema)")
     }
 
-  /** Name-set check for hive-partitioned appends, where a read-back
-    * schema re-types partition columns (directory values are re-inferred)
-    * and reorders them to the end — exact type equality would
-    * false-positive on every partitioned table. */
-  def enforceAppendByName(table: String, existing: Option[StructType],
-      incoming: StructType): Unit =
+  /** Check for hive-partitioned appends: a read-back schema re-types
+    * partition columns (directory values are re-inferred) and reorders
+    * them to the end, so partition columns get a name-only check — but
+    * DATA columns keep their parquet types and are type-checked like a
+    * plain append (a name-only check would wave through id:STRING vs
+    * id:DOUBLE and corrupt the table). */
+  def enforceAppendPartitioned(table: String, existing: Option[StructType],
+      incoming: StructType, partitionCols: Seq[String]): Unit =
     existing.foreach { cur =>
       if (cur.fieldNames.toSet != incoming.fieldNames.toSet)
         throw new IllegalArgumentException(
           s"schema mismatch appending to '$table': column sets differ\n" +
             s"  table:  ${cur.fieldNames.sorted.mkString(", ")}\n" +
             s"  append: ${incoming.fieldNames.sorted.mkString(", ")}")
+      val pc = partitionCols.toSet
+      def dataCols(s: StructType) = StructType(
+        s.fields.filterNot(f => pc.contains(f.name)).sortBy(_.name))
+      enforceAppend(table, Some(dataCols(cur)), dataCols(incoming))
     }
 }
 
@@ -95,7 +101,8 @@ final class ParquetTableSink(basePath: String) extends TableSink {
 
   override def appendPartitioned(df: DataFrame, table: String,
       partitionCols: Seq[String]): Unit = {
-    SchemaCheck.enforceAppendByName(table, existingSchema(df, table), df.schema)
+    SchemaCheck.enforceAppendPartitioned(table, existingSchema(df, table),
+      df.schema, partitionCols)
     df.write.mode(SaveMode.Append)
       .partitionBy(partitionCols: _*)
       .parquet(path(table))

@@ -70,15 +70,17 @@ final class VersionedParquetSink(basePath: String,
       raw: String)
 
   private def parseCommit(version: Long, body: String): Commit = {
+    // [^"]* not [^"]+: an empty-string value is a real value (an empty
+    // idempotency key must still dedup)
     def str(field: String): Option[String] =
-      ("\"" + field + """"\s*:\s*"([^"]+)"""").r.findFirstMatchIn(body).map(_.group(1))
+      ("\"" + field + """"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(body).map(_.group(1))
     def num(field: String): Option[Long] =
       ("\"" + field + """"\s*:\s*(\d+)""").r.findFirstMatchIn(body).map(_.group(1).toLong)
-    val dir = str("dir").getOrElse(throw new IllegalStateException(
-      s"corrupt commit marker v$version: $body"))
-    Commit(version, dir, str("key"), num("compacts"),
-      str("schemaB64").map(b => new String(Base64.getDecoder.decode(b),
-        StandardCharsets.UTF_8)),
+    def b64(s: String) = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+    val dir = str("dir").filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException(s"corrupt commit marker v$version: $body"))
+    Commit(version, dir, str("keyB64").map(b64), num("compacts"),
+      str("schemaB64").filter(_.nonEmpty).map(b64),
       body)
   }
 
@@ -157,37 +159,49 @@ final class VersionedParquetSink(basePath: String,
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
     commitLoop(spark, table, unique, commitKey, compacts = None,
-      schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true)
+      schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true,
+      snapshot = Some(entries)).isDefined
   }
 
-  /** Claim the next version for data dir `unique`. Returns false iff a
-    * competing commit with the same idempotency key won the race (the
-    * orphaned data dir is deleted).
+  /** Claim the next version for data dir `unique`. Returns the claimed
+    * version, or None iff a competing commit with the same idempotency
+    * key won the race (the orphaned data dir is then deleted).
     *
     * Concurrency protocol (Delta-style optimistic commit): each attempt
-    * re-reads the manifest and claims EXACTLY latest+1 — the idempotency
-    * key check and the claim come from the same snapshot. A writer can
-    * only ever claim version n+1 after version n's marker is visible, so
-    * a same-key racer's commit is always seen before we'd claim past it.
-    * HDFS-style rename is atomic-no-overwrite across writers; the LOCAL
-    * filesystem's rename is check-then-move (TOCTOU), so same-JVM racers
-    * — exactly the local[*] deployment — additionally serialize the
-    * read-check-claim on a JVM lock. Cross-JVM writers need an
-    * atomic-rename fs (HDFS/ABFS), the same contract Delta's LogStore
-    * documents. */
+    * claims EXACTLY latest+1 from a manifest snapshot that also supplied
+    * the idempotency-key check. The first attempt may reuse the caller's
+    * snapshot (saving a listing on the uncontended path — any commit that
+    * slipped in since occupies exactly the version we claim, failing the
+    * rename); retries always re-read fresh, so a same-key racer's commit
+    * is seen before we'd claim past it. HDFS-style rename is
+    * atomic-no-overwrite across writers; the LOCAL filesystem's rename is
+    * check-then-move (TOCTOU), so same-JVM racers — exactly the local[*]
+    * deployment — additionally serialize the read-check-claim on a JVM
+    * lock. Cross-JVM writers need an atomic-rename fs (HDFS/ABFS), the
+    * same contract Delta's LogStore documents. A rename that fails with
+    * NO competing marker is a filesystem fault and throws rather than
+    * spinning. */
   private def commitLoop(spark: SparkSession, table: String, unique: String,
       commitKey: Option[String], compacts: Option[Long], schemaDdl: String,
-      cleanupOnKeyLoss: Boolean): Boolean = {
+      cleanupOnKeyLoss: Boolean,
+      snapshot: Option[Seq[Commit]] = None): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
-    val keyField = commitKey.map(k => s""","key":"$k"""").getOrElse("")
+    // key travels base64'd: raw interpolation would corrupt the marker on
+    // a quote-bearing key, and the [^"]+ reader would drop an empty key —
+    // both silently breaking exactly-once dedup
+    val keyField = commitKey.map(k => s""","keyB64":"${
+      Base64.getEncoder.encodeToString(k.getBytes(StandardCharsets.UTF_8))}"""")
+      .getOrElse("")
     val compField = compacts.map(c => s""","compacts":$c""").getOrElse("")
     val schemaB64 = Base64.getEncoder.encodeToString(
       schemaDdl.getBytes(StandardCharsets.UTF_8))
+    var reuse = snapshot // first attempt only; retries re-read under the lock
     while (true) {
       val claimed: Option[Option[Long]] = // None=retry, Some(None)=key lost
         VersionedParquetSink.localClaimLock.synchronized {
-          val entries = manifest(spark, table)
+          val entries = reuse.getOrElse(manifest(spark, table))
+          reuse = None
           if (commitKey.exists(k => entries.exists(_.key.contains(k)))) {
             Some(None)
           } else {
@@ -205,33 +219,39 @@ final class VersionedParquetSink(basePath: String,
             } finally out.close()
             val marker = new Path(s"${commitDir(table)}/$attempt.commit")
             if (!f.exists(marker) && f.rename(tmp, marker)) Some(Some(attempt))
-            else { f.delete(tmp, false); None } // lost the race; retry
+            else {
+              f.delete(tmp, false)
+              // a competing marker explains the failed rename; anything
+              // else (permissions, broken fs) must fail loudly, not spin
+              if (!f.exists(marker)) throw new java.io.IOException(
+                s"failed to commit marker $marker (rename failed, no competing marker)")
+              None // lost the race; retry at the next version
+            }
           }
         }
       claimed match {
         case Some(Some(v)) =>
           maybeCheckpoint(spark, table, v)
-          return true
+          return Some(v)
         case Some(None) =>
           if (cleanupOnKeyLoss)
             f.delete(new Path(s"${tableDir(table)}/$unique"), true)
-          return false
+          return None
         case None => () // re-read manifest and try the next version
       }
     }
-    false // unreachable
+    None // unreachable
   }
 
-  /** Snapshot the manifest into `<v>.checkpoint` when it has grown
-    * `checkpointInterval` commits past the previous checkpoint. Losing
-    * the checkpoint rename race is harmless — someone else snapshotted. */
+  /** Snapshot the manifest into `<v>.checkpoint` on the deterministic
+    * grid (every `checkpointInterval`-th version) — a pure function of v,
+    * so the uncontended commit path pays NO extra listing to decide.
+    * Losing the checkpoint rename race is harmless — someone else
+    * snapshotted; a writer crashing before its checkpoint just defers to
+    * the next grid point. */
   private def maybeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
+    if (v % checkpointInterval != checkpointInterval - 1) return
     val f = fs(spark, commitDir(table))
-    val names = f.listStatus(new Path(commitDir(table))).toSeq
-      .map(_.getPath.getName)
-    val lastCp = names.filter(_.endsWith(".checkpoint"))
-      .map(_.stripSuffix(".checkpoint").toLong).sorted.lastOption.getOrElse(-1L)
-    if (v - lastCp < checkpointInterval) return
     val entries = manifest(spark, table).filter(_.version <= v)
     // entries may still be mid-race-sparse (a writer between marker and
     // rename); checkpoint only what is durably visible NOW
@@ -271,7 +291,10 @@ final class VersionedParquetSink(basePath: String,
       schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
         .getOrElse(snap.schema.toDDL),
       cleanupOnKeyLoss = false)
-    latestVersion(spark, table).get
+      .getOrElse(throw new IllegalStateException(
+        s"compaction of $table lost a keyless commit race — impossible"))
+    // NOT latestVersion(): an append racing past the compaction would
+    // otherwise be reported as "the compaction's version"
   }
 
   /** VACUUM: delete data directories no reader can see — orphans left by

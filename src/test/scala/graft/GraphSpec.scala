@@ -25,6 +25,14 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("iterative min-label propagation agrees with union-find") {
+    // direct call: connectedComponents' distributed path routes to
+    // large-star/small-star, which has its own tests below
+    val got = Graph.iterativeMinLabel(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("distributed path of connectedComponents agrees with union-find") {
     val got = Graph.connectedComponents(spark, edges, driverMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
@@ -55,7 +63,7 @@ class GraphSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val lsss = Graph.largeStarSmallStar(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val iml = Graph.connectedComponents(spark, df, driverMaxEdges = 0)
+      val iml = Graph.iterativeMinLabel(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(lsss == uf, s"large/small-star vs union-find, seed=$seed")
       assert(iml == uf, s"min-label vs union-find, seed=$seed")
@@ -66,7 +74,7 @@ class GraphSpec extends AnyFunSuite {
     // diameter 199: plain one-hop propagation would need 199 rounds and
     // trip the maxIter guard; pointer jumping needs ~log2(200)
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val got = Graph.connectedComponents(spark, chain, driverMaxEdges = 0)
+    val got = Graph.iterativeMinLabel(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200)
     assert(got.values.toSet == Set(0L))

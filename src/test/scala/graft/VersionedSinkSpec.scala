@@ -144,6 +144,30 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").count() == 7)
   }
 
+  test("idempotency keys with quotes or empty strings still dedup exactly-once") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vkeys"))
+    val jsonKey = """{"batch":"7","attempt":"x"}""" // quote-bearing key
+    assert(sink.appendOnce(Seq((1, "a")).toDF("id", "v"), "t", jsonKey))
+    assert(!sink.appendOnce(Seq((1, "a")).toDF("id", "v"), "t", jsonKey))
+    assert(sink.appendOnce(Seq((2, "b")).toDF("id", "v"), "t", ""))
+    assert(!sink.appendOnce(Seq((2, "b")).toDF("id", "v"), "t", ""))
+    assert(sink.read(spark, "t").count() == 2)
+  }
+
+  test("partitioned append with retyped DATA column fails loudly") {
+    val sink = new graft.engine.ParquetTableSink(TestSpark.tmpDir("ptype"))
+    sink.appendPartitioned(
+      Seq((1, "x", "2024-02-01")).toDF("id", "payload", "day"), "t", Seq("day"))
+    val retyped = Seq((2.5, "y", "2024-02-02")).toDF("id", "payload", "day")
+    val e = intercept[IllegalArgumentException] {
+      sink.appendPartitioned(retyped, "t", Seq("day")) // id INT -> DOUBLE
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // same shapes still append fine (partition col re-typing tolerated)
+    sink.appendPartitioned(
+      Seq((3, "z", "2024-02-03")).toDF("id", "payload", "day"), "t", Seq("day"))
+  }
+
   test("vacuum deletes orphans after grace; superseded dirs only on request") {
     val base = TestSpark.tmpDir("vvac")
     val sink = new VersionedParquetSink(base)
