@@ -364,6 +364,29 @@ object ExtendedQueries {
              LEFT JOIN victims v ON d.doc_id = v.doc_id
              WHERE v.doc_id IS NULL ORDER BY d.doc_id""")),
 
+    // Latest state per entity (SCD-1 / upsert compaction): the newest
+    // event per user wins — the read-side of every changelog. One
+    // shuffle on the key; WindowGroupLimit prunes to 1 row per key
+    // before the sort completes. Tie-break on event_id pins duplicates.
+    Q("q_latest_per_key",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(desc("ts"), desc("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), ntz(col("ts")).as("ts"),
+            col("event_id"), col("event_type"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (
+               SELECT user_id, ts, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+             SELECT user_id, ts, event_id, event_type
+             FROM r WHERE rn = 1 ORDER BY user_id""")),
+
     // Int8 scalar quantization of embeddings — the storage/bandwidth
     // path for vector corpora (4x smaller than float32, 8x than the
     // double compute form). Row-local arithmetic; floor(x*127+0.5) is

@@ -60,6 +60,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF layout: cell-partitioned vectors give a partition-pruned probe") {
+    // materialized IVF: vectors written under cell=N directories; a
+    // probe-1 search scans ONLY its cell's directory — the storage-level
+    // realization of q_ivf_search's N/k cost shape
+    val store = TestSpark.tmpDir("ivfstore")
+    val sink = new ParquetTableSink(store)
+    val vecs = (1 to 100).map(i => (i.toLong, i % 8, s"v$i"))
+      .toDF("vec_id", "cell", "payload")
+    sink.appendPartitioned(vecs, "ivf", Seq("cell"))
+    val probe = sink.read(spark, "ivf").filter(col("cell") === 3)
+    assert(probe.count() == 13)
+    // (inputFiles reflects the pre-pruning listing, so the plan's
+    // PartitionFilters is the authoritative pruning evidence)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"expected cell partition filter in:\n$plan")
+  }
+
   test("partitioned sink: hive layout + partition-pruned scan") {
     val store = TestSpark.tmpDir("pstore")
     val sink = new ParquetTableSink(store)
