@@ -86,4 +86,42 @@ object Multimodal {
         .map { case (bytes, i) => Frame(m.media_id, i, bytes) }
     }.toDF()
   }
+
+  /** Near-duplicate media detection over decoded features — the
+    * multimodal face of the embedding-dedup path (q_dedup_embed /
+    * q_ann_bucket): features -> sign-bit hyperplane buckets -> cosine
+    * (codegen'd `graft_dot`) only WITHIN a bucket, so the pair join keys
+    * on bucket and never goes all-pairs; exact byte-duplicates are a
+    * checksum groupBy away and need no features at all.
+    *
+    * Returns (m1, m2, sim) pairs with rounded cosine >= threshold. */
+  def nearDuplicates(spark: SparkSession, media: DataFrame, dim: Int = 8,
+      threshold: Double = 0.999,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    require(dim >= 8, "bucketing pairs coordinates (k, k+4); need dim >= 8")
+    // hyperplane bit k = sign of f[k] - f[k+4]: scale-invariant and
+    // balanced even for non-centered features (StubDecoder's are all
+    // positive, so a fixed >=0 threshold would put EVERYTHING in one
+    // bucket — the classic LSH pitfall with non-centered data)
+    val bucketOf = (0 until 4).map(k =>
+      when(element_at(col("features"), k + 1) >=
+        element_at(col("features"), k + 5), lit(1 << k))
+        .otherwise(lit(0))).reduce(_ + _)
+    val feats = extractFeatures(spark, media, dim, decoder)
+      .withColumn("nrm", sqrt(expr("graft_dot(features, features)")))
+      .filter(col("nrm") > 0)
+      .withColumn("bucket", bucketOf)
+    val a = feats.select(col("media_id").as("m1"), col("features").as("f1"),
+      col("nrm").as("n1"), col("bucket"))
+    val b = feats.select(col("media_id").as("m2"), col("features").as("f2"),
+      col("nrm").as("n2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("m1") < col("m2"))
+      .withColumn("sim",
+        round(expr("graft_dot(f1, f2)") / (col("n1") * col("n2")), 4))
+      .filter(col("sim") >= threshold)
+      .select("m1", "m2", "sim")
+  }
+
 }

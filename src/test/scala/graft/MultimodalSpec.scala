@@ -29,6 +29,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1(0).getAs[Long]("checksum") != f1(1).getAs[Long]("checksum"))
   }
 
+  test("nearDuplicates: perturbed payload flagged, unrelated not; exact dups via checksum") {
+    val base = "the quick brown fox jumps over the lazy dog, repeatedly " * 6
+    val corpus = Multimodal.fromBinary(Seq(
+      (10L, base),
+      (11L, base.dropRight(1) + "!"),                 // 1-byte perturbation
+      (12L, base),                                    // exact duplicate
+      (13L, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).alphanumeric.take(base.length).mkString))
+      .toDF("doc_id", "text"), "doc_id", "text", "image")
+
+    val pairs = Multimodal.nearDuplicates(spark, corpus, dim = 8,
+      threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"perturbed dup missed: $pairs")
+    assert(pairs.contains((10L, 12L)), s"exact dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L),
+      s"unrelated payload flagged: $pairs")
+
+    // exact byte-dup detection is a checksum groupBy, no features needed
+    val byCrc = Multimodal.extractFeatures(spark, corpus)
+      .groupBy("checksum").count().filter($"count" > 1).collect()
+    assert(byCrc.length == 1 && byCrc(0).getLong(1) == 2)
+  }
+
   test("sampleFrames: one row per sampled fixed-size chunk") {
     val frames = Multimodal.sampleFrames(spark, media, frameSize = 2, stride = 2)
       .orderBy("media_id", "frame_no").collect()
