@@ -16,7 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pipeline {
 
-  case class Result(newArticles: Long)
+  case class Result(newArticles: Long,
+      quality: Map[String, Any] = Map.empty)
 
   def run(spark: SparkSession, feedsDir: String, sink: TableSink,
       analyzer: Analyze.TextAnalyzer = Analyze.RuleBasedAnalyzer): Result = {
@@ -27,10 +28,15 @@ object Pipeline {
     // files of one run (normal RSS-poll overlap) — the state anti-join
     // only removes PREVIOUSLY seen ids (streaming path handles this with
     // dropDuplicatesWithinWatermark)
-    val fresh = Ingest.newEntries(news, state).dropDuplicates("id").cache()
+    val (observed, obs) = Quality.observeIngest(
+      Ingest.newEntries(news, state).dropDuplicates("id"),
+      keyCol = "id", tsCol = "published_time")
+    val fresh = observed.cache()
     try {
-      val n = fresh.count() // one materialization for the empty-batch guard
-      if (n == 0) return Result(0) // T3 empty-batch short-circuit
+      // one materialization: empty-batch guard AND the action that fires
+      // the observe() accumulators — quality comes for free with it
+      val n = fresh.count()
+      if (n == 0) return Result(0, obs.get) // T3 empty-batch short-circuit
       // Content-derived batch key: a crash between the appends and the
       // state write re-runs the same logical batch (same fresh-id set ->
       // same key), and appendOnce makes the re-appends no-ops on a
@@ -53,7 +59,7 @@ object Pipeline {
       val analyzed = Analyze.withAnalysis(spark, curated, analyzer)
       sink.appendOnce(Analyze.explodeActors(analyzed), "actors", batchKey)
       if (sink.appendOnce(fresh.select("id"), "state", batchKey)) ()
-      Result(n)
+      Result(n, obs.get)
     } finally fresh.unpersist()
   }
 }

@@ -73,6 +73,9 @@ class EndToEndSpec extends AnyFunSuite {
         s"http://127.0.0.1:$port/v1/chat/completions", "e2e-key")
       val r = Pipeline.run(spark, ingestDir, sink, analyzer)
       assert(r.newArticles == 2)
+      assert(r.quality("n_rows") == 2L) // observe() rode the batch action
+      assert(r.quality("null_keys") == 0L)
+      assert(r.quality("min_time").toString.startsWith("2024-02-05"))
 
       val actors = sink.read(spark, "actors").collect()
         .map(r => (r.getAs[String]("news_id"), r.getAs[String]("actor_name"),
