@@ -27,11 +27,17 @@ import graft.engine.{Analyze, Curate, Ingest, Schemas, TableSink}
   */
 object StreamingPipeline {
 
+  /** @param compactEvery on a versioned sink, fold each table's
+    *   accumulated micro-batch directories into one every N batches —
+    *   without this a long-running stream appends one directory per
+    *   batch per table forever (the small-file problem); compaction is
+    *   itself a keyed commit, so a replayed maintenance batch is safe. */
   def stream(spark: SparkSession, feedsDir: String, sink: TableSink,
       checkpoint: String,
       watermark: String = "7 days",
       analyzer: Analyze.TextAnalyzer = Analyze.RuleBasedAnalyzer,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
 
     val entries = spark.readStream
       .schema(Schemas.feedEntry)
@@ -66,6 +72,17 @@ object StreamingPipeline {
             val analyzed = Analyze.withAnalysis(cached.sparkSession, curated, analyzer)
             sink.appendOnce(Analyze.explodeActors(analyzed), "actors",
               s"batch-$batchId")
+            // periodic OPTIMIZE: only meaningful on the versioned sink
+            // (the plain parquet sink appends files, not directories)
+            (sink, compactEvery) match {
+              case (v: graft.engine.VersionedParquetSink, Some(n))
+                  if n > 0 && batchId > 0 && batchId % n == 0 =>
+                Seq("raw", "curated", "actors").foreach { t =>
+                  if (v.exists(cached.sparkSession, t))
+                    v.compact(cached.sparkSession, t)
+                }
+              case _ => ()
+            }
             ()
           } finally cached.unpersist()
         }

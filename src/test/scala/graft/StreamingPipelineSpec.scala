@@ -41,4 +41,34 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sink.read(spark, "raw").count() == 3)
     assert(sink.read(spark, "raw").select("id").distinct().count() == 3)
   }
+
+  test("streaming maintenance: periodic compaction folds micro-batch dirs") {
+    val feeds = TestSpark.tmpDir("cfeeds")
+    val store = TestSpark.tmpDir("cstore")
+    val ckpt = TestSpark.tmpDir("cckpt")
+    val sink = new graft.engine.VersionedParquetSink(store)
+
+    // batch 0
+    Files.write(Paths.get(feeds, "c1.json"),
+      Seq(entry("c1", "President Alice Smith resigns")).mkString("\n").getBytes)
+    StreamingPipeline.stream(spark, feeds, sink, ckpt,
+      compactEvery = Some(1)).awaitTermination()
+    // batch 1 -> triggers compaction of all three tables
+    Files.write(Paths.get(feeds, "c2.json"),
+      Seq(entry("c2", "Mayor Bob Kane appoints Carol Day")).mkString("\n").getBytes)
+    StreamingPipeline.stream(spark, feeds, sink, ckpt,
+      compactEvery = Some(1)).awaitTermination()
+
+    val raw = sink.read(spark, "raw")
+    assert(raw.count() == 2)
+    // the live snapshot scans exactly ONE data directory post-compaction
+    val dirs = raw.inputFiles.map(_.split("/raw/")(1).split("/")(0)).distinct
+    assert(dirs.length == 1, s"expected one compacted dir, got ${dirs.toSeq}")
+    // dedup state and replay safety survive compaction
+    Files.write(Paths.get(feeds, "c3.json"),
+      Seq(entry("c2", "Mayor Bob Kane appoints Carol Day")).mkString("\n").getBytes)
+    StreamingPipeline.stream(spark, feeds, sink, ckpt,
+      compactEvery = Some(1)).awaitTermination()
+    assert(sink.read(spark, "raw").count() == 2)
+  }
 }
