@@ -203,6 +203,27 @@ object ExtendedQueries {
              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // Explicit GROUPING SETS — the general form cube/rollup specialize:
+    // per-flag totals and per-status totals in ONE pass over the fact
+    // table (separate queries would scan it twice). grouping_id
+    // disambiguates which set each output row belongs to.
+    Q("q_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+             ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // Sorted string aggregation per group: collect_list is
     // partition-order-nondeterministic, so array_sort pins it — the
     // cross-engine-stable way to do listagg.
@@ -363,6 +384,98 @@ object ExtendedQueries {
              SELECT d.doc_id, d.source FROM documents d
              LEFT JOIN victims v ON d.doc_id = v.doc_id
              WHERE v.doc_id IS NULL ORDER BY d.doc_id""")),
+
+    // MinHash estimator quality: for every LSH candidate pair, the
+    // signature-agreement estimate (fraction of the 8 slice-minhashes
+    // that match) next to the EXACT jaccard computed only for those
+    // pairs — the standard estimator-audit query: candidates are few, so
+    // the expensive exact intersection runs on a broadcast-pruned subset
+    // of the shingle stream, never the full self-join.
+    Q("q_minhash_est",
+      (s, d) => {
+        val sh = NorthStarQueries.shingled(s, d)
+          .select(col("doc_id"), col("s"),
+            md5(col("s").cast("binary")).as("h"))
+        val mins = sh.groupBy("doc_id").agg(
+          min(substring(col("h"), 1, 4)).as("m0"),
+          (1 until 8).map(j =>
+            min(substring(col("h"), 4 * j + 1, 4)).as(s"m$j")): _*)
+        // band index is PART of the signature — without it, band 0 of
+        // one doc could spuriously match band 2 of another
+        val bands = mins.select(Seq(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            concat_ws("|", lit(b.toString),
+              col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bsig")) ++
+          (0 until 8).map(j => col(s"m$j")): _*)
+        val cands = bands.as("a")
+          .join(bands.as("b"),
+            col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            ((0 until 8).map(j =>
+              when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+              .reduce(_ + _) / lit(8.0)).as("est"))
+          .groupBy("d1", "d2").agg(r4(max("est")).as("est"))
+        // shingled() is distinct-per-doc by construction — no re-distinct
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("d1"), col("s"))
+          .join(broadcast(cands.select("d1", "d2")), "d1")
+          .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        cands
+          .join(inter, Seq("d1", "d2"))
+          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+          .select(col("d1"), col("d2"), col("est"),
+            r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
+              .as("jaccard"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH ${NorthStarQueries.shingleCteUncapped},
+             hashed AS (SELECT doc_id, s, md5(s) AS h FROM sh),
+             minsig AS (
+               SELECT doc_id, j, min(substr(h, 4 * j + 1, 4)) AS mh
+               FROM hashed, unnest(range(0, 8)) AS v(j)
+               GROUP BY 1, 2),
+             wide AS (
+               SELECT doc_id,
+                 min(CASE WHEN j = 0 THEN mh END) AS m0, min(CASE WHEN j = 1 THEN mh END) AS m1,
+                 min(CASE WHEN j = 2 THEN mh END) AS m2, min(CASE WHEN j = 3 THEN mh END) AS m3,
+                 min(CASE WHEN j = 4 THEN mh END) AS m4, min(CASE WHEN j = 5 THEN mh END) AS m5,
+                 min(CASE WHEN j = 6 THEN mh END) AS m6, min(CASE WHEN j = 7 THEN mh END) AS m7
+               FROM minsig GROUP BY doc_id),
+             bands AS (
+               SELECT doc_id, b, concat_ws('|', b::VARCHAR,
+                 CASE b WHEN 0 THEN m0 WHEN 1 THEN m2 WHEN 2 THEN m4 ELSE m6 END,
+                 CASE b WHEN 0 THEN m1 WHEN 1 THEN m3 WHEN 2 THEN m5 ELSE m7 END) AS bsig,
+                 m0, m1, m2, m3, m4, m5, m6, m7
+               FROM wide, unnest(range(0, 4)) AS u(b)),
+             cands AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 floor(max(((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END)) / 8.0::DOUBLE) * 10000 + 0.5::DOUBLE) / 10000 AS est
+               FROM bands a JOIN bands b
+                 ON a.bsig = b.bsig AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             sizes AS (SELECT doc_id, count(DISTINCT s) AS n FROM sh GROUP BY 1),
+             inter AS (
+               SELECT c.d1, c.d2, count(*) AS inter
+               FROM cands c
+               JOIN sh a ON a.doc_id = c.d1
+               JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+               GROUP BY 1, 2)
+             SELECT c.d1, c.d2, c.est,
+               floor(i.inter::DOUBLE / (s1.n + s2.n - i.inter) * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
+             FROM cands c
+             JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+             JOIN sizes s1 ON s1.doc_id = c.d1
+             JOIN sizes s2 ON s2.doc_id = c.d2
+             ORDER BY c.d1, c.d2""")),
 
     // Latest state per entity (SCD-1 / upsert compaction): the newest
     // event per user wins — the read-side of every changelog. One
