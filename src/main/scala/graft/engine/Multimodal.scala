@@ -89,10 +89,16 @@ object Multimodal {
 
   /** Near-duplicate media detection over decoded features — the
     * multimodal face of the embedding-dedup path (q_dedup_embed /
-    * q_ann_bucket): features -> sign-bit hyperplane buckets -> cosine
-    * (codegen'd `graft_dot`) only WITHIN a bucket, so the pair join keys
-    * on bucket and never goes all-pairs; exact byte-duplicates are a
-    * checksum groupBy away and need no features at all.
+    * q_ann_bucket): features -> banded sign-bit buckets -> cosine
+    * (codegen'd `graft_dot`) only for co-bucketed pairs, so the join
+    * never goes all-pairs; exact byte-duplicates are a checksum groupBy
+    * away and need no features at all.
+    *
+    * TWO OR'd bands of 2 sign bits each (not one AND-of-4-bits bucket):
+    * a near-tie coordinate can flip one bit under perturbation, and with
+    * a single all-bits bucket that one flip silently drops a
+    * 0.9999-cosine pair — the recall collapse multi-band LSH exists to
+    * prevent. A pair survives if it co-buckets in EITHER band.
     *
     * Returns (m1, m2, sim) pairs with rounded cosine >= threshold. */
   def nearDuplicates(spark: SparkSession, media: DataFrame, dim: Int = 8,
@@ -104,24 +110,32 @@ object Multimodal {
     // balanced even for non-centered features (StubDecoder's are all
     // positive, so a fixed >=0 threshold would put EVERYTHING in one
     // bucket — the classic LSH pitfall with non-centered data)
-    val bucketOf = (0 until 4).map(k =>
+    def bit(k: Int) =
       when(element_at(col("features"), k + 1) >=
-        element_at(col("features"), k + 5), lit(1 << k))
-        .otherwise(lit(0))).reduce(_ + _)
+        element_at(col("features"), k + 5), lit(1 << (k % 2)))
+        .otherwise(lit(0))
+    // the decode (mapPartitions, arbitrarily expensive with a real
+    // codec) feeds both join sides — cache it so it runs once per item
     val feats = extractFeatures(spark, media, dim, decoder)
       .withColumn("nrm", sqrt(expr("graft_dot(features, features)")))
       .filter(col("nrm") > 0)
-      .withColumn("bucket", bucketOf)
-    val a = feats.select(col("media_id").as("m1"), col("features").as("f1"),
-      col("nrm").as("n1"), col("bucket"))
-    val b = feats.select(col("media_id").as("m2"), col("features").as("f2"),
-      col("nrm").as("n2"), col("bucket"))
-    a.join(b, Seq("bucket"))
+      .cache()
+    val banded = feats.select(col("media_id"), col("features"), col("nrm"),
+      explode(array(
+        struct(lit(0).as("band"), (bit(0) + bit(1)).as("bk")),
+        struct(lit(1).as("band"), (bit(2) + bit(3)).as("bk")))).as("bb"))
+      .select(col("media_id"), col("features"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = banded.select(col("media_id").as("m1"), col("features").as("f1"),
+      col("nrm").as("n1"), col("band"), col("bk"))
+    val b = banded.select(col("media_id").as("m2"), col("features").as("f2"),
+      col("nrm").as("n2"), col("band"), col("bk"))
+    a.join(b, Seq("band", "bk"))
       .filter(col("m1") < col("m2"))
-      .withColumn("sim",
-        round(expr("graft_dot(f1, f2)") / (col("n1") * col("n2")), 4))
+      .select(col("m1"), col("m2"),
+        round(expr("graft_dot(f1, f2)") / (col("n1") * col("n2")), 4).as("sim"))
       .filter(col("sim") >= threshold)
-      .select("m1", "m2", "sim")
+      .distinct() // a pair can co-bucket in both bands
   }
 
 }

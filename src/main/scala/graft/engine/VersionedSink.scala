@@ -273,11 +273,25 @@ final class VersionedParquetSink(basePath: String,
     * @param targetFiles optional file count for the compacted dir (e.g.
     *   `Some(1)` collapses a micro-batch dir-per-append history into a
     *   single file; None keeps the current partitioning — at 100 TB you
-    *   coalesce to size, not to one file). */
+    *   coalesce to size, not to one file).
+    * @param commitKey optional idempotency key: a REPLAYED maintenance
+    *   run (e.g. a crash-recovered streaming batch) with a key already in
+    *   the manifest skips the whole-table rewrite and returns the
+    *   original compaction's version — without it, every replay would
+    *   re-copy the entire table into yet another directory. */
   def compact(spark: SparkSession, table: String,
-      targetFiles: Option[Int] = None): Long = {
+      targetFiles: Option[Int] = None,
+      commitKey: Option[String] = None): Long = {
     val entries = manifest(spark, table)
     require(entries.nonEmpty, s"nothing to compact for $table")
+    val replayed = commitKey.flatMap(k =>
+      entries.find(_.key.contains(k)).map(_.version))
+    replayed.getOrElse(doCompact(spark, table, entries, targetFiles, commitKey))
+  }
+
+  private def doCompact(spark: SparkSession, table: String,
+      entries: Seq[Commit], targetFiles: Option[Int],
+      commitKey: Option[String]): Long = {
     val maxV = entries.last.version
     val snap = readAt(spark, table, maxV)
     val out = targetFiles.fold(snap)(n => snap.coalesce(n))
@@ -287,12 +301,14 @@ final class VersionedParquetSink(basePath: String,
     // `compacts = maxV` records exactly which versions were folded in —
     // an append that commits while the rewrite runs gets a version > maxV
     // and stays visible alongside the compacted dir.
-    commitLoop(spark, table, unique, commitKey = None, compacts = Some(maxV),
+    commitLoop(spark, table, unique, commitKey, compacts = Some(maxV),
       schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
         .getOrElse(snap.schema.toDDL),
-      cleanupOnKeyLoss = false)
+      cleanupOnKeyLoss = true) // same-key racer won: drop our rewrite
+      .orElse(commitKey.flatMap(k =>
+        manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
-        s"compaction of $table lost a keyless commit race — impossible"))
+        s"compaction of $table lost the commit race with no keyed winner"))
     // NOT latestVersion(): an append racing past the compaction would
     // otherwise be reported as "the compaction's version"
   }

@@ -393,9 +393,13 @@ object ExtendedQueries {
     // of the shingle stream, never the full self-join.
     Q("q_minhash_est",
       (s, d) => {
+        // cached: feeds mins, sizes, AND both sides of the exact
+        // intersection — uncached this would re-scan + re-shingle the
+        // corpus four times (cappedShingles precedent)
         val sh = NorthStarQueries.shingled(s, d)
           .select(col("doc_id"), col("s"),
             md5(col("s").cast("binary")).as("h"))
+          .cache()
         val mins = sh.groupBy("doc_id").agg(
           min(substring(col("h"), 1, 4)).as("m0"),
           (1 until 8).map(j =>

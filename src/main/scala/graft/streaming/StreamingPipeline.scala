@@ -73,13 +73,16 @@ object StreamingPipeline {
             sink.appendOnce(Analyze.explodeActors(analyzed), "actors",
               s"batch-$batchId")
             // periodic OPTIMIZE: only meaningful on the versioned sink
-            // (the plain parquet sink appends files, not directories)
+            // (the plain parquet sink appends files, not directories);
+            // keyed by batchId so a crash-recovered replay of this batch
+            // skips the whole-table rewrite instead of re-copying it
             (sink, compactEvery) match {
               case (v: graft.engine.VersionedParquetSink, Some(n))
                   if n > 0 && batchId > 0 && batchId % n == 0 =>
                 Seq("raw", "curated", "actors").foreach { t =>
                   if (v.exists(cached.sparkSession, t))
-                    v.compact(cached.sparkSession, t)
+                    v.compact(cached.sparkSession, t,
+                      commitKey = Some(s"compact-$batchId"))
                 }
               case _ => ()
             }
