@@ -324,6 +324,40 @@ object ExtendedQueries {
                ON o_totalprice >= lo AND o_totalprice < hi
              GROUP BY band ORDER BY band""")),
 
+    // Intra-document repetition: fraction of word-3-gram occurrences
+    // that are repeats of an earlier 3-gram in the SAME doc — the
+    // standard boilerplate/spam signal (high repetition = low-quality
+    // training text). Row-local arrays only, no shuffle beyond the scan.
+    Q("q_repetition",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n3", greatest(size(col("toks")) - 2, lit(0)))
+        .withColumn("grams", when(col("n3") > 0, expr(
+          """transform(sequence(0, size(toks) - 3),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""
+            .stripMargin)).otherwise(expr("array()")))
+        .select(col("doc_id"), col("n3"),
+          when(col("n3") > 0,
+            r4((col("n3") - size(array_distinct(col("grams")))) / col("n3")))
+            .otherwise(lit(0.0)).as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+               SELECT doc_id, string_split(text, ' ') AS toks,
+                 greatest(len(string_split(text, ' ')) - 2, 0) AS n3
+               FROM documents),
+             g AS (
+               SELECT doc_id, n3,
+                 CASE WHEN n3 > 0 THEN
+                   (SELECT list(toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2])
+                    FROM unnest(range(1, len(toks) - 1)) AS i(i))
+                 ELSE [] END AS grams
+               FROM t)
+             SELECT doc_id, n3,
+               CASE WHEN n3 > 0 THEN
+                 floor((n3 - len(list_distinct(grams)))::DOUBLE / n3 * 10000 + 0.5::DOUBLE) / 10000
+               ELSE 0.0 END AS rep_ratio
+             FROM g ORDER BY doc_id""")),
+
     // Text cleaning: stopword removal — the first stage of every
     // training-data text pipeline. Row-local array ops (one pass, no
     // shuffle); n_removed audits how much was dropped.
