@@ -70,6 +70,21 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star matches union-find on a 10k-edge random graph") {
+    // non-toy scale for the distributed path: 4k vertices, 10k random
+    // edges -> a few hundred multi-node components plus isolated chains
+    val rnd = new scala.util.Random(2024)
+    val n = 4000
+    val es = Seq.fill(10000)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val df = es.toDF("d1", "d2")
+    val uf = Graph.connectedComponents(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsss = Graph.largeStarSmallStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsss == uf)
+  }
+
   test("pointer jumping converges on a 200-node chain within the round cap") {
     // diameter 199: plain one-hop propagation would need 199 rounds and
     // trip the maxIter guard; pointer jumping needs ~log2(200)
