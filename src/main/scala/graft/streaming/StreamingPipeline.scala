@@ -50,7 +50,10 @@ object StreamingPipeline {
     // watermark passes its event time — bounded state, with the stated
     // trade-off that a duplicate arriving later than the watermark delay
     // is treated as new.
-    val deduped = Ingest.toNews(entries)
+    // per-batch ingest quality (rows/nulls/freshness) rides the stream:
+    // values land in StreamingQueryProgress.observedMetrics("ingest-quality")
+    val deduped = graft.engine.Quality.observeIngestStream(
+      Ingest.toNews(entries), keyCol = "id", tsCol = "published_time")
       .withWatermark("published_time", watermark)
       .dropDuplicatesWithinWatermark("id")
 

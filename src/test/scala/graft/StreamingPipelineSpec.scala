@@ -42,6 +42,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(sink.read(spark, "raw").select("id").distinct().count() == 3)
   }
 
+  test("streaming quality metrics surface in query progress") {
+    val feeds = TestSpark.tmpDir("qfeeds")
+    val store = TestSpark.tmpDir("qstore")
+    val ckpt = TestSpark.tmpDir("qckpt")
+    Files.write(Paths.get(feeds, "q1.json"),
+      Seq(entry("qm1", "President Alice Smith resigns"),
+        entry("qm2", "Mayor Bob Kane appoints Carol Day")).mkString("\n").getBytes)
+    val q = StreamingPipeline.stream(spark, feeds,
+      new ParquetTableSink(store), ckpt)
+    q.awaitTermination()
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest-quality")))
+    assert(observed.nonEmpty, "expected ingest-quality in progress")
+    assert(observed.map(_.getAs[Long]("n_rows")).sum == 2L)
+    assert(observed.map(_.getAs[Long]("null_keys")).sum == 0L)
+  }
+
   test("streaming maintenance: periodic compaction folds micro-batch dirs") {
     val feeds = TestSpark.tmpDir("cfeeds")
     val store = TestSpark.tmpDir("cstore")
