@@ -329,16 +329,9 @@ final class VersionedParquetSink(basePath: String,
     val td = new Path(tableDir(table))
     if (!f.exists(td)) return 0
     val entries = manifest(spark, table)
-    val keep: Set[String] = if (!includeSuperseded) entries.map(_.dir).toSet
-    else {
-      // live = what readAt(MaxValue) scans: latest compaction + later
-      val comp = entries.filter(_.compacts.isDefined).sortBy(_.version).lastOption
-      (comp match {
-        case None => entries
-        case Some(c) =>
-          c +: entries.filter(e => e.version > c.compacts.get && e.version != c.version)
-      }).map(_.dir).toSet
-    }
+    val keep: Set[String] =
+      if (!includeSuperseded) entries.map(_.dir).toSet
+      else liveEntries(entries).map(_.dir).toSet // = readAt(MaxValue) scan set
     val now = System.currentTimeMillis()
     f.listStatus(td).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
@@ -362,6 +355,23 @@ final class VersionedParquetSink(basePath: String,
   override def read(spark: SparkSession, table: String): DataFrame =
     readAt(spark, table, Long.MaxValue)
 
+  /** The entries a reader actually scans: the NEWEST compaction commit
+    * plus every non-compaction append past its high-water mark. Older
+    * compaction commits are NEVER read — each holds only a redundant
+    * full copy of data the chosen compaction + later appends already
+    * cover, and including one duplicates every folded row (found by the
+    * concurrent-compaction stress test). */
+  private def liveEntries(entries: Seq[Commit]): Seq[Commit] = {
+    val comp = entries.filter(_.compacts.isDefined)
+      .sortBy(_.version).lastOption
+    comp match {
+      case None => entries
+      case Some(c) =>
+        c +: entries.filter(e =>
+          e.version > c.compacts.get && e.compacts.isEmpty)
+    }
+  }
+
   /** Time travel: the table as of version `v` (inclusive). A compaction
     * commit <= v replaces everything it folded in (its `compacts`
     * high-water mark); versions before a compaction stay readable because
@@ -369,14 +379,8 @@ final class VersionedParquetSink(basePath: String,
   def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
     val entries = manifest(spark, table).filter(_.version <= v)
     require(entries.nonEmpty, s"no committed versions <= $v for $table")
-    val comp = entries.filter(_.compacts.isDefined)
-      .sortBy(_.version).lastOption
-    val live = comp match {
-      case None => entries
-      case Some(c) =>
-        c +: entries.filter(e => e.version > c.compacts.get && e.version != c.version)
-    }
-    spark.read.parquet(live.map(e => s"${tableDir(table)}/${e.dir}"): _*)
+    spark.read.parquet(
+      liveEntries(entries).map(e => s"${tableDir(table)}/${e.dir}"): _*)
   }
 
   override def exists(spark: SparkSession, table: String): Boolean =

@@ -69,6 +69,37 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_grouping_sets emits one row per flag plus one per status") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val nFlags = li.select("l_returnflag").distinct().count()
+    val nStatus = li.select("l_linestatus").distinct().count()
+    val rows = run("q_grouping_sets").collect()
+    assert(rows.length == nFlags + nStatus)
+    // each row belongs to exactly one grouping set: one key null, not both
+    rows.foreach { r =>
+      assert(r.isNullAt(0) != r.isNullAt(1),
+        s"exactly one grouping key must be null: $r")
+    }
+  }
+
+  test("q_minhash_est: estimates track exact jaccard (MAE bound)") {
+    val rows = run("q_minhash_est").collect()
+      .map(r => (r.getAs[Double]("est"), r.getAs[Double]("jaccard")))
+    assert(rows.nonEmpty)
+    val mae = rows.map { case (e, j) => math.abs(e - j) }.sum / rows.length
+    // 8 minhashes is a coarse estimator; candidates are banded toward
+    // high agreement — the estimate must still be correlated, not noise
+    assert(mae < 0.45, s"minhash estimate MAE too high: $mae over ${rows.length} pairs")
+  }
+
+  test("q_repetition: duplicated text scores high, unique text low") {
+    val rows = run("q_repetition").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rep_ratio")).toMap
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
+    // the corpus draws from a tiny vocabulary, so SOME repetition exists
+    assert(rows.values.max > 0.0)
+  }
+
   test("q_band_join covers every order exactly once") {
     val n = run("q_band_join").collect().map(_.getAs[Long]("n")).sum
     assert(n == graft.engine.Tables.orders(spark, sf).count())

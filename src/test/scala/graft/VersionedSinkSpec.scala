@@ -211,6 +211,38 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").count() == 2)
   }
 
+  test("stress: concurrent appends + compactions + vacuum keep every row") {
+    val base = TestSpark.tmpDir("vstress")
+    val sink = new VersionedParquetSink(base, checkpointInterval = 4)
+    sink.append(Seq((0, "seed")).toDF("id", "v"), "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      // 12 keyed appends (2 writers race per key) interleaved with
+      // 3 compactions and a vacuum
+      val tasks =
+        (0 until 12).flatMap { i =>
+          Seq.fill(2)(() => sink.appendOnce(
+            Seq((100 + i, s"r$i")).toDF("id", "v"), "t", s"key-$i"))
+        } ++ Seq.fill(3)(() => sink.compact(spark, "t")) ++
+          Seq(() => sink.vacuum(spark, "t", graceMs = 3600000L))
+      scala.util.Random.javaRandomToRandom(new java.util.Random(5))
+        .shuffle(tasks).map { task =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try { task(); () } catch { case e: Throwable => errors.add(e) }
+          })
+        }.foreach(_.get())
+    } finally pool.shutdown()
+    assert(errors.isEmpty, s"stress errors: ${errors.toArray.mkString("; ")}")
+    // every keyed batch exactly once, plus the seed
+    val ids = sink.read(spark, "t").collect().map(_.getInt(0)).sorted
+    assert(ids.toSeq == (Seq(0) ++ (100 until 112)).sorted,
+      s"row set corrupted: ${ids.toSeq}")
+    // keyed replay after the dust settles is still a no-op
+    assert(!sink.appendOnce(Seq((100, "r0")).toDF("id", "v"), "t", "key-0"))
+  }
+
   test("pipeline runs unchanged on the versioned sink (trait slot-in)") {
     val feeds = TestSpark.tmpDir("vfeeds")
     java.nio.file.Files.write(java.nio.file.Paths.get(feeds, "b.json"),
