@@ -54,6 +54,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(finalPlan("q_filter_isin").contains("*(1)"))
   }
 
+  test("dedup family: no cartesian product anywhere in the LSH topology") {
+    // every pairwise step must join on a bucket key (shingle, band+sig,
+    // label, cell) — a CartesianProduct would mean an all-pairs blow-up
+    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed",
+        "q_ann_bucket", "q_minhash_est")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+    }
+  }
+
+  test("tfidf broadcasts the scalar doc count, not the term table") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scalar N should broadcast:\n$p")
+  }
+
   test("sessionize plans ONE data shuffle shared by both windows and the agg") {
     val p = plan("q_sessionize")
     // one hashpartitioning(user_id) feeds lag-window, sum-window AND the
