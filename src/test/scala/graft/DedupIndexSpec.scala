@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{DedupIndex, ParquetTableSink, VersionedParquetSink}
+
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val longA = "the committee approved the annual budget after a " +
+    "long debate over infrastructure spending and road maintenance costs"
+  private val longB = "astronomers observed a distant comet passing close " +
+    "to the outer planets during the early winter observation window"
+  private val longC = "local bakers won the regional pastry competition " +
+    "with an unusual sourdough recipe passed down through generations"
+
+  test("incremental dedup: exact + near dups dropped across rounds, index grows") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("dix"))
+
+    // round 1: one in-batch exact duplicate
+    val r1 = DedupIndex.appendDeduped(spark, sink,
+      Seq((1L, longA), (2L, longA), (3L, longB)).toDF("doc_id", "text"))
+    assert(r1.appended == 2)
+    assert(r1.droppedExact == 1)
+    assert(r1.droppedNear == 0)
+    assert(sink.read(spark, "corpus").count() == 2)
+
+    // round 2: exact dup of round-1 doc, near dup (one word changed),
+    // and a genuinely new doc
+    val nearA = longA.replace("annual", "yearly")
+    val r2 = DedupIndex.appendDeduped(spark, sink,
+      Seq((10L, longB), (11L, nearA), (12L, longC)).toDF("doc_id", "text"))
+    assert(r2.droppedExact == 1, s"exact dup of stored doc must drop: $r2")
+    assert(r2.droppedNear == 1, s"near dup of stored doc must drop: $r2")
+    assert(r2.appended == 1)
+    val ids = sink.read(spark, "corpus").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 12L))
+
+    // round 3: replay of round 2 is fully absorbed by the index
+    val r3 = DedupIndex.appendDeduped(spark, sink,
+      Seq((20L, longB), (21L, nearA), (22L, longC)).toDF("doc_id", "text"))
+    assert(r3.appended == 0, s"replayed batch must append nothing: $r3")
+    assert(sink.read(spark, "corpus").count() == 3)
+    // index tables carry one fp and 4 band rows per stored doc
+    assert(sink.read(spark, "dedup_fp").count() == 3)
+    assert(sink.read(spark, "dedup_sig").count() == 12)
+  }
+
+  test("works identically on the plain parquet sink (trait slot-in)") {
+    val sink = new ParquetTableSink(TestSpark.tmpDir("dixp"))
+    val r1 = DedupIndex.appendDeduped(spark, sink,
+      Seq((1L, longA)).toDF("doc_id", "text"))
+    val r2 = DedupIndex.appendDeduped(spark, sink,
+      Seq((2L, longA), (3L, longB)).toDF("doc_id", "text"))
+    assert(r1.appended == 1 && r2.appended == 1 && r2.droppedExact == 1)
+    assert(sink.read(spark, "corpus").count() == 2)
+  }
+}
