@@ -434,10 +434,9 @@ object ExtendedQueries {
           .select(col("doc_id"), col("s"),
             md5(col("s").cast("binary")).as("h"))
           .cache()
-        val mins = sh.groupBy("doc_id").agg(
-          min(substring(col("h"), 1, 4)).as("m0"),
-          (1 until 8).map(j =>
-            min(substring(col("h"), 4 * j + 1, 4)).as(s"m$j")): _*)
+        // same slice-minima scheme as the shared MinHashLsh helper
+        val mins = graft.functions.MinHashLsh.sliceMins(
+          sh.select("doc_id", "h"))
         // band index is PART of the signature — without it, band 0 of
         // one doc could spuriously match band 2 of another
         val bands = mins.select(Seq(col("doc_id"),

@@ -215,24 +215,13 @@ object NorthStarQueries {
     // stage, whose output feeds exact verification by construction.
     Q("q_dedup_minhash",
       (s, d) => {
-        // md5 projected BEFORE the groupBy so it provably runs once per
-        // shingle (not relying on codegen subexpression elimination
-        // across the 8 aggregate update expressions)
-        val sh = shingled(s, d)
-          .select(col("doc_id"), md5(col("s").cast("binary")).as("h"))
-        // all 8 minhashes in ONE map-side-combinable groupBy (one shuffle
-        // of #docs x 8 slices, not an exploded 8x row stream), then bands
-        // derived directly — no second aggregation
-        val mins = sh.groupBy("doc_id").agg(
-          min(substring(col("h"), 1, 4)).as("m0"),
-          (1 until 8).map(j =>
-            min(substring(col("h"), 4 * j + 1, 4)).as(s"m$j")): _*)
-        val bands = mins.select(col("doc_id"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))
-                .as("bsig"))): _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+        // signature construction lives in functions/MinHashLsh.scala —
+        // shared verbatim with the PERSISTED incremental index
+        // (engine/DedupIndex.scala), which is what pins the scheme:
+        // md5 projected before the groupBy (one hash per shingle), all 8
+        // slice-minima in ONE map-side-combinable groupBy, bands derived
+        // directly with no second aggregation
+        val bands = graft.functions.MinHashLsh.signatures(s, docs(s, d))
         bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&

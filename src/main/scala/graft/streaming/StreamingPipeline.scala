@@ -50,10 +50,14 @@ object StreamingPipeline {
     // watermark passes its event time — bounded state, with the stated
     // trade-off that a duplicate arriving later than the watermark delay
     // is treated as new.
-    // per-batch ingest quality (rows/nulls/freshness) rides the stream:
-    // values land in StreamingQueryProgress.observedMetrics("ingest-quality")
-    val deduped = graft.engine.Quality.observeIngestStream(
-      Ingest.toNews(entries), keyCol = "id", tsCol = "published_time")
+    // per-batch ingest quality rides the stream into
+    // StreamingQueryProgress.observedMetrics("ingest-quality"). Attached
+    // to the RAW entries, BEFORE toNews filters null ids/times away —
+    // observing after the filter would report null_keys=0 forever, hiding
+    // exactly the feed regressions the metric exists to surface.
+    val observed = graft.engine.Quality.observeIngestStream(
+      entries, keyCol = "guid", tsCol = "published")
+    val deduped = Ingest.toNews(observed)
       .withWatermark("published_time", watermark)
       .dropDuplicatesWithinWatermark("id")
 

@@ -41,9 +41,15 @@ class DedupIndexSpec extends AnyFunSuite {
       Seq((20L, longB), (21L, nearA), (22L, longC)).toDF("doc_id", "text"))
     assert(r3.appended == 0, s"replayed batch must append nothing: $r3")
     assert(sink.read(spark, "corpus").count() == 3)
-    // index tables carry one fp and 4 band rows per stored doc
-    assert(sink.read(spark, "dedup_fp").count() == 3)
-    assert(sink.read(spark, "dedup_sig").count() == 12)
+    // the index absorbs every exact-distinct doc SEEN — including the
+    // near-victim (doc 11), which never reached the corpus but must be
+    // remembered so replays and future dups of it stay dropped
+    assert(sink.read(spark, "dedup_fp").count() == 4)
+    assert(sink.read(spark, "dedup_sig").count() == 16)
+    // an exact copy of the dropped near-victim is also absorbed
+    val r4 = DedupIndex.appendDeduped(spark, sink,
+      Seq((30L, longA.replace("annual", "yearly"))).toDF("doc_id", "text"))
+    assert(r4.appended == 0 && r4.droppedExact == 1)
   }
 
   test("works identically on the plain parquet sink (trait slot-in)") {

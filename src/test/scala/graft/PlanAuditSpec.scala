@@ -57,10 +57,15 @@ class PlanAuditSpec extends AnyFunSuite {
   test("dedup family: no cartesian product anywhere in the LSH topology") {
     // every pairwise step must join on a bucket key (shingle, band+sig,
     // label, cell) — a CartesianProduct would mean an all-pairs blow-up
+    // BroadcastNestedLoopJoin is the same O(n*m) comparison with a
+    // broadcast coat — reject both (a non-equi-keyed refactor plans BNLJ
+    // when one side fits the broadcast threshold)
     for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed",
         "q_ann_bucket", "q_minhash_est")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q pairs without an equi key:\n$p")
     }
   }
 

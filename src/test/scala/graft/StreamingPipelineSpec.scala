@@ -46,17 +46,24 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val feeds = TestSpark.tmpDir("qfeeds")
     val store = TestSpark.tmpDir("qstore")
     val ckpt = TestSpark.tmpDir("qckpt")
+    // two good entries + one with a null guid: the metric observes the
+    // RAW stream, so the malformed row is COUNTED even though toNews
+    // drops it before the sink
     Files.write(Paths.get(feeds, "q1.json"),
       Seq(entry("qm1", "President Alice Smith resigns"),
-        entry("qm2", "Mayor Bob Kane appoints Carol Day")).mkString("\n").getBytes)
+        entry("qm2", "Mayor Bob Kane appoints Carol Day"),
+        """{"title":"No guid","published":"Mon, 05 Feb 2024 10:30:00 GMT","description":"d","link":"l","guid":null,"media_thumbnail":null,"feed":"Politics"}""")
+        .mkString("\n").getBytes)
     val q = StreamingPipeline.stream(spark, feeds,
       new ParquetTableSink(store), ckpt)
     q.awaitTermination()
     val observed = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("ingest-quality")))
     assert(observed.nonEmpty, "expected ingest-quality in progress")
-    assert(observed.map(_.getAs[Long]("n_rows")).sum == 2L)
-    assert(observed.map(_.getAs[Long]("null_keys")).sum == 0L)
+    assert(observed.map(_.getAs[Long]("n_rows")).sum == 3L)
+    assert(observed.map(_.getAs[Long]("null_keys")).sum == 1L)
+    // the malformed row never reaches the sink
+    assert(new ParquetTableSink(store).read(spark, "raw").count() == 2)
   }
 
   test("streaming maintenance: periodic compaction folds micro-batch dirs") {
