@@ -38,6 +38,35 @@ object DedupIndex {
 
   final case class Result(appended: Long, droppedExact: Long, droppedNear: Long)
 
+  /** Continuous ingestion: stream document files (JSON lines with
+    * doc_id/text) and dedup every micro-batch against the persisted
+    * index via [[appendDeduped]], keyed by batchId — on a versioned sink
+    * a crash-replayed batch is absorbed exactly-once. */
+  def streamDeduped(spark: SparkSession, docsDir: String, sink: TableSink,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    spark.readStream.schema(schema).json(docsDir)
+      .writeStream
+      .queryName("graft-dedup-ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          appendDeduped(batch.sparkSession, sink, batch,
+            batchKey = Some(s"dedup-batch-$batchId"))
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Dedup `newDocs` (doc_id, text, ...) against the index AND itself,
     * append survivors to `docsTable` and every exact-distinct doc's
     * fingerprint/signatures to the index tables.

@@ -52,6 +52,31 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(r4.appended == 0 && r4.droppedExact == 1)
   }
 
+  test("streaming ingestion dedups each micro-batch against the index") {
+    import java.nio.file.{Files, Paths}
+    val docsDir = TestSpark.tmpDir("dixs_in")
+    val ckpt = TestSpark.tmpDir("dixs_ck")
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("dixs_store"))
+    def line(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text"}"""
+
+    Files.write(Paths.get(docsDir, "b1.json"),
+      Seq(line(1, longA), line(2, longB)).mkString("\n").getBytes)
+    DedupIndex.streamDeduped(spark, docsDir, sink, ckpt).awaitTermination()
+    assert(sink.read(spark, "corpus").count() == 2)
+
+    // second drop: an exact dup, a near dup, and a new doc
+    Files.write(Paths.get(docsDir, "b2.json"),
+      Seq(line(10, longA), line(11, longB.replace("distant", "remote")),
+        line(12, longC)).mkString("\n").getBytes)
+    DedupIndex.streamDeduped(spark, docsDir, sink, ckpt).awaitTermination()
+    val ids = sink.read(spark, "corpus").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 12L), s"got $ids")
+    // restart with no new files: checkpointed offsets, nothing re-runs
+    DedupIndex.streamDeduped(spark, docsDir, sink, ckpt).awaitTermination()
+    assert(sink.read(spark, "corpus").count() == 3)
+  }
+
   test("works identically on the plain parquet sink (trait slot-in)") {
     val sink = new ParquetTableSink(TestSpark.tmpDir("dixp"))
     val r1 = DedupIndex.appendDeduped(spark, sink,
