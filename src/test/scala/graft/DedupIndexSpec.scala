@@ -75,6 +75,14 @@ class DedupIndexSpec extends AnyFunSuite {
     // restart with no new files: checkpointed offsets, nothing re-runs
     DedupIndex.streamDeduped(spark, docsDir, sink, ckpt).awaitTermination()
     assert(sink.read(spark, "corpus").count() == 3)
+
+    // catastrophic restart: checkpoint LOST, every batch replays from
+    // scratch — the batchId-keyed sink commits plus the content index
+    // absorb the full replay with zero duplicates
+    val ckpt2 = TestSpark.tmpDir("dixs_ck2")
+    DedupIndex.streamDeduped(spark, docsDir, sink, ckpt2).awaitTermination()
+    assert(sink.read(spark, "corpus").count() == 3)
+    assert(sink.read(spark, "corpus").select("doc_id").distinct().count() == 3)
   }
 
   test("works identically on the plain parquet sink (trait slot-in)") {
