@@ -31,13 +31,18 @@ object StreamingPipeline {
     *   accumulated micro-batch directories into one every N batches —
     *   without this a long-running stream appends one directory per
     *   batch per table forever (the small-file problem); compaction is
-    *   itself a keyed commit, so a replayed maintenance batch is safe. */
+    *   itself a keyed commit, so a replayed maintenance batch is safe.
+    * @param vacuumAfterCompact additionally reclaim the superseded
+    *   pre-compaction directories right after each compaction — bounds
+    *   TOTAL storage for an unbounded run at the documented cost of
+    *   truncating time travel to the latest compaction. */
   def stream(spark: SparkSession, feedsDir: String, sink: TableSink,
       checkpoint: String,
       watermark: String = "7 days",
       analyzer: Analyze.TextAnalyzer = Analyze.RuleBasedAnalyzer,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      vacuumAfterCompact: Boolean = false): StreamingQuery = {
 
     val entries = spark.readStream
       .schema(Schemas.feedEntry)
@@ -87,9 +92,17 @@ object StreamingPipeline {
               case (v: graft.engine.VersionedParquetSink, Some(n))
                   if n > 0 && batchId > 0 && batchId % n == 0 =>
                 Seq("raw", "curated", "actors").foreach { t =>
-                  if (v.exists(cached.sparkSession, t))
+                  if (v.exists(cached.sparkSession, t)) {
                     v.compact(cached.sparkSession, t,
                       commitKey = Some(s"compact-$batchId"))
+                    // vacuum is naturally idempotent (deleting nothing
+                    // is a no-op), so no key needed on replay; graceMs=0
+                    // is safe ONLY because foreachBatch serializes this
+                    // stream's writes — concurrent writers need the grace
+                    if (vacuumAfterCompact)
+                      v.vacuum(cached.sparkSession, t, graceMs = 0L,
+                        includeSuperseded = true)
+                  }
                 }
               case _ => ()
             }

@@ -81,13 +81,17 @@ class StreamingPipelineSpec extends AnyFunSuite {
     Files.write(Paths.get(feeds, "c2.json"),
       Seq(entry("c2", "Mayor Bob Kane appoints Carol Day")).mkString("\n").getBytes)
     StreamingPipeline.stream(spark, feeds, sink, ckpt,
-      compactEvery = Some(1)).awaitTermination()
+      compactEvery = Some(1), vacuumAfterCompact = true).awaitTermination()
 
     val raw = sink.read(spark, "raw")
     assert(raw.count() == 2)
     // the live snapshot scans exactly ONE data directory post-compaction
     val dirs = raw.inputFiles.map(_.split("/raw/")(1).split("/")(0)).distinct
     assert(dirs.length == 1, s"expected one compacted dir, got ${dirs.toSeq}")
+    // and with vacuumAfterCompact the superseded dirs are gone from DISK
+    val onDisk = new java.io.File(s"$store/raw").list()
+      .count(_.startsWith("d-"))
+    assert(onDisk == 1, s"expected 1 data dir on disk, got $onDisk")
     // dedup state and replay safety survive compaction
     Files.write(Paths.get(feeds, "c3.json"),
       Seq(entry("c2", "Mayor Bob Kane appoints Carol Day")).mkString("\n").getBytes)
