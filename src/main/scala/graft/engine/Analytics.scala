@@ -83,4 +83,8 @@ object Analytics {
       .select(news("id"), col("title"), col("published_time"),
         col("category"), col("actor_name"), col("actor_role"),
         col("is_main_actor"))
+      // total order, like every other multi-row result here — join output
+      // order is partitioning-dependent
+      .orderBy(news("id"), col("actor_name").asc_nulls_first,
+        col("actor_role").asc_nulls_first)
 }

@@ -30,7 +30,18 @@ object AsOf {
       valueCols: Seq[String]): DataFrame = {
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"valueCols collide with left: $collisions")
+    val reserved = Set("__t", "__side", "__vals")
+      .intersect(left.columns.toSet ++ right.columns.toSet)
+    require(reserved.isEmpty,
+      s"input columns collide with asofJoin internals: $reserved")
     val leftCols = left.columns.toSeq
+    // SQL ASOF semantics: a NULL key or NULL timestamp on the right can
+    // never match anything (NULL = NULL and ts >= NULL are never true) —
+    // unfiltered, a NULL-time row would sort FIRST in the window and
+    // become the fabricated match for every early left row, and NULL
+    // keys would pair with NULL-key left rows via partitionBy
+    val matchableRight = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -46,7 +57,7 @@ object AsOf {
       .withColumn("__side", lit(1))
       .select(col("__t") +: col("__side") +:
         lit(null).cast(structType).as("__vals") +: leftCols.map(col): _*)
-    val rTagged = right
+    val rTagged = matchableRight
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(col("__t") +: col("__side") +: valueStruct.as("__vals") +:

@@ -46,7 +46,14 @@ object Ingest {
           lit("d MMM yyyy HH:mm:ss zzz")),
         try_to_timestamp(
           regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
-          lit("d MMM yyyy HH:mm:ss Z")))
+          lit("d MMM yyyy HH:mm:ss Z")),
+        // RFC 822 allows omitting :ss ("14:30 GMT") — real feeds do
+        try_to_timestamp(
+          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
+          lit("d MMM yyyy HH:mm zzz")),
+        try_to_timestamp(
+          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
+          lit("d MMM yyyy HH:mm Z")))
         .as("published_time"),
       col("description"),
       col("link"),

@@ -20,24 +20,18 @@ object Text {
   /** Distinct token set (order-insensitive dedup unit). */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
-  /** Word n-gram shingles, e.g. n=3: "a b c d" -> ["a b c", "b c d"].
-    * sequence() + transform() keeps it a single codegen'd projection. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
-      transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-      .otherwise(array())
-  }
-
   /** Distinct word n-gram shingles of one document, as a plain-Scala
     * iterator for typed `flatMap` shingling. Spark's higher-order
     * `transform`/`sequence` route evaluates interpreted (no codegen) at
     * ~1.5 ms/doc; a JVM sliding loop is ~20x faster and is the one place
-    * the per-partition-imperative escape hatch is warranted. */
+    * the per-partition-imperative escape hatch is warranted.
+    *
+    * split limit -1 keeps trailing empty tokens — Java's default split
+    * DROPS them while Spark's split() and DuckDB's string_split KEEP
+    * them, and the oracle CTEs shingle over the kept form; text with
+    * trailing whitespace would otherwise diverge. */
   def shingleSet(text: String, n: Int): Iterator[String] = {
-    val toks = text.split(' ')
+    val toks = text.split(" ", -1)
     if (toks.length < n) Iterator.empty
     else {
       val seen = new scala.collection.mutable.LinkedHashSet[String]

@@ -43,7 +43,14 @@ case class DotProduct(left: Expression, right: Expression)
       s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      // a null element would silently read as 0.0 (zeroed unsafe slot),
+      // producing a wrong-but-plausible similarity — fail loudly instead
+      if (x.isNullAt(i) || y.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_dot: null element at index $i")
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -62,6 +69,10 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_dot: null element at index " + $i);
+         |  }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -47,6 +47,33 @@ class AsOfSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("b")) == 2.0)
   }
 
+  test("asofJoin: NULL right keys/timestamps never match (SQL ASOF semantics)") {
+    val quotes = Seq(
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 66.0), // null key
+      (Option("A"), Option.empty[Timestamp], 77.0),                    // null time
+      (Option("A"), Option(ts("2024-01-01 10:00:00")), 10.0)
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      (Option("A"), ts("2024-01-01 09:30:00"), 1L), // BEFORE real quote -> null
+      (Option("A"), ts("2024-01-01 10:30:00"), 2L), // after -> 10.0
+      (Option.empty[String], ts("2024-01-01 10:30:00"), 3L) // null-key left -> null
+    ).toDF("sym", "tt", "qty")
+    val out = AsOf.asofJoin(trades, quotes, "sym", "tt", "qt", Seq("px"))
+      .orderBy("qty")
+      .collect().map(r => (r.getLong(r.fieldIndex("qty")),
+        Option(r.get(r.fieldIndex("px"))).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq((1L, None), (2L, Some(10.0)), (3L, None)))
+  }
+
+  test("asofJoin rejects inputs that collide with its internal columns") {
+    val l = Seq(("A", ts("2024-01-01 10:00:00"), 1)).toDF("sym", "tt", "__side")
+    val r = Seq(("A", ts("2024-01-01 09:00:00"), 2.0)).toDF("sym", "qt", "px")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoin(l, r, "sym", "tt", "qt", Seq("px"))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
+
   test("asofJoin preserves left row count and rejects column collisions") {
     val l = Seq(("A", ts("2024-01-01 00:00:00"), "x")).toDF("k", "t", "v")
     val r = Seq(("A", ts("2023-12-31 00:00:00"), "y")).toDF("k", "rt", "rv")

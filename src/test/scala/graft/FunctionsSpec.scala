@@ -35,6 +35,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Text.shingleSet("a b c d", 3).toSeq == Seq("a b c", "b c d"))
     assert(Text.shingleSet("a b", 3).isEmpty)
     assert(Text.shingleSet("x y x y x y", 2).toSeq == Seq("x y", "y x"))
+    // trailing whitespace keeps its empty token, matching Spark split()
+    // and DuckDB string_split (the oracle's tokenization)
+    assert(Text.shingleSet("a b c ", 3).toSeq == Seq("a b c", "b c "))
+  }
+
+  test("graft_dot fails loudly on null ELEMENTS (never silent 0.0)") {
+    val e = intercept[Exception](
+      spark.sql(
+        "SELECT graft_dot(array(1.0D, cast(null as double)), array(2.0D, 3.0D))")
+        .collect())
+    assert(e.getMessage.contains("null element") ||
+      Option(e.getCause).exists(_.getMessage.contains("null element")))
   }
 
   test("fingerprint normalizes before hashing") {
