@@ -95,9 +95,22 @@ object Bench {
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures (-1.0 markers) must NOT be summed — that would make a
+    // broken build's total look FASTER; list them separately instead
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map(n => "\"" + esc(n) + "\"")
+        .mkString(""","failed":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"${esc(sfDir)}"}"""
     // stdout gets wrapped by sbt ("[info] {...}") and interleaved with log
     // noise, which made the round-1 report unparseable downstream — so the
     // authoritative copy goes to a file; stdout stays for humans.

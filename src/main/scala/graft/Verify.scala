@@ -22,6 +22,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a REUSED outDir may hold this query's output from an earlier
+        // run — left in place, the oracle compare would silently
+        // validate stale results for a query that no longer runs
+        val staleDir = new java.io.File(s"$outDir/$name")
+        if (staleDir.exists) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(staleDir)
+        }
       }
       spark.catalog.clearCache() // per-query caches must not accumulate
     }

@@ -21,17 +21,20 @@ object Pipeline {
 
   def run(spark: SparkSession, feedsDir: String, sink: TableSink,
       analyzer: Analyze.TextAnalyzer = Analyze.RuleBasedAnalyzer): Result = {
-    val entries = Ingest.readFeedSnapshots(spark, feedsDir)
+    // quality observes the RAW entries, BEFORE toNews filters null
+    // ids/times away — observing after the filter would report
+    // null_keys=0 forever, hiding exactly the feed regressions the
+    // metric exists to surface (same placement as the streaming path)
+    val (entries, obs) = Quality.observeIngest(
+      Ingest.readFeedSnapshots(spark, feedsDir),
+      keyCol = "guid", tsCol = "published")
     val news = Ingest.toNews(entries)
     val state = Ingest.loadState(spark, sink)
     // dropDuplicates(id): the SAME new guid can appear in two snapshot
     // files of one run (normal RSS-poll overlap) — the state anti-join
     // only removes PREVIOUSLY seen ids (streaming path handles this with
     // dropDuplicatesWithinWatermark)
-    val (observed, obs) = Quality.observeIngest(
-      Ingest.newEntries(news, state).dropDuplicates("id"),
-      keyCol = "id", tsCol = "published_time")
-    val fresh = observed.cache()
+    val fresh = Ingest.newEntries(news, state).dropDuplicates("id").cache()
     try {
       // one materialization: empty-batch guard AND the action that fires
       // the observe() accumulators — quality comes for free with it
@@ -58,7 +61,7 @@ object Pipeline {
       sink.appendOnce(curated, "curated", batchKey)
       val analyzed = Analyze.withAnalysis(spark, curated, analyzer)
       sink.appendOnce(Analyze.explodeActors(analyzed), "actors", batchKey)
-      if (sink.appendOnce(fresh.select("id"), "state", batchKey)) ()
+      sink.appendOnce(fresh.select("id"), "state", batchKey)
       Result(n, obs.get)
     } finally fresh.unpersist()
   }

@@ -35,6 +35,10 @@ object Skew {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/left_semi joins, got $joinType")
+    // withColumn would silently OVERWRITE a pre-existing __salt column
+    // and drop() would then remove the user's data — fail loudly
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "inputs must not contain a __salt column (saltedJoin internal)")
     val p = probe.withColumn("__salt", pmod(spread, lit(salt)).cast("int"))
     val b = build.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))

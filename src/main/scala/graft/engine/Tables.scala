@@ -28,9 +28,18 @@ object Tables {
       case "events" =>
         // timestamp[ns] -> LongType nanos; integer `div` keeps full
         // precision (a double round-trip would corrupt ~1.7e18 values).
+        // The conf is needed only while the relation is RESOLVED (schema
+        // conversion is eager); restore the caller's value afterwards so
+        // a shared session's later parquet reads aren't silently switched
+        // to raw-long nanos semantics.
+        val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path(sfDir, name))
+        try spark.read.parquet(path(sfDir, name))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        finally prior match {
+          case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
       case _ =>
         spark.read.parquet(path(sfDir, name))
     }

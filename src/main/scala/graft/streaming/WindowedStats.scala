@@ -61,6 +61,9 @@ object WindowedStats {
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     news.select(col("category"), col("published_time").cast("long").as("ts"))
+      // a null key or time would kill the STREAM at encoder
+      // deserialization (non-nullable tuple fields) — drop, don't die
+      .filter(col("category").isNotNull && col("ts").isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(timeoutConf) {

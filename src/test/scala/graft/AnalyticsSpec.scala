@@ -70,4 +70,20 @@ class AnalyticsSpec extends AnyFunSuite {
     val dv = Analytics.detailView(news, actors)
     assert(dv.count() == 6) // one row per (article, actor) + none lost
   }
+
+  test("Tables.events works in a session WITHOUT the nanosAsLong builder conf, and leaves the conf untouched") {
+    // an isolated session whose conf does NOT carry the legacy flag —
+    // the load must set it only for resolution and restore afterwards,
+    // and execution (physical planning captures hadoopConf at action
+    // time) must still read the timestamp[ns] column correctly
+    val s2 = spark.newSession()
+    s2.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val before = s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") // default: false
+    assert(before == "false")
+    val df = graft.engine.Tables.events(s2, "/root/testdata/sf0.001")
+    assert(s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == before,
+      "load must not leak the legacy conf into the session")
+    assert(df.count() > 0)
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+  }
 }
