@@ -25,15 +25,9 @@ final case class Q(
   */
 object CoreQueries {
 
-  /** Spark TimestampType is UTC-adjusted; parquet-dumping it yields a
-    * tz-aware column while DuckDB's oracle emits naive timestamps. NTZ
-    * keeps the same UTC wall-clock and compares clean. */
-  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
-
-  /** Exact decimal sum of a 2-decimal double column, emitted as double:
-    * identical on both engines regardless of partitioning / add order. */
-  private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
+  // shared determinism helpers — single definition in Helpers.scala
+  private def ntz(c: Column): Column = Helpers.ntz(c)
+  private def dsum(c: Column): Column = Helpers.dsum(c)
 
   val all: Seq[Q] = Seq(
 

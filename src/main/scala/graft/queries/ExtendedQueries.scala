@@ -25,12 +25,10 @@ import graft.engine.Tables
   */
 object ExtendedQueries {
 
-  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
-
-  private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
-
-  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  // shared determinism helpers — single definition in Helpers.scala
+  private def ntz(c: Column): Column = Helpers.ntz(c)
+  private def dsum(c: Column): Column = Helpers.dsum(c)
+  private def r4(c: Column): Column = Helpers.r4(c)
 
   /** DuckDB-side parse of 4 hex chars -> 0..65535 (no conv() there). */
   private def hex4(h: String): String =
@@ -363,7 +361,7 @@ object ExtendedQueries {
     // shuffle); n_removed audits how much was dropped.
     Q("q_text_clean",
       (s, d) => {
-        val stop = "('the', 'a', 'of', 'to', 'in', 'and')"
+        val stop = Helpers.enStopwords
         Tables.documents(s, d)
           .withColumn("kept", expr(s"filter(split(text, ' '), x -> x NOT IN $stop)"))
           .select(col("doc_id"),
@@ -427,30 +425,30 @@ object ExtendedQueries {
     // of the shingle stream, never the full self-join.
     Q("q_minhash_est",
       (s, d) => {
-        // cached: feeds mins, sizes, AND both sides of the exact
-        // intersection — uncached this would re-scan + re-shingle the
-        // corpus four times (cappedShingles precedent)
-        val sh = NorthStarQueries.shingled(s, d)
-          .select(col("doc_id"), col("s"),
-            md5(col("s").cast("binary")).as("h"))
-          .cache()
-        // same slice-minima scheme as the shared MinHashLsh helper
+        import graft.functions.MinHashLsh.{NumBands, NumHashes}
+        // memoized+cached upstream (NorthStarQueries.hashedShingles):
+        // feeds mins, sizes, AND both sides of the exact intersection —
+        // a bare per-call cache here would leak blocks per invocation
+        val sh = NorthStarQueries.hashedShingles(s, d)
+        // same slice-minima scheme (and the SAME constants) as the
+        // shared MinHashLsh helper — hardcoded 4/8 literals would keep
+        // auditing an old scheme if the helper were ever retuned
         val mins = graft.functions.MinHashLsh.sliceMins(
           sh.select("doc_id", "h"))
         // band index is PART of the signature — without it, band 0 of
         // one doc could spuriously match band 2 of another
         val bands = mins.select(Seq(col("doc_id"),
-          explode(array((0 until 4).map(b =>
+          explode(array((0 until NumBands).map(b =>
             concat_ws("|", lit(b.toString),
               col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bsig")) ++
-          (0 until 8).map(j => col(s"m$j")): _*)
+          (0 until NumHashes).map(j => col(s"m$j")): _*)
         val cands = bands.as("a")
           .join(bands.as("b"),
             col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            ((0 until 8).map(j =>
+            ((0 until NumHashes).map(j =>
               when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
-              .reduce(_ + _) / lit(8.0)).as("est"))
+              .reduce(_ + _) / lit(NumHashes.toDouble)).as("est"))
           .groupBy("d1", "d2").agg(r4(max("est")).as("est"))
         // shingled() is distinct-per-doc by construction — no re-distinct
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

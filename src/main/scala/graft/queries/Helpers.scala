@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The cross-engine determinism helpers shared by every query group —
+  * ONE definition each, because they encode hard-won rules (see the
+  * BASELINE.md determinism audits) that must stay identical across
+  * CoreQueries / NorthStarQueries / ExtendedQueries:
+  *
+  *  - [[r4]]: floor(x*1e4 + 0.5)/1e4 — engines disagree on
+  *    round(double, 4) at exactly-representable half-boundary values,
+  *    and RATIONAL-arithmetic scores (ratios of small ints) land there;
+  *    floor/mult/add are bit-identical IEEE ops in both engines.
+  *    Irrational-mantissa scores (cosines, ln) keep plain round():
+  *    boundary hits are measure-zero.
+  *  - [[ntz]]: Spark TimestampType is UTC-adjusted and parquet-dumps
+  *    tz-aware; DuckDB emits naive timestamps — NTZ keeps the same UTC
+  *    wall-clock and compares clean.
+  *  - [[dsum]]: double sums through DECIMAL(18,2) (exact,
+  *    order-independent), converted to double once at the end.
+  */
+private[queries] object Helpers {
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  def ntz(c: Column): Column = c.cast("timestamp_ntz")
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** The 6-word English stopword tuple, verbatim in Spark expressions
+    * and oracle SQL of q_lang_id / q_quality_score / q_text_clean. */
+  val enStopwords = "('the', 'a', 'of', 'to', 'in', 'and')"
+}
