@@ -29,10 +29,9 @@ import graft.functions.{MinHashLsh, Text}
   *
   * Semantics: exact-duplicate and band-collision (near-dup candidate)
   * rows are dropped; first occurrence wins, including WITHIN the new
-  * batch. Band collision as the drop criterion is the recall-leaning
-  * choice for a candidate stage; a verify pass (exact jaccard on
-  * collisions, as in q_minhash_est) slots in front of the drop if
-  * precision matters more.
+  * batch. Band collision alone is the recall-leaning default; pass
+  * `verifyThreshold` to add the precision stage — exact n-gram jaccard
+  * on each candidate pair (as in q_minhash_est) gating the drop.
   */
 object DedupIndex {
 
@@ -74,10 +73,20 @@ object DedupIndex {
     * @param batchKey idempotency key for the three appends (use the
     *   micro-batch id from streaming): a crash between appends followed
     *   by a replay otherwise appends corpus rows whose index entries
-    *   were never written — and the second run can't dedup them. */
+    *   were never written — and the second run can't dedup them.
+    * @param verifyThreshold precision stage: when set, a band collision
+    *   is only a CANDIDATE — the pair's exact n-gram jaccard must reach
+    *   the threshold for the new doc to be dropped, so an unlucky
+    *   signature collision between unrelated documents (LSH false
+    *   positive) no longer costs a document. Verification is row-local
+    *   on the already-bucketed candidate pairs (never all-pairs); an
+    *   index-side candidate whose colliding document is not in the
+    *   corpus (it was itself dropped as a near-dup victim, so its text
+    *   is gone) stays a drop — the recall-conservative default. */
   def appendDeduped(spark: SparkSession, sink: TableSink, newDocs: DataFrame,
       docsTable: String = "corpus", indexPrefix: String = "dedup",
-      batchKey: Option[String] = None): Result = {
+      batchKey: Option[String] = None,
+      verifyThreshold: Option[Double] = None): Result = {
     val fpTable = s"${indexPrefix}_fp"
     val sigTable = s"${indexPrefix}_sig"
     def write(df: DataFrame, table: String): Unit = batchKey match {
@@ -107,18 +116,70 @@ object DedupIndex {
       toUnpersist ::= sigs
       val knownSig =
         if (sink.exists(spark, sigTable))
-          sink.read(spark, sigTable).select("band", "bsig")
+          sink.read(spark, sigTable).select("doc_id", "band", "bsig")
         else spark.emptyDataFrame
-          .select(lit(0).as("band"), lit("").as("bsig")).limit(0)
-      val hitIndex = sigs.join(knownSig, Seq("band", "bsig"), "left_semi")
-        .select("doc_id").distinct()
-      // in-batch near-dups: per (band,bsig) bucket the min doc_id wins
-      val hitBatch = sigs.as("a")
-        .join(sigs.as("b"),
-          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-            col("a.doc_id") > col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id")).distinct()
-      val nearVictims = hitIndex.union(hitBatch).distinct()
+          .select(lit(0L).as("doc_id"), lit(0).as("band"),
+            lit("").as("bsig")).limit(0)
+      val nearVictims = verifyThreshold match {
+        case None =>
+          val hitIndex = sigs
+            .join(knownSig.select("band", "bsig"), Seq("band", "bsig"),
+              "left_semi")
+            .select("doc_id").distinct()
+          // in-batch near-dups: per (band,bsig) bucket the min doc_id wins
+          val hitBatch = sigs.as("a")
+            .join(sigs.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bsig") === col("b.bsig") &&
+                col("a.doc_id") > col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_id")).distinct()
+          hitIndex.union(hitBatch).distinct()
+        case Some(thr) =>
+          import spark.implicits._
+          val newTexts = exactSurvivors.select(col("doc_id"),
+            col("text").as("new_text"))
+          // index-side candidate pairs, joined to the corpus for the
+          // historical text (equi-joins on (band,bsig) then doc_id —
+          // bucketed keys, candidate-sized inputs)
+          val idxPairs = sigs
+            .join(knownSig.withColumnRenamed("doc_id", "idx_doc_id"),
+              Seq("band", "bsig"))
+            .select(col("doc_id"), col("idx_doc_id")).distinct()
+          val corpusTexts =
+            if (sink.exists(spark, docsTable))
+              sink.read(spark, docsTable)
+                .select(col("doc_id").as("idx_doc_id"),
+                  col("text").as("idx_text"))
+            else spark.emptyDataFrame
+              .select(lit(0L).as("idx_doc_id"), lit("").as("idx_text"))
+              .limit(0)
+          val idxVictims = idxPairs
+            .join(corpusTexts, Seq("idx_doc_id"), "left")
+            .join(newTexts, Seq("doc_id"))
+            .select(col("doc_id"), col("new_text"), col("idx_text"))
+            .as[(Long, String, Option[String])]
+            .filter { case (_, nt, it) =>
+              it.forall(t => Text.jaccard(nt, t, 3) >= thr) // None => drop
+            }
+            .map(_._1).toDF("doc_id")
+          // in-batch candidate pairs carry both texts; min doc_id wins
+          // only when the pair VERIFIES
+          val batchVictims = sigs.as("a")
+            .join(sigs.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bsig") === col("b.bsig") &&
+                col("a.doc_id") > col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_id"),
+              col("b.doc_id").as("other_id")).distinct()
+            .join(newTexts, Seq("doc_id"))
+            .join(newTexts.select(col("doc_id").as("other_id"),
+              col("new_text").as("other_text")), Seq("other_id"))
+            .select(col("doc_id"), col("new_text"), col("other_text"))
+            .as[(Long, String, String)]
+            .filter { case (_, a, b) => Text.jaccard(a, b, 3) >= thr }
+            .map(_._1).toDF("doc_id")
+          idxVictims.union(batchVictims).distinct()
+      }
       val kept = exactSurvivors
         .join(nearVictims, Seq("doc_id"), "left_anti")
         .cache()

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch ingest stage: feed snapshots -> typed news rows, deduplicated
@@ -36,25 +36,7 @@ object Ingest {
   def toNews(entries: DataFrame): DataFrame =
     entries.select(
       col("title"),
-      // RFC 822 allows a zone NAME ("GMT") or a NUMERIC offset ("+0000");
-      // java-time 'z' only parses names, so try both forms — and use
-      // try_to_timestamp so an unparseable date degrades to a dropped row
-      // instead of failing the job under ANSI mode
-      coalesce(
-        try_to_timestamp(
-          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
-          lit("d MMM yyyy HH:mm:ss zzz")),
-        try_to_timestamp(
-          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
-          lit("d MMM yyyy HH:mm:ss Z")),
-        // RFC 822 allows omitting :ss ("14:30 GMT") — real feeds do
-        try_to_timestamp(
-          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
-          lit("d MMM yyyy HH:mm zzz")),
-        try_to_timestamp(
-          regexp_replace(col("published"), "^[A-Za-z]{3}, ", ""),
-          lit("d MMM yyyy HH:mm Z")))
-        .as("published_time"),
+      parsePublished(col("published")).as("published_time"),
       col("description"),
       col("link"),
       col("guid").as("id"),
@@ -64,6 +46,24 @@ object Ingest {
       // breaks dedup (see readFeedSnapshots), a null event time breaks
       // the streaming watermark
       .filter(col("id").isNotNull && col("published_time").isNotNull)
+
+  /** RFC-822 `published` parse, shared by [[toNews]] and the quality
+    * metrics (which min/max over the PARSED time — lexicographic bounds
+    * over the raw string would order by weekday name).
+    *
+    * RFC 822 allows a zone NAME ("GMT") or a NUMERIC offset ("+0000");
+    * java-time 'z' only parses names, so try both forms — and use
+    * try_to_timestamp so an unparseable date degrades to null (a dropped
+    * row in toNews) instead of failing the job under ANSI mode. */
+  def parsePublished(c: Column): Column = {
+    val stripped = regexp_replace(c, "^[A-Za-z]{3}, ", "")
+    coalesce(
+      try_to_timestamp(stripped, lit("d MMM yyyy HH:mm:ss zzz")),
+      try_to_timestamp(stripped, lit("d MMM yyyy HH:mm:ss Z")),
+      // RFC 822 allows omitting :ss ("14:30 GMT") — real feeds do
+      try_to_timestamp(stripped, lit("d MMM yyyy HH:mm zzz")),
+      try_to_timestamp(stripped, lit("d MMM yyyy HH:mm Z")))
+  }
 
   /** Drop entries whose id is already in state — the reference's
     * processed-GUID check (collector.py:87-89) as a left-anti join.

@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-probe IVF search — the recall lever of inverted-file ANN.
+  *
+  * Probe-1 recall is capped by the DATA, not the quantizer: on an
+  * isotropic corpus (like the synthetic embeddings table — measured
+  * within/cross-label cosine both ~0) even a fully converged k-means
+  * gives ~0.32 recall@5 with k=10 cells, because a query's true
+  * neighbors straddle cell boundaries. Probing the P nearest cells
+  * recovers recall (measured on sf0.1: P=1 -> 0.32, P=3 -> 0.64,
+  * P=5 -> 0.84) while still scanning only P/k of the corpus — the same
+  * trade every production IVF index (FAISS nprobe) exposes.
+  *
+  * Scale shape: the probe list is a broadcast join against the k-row
+  * centroid table; candidate scan joins on `cell`, i.e. stays
+  * co-partitioned with an `assigned` table partitioned by cell; top-k
+  * per query is a WindowGroupLimit, never a global sort.
+  */
+object Ivf {
+
+  /** Search `assigned` (vec_id, emb, nrm, cell) for the top-`k`
+    * cosine neighbors of each query row (rows matching `queryPred`),
+    * probing each query's `probes` nearest cells by centroid cosine.
+    * `cents` is the trained (cell, c_emb, c_nrm) table. */
+  def search(spark: SparkSession, assigned: DataFrame, cents: DataFrame,
+      queryPred: Column, probes: Int, k: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val queries = assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("csim"), asc("cell"))
+    val qCells = queries.join(broadcast(cents))
+      .withColumn("csim",
+        round(expr("graft_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes)
+      .select("q_id", "q_emb", "q_nrm", "cell")
+    val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select("q_id", "vec_id", "sim")
+  }
+}

@@ -31,10 +31,13 @@ object Multimodal {
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
   /** Decoder boundary: a real implementation binds an image/audio codec
-    * library here (javacv, ffmpeg-cli, ...). Must be serializable — it
-    * ships to executors. */
+    * library here (javax.imageio, javacv, ffmpeg-cli, ...). Must be
+    * serializable — it ships to executors. */
   trait MediaDecoder extends Serializable {
     def features(payload: Array[Byte], dim: Int): Array[Double]
+    /** Container-level (width, height), if this decoder understands the
+      * format; None for opaque payloads. */
+    def dimensions(payload: Array[Byte]): Option[(Int, Int)] = None
   }
 
   /** STUB: deterministic pseudo-decoder — byte histogram folded into a
@@ -49,6 +52,61 @@ object Multimodal {
         i += 1
       }
       acc
+    }
+  }
+
+  /** Real image decoder on javax.imageio — PNG/BMP/GIF/JPEG readers ship
+    * in the JDK, so no native codecs are needed. Features are the mean
+    * luminance (Rec.601 weights) over a g x g tile grid of the DECODED
+    * pixels (g = ceil(sqrt(dim)), truncated to dim): pixel-content
+    * features, so the same image re-encoded in a different container
+    * (PNG vs BMP) lands on identical features — which is exactly what
+    * [[nearDuplicates]] needs, and what the byte-level [[StubDecoder]]
+    * cannot provide. Undecodable payloads fall back to StubDecoder's
+    * deterministic pseudo-features rather than failing the batch (one
+    * corrupt image must not kill a 100 TB decode stage). */
+  object ImageIoDecoder extends MediaDecoder {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file churn on executors
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    }
+
+    override def features(payload: Array[Byte], dim: Int): Array[Double] = {
+      val img = read(payload)
+      if (img == null) return StubDecoder.features(payload, dim)
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val (w, h) = (img.getWidth, img.getHeight)
+      val acc = new Array[Double](g * g)
+      val cnt = new Array[Long](g * g)
+      val row = new Array[Int](w) // row-batched getRGB: one JNI-ish call per scanline
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        val cy = y * g / h
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)) / 255.0
+          val c = cy * g + x * g / w
+          acc(c) += lum
+          cnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        out(i) = if (i < g * g && cnt(i) > 0) acc(i) / cnt(i) else 0.0
+        i += 1
+      }
+      out
+    }
+
+    override def dimensions(payload: Array[Byte]): Option[(Int, Int)] = {
+      val img = read(payload)
+      if (img == null) None else Some((img.getWidth, img.getHeight))
     }
   }
 
@@ -72,6 +130,21 @@ object Multimodal {
       while (i < m.payload.length) { crc = crc * 31 + (m.payload(i) & 0xff); i += 1 }
       MediaFeatures(m.media_id, m.payload.length.toLong, crc,
         decoder.features(m.payload, dim))
+    }).toDF()
+  }
+
+  /** Fill in meta.width/height from the actual container bytes (decode
+    * headers only conceptually — imageio reads the frame, which a
+    * production binding would avoid with a header-only parse). Payloads
+    * the decoder doesn't understand keep their existing meta. */
+  def decodeMeta(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions(_.map { m =>
+      decoder.dimensions(m.payload) match {
+        case Some((w, h)) => m.copy(meta = m.meta.copy(width = w, height = h))
+        case None => m
+      }
     }).toDF()
   }
 
@@ -101,6 +174,12 @@ object Multimodal {
     * prevent. A pair survives if it co-buckets in EITHER band.
     *
     * Returns (m1, m2, sim) pairs with rounded cosine >= threshold. */
+  private case class FeatsKey(session: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      dim: Int, decoder: String)
+  private val featsCache =
+    new java.util.concurrent.ConcurrentHashMap[FeatsKey, DataFrame]()
+
   def nearDuplicates(spark: SparkSession, media: DataFrame, dim: Int = 8,
       threshold: Double = 0.999,
       decoder: MediaDecoder = StubDecoder): DataFrame = {
@@ -115,11 +194,20 @@ object Multimodal {
         element_at(col("features"), k + 5), lit(1 << (k % 2)))
         .otherwise(lit(0))
     // the decode (mapPartitions, arbitrarily expensive with a real
-    // codec) feeds both join sides — cache it so it runs once per item
-    val feats = extractFeatures(spark, media, dim, decoder)
-      .withColumn("nrm", sqrt(expr("graft_dot(features, features)")))
-      .filter(col("nrm") > 0)
-      .cache()
+    // codec) feeds both join sides — cache it so it runs once per item;
+    // memoized per (session, input plan, dim, decoder) so repeated calls
+    // reuse ONE cached table instead of leaking a new block set each
+    // invocation (same fix class as NorthStarQueries.cappedShingles)
+    featsCache.keySet.removeIf(k => k.session.sparkContext.isStopped)
+    val feats = featsCache.computeIfAbsent(
+      FeatsKey(spark, media.queryExecution.analyzed.canonicalized, dim,
+        decoder.getClass.getName),
+      _ => extractFeatures(spark, media, dim, decoder)
+        .withColumn("nrm", sqrt(expr("graft_dot(features, features)")))
+        .filter(col("nrm") > 0))
+    // (re-)cache: a host's clearCache() drops blocks but not this memo
+    if (feats.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      feats.cache()
     val banded = feats.select(col("media_id"), col("features"), col("nrm"),
       explode(array(
         struct(lit(0).as("band"), (bit(0) + bit(1)).as("bk")),

@@ -27,7 +27,12 @@ object Pipeline {
     // metric exists to surface (same placement as the streaming path)
     val (entries, obs) = Quality.observeIngest(
       Ingest.readFeedSnapshots(spark, feedsDir),
-      keyCol = "guid", tsCol = "published")
+      keyCol = "guid", tsCol = "published",
+      // min/max freshness over the PARSED time — the raw RFC-1123 string
+      // starts with the weekday name, so its lexicographic bounds are
+      // meaningless; null counters stay on the raw column
+      tsRange = Some(Ingest.parsePublished(
+        org.apache.spark.sql.functions.col("published"))))
     val news = Ingest.toNews(entries)
     val state = Ingest.loadState(spark, sink)
     // dropDuplicates(id): the SAME new guid can appear in two snapshot

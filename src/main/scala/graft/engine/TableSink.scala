@@ -21,12 +21,25 @@ object SchemaCheck {
   }
 
   def enforceAppend(table: String, existing: Option[StructType],
-      incoming: StructType): Unit =
+      incoming: StructType, allowEvolution: Boolean = false): Unit =
     existing.foreach { cur =>
-      if (norm(cur) != norm(incoming))
+      if (allowEvolution) {
+        // mergeSchema parity: new columns may be ADDED; every existing
+        // column must keep its name and (normalized) type — a type change
+        // or drop is never an evolution, it is a different table
+        val in = incoming.fields.map(f => f.name -> norm(f.dataType)).toMap
+        val broken = cur.fields.filterNot(f =>
+          in.get(f.name).contains(norm(f.dataType)))
+        if (broken.nonEmpty)
+          throw new IllegalArgumentException(
+            s"schema evolution appending to '$table' may only add columns; " +
+              s"missing/retyped: ${broken.map(_.name).mkString(", ")}\n" +
+              s"  table:  ${cur.toDDL}\n  append: ${incoming.toDDL}")
+      } else if (norm(cur) != norm(incoming))
         throw new IllegalArgumentException(
           s"schema mismatch appending to '$table':\n  table:  ${cur.toDDL}\n  append: ${incoming.toDDL}\n" +
-            "(names and types must match; rewrite with overwrite() to change the schema)")
+            "(names and types must match; rewrite with overwrite() to change the schema, " +
+            "or append(df, table, allowEvolution = true) to add columns)")
     }
 
   /** Check for hive-partitioned appends: a read-back schema re-types

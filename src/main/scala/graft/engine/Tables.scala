@@ -31,14 +31,21 @@ object Tables {
         // The conf is needed only while the relation is RESOLVED (schema
         // conversion is eager); restore the caller's value afterwards so
         // a shared session's later parquet reads aren't silently switched
-        // to raw-long nanos semantics.
-        val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try spark.read.parquet(path(sfDir, name))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        finally prior match {
-          case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-          case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        // to raw-long nanos semantics. The set/restore window is
+        // serialized against OTHER Tables.load calls by the JVM lock
+        // below; a caller racing its own unrelated parquet reads against
+        // this load on the SAME session can still observe the flag —
+        // hosts that do that should pre-set the conf session-wide (as
+        // Verify/Bench/TestSpark do) or load tables single-threaded.
+        Tables.nanosConfLock.synchronized {
+          val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          try spark.read.parquet(path(sfDir, name))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          finally prior match {
+            case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
         }
       case _ =>
         spark.read.parquet(path(sfDir, name))
@@ -54,4 +61,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Serializes the nanosAsLong set/restore window in [[load]]. */
+  private val nanosConfLock = new Object
 }

@@ -64,10 +64,11 @@ final class VersionedParquetSink(basePath: String,
 
   /** One committed version: the raw marker body plus its parsed fields.
     * `compacts` marks a compaction commit that supersedes every version
-    * <= its value; `schemaDdl` is the commit's schema. */
+    * <= its value; `schemaDdl` is the commit's schema; `ts` the commit
+    * wall-clock (epoch millis) for timestamp time travel. */
   private final case class Commit(version: Long, dir: String,
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
-      raw: String)
+      ts: Option[Long], raw: String)
 
   private def parseCommit(version: Long, body: String): Commit = {
     // [^"]* not [^"]+: an empty-string value is a real value (an empty
@@ -79,8 +80,14 @@ final class VersionedParquetSink(basePath: String,
     def b64(s: String) = new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
     val dir = str("dir").filter(_.nonEmpty).getOrElse(
       throw new IllegalStateException(s"corrupt commit marker v$version: $body"))
-    Commit(version, dir, str("keyB64").map(b64), num("compacts"),
+    // keyB64 first; fall back to the round-1 plain "key" field so tables
+    // written by the previous sink version keep their idempotency keys
+    // (without this a replayed pre-upgrade batch would double-append)
+    val key = str("keyB64").map(b64).orElse(str("key"))
+    Commit(version, dir, key, num("compacts"),
       str("schemaB64").filter(_.nonEmpty).map(b64),
+      str("ts").flatMap(t =>
+        scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption),
       body)
   }
 
@@ -137,6 +144,13 @@ final class VersionedParquetSink(basePath: String,
   override def append(df: DataFrame, table: String): Unit =
     doAppend(df, table, commitKey = None)
 
+  /** Append with opt-in schema evolution (Delta's `mergeSchema` parity):
+    * the incoming frame may ADD columns; every existing column must keep
+    * its name and type. Earlier versions read the new columns as null —
+    * including through time travel. */
+  def append(df: DataFrame, table: String, allowEvolution: Boolean): Unit =
+    doAppend(df, table, commitKey = None, allowEvolution = allowEvolution)
+
   /** Idempotent keyed append: if any committed marker carries this key,
     * the append is a no-op — the exactly-once contract for replayed
     * streaming micro-batches. The key check re-runs after losing a
@@ -148,19 +162,23 @@ final class VersionedParquetSink(basePath: String,
     doAppend(df, table, Some(commitKey))
 
   private def doAppend(df: DataFrame, table: String,
-      commitKey: Option[String]): Boolean = {
+      commitKey: Option[String], allowEvolution: Boolean = false): Boolean = {
     val spark = df.sparkSession
     val entries = manifest(spark, table)
     if (commitKey.exists(k => entries.exists(_.key.contains(k)))) return false
+    // early check: fail BEFORE the data write on the common path (the
+    // claim loop re-checks against a FRESH manifest under the lock —
+    // this snapshot can be stale by commit time)
     SchemaCheck.enforceAppend(table,
       entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL),
-      df.schema)
+      df.schema, allowEvolution)
     val unique = s"d-${UUID.randomUUID()}"
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
     commitLoop(spark, table, unique, commitKey, compacts = None,
       schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true,
-      snapshot = Some(entries)).isDefined
+      snapshot = Some(entries), enforceSchema = true,
+      allowEvolution = allowEvolution).isDefined
   }
 
   /** Claim the next version for data dir `unique`. Returns the claimed
@@ -184,7 +202,9 @@ final class VersionedParquetSink(basePath: String,
   private def commitLoop(spark: SparkSession, table: String, unique: String,
       commitKey: Option[String], compacts: Option[Long], schemaDdl: String,
       cleanupOnKeyLoss: Boolean,
-      snapshot: Option[Seq[Commit]] = None): Option[Long] = {
+      snapshot: Option[Seq[Commit]] = None,
+      enforceSchema: Boolean = false,
+      allowEvolution: Boolean = false): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -200,11 +220,28 @@ final class VersionedParquetSink(basePath: String,
     while (true) {
       val claimed: Option[Option[Long]] = // None=retry, Some(None)=key lost
         VersionedParquetSink.localClaimLock.synchronized {
+          val fromSnapshot = reuse.isDefined
           val entries = reuse.getOrElse(manifest(spark, table))
           reuse = None
           if (commitKey.exists(k => entries.exists(_.key.contains(k)))) {
             Some(None)
           } else {
+            // Re-check the schema whenever the manifest was re-read: a
+            // commit that slipped in since the caller's snapshot may have
+            // changed the table schema, and claiming past it would let
+            // two concurrent appends with different schemas both land
+            // (the mixed-schema table the check exists to prevent). The
+            // snapshot path needs no re-check — claiming snapshot-latest+1
+            // atomically fails if ANY commit intervened.
+            if (enforceSchema && !fromSnapshot) {
+              try SchemaCheck.enforceAppend(table,
+                entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL),
+                StructType.fromDDL(schemaDdl), allowEvolution)
+              catch { case e: Throwable =>
+                f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+                throw e
+              }
+            }
             val attempt = entries.lastOption.map(_.version + 1).getOrElse(0L)
             // Write the FULL marker body to a temp file, then atomically
             // rename it to <n>.commit. create-then-write would make an
@@ -375,12 +412,42 @@ final class VersionedParquetSink(basePath: String,
   /** Time travel: the table as of version `v` (inclusive). A compaction
     * commit <= v replaces everything it folded in (its `compacts`
     * high-water mark); versions before a compaction stay readable because
-    * neither their markers nor their data dirs are deleted. */
+    * neither their markers nor their data dirs are deleted.
+    *
+    * The read uses the schema COMMITTED at `v` (like Delta, whose reader
+    * schema comes from the log, not file footers): after schema
+    * evolution, files written before a column existed read it as null —
+    * and time travel to a pre-evolution version projects the later
+    * columns away entirely. */
   def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
     val entries = manifest(spark, table).filter(_.version <= v)
     require(entries.nonEmpty, s"no committed versions <= $v for $table")
-    spark.read.parquet(
-      liveEntries(entries).map(e => s"${tableDir(table)}/${e.dir}"): _*)
+    val dirs = liveEntries(entries).map(e => s"${tableDir(table)}/${e.dir}")
+    entries.lastOption.flatMap(_.schemaDdl) match {
+      case Some(ddl) =>
+        // nullable-ized: pre-evolution files lack the new columns
+        val schema = StructType(StructType.fromDDL(ddl)
+          .fields.map(_.copy(nullable = true)))
+        spark.read.schema(schema).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*) // pre-schema-field markers
+    }
+  }
+
+  /** Timestamp time travel (Delta's `timestampAsOf`): the table as of the
+    * LAST version committed at or before `ts` — commit wall-clocks come
+    * from the marker `ts` field every commit writes. Throws if the first
+    * commit is younger than `ts`. */
+  def readAsOf(spark: SparkSession, table: String,
+      ts: java.time.Instant): DataFrame = {
+    val upTo = ts.toEpochMilli
+    val entries = manifest(spark, table)
+    require(entries.nonEmpty, s"no committed versions for $table")
+    val v = entries.filter(_.ts.exists(_ <= upTo)).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $table committed at or before $ts " +
+          s"(earliest: ${entries.head.ts.map(java.time.Instant.ofEpochMilli)})"))
+      .version
+    readAt(spark, table, v)
   }
 
   override def exists(spark: SparkSession, table: String): Boolean =

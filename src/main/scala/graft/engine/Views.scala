@@ -34,6 +34,17 @@ object Views {
     name
   }
 
+  /** Timestamp time travel through SQL (Delta's `timestampAsOf`):
+    * register `table` as of wall-clock `ts` as the temp view
+    * `<table>_asof_<epochMillis>`. Returns the view name. */
+  def registerSnapshotAt(spark: SparkSession, sink: VersionedParquetSink,
+      table: String, ts: java.time.Instant): String = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val name = s"${table}_asof_${ts.toEpochMilli}"
+    sink.readAsOf(spark, table, ts).createOrReplaceTempView(name)
+    name
+  }
+
   /** Register the pipeline's output tables (raw/curated/actors/state)
     * from a sink for ad-hoc SQL. */
   def registerPipeline(spark: SparkSession, sink: TableSink): Unit = {

@@ -40,6 +40,20 @@ object Text {
     }
   }
 
+  /** Exact n-gram Jaccard between two documents (plain Scala, for the
+    * pair-verification stages that run AFTER candidate generation —
+    * row-local on already-bucketed pairs, never all-pairs). Two
+    * shingle-less documents count as identical. */
+  def jaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingleSet(a, n).toSet
+    val sb = shingleSet(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = (sa & sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
   /** Normalized text: lowercase, punctuation -> space, collapsed
     * whitespace. Identical in DuckDB:
     * trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')). */

@@ -577,25 +577,63 @@ object ExtendedQueries {
 
     // Approximate distinct count (HyperLogLog++): THE cardinality
     // estimator for 100 TB (exact countDistinct shuffles every value;
-    // HLL merges fixed-size sketches). No SQL oracle — engines' sketch
-    // implementations differ by design; the driver records a rows-only
-    // check and NorthStarSpec asserts the estimate lands within 5% of
-    // exact.
+    // HLL merges fixed-size sketches). Sketch bit-patterns are
+    // engine-specific by design, so the cross-engine contract is: emit
+    // the EXACT distinct count (hash-comparable) plus a boolean that
+    // bounds each engine's OWN sketch against its own exact value —
+    // both engines' sketches do the work, both rows hash-match.
     Q("q_approx_distinct",
-      (s, d) => Tables.events(s, d)
-        .agg(approx_count_distinct("user_id").as("approx_users"),
-          count(lit(1)).as("n_events")),
-      None),
+      (s, d) => {
+        val exact = countDistinct(col("user_id")).cast("double")
+        // rsd 0.01: the default 0.05 sketch's ~1-sigma error IS 5%, so a
+        // 5% bound on it flips with the data (it did at sf0.1); a 1% rsd
+        // sketch keeps the bound safe at any scale factor
+        Tables.events(s, d).agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          count(lit(1)).as("n_events"),
+          (abs(approx_count_distinct(col("user_id"), 0.01).cast("double") -
+            exact) / exact <= lit(0.05)).as("within_5pct"))
+      },
+      Some("""SELECT count(DISTINCT user_id) AS n_exact,
+               count(*) AS n_events,
+               (abs(approx_count_distinct(user_id)::DOUBLE
+                    - count(DISTINCT user_id)::DOUBLE)
+                  / count(DISTINCT user_id)::DOUBLE) <= 0.05 AS within_5pct
+             FROM events""")),
 
-    // Approximate percentiles (GK sketch): fixed-size mergeable summary
-    // vs exact percentile's full sort — the 100 TB quantile path. Same
-    // rows-only contract as the HLL sketch; ExtendedQueriesSpec bounds
-    // the error against the exact q_percentile implementation.
+    // Approximate percentiles (GK sketch in Spark, t-digest in DuckDB):
+    // fixed-size mergeable summary vs exact percentile's full sort —
+    // the 100 TB quantile path. Same contract as q_approx_distinct:
+    // exact p50/p95/p99 as r4-rounded scalars (interpolated rationals —
+    // the floor-round rule) hash-match across engines, and each engine
+    // bounds its own sketch within 1% of its own exact value.
     Q("q_approx_percentile",
-      (s, d) => Tables.orders(s, d)
-        .agg(percentile_approx(col("o_totalprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pcts"),
-          count(lit(1)).as("n")),
-      None)
+      (s, d) => {
+        def exact(p: Double): Column =
+          expr(s"percentile(o_totalprice, $p)")
+        def within(p: Double): Column =
+          abs(percentile_approx(col("o_totalprice"), lit(p), lit(10000))
+            .cast("double") - exact(p)) / exact(p) <= lit(0.01)
+        Tables.orders(s, d).agg(
+          r4(exact(0.5)).as("p50"),
+          r4(exact(0.95)).as("p95"),
+          r4(exact(0.99)).as("p99"),
+          count(lit(1)).as("n"),
+          within(0.5).as("p50_within_1pct"),
+          within(0.95).as("p95_within_1pct"),
+          within(0.99).as("p99_within_1pct"))
+      },
+      Some("""SELECT
+               floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5::DOUBLE) / 10000 AS p50,
+               floor(quantile_cont(o_totalprice, 0.95) * 10000 + 0.5::DOUBLE) / 10000 AS p95,
+               floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5::DOUBLE) / 10000 AS p99,
+               count(*) AS n,
+               abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+                 / quantile_cont(o_totalprice, 0.5) <= 0.01 AS p50_within_1pct,
+               abs(approx_quantile(o_totalprice, 0.95) - quantile_cont(o_totalprice, 0.95))
+                 / quantile_cont(o_totalprice, 0.95) <= 0.01 AS p95_within_1pct,
+               abs(approx_quantile(o_totalprice, 0.99) - quantile_cont(o_totalprice, 0.99))
+                 / quantile_cont(o_totalprice, 0.99) <= 0.01 AS p99_within_1pct
+             FROM orders"""))
   )
 }

@@ -65,9 +65,14 @@ object NorthStarQueries {
     // stopped sessions (and their plans) for the JVM lifetime
     shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val df = shingleCache.computeIfAbsent((s, d), { case (s, d) =>
-      val sh = shingled(s, d)
-      val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      sh.join(freq.filter(col("df") <= MaxShingleDf), "s")
+      // df cap as a count-over-partition window: ONE shuffle of the
+      // shingle stream, vs the groupBy+join form's TWO evaluations of
+      // the flatMap shingling plus a join (measured ~15% off the whole
+      // dedup-family build at sf0.1)
+      val w = Window.partitionBy("s")
+      shingled(s, d)
+        .withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= MaxShingleDf)
         .select("doc_id", "s")
     })
     // (re-)cache: a host's spark.catalog.clearCache() (Bench/Verify do
@@ -94,6 +99,26 @@ object NorthStarQueries {
     df
   }
 
+  /** Trained IVF centroids (cell, c_emb, c_nrm): deterministic k-means
+    * over the corpus (engine/KMeans.scala — hash-ordered init, 2 fixed
+    * iterations, decimal-exact order-independent updates), memoized+
+    * cached per (session, dir) because BOTH IVF queries and the training
+    * iterations themselves re-read it. k=10, matching the label
+    * cardinality of the synthetic corpus. */
+  val IvfK = 10
+  val IvfIters = 2
+  private[queries] val centCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    centCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val df = centCache.computeIfAbsent((s, d), { case (s, d) =>
+      graft.engine.KMeans.train(s, emb(s, d), IvfK, IvfIters)
+    })
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
   /** IVF cell assignment (vec_id, emb, nrm, cell), memoized+cached:
     * q_ivf_search consumes it TWICE (query side + probe side) — uncached
     * the most expensive stage (N x k dot products + a window over the
@@ -104,9 +129,8 @@ object NorthStarQueries {
     ivfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val df = ivfCache.computeIfAbsent((s, d), { case (s, d) =>
       val e = emb(s, d)
-      val cents = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("cell"), col("emb").as("c_emb"),
-          col("nrm").as("c_nrm"))
+      val cents = trainedCentroids(s, d)
+        .select(col("cell"), col("c_emb"), col("c_nrm"))
       val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
       e.join(broadcast(cents))
         .withColumn("csim",
@@ -160,6 +184,11 @@ object NorthStarQueries {
       |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  /** Oracle-side mirror of [[trainedCentroids]]: the same deterministic
+    * k-means unrolled as CTEs, yielding c(cell, ce, cn). dim=64 matches
+    * the synthetic embeddings table. */
+  private lazy val kmeansCte = graft.engine.KMeans.oracleCte(IvfK, IvfIters, 64)
 
   // ---- SimHash: 16-bit signature from the first 4 hex chars of
   // md5(token), generated as portable SQL arithmetic (instr/substr/div)
@@ -413,18 +442,16 @@ object NorthStarQueries {
              SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
              ORDER BY q_id, sim DESC, vec_id""")),
 
-    // IVF cell assignment: the 10 vectors with vec_id < 10 act as the
-    // trained coarse centroids (deterministic stand-in for k-means, which
-    // has no cross-engine-reproducible SQL form). Every vector joins its
-    // nearest centroid by rounded cosine — at scale the centroid table is
-    // always broadcast (k << N) and the output is the partition key for
-    // IVF search.
+    // IVF cell assignment: centroids come from deterministic k-means over
+    // the corpus (engine/KMeans.scala; the oracle unrolls the SAME
+    // algorithm as SQL CTEs — decimal-exact updates make it
+    // cross-engine-reproducible). Every vector joins its nearest centroid
+    // by rounded cosine — at scale the centroid table is always broadcast
+    // (k << N) and the output is the partition key for IVF search.
     Q("q_ivf_assign",
       (s, d) => {
         val e = emb(s, d)
-        val cents = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("cell"), col("emb").as("c_emb"),
-            col("nrm").as("c_nrm"))
+        val cents = trainedCentroids(s, d)
         val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
         e.join(broadcast(cents))
           .withColumn("sim",
@@ -435,7 +462,7 @@ object NorthStarQueries {
           .orderBy("vec_id")
       },
       Some(s"""WITH $embCte,
-             c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < 10),
+             $kmeansCte,
              scored AS (
                SELECT n.vec_id, c.cell,
                  round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
@@ -469,7 +496,7 @@ object NorthStarQueries {
           .orderBy(col("q_id"), desc("sim"), col("vec_id"))
       },
       Some(s"""WITH $embCte,
-             c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < 10),
+             $kmeansCte,
              scored AS (
                SELECT n.vec_id, n.e, n.nrm, c.cell,
                  round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS csim

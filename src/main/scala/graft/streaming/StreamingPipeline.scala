@@ -61,7 +61,9 @@ object StreamingPipeline {
     // observing after the filter would report null_keys=0 forever, hiding
     // exactly the feed regressions the metric exists to surface.
     val observed = graft.engine.Quality.observeIngestStream(
-      entries, keyCol = "guid", tsCol = "published")
+      entries, keyCol = "guid", tsCol = "published",
+      tsRange = Some(Ingest.parsePublished(
+        org.apache.spark.sql.functions.col("published"))))
     val deduped = Ingest.toNews(observed)
       .withWatermark("published_time", watermark)
       .dropDuplicatesWithinWatermark("id")

@@ -85,6 +85,55 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(sink.read(spark, "corpus").select("doc_id").distinct().count() == 3)
   }
 
+  test("precision stage: LSH false positive dropped without verification, kept with it") {
+    import graft.functions.{MinHashLsh, Text}
+    // Engineer a real band collision with LOW true jaccard: tiny doc A
+    // (one shingle) vs "A's tokens + filler" — B inherits A's shingle, and
+    // for SOME filler one band's two slice-minima both stay on that shared
+    // shingle. Deterministic search over seeds; the corpus is fixed, so
+    // the found seed is stable.
+    // Pre-searched offline against the md5 slice scheme (md5("alpha beta
+    // gamma447") has band 2's both slices tiny, so that band's minima in
+    // B stay on the shared shingle): verified colliding + low-jaccard
+    // below, so scheme drift can't silently hollow out the test.
+    val a = "alpha beta gamma447" // exactly one 3-gram shingle
+    val b = a + " " + (1 to 12).map(i => s"w1-$i").mkString(" ")
+    def bands(text: String): Set[(Int, String)] =
+      MinHashLsh.signatures(spark, Seq((0L, text)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(bands(a).intersect(bands(b)).nonEmpty, "band collision gone")
+    assert(Text.jaccard(a, b, 3) < 0.3, "not a false positive any more")
+
+    // without verification: the collision costs document B
+    val s1 = new VersionedParquetSink(TestSpark.tmpDir("dixv1"))
+    val r1 = DedupIndex.appendDeduped(spark, s1,
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+    assert(r1.appended == 1 && r1.droppedNear == 1, s"$r1")
+
+    // with verification: exact jaccard exposes the false positive in-batch
+    val s2 = new VersionedParquetSink(TestSpark.tmpDir("dixv2"))
+    val r2 = DedupIndex.appendDeduped(spark, s2,
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      verifyThreshold = Some(0.5))
+    assert(r2.appended == 2 && r2.droppedNear == 0, s"$r2")
+
+    // index-side path: the same false positive arriving in a LATER batch
+    // is verified against the corpus text and survives too
+    val s3 = new VersionedParquetSink(TestSpark.tmpDir("dixv3"))
+    DedupIndex.appendDeduped(spark, s3,
+      Seq((1L, a)).toDF("doc_id", "text"), verifyThreshold = Some(0.5))
+    val r3 = DedupIndex.appendDeduped(spark, s3,
+      Seq((2L, b)).toDF("doc_id", "text"), verifyThreshold = Some(0.5))
+    assert(r3.appended == 1 && r3.droppedNear == 0, s"$r3")
+    // a genuine near-dup (one trailing token changed, jaccard ~0.83)
+    // must still drop with verification on
+    val nearB = (b.split(" ").init :+ "zzz").mkString(" ")
+    val r4 = DedupIndex.appendDeduped(spark, s2,
+      Seq((4L, nearB)).toDF("doc_id", "text"),
+      verifyThreshold = Some(0.5))
+    assert(r4.appended == 0 && r4.droppedNear == 1, s"$r4")
+  }
+
   test("works identically on the plain parquet sink (trait slot-in)") {
     val sink = new ParquetTableSink(TestSpark.tmpDir("dixp"))
     val r1 = DedupIndex.appendDeduped(spark, sink,

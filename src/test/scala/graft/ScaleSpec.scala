@@ -35,6 +35,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(spreadCount > 1, "hot key must fan out over multiple sub-keys")
   }
 
+  test("saltedJoin fans the hot key's JOIN WORK over multiple shuffle partitions") {
+    // AQE's partition coalescing would legitimately re-merge the tiny
+    // test partitions and mask exactly the fan-out being asserted —
+    // disable it for this check only (at scale the partitions are not
+    // tiny and coalescing keeps them separate).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = ((1 to 2000).map(i => ("hot", i)) ++
+        (1 to 50).map(i => (s"k$i", i))).toDF("key", "v").repartition(4)
+      val build = (Seq("hot") ++ (1 to 25).map(i => s"k$i"))
+        .zipWithIndex.toDF("key", "dim")
+      def partsPerKey(joined: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        joined.withColumn("pid", spark_partition_id())
+          .groupBy("key").agg(countDistinct("pid").as("nparts"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // plain shuffle join: every row of the hot key lands in ONE task
+      val plain = probe.join(build.hint("shuffle_hash"), Seq("key"))
+      assert(partsPerKey(plain)("hot") == 1L)
+      // salted (same forced shuffle join): the hot key's join executes
+      // across several partitions because the shuffle keys on (key, salt)
+      val salted = Skew.saltedJoin(probe, build.hint("shuffle_hash"), "key",
+        salt = 8)
+      val got = partsPerKey(salted)("hot")
+      assert(got > 1L, s"hot key still confined to $got partition(s)")
+      // row identity on the same fixture (the point of the whole trick)
+      assert(salted.exceptAll(probe.join(build, Seq("key"))).count() == 0)
+      assert(probe.join(build, Seq("key")).exceptAll(salted).count() == 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("bucketed tables: co-located join plans with NO shuffle exchange") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ

@@ -111,6 +111,53 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").count() == 2)
   }
 
+  test("schema evolution: opt-in column add; old versions read null; time travel") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vevolve"))
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    val evolved = Seq((3, "c", 0.5)).toDF("id", "v", "score")
+    // without opt-in: still rejected
+    intercept[IllegalArgumentException] { sink.append(evolved, "t") }
+    // with opt-in: lands; old rows read the new column as null
+    sink.append(evolved, "t", allowEvolution = true)
+    val now = sink.read(spark, "t").orderBy("id").collect()
+    assert(sink.read(spark, "t").columns.toSeq == Seq("id", "v", "score"))
+    assert(now.map(r => r.isNullAt(2)).toSeq == Seq(true, true, false))
+    // dropping or retyping a column is NOT evolution
+    intercept[IllegalArgumentException] {
+      sink.append(Seq((4, 1.0, 9.9)).toDF("id", "v", "score"), "t",
+        allowEvolution = true) // v retyped string->double
+    }
+    intercept[IllegalArgumentException] {
+      sink.append(Seq(Tuple1(5)).toDF("id"), "t", allowEvolution = true)
+    }
+    // later strict appends use the evolved schema
+    sink.append(Seq((6, "f", 1.25)).toDF("id", "v", "score"), "t")
+    assert(sink.read(spark, "t").count() == 4)
+    // time travel BEFORE the evolution: the new column doesn't exist yet
+    assert(sink.readAt(spark, "t", 0).columns.toSeq == Seq("id", "v"))
+    assert(sink.readAt(spark, "t", 0).count() == 2)
+    // time travel after: full evolved schema over all dirs
+    assert(sink.readAt(spark, "t", 1).columns.toSeq == Seq("id", "v", "score"))
+  }
+
+  test("timestamp time travel: readAsOf picks the last commit <= ts") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vasof"))
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    val afterV0 = java.time.Instant.now()
+    Thread.sleep(20) // commit wall-clocks must straddle the probe instant
+    sink.append(Seq((2, "b")).toDF("id", "v"), "t")
+    assert(sink.readAsOf(spark, "t", afterV0).collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    assert(sink.readAsOf(spark, "t", java.time.Instant.now()).count() == 2)
+    // before the first commit: loud error, not an empty frame
+    intercept[IllegalArgumentException] {
+      sink.readAsOf(spark, "t", afterV0.minusSeconds(3600))
+    }
+    // SQL surface
+    val view = graft.engine.Views.registerSnapshotAt(spark, sink, "t", afterV0)
+    assert(spark.sql(s"SELECT count(*) FROM $view").collect()(0).getLong(0) == 1)
+  }
+
   test("plain parquet sink also rejects drifted appends") {
     val sink = new graft.engine.ParquetTableSink(TestSpark.tmpDir("pschema"))
     sink.append(Seq((1, "a")).toDF("id", "v"), "t")

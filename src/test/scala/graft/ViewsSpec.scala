@@ -19,6 +19,22 @@ class ViewsSpec extends AnyFunSuite {
     assert(math.abs(dot.getDouble(0) - 1.0) < 1e-3) // unit-norm vectors
   }
 
+  test("GraftSql.run: two dashboard queries via plain SQL strings") {
+    val byType = GraftSql.run(spark, "/root/testdata/sf0.001",
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY n DESC""".stripMargin)
+      .collect()
+    assert(byType.nonEmpty && byType.map(_.getLong(1)).sum > 0)
+    val topCustomers = GraftSql.run(spark, "/root/testdata/sf0.001",
+      """SELECT c_name, sum(o_totalprice) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_name ORDER BY spend DESC LIMIT 5""".stripMargin)
+      .collect()
+    assert(topCustomers.length == 5)
+    assert(topCustomers.map(_.getDouble(1)).toSeq ==
+      topCustomers.map(_.getDouble(1)).sortBy(-_).toSeq)
+  }
+
   test("registerSnapshot exposes a historical version to spark.sql (time travel)") {
     import spark.implicits._
     val sink = new VersionedParquetSink(TestSpark.tmpDir("viewsnap"))
