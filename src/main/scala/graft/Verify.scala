@@ -18,9 +18,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q_a,q_b: dump (and list oracles for) a subset —
-    // dev-loop speedup, same contract as Bench's filter
+    // dev-loop speedup, same contract as Bench's filter. An empty or
+    // whitespace-only value means NO filter (running zero queries would
+    // overwrite oracle_sql.json with '{}' and zero the round's check).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

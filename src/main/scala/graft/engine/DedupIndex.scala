@@ -145,11 +145,18 @@ object DedupIndex {
             .join(knownSig.withColumnRenamed("doc_id", "idx_doc_id"),
               Seq("band", "bsig"))
             .select(col("doc_id"), col("idx_doc_id")).distinct()
+          // broadcast semi-join prefilter: candidate ids are bounded by
+          // this batch's collisions (tiny), so the corpus text column is
+          // filtered MAP-SIDE — without it the full historical text
+          // column would shuffle every batch, breaking the module's
+          // O(new batch) cost contract
+          val candidateIds = idxPairs.select("idx_doc_id").distinct()
           val corpusTexts =
             if (sink.exists(spark, docsTable))
               sink.read(spark, docsTable)
                 .select(col("doc_id").as("idx_doc_id"),
                   col("text").as("idx_text"))
+                .join(broadcast(candidateIds), Seq("idx_doc_id"), "left_semi")
             else spark.emptyDataFrame
               .select(lit(0L).as("idx_doc_id"), lit("").as("idx_text"))
               .limit(0)

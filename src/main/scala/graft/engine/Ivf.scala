@@ -25,9 +25,18 @@ object Ivf {
   /** Search `assigned` (vec_id, emb, nrm, cell) for the top-`k`
     * cosine neighbors of each query row (rows matching `queryPred`),
     * probing each query's `probes` nearest cells by centroid cosine.
-    * `cents` is the trained (cell, c_emb, c_nrm) table. */
+    * `cents` is the trained (cell, c_emb, c_nrm) table.
+    *
+    * `broadcastQueries` (default true) force-broadcasts the probe list —
+    * queries x probes rows INCLUDING their embedding arrays — which is
+    * the right shape for the usual ANN request batch (hundreds to tens
+    * of thousands of queries). For a corpus-scale query set (e.g.
+    * all-pairs self-search) set it false: the probe join then shuffles
+    * on `cell`, co-partitioned with a cell-partitioned corpus, instead
+    * of blowing the broadcast ceiling. */
   def search(spark: SparkSession, assigned: DataFrame, cents: DataFrame,
-      queryPred: Column, probes: Int, k: Int): DataFrame = {
+      queryPred: Column, probes: Int, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     graft.GraftExtensions.ensureRegistered(spark)
     val queries = assigned.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
@@ -40,7 +49,8 @@ object Ivf {
       .filter(col("pr") <= probes)
       .select("q_id", "q_emb", "q_nrm", "cell")
     val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
-    assigned.join(broadcast(qCells), Seq("cell"))
+    val probeSide = if (broadcastQueries) broadcast(qCells) else qCells
+    assigned.join(probeSide, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim",
         round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))

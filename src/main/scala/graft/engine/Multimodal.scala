@@ -68,7 +68,11 @@ object Multimodal {
   object ImageIoDecoder extends MediaDecoder {
     private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
       javax.imageio.ImageIO.setUseCache(false) // no temp-file churn on executors
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read returns null for UNRECOGNIZED formats but THROWS for
+      // recognized-but-corrupt payloads (e.g. a PNG with truncated IDAT);
+      // both must degrade to the fallback, not kill the executor task
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
     }
 
     override def features(payload: Array[Byte], dim: Int): Array[Double] = {
@@ -180,6 +184,16 @@ object Multimodal {
   private val featsCache =
     new java.util.concurrent.ConcurrentHashMap[FeatsKey, DataFrame]()
 
+  /** Drop all memoized decoded-feature tables (and their cached blocks).
+    * The memo keys on the input's CANONICALIZED PLAN, so re-reading the
+    * same directory after new files landed still hits the old entry —
+    * call this (or use a new session) to force a re-scan. */
+  def clearFeatureCache(): Unit = {
+    featsCache.values.forEach(df =>
+      if (!df.sparkSession.sparkContext.isStopped) { df.unpersist(); () })
+    featsCache.clear()
+  }
+
   def nearDuplicates(spark: SparkSession, media: DataFrame, dim: Int = 8,
       threshold: Double = 0.999,
       decoder: MediaDecoder = StubDecoder): DataFrame = {
@@ -197,7 +211,10 @@ object Multimodal {
     // codec) feeds both join sides — cache it so it runs once per item;
     // memoized per (session, input plan, dim, decoder) so repeated calls
     // reuse ONE cached table instead of leaking a new block set each
-    // invocation (same fix class as NorthStarQueries.cappedShingles)
+    // invocation (same fix class as NorthStarQueries.cappedShingles).
+    // SNAPSHOT semantics: a file-based input re-read after new files
+    // landed canonicalizes EQUAL and serves the first call's features —
+    // call clearFeatureCache() to re-scan a grown directory.
     featsCache.keySet.removeIf(k => k.session.sparkContext.isStopped)
     val feats = featsCache.computeIfAbsent(
       FeatsKey(spark, media.queryExecution.analyzed.canonicalized, dim,

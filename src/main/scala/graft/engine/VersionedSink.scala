@@ -442,10 +442,17 @@ final class VersionedParquetSink(basePath: String,
     val upTo = ts.toEpochMilli
     val entries = manifest(spark, table)
     require(entries.nonEmpty, s"no committed versions for $table")
+    val noTs = entries.count(_.ts.isEmpty)
     val v = entries.filter(_.ts.exists(_ <= upTo)).lastOption.getOrElse(
-      throw new IllegalArgumentException(
+      throw new IllegalArgumentException {
+        val earliest = entries.flatMap(_.ts).headOption
+          .map(java.time.Instant.ofEpochMilli(_).toString)
+          .getOrElse("<no timestamped commits>")
         s"no version of $table committed at or before $ts " +
-          s"(earliest: ${entries.head.ts.map(java.time.Instant.ofEpochMilli)})"))
+          s"(earliest timestamped commit: $earliest" +
+          (if (noTs > 0) s"; $noTs commit(s) carry no timestamp and are " +
+            "not reachable by timestamp — use readAt(version)" else "") + ")"
+      })
       .version
     readAt(spark, table, v)
   }

@@ -584,15 +584,22 @@ object ExtendedQueries {
     // both engines' sketches do the work, both rows hash-match.
     Q("q_approx_distinct",
       (s, d) => {
-        val exact = countDistinct(col("user_id")).cast("double")
         // rsd 0.01: the default 0.05 sketch's ~1-sigma error IS 5%, so a
         // 5% bound on it flips with the data (it did at sf0.1); a 1% rsd
-        // sketch keeps the bound safe at any scale factor
-        Tables.events(s, d).agg(
-          countDistinct(col("user_id")).as("n_exact"),
-          count(lit(1)).as("n_events"),
-          (abs(approx_count_distinct(col("user_id"), 0.01).cast("double") -
-            exact) / exact <= lit(0.05)).as("within_5pct"))
+        // sketch keeps the bound safe at any scale factor.
+        // Shape: pre-aggregate per user first — mixing countDistinct with
+        // other aggregates plans an Expand that multiplies the raw scan,
+        // while groupBy(user) is ONE map-side-combined shuffle and leaves
+        // the exact count, event total, and HLL sketch (duplicate-
+        // insensitive, same estimate) a 1500-row final agg
+        val exact = count(lit(1)).cast("double")
+        Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          .agg(
+            count(lit(1)).as("n_exact"),
+            sum("cnt").as("n_events"),
+            (abs(approx_count_distinct(col("user_id"), 0.01).cast("double") -
+              exact) / exact <= lit(0.05)).as("within_5pct"))
       },
       Some("""SELECT count(DISTINCT user_id) AS n_exact,
                count(*) AS n_events,
@@ -609,19 +616,23 @@ object ExtendedQueries {
     // bounds its own sketch within 1% of its own exact value.
     Q("q_approx_percentile",
       (s, d) => {
-        def exact(p: Double): Column =
-          expr(s"percentile(o_totalprice, $p)")
-        def within(p: Double): Column =
-          abs(percentile_approx(col("o_totalprice"), lit(p), lit(10000))
-            .cast("double") - exact(p)) / exact(p) <= lit(0.01)
+        // ONE exact-percentile buffer and ONE GK sketch for all three
+        // quantiles (array form), unpacked per-quantile afterwards — six
+        // independent aggregates would sort/sketch the column six times
+        def ex(i: Int): Column = element_at(col("exa"), i)
+        def ap(i: Int): Column = element_at(col("apa"), i).cast("double")
+        def within(i: Int): Column = abs(ap(i) - ex(i)) / ex(i) <= lit(0.01)
         Tables.orders(s, d).agg(
-          r4(exact(0.5)).as("p50"),
-          r4(exact(0.95)).as("p95"),
-          r4(exact(0.99)).as("p99"),
-          count(lit(1)).as("n"),
-          within(0.5).as("p50_within_1pct"),
-          within(0.95).as("p95_within_1pct"),
-          within(0.99).as("p99_within_1pct"))
+          expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("exa"),
+          percentile_approx(col("o_totalprice"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("apa"),
+          count(lit(1)).as("n"))
+          .select(
+            r4(ex(1)).as("p50"), r4(ex(2)).as("p95"), r4(ex(3)).as("p99"),
+            col("n"),
+            within(1).as("p50_within_1pct"),
+            within(2).as("p95_within_1pct"),
+            within(3).as("p99_within_1pct"))
       },
       Some("""SELECT
                floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5::DOUBLE) / 10000 AS p50,

@@ -517,6 +517,46 @@ object NorthStarQueries {
              SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
              ORDER BY q_id, sim DESC, vec_id""")),
 
+    // Multi-probe IVF search (engine/Ivf.search, probes=2): each query
+    // scans its TWO nearest cells — the standard recall lever (FAISS
+    // nprobe) when probe-1 recall is data-capped; still reads only
+    // probes/k of the corpus. Probe list is a broadcast join against the
+    // k-row centroid table; candidates join on cell (co-partitioned).
+    Q("q_ivf_probe2",
+      (s, d) => {
+        val assigned = ivfAssigned(s, d)
+        graft.engine.Ivf.search(s, assigned, trainedCentroids(s, d),
+          col("vec_id") >= 100 && col("vec_id") < 105, probes = 2, k = 5)
+          .orderBy(col("q_id"), desc("sim"), col("vec_id"))
+      },
+      Some(s"""WITH $embCte,
+             $kmeansCte,
+             scored AS (
+               SELECT n.vec_id, n.e, n.nrm, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS csim
+               FROM n CROSS JOIN c),
+             assigned AS (
+               SELECT vec_id, e, nrm, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                 FROM scored) WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn
+                   FROM assigned WHERE vec_id >= 100 AND vec_id < 105),
+             probe AS (
+               SELECT q_id, qe, qn, cell FROM (
+                 SELECT q.q_id, q.qe, q.qn, c.cell,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     round(list_dot_product(qe, ce) / (qn * cn), 4) DESC, c.cell) AS pr
+                 FROM q CROSS JOIN c) WHERE pr <= 2),
+             cand AS (
+               SELECT q_id, a.vec_id,
+                 round(list_dot_product(qe, a.e) / (qn * a.nrm), 4) AS sim
+               FROM probe p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+               FROM cand)
+             SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
+             ORDER BY q_id, sim DESC, vec_id""")),
+
     // near-dup groups: connected components over the jaccard>=0.8 pair
     // graph, labeled by the component's min doc_id. Spark side: iterative
     // min-label propagation (the components here are tiny chains; a

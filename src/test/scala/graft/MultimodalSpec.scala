@@ -91,6 +91,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImageIoDecoder.features(junk, 8).toSeq ==
       Multimodal.StubDecoder.features(junk, 8).toSeq)
     assert(Multimodal.ImageIoDecoder.dimensions(junk).isEmpty)
+    // RECOGNIZED but corrupt: a truncated PNG makes the PNG reader THROW
+    // (unlike junk, where read() returns null) — must also fall back
+    val corrupt = png.take(64)
+    assert(Multimodal.ImageIoDecoder.features(corrupt, 8).toSeq ==
+      Multimodal.StubDecoder.features(corrupt, 8).toSeq)
+    assert(Multimodal.ImageIoDecoder.dimensions(corrupt).isEmpty)
   }
 
   test("decodeMeta: width/height filled from container bytes") {

@@ -69,6 +69,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe IVF: candidates join on cell (keyed), top-k window-pruned") {
+    val p = plan("q_ivf_probe2")
+    // the only unkeyed joins are against the k-row centroid table
+    // (broadcast, k << N — the IVF contract); the corpus-sized candidate
+    // join must be hash-keyed on cell, and no CartesianProduct anywhere
+    assert(!p.contains("CartesianProduct"), s"q_ivf_probe2 went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"candidate join lost its equi key:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not window-pruned:\n$p")
+  }
+
   test("tfidf broadcasts the scalar doc count, not the term table") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
