@@ -557,6 +557,43 @@ object NorthStarQueries {
              SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
              ORDER BY q_id, sim DESC, vec_id""")),
 
+    // IVF index health profile: per-cell population and similarity-to-
+    // centroid stats — the balance/tightness readout an ANN operator
+    // watches to decide when to retrain (skewed cells = skewed probe
+    // cost). One broadcast join (k centroids) + one groupBy on cell;
+    // mean sim goes through DECIMAL(18,4) (sims are already 4-decimal
+    // rationals, so the cast is exact and the sum order-independent)
+    // and is floor-rounded like every rational score.
+    Q("q_ivf_cells",
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+          .select(col("cell"), col("c_emb"), col("c_nrm"))
+        ivfAssigned(s, d)
+          .join(broadcast(cents), Seq("cell"))
+          .withColumn("sim",
+            round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            r4(sum(col("sim").cast("decimal(18,4)")).cast("double") /
+              count(lit(1))).as("mean_sim"),
+            min("sim").as("min_sim"), max("sim").as("max_sim"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH $embCte,
+             $kmeansCte,
+             scored AS (
+               SELECT n.vec_id, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+               FROM n CROSS JOIN c),
+             assigned AS (
+               SELECT vec_id, cell, sim FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+                 FROM scored) WHERE rn = 1)
+             SELECT cell, count(*) AS n_vecs,
+               floor((CAST(SUM(CAST(sim AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 10000 + 0.5::DOUBLE) / 10000 AS mean_sim,
+               min(sim) AS min_sim, max(sim) AS max_sim
+             FROM assigned GROUP BY cell ORDER BY cell""")),
+
     // near-dup groups: connected components over the jaccard>=0.8 pair
     // graph, labeled by the component's min doc_id. Spark side: iterative
     // min-label propagation (the components here are tiny chains; a

@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Flattens all query groups into the driver-facing maps. */
 object Registry {
   private def groups: Seq[Q] =
-    CoreQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all
+    CoreQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
+      TrainingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.impl).toMap

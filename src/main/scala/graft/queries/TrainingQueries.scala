@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Fourth query wave: the remaining text/stream preparation steps an
+  * LLM-training corpus pipeline runs between ingestion and tokenization —
+  * context-window chunking, corpus n-gram statistics, co-occurrence
+  * mining, per-user outlier screening, length-decile profiling, and
+  * hopping-window stream aggregation (see SURVEY.md §2.8 N49+).
+  *
+  * Same determinism contract as the other groups (Helpers.scala + the
+  * BASELINE.md audits): total ORDER BY everywhere, double sums through
+  * DECIMAL, plain round() only for irrational-mantissa values, NTZ
+  * timestamps, deterministic tie-breaks on every top-k.
+  *
+  * Scale notes inline. The common shape: everything row-local until ONE
+  * shuffle on the natural key (bigram, pair, user, window), with map-side
+  * partial aggregation; the only global window (q_ntile) is called out
+  * explicitly with its 100 TB alternative.
+  */
+object TrainingQueries {
+
+  private def ntz(c: Column): Column = Helpers.ntz(c)
+  private def dsum(c: Column): Column = Helpers.dsum(c)
+
+  /** Chunk geometry: 50-word windows every 25 words (50% overlap) — the
+    * classic context-window split for training corpora. */
+  private val ChunkSize = 50
+  private val ChunkStride = 25
+
+  val all: Seq[Q] = Seq(
+
+    // Context-window chunking: split each document into overlapping
+    // word windows — the step that turns documents into training
+    // sequences. Entirely ROW-LOCAL (split + sequence + explode), so it
+    // scales with zero shuffles; output size is input x (1/overlap).
+    // Oracle note: the DuckDB side can't lateral-join generate_series on
+    // a column, so it cross-joins a CONSTANT range(0,512) (>= 12.8k words
+    // per doc; testdata max is 100) and filters — the Spark side has no
+    // such cap.
+    Q("q_chunk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("nw", size(col("ws")))
+        docs
+          .withColumn("st",
+            explode(sequence(lit(0), greatest(col("nw") - 1, lit(0)),
+              lit(ChunkStride))))
+          .withColumn("chunk",
+            array_join(slice(col("ws"), col("st") + 1, lit(ChunkSize)), " "))
+          .withColumn("n_words",
+            size(slice(col("ws"), col("st") + 1, lit(ChunkSize))))
+          .select(col("doc_id"), (col("st") / ChunkStride).cast("long").as("chunk_id"),
+            col("chunk"), col("n_words").cast("long").as("n_words"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
+             len(str_split(text, ' ')) AS nw FROM documents),
+             ch AS (
+               SELECT doc_id, t.i AS chunk_id,
+                 array_to_string(list_slice(ws, t.i * $ChunkStride + 1,
+                   least(t.i * $ChunkStride + $ChunkSize, nw)), ' ') AS chunk,
+                 least(t.i * $ChunkStride + $ChunkSize, nw) - t.i * $ChunkStride AS n_words
+               FROM w CROSS JOIN range(0, 512) t(i)
+               WHERE t.i * $ChunkStride < nw)
+             SELECT doc_id, chunk_id, chunk, n_words FROM ch
+             ORDER BY doc_id, chunk_id""")),
+
+    // Corpus bigram frequencies, top 25: the first corpus statistic an
+    // LM data pipeline computes (boilerplate screens, LM smoothing
+    // tables). Bigram generation is row-local (indexed transform over
+    // the word array); ONE shuffle on bigram with map-side partial
+    // counts; top-k is TakeOrderedAndProject, never a global sort.
+    Q("q_bigram",
+      (s, d) => {
+        // zip_with (ws, tail-slice) instead of element_at inside a
+        // transform lambda: per-ELEMENT references to ws would re-evaluate
+        // the inlined split() per element — O(words^2) string splits per
+        // doc, measured 10.4s vs 0.6s at sf0.1. zip_with references ws a
+        // constant number of times per ROW; its one-longer zip pads the
+        // final element's partner with null, and concat(null) = null
+        // drops it in the filter (also covering one-word docs).
+        Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("bg",
+            expr("filter(zip_with(ws, slice(ws, 2, size(ws)), " +
+              "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
+          .select(explode(col("bg")).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("bigram"))
+          .limit(25)
+      },
+      Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
+             len(str_split(text, ' ')) AS nw FROM documents),
+             b AS (SELECT ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+                   FROM w CROSS JOIN range(1, 512) t(i) WHERE t.i <= nw - 1)
+             SELECT bigram, count(*) AS n FROM b GROUP BY 1
+             ORDER BY n DESC, bigram LIMIT 25""")),
+
+    // Word co-occurrence mining, top 25 pairs by document frequency
+    // (the count table behind PMI / embedding co-occurrence stats).
+    // Pair generation is ROW-LOCAL — an indexed transform over each
+    // doc's sorted-distinct word array (never a self-join); cost is
+    // bounded by per-doc distinct vocabulary squared, not corpus size.
+    // One shuffle on pair, top-k pruned.
+    Q("q_cooccur",
+      (s, d) => {
+        // Two-step explode with a Generate BETWEEN computing dw and the
+        // pair transform: posexplode makes dw a bound attribute for the
+        // downstream projection, so slice(dw, ...) reads the computed
+        // array instead of re-evaluating the inlined
+        // sort(distinct(split())) once per OUTER element (nested-lambda
+        // references collapse into the projection — measured 3.6s vs
+        // 0.5s at sf0.1).
+        val dw = Tables.documents(s, d)
+          .select(array_sort(array_distinct(split(col("text"), " "))).as("dw"))
+        dw.select(col("dw"), posexplode(col("dw")).as(Seq("i", "x")))
+          .select(col("x"), explode(expr("slice(dw, i + 2, size(dw))")).as("y"))
+          // group on the (x, y) columns and render the pair string only
+          // for the ~vocab^2 aggregated rows, not per exploded pair
+          .groupBy("x", "y")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(concat(col("x"), lit("|"), col("y")).as("pair"), col("n_docs"))
+          .orderBy(desc("n_docs"), asc("pair"))
+          .limit(25)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             list_distinct(str_split(text, ' ')) AS ws FROM documents),
+             a AS (SELECT doc_id, unnest(ws) AS w1 FROM d),
+             b AS (SELECT doc_id, unnest(ws) AS w2 FROM d),
+             p AS (SELECT a.w1 || '|' || b.w2 AS pair
+                   FROM a JOIN b ON a.doc_id = b.doc_id AND a.w1 < b.w2)
+             SELECT pair, count(*) AS n_docs FROM p GROUP BY 1
+             ORDER BY n_docs DESC, pair LIMIT 25""")),
+
+    // Per-user outlier screen: z-score of each event value against the
+    // user's own distribution — the anomaly/spam filter shape. ONE
+    // shuffle on user_id; all three moments (n, sum, sum-of-squares)
+    // share that window partition. Moments go through DECIMAL so they
+    // are order-independent (values carry 2 decimals; squares are
+    // floor-rounded to 4 before the cast — floor/mult/add are
+    // bit-identical IEEE ops in both engines); z itself has an
+    // irrational mantissa (sqrt), so plain round(4) per the repo
+    // convention. Users with <10 events or zero variance are skipped
+    // identically on both sides.
+    Q("q_zscore",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id")
+        val sq = floor(col("value") * col("value") * 10000 + 0.5) / 10000
+        val withMoments = Tables.events(s, d)
+          .withColumn("n", count(lit(1)).over(wu))
+          .withColumn("s1", sum(col("value").cast("decimal(18,2)")).over(wu)
+            .cast("double"))
+          .withColumn("s2", sum(sq.cast("decimal(18,4)")).over(wu)
+            .cast("double"))
+        val mean = col("s1") / col("n")
+        val variance = col("s2") / col("n") - mean * mean
+        withMoments
+          .filter(col("n") >= 10 && variance > 0)
+          .withColumn("z", round((col("value") - mean) / sqrt(variance), 4))
+          .filter(abs(col("z")) > 2.5)
+          .select("event_id", "user_id", "value", "z")
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (
+               SELECT event_id, user_id, value,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(floor(value * value * 10000 + 0.5::DOUBLE) / 10000
+                   AS DECIMAL(18,4))) OVER (PARTITION BY user_id) AS DOUBLE) AS s2
+               FROM events),
+             z AS (
+               SELECT event_id, user_id, value,
+                 round((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+               FROM s WHERE n >= 10 AND s2 / n - (s1 / n) * (s1 / n) > 0)
+             SELECT event_id, user_id, value, z FROM z WHERE abs(z) > 2.5
+             ORDER BY event_id""")),
+
+    // Length-decile profile: ntile(10) over (n_chars, doc_id) — the
+    // corpus length histogram quality teams read before choosing
+    // truncation budgets. NOTE the deliberate scale trade-off: exact
+    // ntile is a GLOBAL window (one ordered partition). That is the
+    // operator's contract; at 100 TB you either run it on the aggregated
+    // (n_chars, count) table (cardinality = distinct lengths, tiny) or
+    // switch to approx_percentile bounds + the row-local binning that
+    // q_histogram/q_quantize already cover.
+    Q("q_ntile",
+      (s, d) => {
+        val w = Window.orderBy("n_chars", "doc_id")
+        Tables.documents(s, d)
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("lo"), max("n_chars").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket FROM documents)
+             SELECT bucket, count(*) AS n_docs, min(n_chars) AS lo,
+             max(n_chars) AS hi FROM t GROUP BY bucket ORDER BY bucket""")),
+
+    // Hopping-window aggregation: 60-minute windows sliding every 30 —
+    // the batch mirror of the streaming windowed stats (each event lands
+    // in exactly 2 windows). Spark's built-in window() generates the
+    // window structs row-locally; ONE shuffle on window start with
+    // map-side partial counts/sums. Oracle mirrors the epoch-grid
+    // window-start arithmetic explicitly (unnest of the two containing
+    // starts), so both engines bucket on the same epoch-aligned grid.
+    Q("q_hopping",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "60 minutes", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .select(ntz(col("w.start")).as("w_start"), col("n"), col("total"))
+          .orderBy("w_start")
+      },
+      Some("""WITH e AS (
+               SELECT value, to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                 AS BIGINT))::TIMESTAMP AS tb
+               FROM events),
+             x AS (SELECT value, unnest([tb, tb - INTERVAL 30 MINUTE]) AS w_start FROM e)
+             SELECT w_start, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM x GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -86,6 +86,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scalar N should broadcast:\n$p")
   }
 
+  test("chunking is row-local: no hash exchange before the output sort") {
+    // split + sequence + explode never shuffles; the only exchange is the
+    // deterministic output orderBy (rangepartitioning, oracle contract)
+    val p = plan("q_chunk")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking should not shuffle data:\n$p")
+  }
+
+  test("bigram/cooccur top-k: TakeOrderedAndProject with partial counts") {
+    for (q <- Seq("q_bigram", "q_cooccur")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q global-sorts:\n$p")
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"$q lost map-side partial aggregation:\n$p")
+    }
+  }
+
+  test("zscore plans ONE data shuffle shared by all three moment windows") {
+    val p = plan("q_zscore")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("sessionize plans ONE data shuffle shared by both windows and the agg") {
     val p = plan("q_sessionize")
     // one hashpartitioning(user_id) feeds lag-window, sum-window AND the
