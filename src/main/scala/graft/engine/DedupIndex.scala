@@ -40,11 +40,17 @@ object DedupIndex {
   /** Continuous ingestion: stream document files (JSON lines with
     * doc_id/text) and dedup every micro-batch against the persisted
     * index via [[appendDeduped]], keyed by batchId — on a versioned sink
-    * a crash-replayed batch is absorbed exactly-once. */
+    * a crash-replayed batch is absorbed exactly-once.
+    *
+    * @param verifyThreshold passed through to [[appendDeduped]]: when
+    *   set, each band collision must ALSO reach this exact n-gram
+    *   jaccard to drop the document (the precision stage, applied per
+    *   micro-batch against the persisted index). */
   def streamDeduped(spark: SparkSession, docsDir: String, sink: TableSink,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      verifyThreshold: Option[Double] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -59,7 +65,8 @@ object DedupIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           appendDeduped(batch.sparkSession, sink, batch,
-            batchKey = Some(s"dedup-batch-$batchId"))
+            batchKey = Some(s"dedup-batch-$batchId"),
+            verifyThreshold = verifyThreshold)
           ()
         }
       }

@@ -5,6 +5,7 @@ import java.util.{Base64, UUID}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Append-only table with a checkpointed commit log — the Delta-semantics
@@ -204,7 +205,9 @@ final class VersionedParquetSink(basePath: String,
       cleanupOnKeyLoss: Boolean,
       snapshot: Option[Seq[Commit]] = None,
       enforceSchema: Boolean = false,
-      allowEvolution: Boolean = false): Option[Long] = {
+      allowEvolution: Boolean = false,
+      requireBase: Option[Long] = None,
+      rewriteOnlyConflict: Boolean = false): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -225,6 +228,26 @@ final class VersionedParquetSink(basePath: String,
           reuse = None
           if (commitKey.exists(k => entries.exists(_.key.contains(k)))) {
             Some(None)
+          } else if (requireBase.exists { b =>
+              // Stale-snapshot aborts (Delta's ConcurrentWriteException;
+              // callers retry from a fresh snapshot):
+              //  - delete/merge conflict with ANY newer commit — a stale
+              //    data-dependent rewrite would silently drop an
+              //    intervening append's rows or resurrect deleted ones;
+              //  - compact (rewriteOnlyConflict) conflicts only with a
+              //    newer REWRITE — appends stay visible past a compaction
+              //    (liveEntries keeps version > compacts), but committing
+              //    a compaction derived from a pre-delete snapshot would
+              //    shadow the delete ("last compaction wins" in
+              //    liveEntries) and resurrect its rows.
+              if (rewriteOnlyConflict)
+                entries.exists(e => e.version > b && e.compacts.isDefined)
+              else entries.lastOption.map(_.version).getOrElse(-1L) != b
+            }) {
+            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            throw new VersionedParquetSink.ConcurrentRewriteException(
+              table, requireBase.get,
+              entries.lastOption.map(_.version).getOrElse(-1L))
           } else {
             // Re-check the schema whenever the manifest was re-read: a
             // commit that slipped in since the caller's snapshot may have
@@ -319,11 +342,26 @@ final class VersionedParquetSink(basePath: String,
   def compact(spark: SparkSession, table: String,
       targetFiles: Option[Int] = None,
       commitKey: Option[String] = None): Long = {
-    val entries = manifest(spark, table)
-    require(entries.nonEmpty, s"nothing to compact for $table")
-    val replayed = commitKey.flatMap(k =>
-      entries.find(_.key.contains(k)).map(_.version))
-    replayed.getOrElse(doCompact(spark, table, entries, targetFiles, commitKey))
+    // retry on rewrite-conflict aborts: a compaction that loses to a
+    // concurrent delete/merge/compaction re-derives from the fresh
+    // snapshot (concurrent APPENDS never abort it — they stay visible
+    // past the compaction's high-water mark)
+    val maxAttempts = 5
+    var attempt = 0
+    while (true) {
+      val entries = manifest(spark, table)
+      require(entries.nonEmpty, s"nothing to compact for $table")
+      val replayed = commitKey.flatMap(k =>
+        entries.find(_.key.contains(k)).map(_.version))
+      replayed.foreach(v => return v)
+      try return doCompact(spark, table, entries, targetFiles, commitKey)
+      catch {
+        case e: VersionedParquetSink.ConcurrentRewriteException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e // livelock guard
+      }
+    }
+    -1L // unreachable
   }
 
   private def doCompact(spark: SparkSession, table: String,
@@ -341,13 +379,156 @@ final class VersionedParquetSink(basePath: String,
     commitLoop(spark, table, unique, commitKey, compacts = Some(maxV),
       schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
         .getOrElse(snap.schema.toDDL),
-      cleanupOnKeyLoss = true) // same-key racer won: drop our rewrite
+      cleanupOnKeyLoss = true, // same-key racer won: drop our rewrite
+      requireBase = Some(maxV), rewriteOnlyConflict = true)
       .orElse(commitKey.flatMap(k =>
         manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
         s"compaction of $table lost the commit race with no keyed winner"))
     // NOT latestVersion(): an append racing past the compaction would
     // otherwise be reported as "the compaction's version"
+  }
+
+  /** DELETE (Delta `DELETE FROM t WHERE cond` parity): copy-on-write —
+    * rewrites the live snapshot minus the matching rows and commits it as
+    * a rewrite version (pre-delete versions stay time-travelable). Rows
+    * where `condition` is TRUE are deleted; rows where it is false or
+    * NULL are kept (SQL DELETE semantics). Returns the committed version.
+    *
+    * Isolation: SERIALIZABLE for data-changing operations — the commit
+    * aborts and retries from a fresh snapshot if ANY commit (append or
+    * rewrite) lands after the snapshot it was derived from, so a racing
+    * append's rows are never silently dropped. `commitKey` makes a
+    * replayed maintenance run a no-op returning the original version.
+    *
+    * Scale note: commit-dir-granular copy-on-write — one distributed
+    * filter + rewrite of the live set. Delta narrows the rewrite to the
+    * FILES whose min/max stats may match the predicate; the equivalent
+    * lever here is partitioning the table (ParquetTableSink hive layout)
+    * so deletes rewrite only matching partitions. */
+  def delete(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      commitKey: Option[String] = None): Long =
+    rewriteWith(spark, table, "delete", commitKey,
+      snap => snap.filter(!coalesce(condition, lit(false))))
+
+  /** MERGE/upsert (Delta `MERGE WHEN MATCHED UPDATE SET * WHEN NOT
+    * MATCHED INSERT *` parity): every snapshot row whose `keyCols` match
+    * an `updates` row is replaced by it; unmatched `updates` rows are
+    * inserted. `updates` must carry the table's exact schema (evolution
+    * via append first) and at most one row per key (ambiguous-merge
+    * guard, same error Delta raises). Same serializable commit + replay
+    * semantics as [[delete]]; returns the committed version.
+    *
+    * Scale shape: ONE left-anti join keyed on `keyCols` (broadcast when
+    * `updates` is a trickle — the common CDC shape — else shuffle) plus a
+    * union; nothing collects. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      keyCols: Seq[String], commitKey: Option[String] = None): Long = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge into '$table': updates carry duplicate rows for some " +
+        s"(${keyCols.mkString(", ")}) key — ambiguous merge")
+    rewriteWith(spark, table, "merge", commitKey, { snap =>
+      SchemaCheck.enforceAppend(table, Some(snap.schema), updates.schema)
+      snap.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(updates.select(snap.columns.map(col): _*))
+    })
+  }
+
+  /** The shared copy-on-write loop: derive the new table content from the
+    * current snapshot, write it to a unique dir, commit with
+    * `compacts = baseVersion` (supersedes what it was derived from), and
+    * retry from a FRESH snapshot when the serializability check aborts. */
+  private def rewriteWith(spark: SparkSession, table: String, opName: String,
+      commitKey: Option[String],
+      transform: DataFrame => DataFrame): Long = {
+    val maxAttempts = 5
+    var attempt = 0
+    while (true) {
+      val entries = manifest(spark, table)
+      require(entries.nonEmpty, s"no committed versions for $table: cannot $opName")
+      val replayed = commitKey.flatMap(k =>
+        entries.find(_.key.contains(k)).map(_.version))
+      replayed.foreach(v => return v)
+      val baseV = entries.last.version
+      val out = transform(readAt(spark, table, baseV))
+      val unique = s"d-${UUID.randomUUID()}"
+      out.write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${tableDir(table)}/$unique")
+      try {
+        return commitLoop(spark, table, unique, commitKey,
+          compacts = Some(baseV),
+          schemaDdl = entries.last.schemaDdl.getOrElse(out.schema.toDDL),
+          cleanupOnKeyLoss = true, requireBase = Some(baseV))
+          // None = a same-key racer committed first; report its version
+          .orElse(commitKey.flatMap(k =>
+            manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+          .getOrElse(throw new IllegalStateException(
+            s"$opName of $table lost the commit race with no keyed winner"))
+      } catch {
+        case e: VersionedParquetSink.ConcurrentRewriteException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e // livelock guard: surface it
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Change-data-feed between two versions (Delta CDF parity): the rows
+    * added and removed going from `fromV` to `toV`, tagged with a
+    * `_change_type` column (`insert` / `delete`; an upsert appears as
+    * delete + insert of the key's row). `fromV = -1` means "from before
+    * the first commit" (everything at `toV` is an insert).
+    *
+    * Append-only ranges are served for FREE: the changed rows are exactly
+    * the range's data directories, read directly — no comparison (this is
+    * why CDC consumers of an append-only ingest table pay O(new data),
+    * never O(table)). A range containing a rewrite (compact/delete/merge)
+    * falls back to two distributed exceptAll anti-joins — O(table), the
+    * honest cost of diffing arbitrary rewrites without per-commit change
+    * files (which is how Delta's CDF avoids it, at write-time cost). */
+  def changesBetween(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): DataFrame = {
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    val entries = manifest(spark, table)
+    val upToTo = entries.filter(_.version <= toV)
+    require(upToTo.nonEmpty, s"no committed versions <= $toV for $table")
+    val range = entries.filter(e => e.version > fromV && e.version <= toV)
+    val schemaDdl = upToTo.last.schemaDdl
+    def withType(df: DataFrame, t: String): DataFrame =
+      df.withColumn("_change_type", lit(t))
+    if (range.forall(_.compacts.isEmpty)) {
+      val toSchema = schemaDdl.map(ddl => StructType(
+        StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+      if (range.isEmpty) {
+        val schema = toSchema.getOrElse(
+          readAt(spark, table, toV).schema)
+        return withType(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "insert")
+      }
+      val dirs = range.map(e => s"${tableDir(table)}/${e.dir}")
+      val df = toSchema match {
+        case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
+        case None => spark.read.parquet(dirs: _*)
+      }
+      withType(df, "insert")
+    } else {
+      val b = readAt(spark, table, toV)
+      val a0 =
+        if (entries.exists(_.version <= fromV)) readAt(spark, table, fromV)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+      // align the pre-evolution snapshot to toV's columns (missing = null)
+      val a = b.schema.fields.foldLeft(a0) { (df, f) =>
+        if (a0.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(b.columns.map(col): _*)
+      withType(b.exceptAll(a), "insert")
+        .unionByName(withType(a.exceptAll(b), "delete"))
+    }
   }
 
   /** VACUUM: delete data directories no reader can see — orphans left by
@@ -464,4 +645,12 @@ final class VersionedParquetSink(basePath: String,
 object VersionedParquetSink {
   /** Serializes marker claims within one JVM (see commitLoop). */
   private[engine] val localClaimLock = new Object
+
+  /** A delete/merge found a commit newer than the snapshot it rewrote —
+    * the write-write conflict Delta surfaces as
+    * ConcurrentWriteException. Retried internally; escapes only after
+    * repeated conflicts (sustained contention the caller should see). */
+  final class ConcurrentRewriteException(table: String, base: Long,
+      found: Long) extends RuntimeException(
+    s"concurrent commit on '$table': rewrite based on v$base but latest is v$found")
 }

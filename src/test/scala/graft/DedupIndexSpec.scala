@@ -134,6 +134,30 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(r4.appended == 0 && r4.droppedNear == 1, s"$r4")
   }
 
+  test("streaming ingestion passes verifyThreshold through to the precision stage") {
+    import java.nio.file.{Files, Paths}
+    // same engineered band-collision false-positive pair as the batch
+    // precision test: without verification the collision costs doc 2;
+    // with the threshold the streamed micro-batch keeps both
+    val a = "alpha beta gamma447"
+    val b = a + " " + (1 to 12).map(i => s"w1-$i").mkString(" ")
+    def line(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    val docsDir = TestSpark.tmpDir("dixsv_in")
+    Files.write(Paths.get(docsDir, "b1.json"),
+      Seq(line(1, a), line(2, b)).mkString("\n").getBytes)
+
+    val plain = new VersionedParquetSink(TestSpark.tmpDir("dixsv_s1"))
+    DedupIndex.streamDeduped(spark, docsDir, plain,
+      TestSpark.tmpDir("dixsv_ck1")).awaitTermination()
+    assert(plain.read(spark, "corpus").count() == 1)
+
+    val verified = new VersionedParquetSink(TestSpark.tmpDir("dixsv_s2"))
+    DedupIndex.streamDeduped(spark, docsDir, verified,
+      TestSpark.tmpDir("dixsv_ck2"),
+      verifyThreshold = Some(0.5)).awaitTermination()
+    assert(verified.read(spark, "corpus").count() == 2)
+  }
+
   test("works identically on the plain parquet sink (trait slot-in)") {
     val sink = new ParquetTableSink(TestSpark.tmpDir("dixp"))
     val r1 = DedupIndex.appendDeduped(spark, sink,

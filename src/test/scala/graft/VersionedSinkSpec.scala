@@ -290,6 +290,118 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(!sink.appendOnce(Seq((100, "r0")).toDF("id", "v"), "t", "key-0"))
   }
 
+  test("delete removes matching rows; null predicate keeps; time travel intact") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vdel"))
+    sink.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), "t")
+    sink.append(Seq((4, "d")).toDF("id", "v"), "t")
+    // predicate is NULL for id=3: SQL DELETE keeps null-predicate rows
+    val v = sink.delete(spark, "t",
+      when(col("id") === 3, lit(null).cast("boolean"))
+        .otherwise(col("id") % 2 === 0))
+    assert(v == 2L)
+    assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    // pre-delete versions still time-travel complete
+    assert(sink.readAt(spark, "t", 1).count() == 4)
+    // appends after the delete land on the rewritten content
+    sink.append(Seq((9, "z")).toDF("id", "v"), "t")
+    assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet == Set(1, 3, 9))
+  }
+
+  test("merge upserts: matched keys replaced, unmatched inserted; dup keys rejected") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vmerge"))
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    sink.merge(spark, "t", Seq((2, "B2"), (5, "e")).toDF("id", "v"), Seq("id"))
+    assert(sink.read(spark, "t").collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a", 2 -> "B2", 5 -> "e"))
+    // ambiguous updates (two rows for one key) must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      sink.merge(spark, "t", Seq((5, "x"), (5, "y")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // replayed keyed merge is a no-op returning the original version
+    val v1 = sink.merge(spark, "t", Seq((7, "g")).toDF("id", "v"), Seq("id"),
+      commitKey = Some("m-1"))
+    val v2 = sink.merge(spark, "t", Seq((7, "g")).toDF("id", "v"), Seq("id"),
+      commitKey = Some("m-1"))
+    assert(v1 == v2 && sink.read(spark, "t").filter($"id" === 7).count() == 1)
+  }
+
+  test("changesBetween: append-only ranges read directly; rewrites diff both ways") {
+    import org.apache.spark.sql.functions.col
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vcdf"))
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")       // v0
+    sink.append(Seq((2, "b"), (3, "c")).toDF("id", "v"), "t") // v1
+    // append-only range: inserts only, read straight from the dirs
+    val fast = sink.changesBetween(spark, "t", 0, 1).collect()
+    assert(fast.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(fast.map(_.getInt(0)).toSet == Set(2, 3))
+    // full history from -1 = everything is an insert
+    assert(sink.changesBetween(spark, "t", -1, 1).count() == 3)
+    // a delete in the range forces the comparing path: 2 goes away
+    sink.delete(spark, "t", col("id") === 2)              // v2
+    sink.append(Seq((4, "d")).toDF("id", "v"), "t")       // v3
+    val diff = sink.changesBetween(spark, "t", 1, 3).collect()
+      .map(r => (r.getInt(0), r.getAs[String]("_change_type"))).toSet
+    assert(diff == Set((2, "delete"), (4, "insert")), s"got $diff")
+    // empty range: no changes, schema preserved
+    assert(sink.changesBetween(spark, "t", 3, 3).isEmpty)
+  }
+
+  test("concurrent delete+merge rewrites serialize: no lost update") {
+    import org.apache.spark.sql.functions.col
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vrewrace"))
+    sink.append((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      Seq(
+        () => sink.delete(spark, "t", col("id") <= 5),
+        () => sink.merge(spark, "t",
+          Seq((20, "UP"), (21, "new")).toDF("id", "v"), Seq("id"))
+      ).map { task =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try { task(); () } catch { case e: Throwable => errors.add(e) }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    assert(errors.isEmpty, s"rewrite race errors: ${errors.toArray.mkString("; ")}")
+    // BOTH effects must survive, whichever order they serialized in
+    val m = sink.read(spark, "t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(!(1 to 5).exists(m.contains), s"delete lost: $m")
+    assert(m.get(20).contains("UP") && m.get(21).contains("new"),
+      s"merge lost: $m")
+  }
+
+  test("concurrent compact cannot resurrect a racing delete's rows") {
+    import org.apache.spark.sql.functions.col
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vcompdel"))
+    sink.append((1 to 50).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.append((51 to 60).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      // compactions derived from the pre-delete snapshot must abort and
+      // re-derive, never commit past the delete ("last compaction wins"
+      // in the reader would resurrect the deleted rows)
+      Seq(
+        () => { sink.compact(spark, "t"); () },
+        () => { sink.delete(spark, "t", col("id") <= 10); () },
+        () => { sink.compact(spark, "t"); () }
+      ).map { task =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try task() catch { case e: Throwable => errors.add(e) }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    assert(errors.isEmpty, s"race errors: ${errors.toArray.mkString("; ")}")
+    val ids = sink.read(spark, "t").collect().map(_.getInt(0)).toSet
+    assert(ids == (11 to 60).toSet, s"deleted rows resurrected or lost: $ids")
+  }
+
   test("pipeline runs unchanged on the versioned sink (trait slot-in)") {
     val feeds = TestSpark.tmpDir("vfeeds")
     java.nio.file.Files.write(java.nio.file.Paths.get(feeds, "b.json"),
