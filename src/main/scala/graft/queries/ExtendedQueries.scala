@@ -30,11 +30,8 @@ object ExtendedQueries {
   private def dsum(c: Column): Column = Helpers.dsum(c)
   private def r4(c: Column): Column = Helpers.r4(c)
 
-  /** DuckDB-side parse of 4 hex chars -> 0..65535 (no conv() there). */
-  private def hex4(h: String): String =
-    (1 to 4).map(i =>
-      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-      .mkString("(", " + ", ")")
+  /** DuckDB-side parse of 4 hex chars -> 0..65535 (shared definition). */
+  private def hex4(h: String): String = Helpers.hex4(h)
 
   val all: Seq[Q] = Seq(
 

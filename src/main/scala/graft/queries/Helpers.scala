@@ -29,4 +29,11 @@ private[queries] object Helpers {
   /** The 6-word English stopword tuple, verbatim in Spark expressions
     * and oracle SQL of q_lang_id / q_quality_score / q_text_clean. */
   val enStopwords = "('the', 'a', 'of', 'to', 'in', 'and')"
+
+  /** DuckDB-side parse of the first 4 hex chars of `h` -> 0..65535 (no
+    * conv() there); the Spark mirror is conv(substring(h,1,4),16,10). */
+  def hex4(h: String): String =
+    (1 to 4).map(i =>
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString("(", " + ", ")")
 }

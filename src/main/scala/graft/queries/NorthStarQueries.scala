@@ -144,6 +144,21 @@ object NorthStarQueries {
     df
   }
 
+  /** SRP-LSH geometry: 8 hyperplanes over the 64-dim embeddings. Each
+    * component is md5-derived — `hex4(md5("p_j")) / 65535 - 0.5` — so the
+    * oracle regenerates the identical planes in SQL while the Spark side
+    * bakes them into the plan as literal arrays (computed here once on
+    * the driver; 8 x 64 doubles, not data). */
+  private[queries] val SrpPlanes = 8
+  private[queries] def srpPlane(p: Int): Seq[Double] = {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    (1 to 64).map { j =>
+      val hex = mdi.digest(s"${p}_$j".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) / 65535.0 - 0.5
+    }
+  }
+
   /** Scored candidate pairs (d1 < d2, rounded jaccard) from the capped
     * shingle self-join — the most expensive subplan in the repo, shared
     * by q_dedup_ngram / q_dedup_groups / q_dedup_keep. Deliberately NOT
@@ -593,6 +608,48 @@ object NorthStarQueries {
                floor((CAST(SUM(CAST(sim AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 10000 + 0.5::DOUBLE) / 10000 AS mean_sim,
                min(sim) AS min_sim, max(sim) AS max_sim
              FROM assigned GROUP BY cell ORDER BY cell""")),
+
+    // SRP-LSH bucketing (Charikar STOC'02 sign-random-projection): the
+    // EMBEDDING-side locality hash complementing the text-side MinHash —
+    // 8 deterministic hyperplanes (md5-derived components, recomputed
+    // identically as oracle SQL), signature bit p = sign(dot(e, h_p)),
+    // bucket = the 8-bit signature; output is the bucket occupancy
+    // profile. Everything is ROW-LOCAL until one groupBy on bucket: the
+    // hyperplanes are 8 x 64 literal doubles baked into the plan (the
+    // codegen'd graft_dot runs against constant arrays), so at 100 TB
+    // the signature costs one map pass — co-bucket candidate joins then
+    // key on bucket exactly like q_ann_bucket. Dots are rationals (no
+    // norms), so the sign reads the r4 floor-round on both engines.
+    Q("q_srp_bucket",
+      (s, d) => {
+        val e = emb(s, d)
+        val withBits = (0 until SrpPlanes).foldLeft(e) { (df, p) =>
+          val hp = array(srpPlane(p).map(lit): _*)
+          df.withColumn(s"b$p",
+            when(r4(call_function("graft_dot", col("emb"), hp)) >= 0,
+              lit(1 << p)).otherwise(lit(0)))
+        }
+        withBits
+          .withColumn("bucket",
+            (0 until SrpPlanes).map(p => col(s"b$p")).reduce(_ + _).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH n AS (
+               SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             planes AS (
+               SELECT p.p, j.j,
+                 ${Helpers.hex4("md5(p.p::VARCHAR || '_' || j.j::VARCHAR)")}::DOUBLE / 65535.0 - 0.5 AS hv
+               FROM range(0, $SrpPlanes) p(p) CROSS JOIN range(1, 65) j(j)),
+             pl AS (SELECT p, list(hv ORDER BY j) AS hp FROM planes GROUP BY p),
+             bits AS (
+               SELECT n.vec_id, pl.p,
+                 CASE WHEN floor(list_dot_product(n.e, pl.hp) * 10000 + 0.5::DOUBLE) / 10000 >= 0
+                      THEN (1 << p) ELSE 0 END AS bit
+               FROM n CROSS JOIN pl),
+             b AS (SELECT vec_id, SUM(bit)::BIGINT AS bucket FROM bits GROUP BY vec_id)
+             SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1 ORDER BY 1""")),
 
     // near-dup groups: connected components over the jaccard>=0.8 pair
     // graph, labeled by the component's min doc_id. Spark side: iterative

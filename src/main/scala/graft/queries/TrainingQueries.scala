@@ -25,6 +25,7 @@ object TrainingQueries {
 
   private def ntz(c: Column): Column = Helpers.ntz(c)
   private def dsum(c: Column): Column = Helpers.dsum(c)
+  private def r4(c: Column): Column = Helpers.r4(c)
 
   /** Chunk geometry: 50-word windows every 25 words (50% overlap) — the
     * classic context-window split for training corpora. */
@@ -181,6 +182,40 @@ object TrainingQueries {
                FROM s WHERE n >= 10 AND s2 / n - (s1 / n) * (s1 / n) > 0)
              SELECT event_id, user_id, value, z FROM z WHERE abs(z) > 2.5
              ORDER BY event_id""")),
+
+    // Language-distribution rebalancing: downsample every language to
+    // the smallest language's volume by ACCEPTANCE RATE, not by quota —
+    // keep a doc iff hash(doc_id)/2^16 < n_min/n_lang. Rates come from
+    // one tiny aggregate (|langs| rows, broadcast); acceptance is then
+    // pure per-row hashing — no per-group sort, no window, no state, so
+    // the same filter runs identically in a backfill and a streaming
+    // micro-batch (the property quota sampling loses). Rate is a
+    // rational, so it floor-rounds via r4 on both engines; hv/65536 is
+    // a dyadic rational — the comparison is exact IEEE on both sides.
+    Q("q_rebalance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val rates = counts
+          .crossJoin(broadcast(counts.agg(min("n_lang").as("n_min"))))
+          .withColumn("rate", r4(col("n_min") / col("n_lang")))
+          .select("lang", "rate")
+        docs.join(broadcast(rates), Seq("lang"))
+          .withColumn("hv",
+            conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+              1, 4), 16, 10).cast("int"))
+          .filter(col("hv") / 65536.0 < col("rate"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+             mn AS (SELECT min(n_lang) AS n_min FROM c),
+             r AS (SELECT lang, floor(n_min::DOUBLE / n_lang * 10000 + 0.5::DOUBLE) / 10000 AS rate
+                   FROM c CROSS JOIN mn),
+             h AS (SELECT doc_id, lang, ${Helpers.hex4("md5(doc_id::VARCHAR)")} AS hv
+                   FROM documents)
+             SELECT h.doc_id, h.lang FROM h JOIN r ON h.lang = r.lang
+             WHERE hv::DOUBLE / 65536.0 < rate ORDER BY doc_id""")),
 
     // Length-decile profile: ntile(10) over (n_chars, doc_id) — the
     // corpus length histogram quality teams read before choosing

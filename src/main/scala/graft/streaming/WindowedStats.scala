@@ -42,6 +42,21 @@ object WindowedStats {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Hopping (sliding) event-time windows: each event lands in
+    * `size`/`slide` overlapping windows — the incremental version of the
+    * batch q_hopping. Same scale shape as [[dailyCounts]] (one stateful
+    * shuffle on window start); the engine generates the per-event window
+    * list row-locally, and the watermark closes `size`/`slide` open
+    * windows per grid step. */
+  def hoppingCounts(events: DataFrame, size: String = "60 minutes",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("w.start").as("w_start"), col("n"), col("total"))
+
   case class FeedProgress(category: String, articles: Long, lastSeen: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-feed article

@@ -109,6 +109,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("srp bucketing is row-local: one hash exchange (the bucket groupBy)") {
+    val p = plan("q_srp_bucket")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plane join went cartesian:\n$p")
+  }
+
+  test("rebalance broadcasts the rate table; acceptance is per-row") {
+    val p = plan("q_rebalance")
+    assert(p.contains("BroadcastHashJoin"), s"rate join should broadcast:\n$p")
+  }
+
   test("sessionize plans ONE data shuffle shared by both windows and the agg") {
     val p = plan("q_sessionize")
     // one hashpartitioning(user_id) feeds lag-window, sum-window AND the

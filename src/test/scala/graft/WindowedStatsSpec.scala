@@ -76,6 +76,33 @@ class WindowedStatsSpec extends AnyFunSuite {
     assert(rows.contains((2L, "2024-02-01 10:05", 1L)))
   }
 
+  test("hoppingCounts: each event lands in size/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val events = mem.toDF().toDF("ts", "value")
+
+    val q = WindowedStats.hoppingCounts(events, size = "60 minutes",
+        slide = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(
+      (ts("2024-02-01 10:10:00"), 1.5), // windows [9:30,10:30) and [10:00,11:00)
+      (ts("2024-02-01 10:40:00"), 2.0)) // windows [10:00,11:00) and [10:30,11:30)
+    q.processAllAvailable()
+    mem.addData((ts("2024-02-01 15:00:00"), 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("hopping").collect()
+      .map(r => (r.getAs[Timestamp]("w_start").toString.take(16),
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+    assert(rows.contains(("2024-02-01 09:30", 1L, 1.5)))
+    assert(rows.contains(("2024-02-01 10:00", 2L, 3.5))) // both events overlap here
+    assert(rows.contains(("2024-02-01 10:30", 1L, 2.0)))
+  }
+
   test("feedProgress: mapGroupsWithState accumulates per-key counters") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
