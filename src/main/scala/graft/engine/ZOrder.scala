@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustered layout — the parity feature for
+  * Delta's `OPTIMIZE ... ZORDER BY (a, b)`: ONE physical sort order that
+  * gives BOTH columns file-level locality, so a predicate on either
+  * column touches a bounded subset of files (and parquet row-group
+  * min/max stats skip within them). A plain sort gives this to exactly
+  * one column; z-ordering interleaves the columns' bits so nearby
+  * (a, b) points land in nearby files.
+  *
+  * Scale shape: the z-value is row-local arithmetic (codegen'd shifts
+  * and masks over pre-bucketed ints); the clustering itself is one
+  * range-repartition + within-partition sort — the same shuffle an
+  * ordinary sorted write pays. The only driver-side work is the 2x2
+  * min/max scalars used for bucketing (computed distributed, collected
+  * as four numbers).
+  */
+object ZOrder {
+
+  /** Bit-interleaved z-value of two ALREADY-BUCKETED non-negative ints
+    * in [0, 2^bits): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Bits are disjoint, so OR assembles the value. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Linear min-max bucketing of a numeric column into [0, 2^bits): the
+    * monotone scale z-ordering needs. The column's min/max are computed
+    * distributed and collected as TWO scalars (constant-folded into the
+    * bucketing expression). A constant column buckets to 0. */
+  private def bucketed(df: DataFrame, c: String, bits: Int): Column = {
+    val row = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"z-order column '$c' is all-null")
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val buckets = 1 << bits
+    if (hi == lo) lit(0L)
+    else least(
+      floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets),
+      lit(buckets - 1L)).cast("long")
+  }
+
+  /** Write `df` as parquet clustered on the z-order of (`colA`, `colB`):
+    * bucket both columns, range-partition on the interleaved z-value into
+    * `numFiles` output files, sort within partitions, drop the helper
+    * column. Readers filtering on EITHER column touch only the files
+    * whose z-range intersects the predicate — the data-skipping layout
+    * for a 100 TB fact table queried along two independent dimensions.
+    * Null keys bucket lowest (sorted first), matching a sorted write. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
+      numFiles: Int = 8, bits: Int = 16): Unit = {
+    val z = zValue(bucketed(df, colA, bits), bucketed(df, colB, bits), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path) // OPTIMIZE-style rewrite
+  }
+}

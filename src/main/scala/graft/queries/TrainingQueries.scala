@@ -240,6 +240,37 @@ object TrainingQueries {
              SELECT bucket, count(*) AS n_docs, min(n_chars) AS lo,
              max(n_chars) AS hi FROM t GROUP BY bucket ORDER BY bucket""")),
 
+    // Sequence packing: assign documents to fixed-capacity (512-word)
+    // training bins by CONTIGUOUS FILL — running word count within each
+    // language, bin = cumulative-before / capacity (the concat-and-split
+    // packing a tokenizer pipeline runs before batching; greedy best-fit
+    // isn't order-deterministic, contiguous fill is). Packing is
+    // per-LANGUAGE (window partitioned by lang = one shuffle, no global
+    // window): at 100 TB bins are shard-local by design — a global
+    // running sum would serialize the corpus.
+    Q("q_pack",
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("nw", size(split(col("text"), " ")))
+          .withColumn("cum", sum("nw").over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("nw")) / 512.0).cast("long"))
+          .groupBy("lang", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("nw").cast("long").as("total_words"))
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, len(str_split(text, ' ')) AS nw
+             FROM documents),
+             c AS (SELECT doc_id, lang, nw,
+                     SUM(nw) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   FROM w),
+             b AS (SELECT lang, CAST(floor((cum - nw) / 512.0) AS BIGINT) AS bin, nw FROM c)
+             SELECT lang, bin, count(*) AS n_docs, SUM(nw)::BIGINT AS total_words
+             FROM b GROUP BY lang, bin ORDER BY lang, bin""")),
+
     // Hopping-window aggregation: 60-minute windows sliding every 30 —
     // the batch mirror of the streaming windowed stats (each event lands
     // in exactly 2 windows). Spark's built-in window() generates the

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.engine.{ParquetTableSink, Skew}
+import graft.engine.{ParquetTableSink, Skew, ZOrder}
 
 /** Scale-mechanics checks: salted-join equivalence and partition-pruned
   * reads of the partitioned sink layout. */
@@ -124,5 +124,44 @@ class ScaleSpec extends AnyFunSuite {
     val plan = read.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(day"),
       s"expected partition filters in:\n$plan")
+  }
+
+  test("z-ordered layout: BOTH columns' predicates cluster into few files") {
+    // two independent uniform dimensions; a single-column sort gives
+    // locality to one of them, z-order to both
+    val rng = new scala.util.Random(7)
+    val data = (1 to 20000)
+      .map(_ => (rng.nextInt(1000), rng.nextInt(1000), rng.nextInt()))
+      .toDF("a", "b", "payload")
+    val files = 16
+
+    val linear = TestSpark.tmpDir("zo_linear")
+    data.repartitionByRange(files, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(linear)
+    val zordered = TestSpark.tmpDir("zo_z")
+    ZOrder.writeZOrdered(data, "a", "b", zordered, numFiles = files)
+
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(col("_metadata.file_path")).distinct().count()
+
+    val predA = col("a").between(100, 149) // 5% slice of a
+    val predB = col("b").between(700, 749) // 5% slice of b
+
+    // correctness first: both layouts return identical row sets
+    for (p <- Seq(predA, predB)) {
+      val l = spark.read.parquet(linear).filter(p)
+      val z = spark.read.parquet(zordered).filter(p)
+      assert(l.exceptAll(z).isEmpty && z.exceptAll(l).isEmpty)
+    }
+
+    // the a-sorted layout serves a-predicates from few files but spreads
+    // b-predicates over all of them; the z-ordered layout bounds both
+    assert(filesTouched(linear, predA) <= 2)
+    assert(filesTouched(linear, predB) == files.toLong)
+    assert(filesTouched(zordered, predA) <= files / 2,
+      s"z-layout lost a-locality: ${filesTouched(zordered, predA)}")
+    assert(filesTouched(zordered, predB) <= files / 2,
+      s"z-layout lost b-locality: ${filesTouched(zordered, predB)}")
   }
 }
