@@ -69,7 +69,7 @@ final class VersionedParquetSink(basePath: String,
     * wall-clock (epoch millis) for timestamp time travel. */
   private final case class Commit(version: Long, dir: String,
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
-      ts: Option[Long], raw: String)
+      ts: Option[Long], op: Option[String], raw: String)
 
   private def parseCommit(version: Long, body: String): Commit = {
     // [^"]* not [^"]+: an empty-string value is a real value (an empty
@@ -89,7 +89,7 @@ final class VersionedParquetSink(basePath: String,
       str("schemaB64").filter(_.nonEmpty).map(b64),
       str("ts").flatMap(t =>
         scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption),
-      body)
+      str("op"), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -207,7 +207,8 @@ final class VersionedParquetSink(basePath: String,
       enforceSchema: Boolean = false,
       allowEvolution: Boolean = false,
       requireBase: Option[Long] = None,
-      rewriteOnlyConflict: Boolean = false): Option[Long] = {
+      rewriteOnlyConflict: Boolean = false,
+      op: Option[String] = None): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -216,7 +217,8 @@ final class VersionedParquetSink(basePath: String,
     val keyField = commitKey.map(k => s""","keyB64":"${
       Base64.getEncoder.encodeToString(k.getBytes(StandardCharsets.UTF_8))}"""")
       .getOrElse("")
-    val compField = compacts.map(c => s""","compacts":$c""").getOrElse("")
+    val compField = compacts.map(c => s""","compacts":$c""").getOrElse("") +
+      op.map(o => s""","op":"$o"""").getOrElse("")
     val schemaB64 = Base64.getEncoder.encodeToString(
       schemaDdl.getBytes(StandardCharsets.UTF_8))
     var reuse = snapshot // first attempt only; retries re-read under the lock
@@ -380,7 +382,8 @@ final class VersionedParquetSink(basePath: String,
       schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
         .getOrElse(snap.schema.toDDL),
       cleanupOnKeyLoss = true, // same-key racer won: drop our rewrite
-      requireBase = Some(maxV), rewriteOnlyConflict = true)
+      requireBase = Some(maxV), rewriteOnlyConflict = true,
+      op = Some("compact"))
       .orElse(commitKey.flatMap(k =>
         manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
@@ -426,16 +429,24 @@ final class VersionedParquetSink(basePath: String,
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       keyCols: Seq[String], commitKey: Option[String] = None): Long = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
-    val dupKeys = updates.groupBy(keyCols.map(col): _*)
-      .count().filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"merge into '$table': updates carry duplicate rows for some " +
-        s"(${keyCols.mkString(", ")}) key — ambiguous merge")
-    rewriteWith(spark, table, "merge", commitKey, { snap =>
-      SchemaCheck.enforceAppend(table, Some(snap.schema), updates.schema)
-      snap.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(updates.select(snap.columns.map(col): _*))
-    })
+    // updates is evaluated at least twice (dup-key guard + the rewrite,
+    // which reads it for the anti-join AND the union) — cache it for the
+    // duration unless the caller already did
+    val preCached =
+      updates.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!preCached) updates.cache()
+    try {
+      val dupKeys = updates.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0,
+        s"merge into '$table': updates carry duplicate rows for some " +
+          s"(${keyCols.mkString(", ")}) key — ambiguous merge")
+      rewriteWith(spark, table, "merge", commitKey, { snap =>
+        SchemaCheck.enforceAppend(table, Some(snap.schema), updates.schema)
+        snap.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(updates.select(snap.columns.map(col): _*))
+      })
+    } finally if (!preCached) { updates.unpersist(); () }
   }
 
   /** The shared copy-on-write loop: derive the new table content from the
@@ -462,7 +473,8 @@ final class VersionedParquetSink(basePath: String,
         return commitLoop(spark, table, unique, commitKey,
           compacts = Some(baseV),
           schemaDdl = entries.last.schemaDdl.getOrElse(out.schema.toDDL),
-          cleanupOnKeyLoss = true, requireBase = Some(baseV))
+          cleanupOnKeyLoss = true, requireBase = Some(baseV),
+          op = Some(opName))
           // None = a same-key racer committed first; report its version
           .orElse(commitKey.flatMap(k =>
             manifest(spark, table).find(_.key.contains(k)).map(_.version)))
@@ -486,10 +498,14 @@ final class VersionedParquetSink(basePath: String,
     * Append-only ranges are served for FREE: the changed rows are exactly
     * the range's data directories, read directly — no comparison (this is
     * why CDC consumers of an append-only ingest table pay O(new data),
-    * never O(table)). A range containing a rewrite (compact/delete/merge)
-    * falls back to two distributed exceptAll anti-joins — O(table), the
-    * honest cost of diffing arbitrary rewrites without per-commit change
-    * files (which is how Delta's CDF avoids it, at write-time cost). */
+    * never O(table)). COMPACTIONS in the range are content-preserving, so
+    * they are skipped and the fast path survives periodic OPTIMIZE runs —
+    * CDC consumers and table maintenance coexist for free. Only a range
+    * containing a DATA-CHANGING rewrite (delete/merge — or a pre-`op`-
+    * field rewrite marker, which cannot be told apart from one) falls
+    * back to two distributed exceptAll anti-joins — O(table), the honest
+    * cost of diffing arbitrary rewrites without per-commit change files
+    * (which is how Delta's CDF avoids it, at write-time cost). */
   def changesBetween(spark: SparkSession, table: String, fromV: Long,
       toV: Long): DataFrame = {
     require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
@@ -500,16 +516,17 @@ final class VersionedParquetSink(basePath: String,
     val schemaDdl = upToTo.last.schemaDdl
     def withType(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t))
-    if (range.forall(_.compacts.isEmpty)) {
+    val fastRange = range.filter(_.compacts.isEmpty)
+    if (range.forall(e => e.compacts.isEmpty || e.op.contains("compact"))) {
       val toSchema = schemaDdl.map(ddl => StructType(
         StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
-      if (range.isEmpty) {
+      if (fastRange.isEmpty) {
         val schema = toSchema.getOrElse(
           readAt(spark, table, toV).schema)
         return withType(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "insert")
       }
-      val dirs = range.map(e => s"${tableDir(table)}/${e.dir}")
+      val dirs = fastRange.map(e => s"${tableDir(table)}/${e.dir}")
       val df = toSchema match {
         case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
         case None => spark.read.parquet(dirs: _*)
@@ -540,7 +557,12 @@ final class VersionedParquetSink(basePath: String,
     * `graceMs` guards in-flight writers: an uncommitted directory younger
     * than the grace period might belong to a writer between its data
     * write and its marker claim, so it is left alone (Delta's
-    * "retention check" for the same race). Returns the deleted count. */
+    * "retention check" for the same race). Returns the deleted count.
+    *
+    * `includeSuperseded=true` also truncates [[changesBetween]]'s fast
+    * path for ranges below the latest rewrite (their append dirs are
+    * gone), exactly as it truncates time travel — Delta's VACUUM has the
+    * same effect on its CDF retention. */
   def vacuum(spark: SparkSession, table: String, graceMs: Long = 3600000L,
       includeSuperseded: Boolean = false): Int = {
     val f = fs(spark, tableDir(table))

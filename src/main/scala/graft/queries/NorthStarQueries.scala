@@ -651,6 +651,68 @@ object NorthStarQueries {
              b AS (SELECT vec_id, SUM(bit)::BIGINT AS bucket FROM bits GROUP BY vec_id)
              SELECT bucket, count(*) AS n_vecs FROM b GROUP BY 1 ORDER BY 1""")),
 
+    // Banded SRP-LSH ANN search: 4 hash tables x 4 hyperplanes (the
+    // sign-random-projection analogue of MinHash banding) — a query's
+    // candidates are the vectors sharing ANY table's 4-bit bucket,
+    // deduped, then cosine-ranked. Each table is a cheap row-local
+    // signature; the candidate join keys on (table, bucket) — ~23% of
+    // the corpus scanned per query here vs q_cosine_topk's 100%, and
+    // co-partitionable at scale. DISTINCT-then-score keeps the scoring
+    // pass per unique candidate, not per colliding table.
+    Q("q_srp_ann",
+      (s, d) => {
+        val e = emb(s, d)
+        val withBuckets = (0 until 4).foldLeft(e) { (df, t) =>
+          df.withColumn(s"t$t",
+            (0 until 4).map { p =>
+              val hp = array(srpPlane(t * 4 + p).map(lit): _*)
+              when(r4(call_function("graft_dot", col("emb"), hp)) >= 0,
+                lit(1 << p)).otherwise(lit(0))
+            }.reduce(_ + _).cast("long"))
+        }
+        val tabs = withBuckets.selectExpr("vec_id", "emb", "nrm",
+          "stack(4, 0L, t0, 1L, t1, 2L, t2, 3L, t3) AS (t, bucket)")
+        val qs = tabs.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+            col("nrm").as("q_nrm"), col("t"), col("bucket"))
+        val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+        tabs.join(broadcast(qs), Seq("t", "bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .dropDuplicates("q_id", "vec_id")
+          .withColumn("sim",
+            round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id", "sim")
+          .orderBy(col("q_id"), desc("sim"), col("vec_id"))
+      },
+      Some(s"""WITH $embCte,
+             planes AS (
+               SELECT p.p, j.j,
+                 ${Helpers.hex4("md5(p.p::VARCHAR || '_' || j.j::VARCHAR)")}::DOUBLE / 65535.0 - 0.5 AS hv
+               FROM range(0, 16) p(p) CROSS JOIN range(1, 65) j(j)),
+             pl AS (SELECT p, list(hv ORDER BY j) AS hp FROM planes GROUP BY p),
+             bits AS (
+               SELECT n.vec_id, pl.p // 4 AS t,
+                 CASE WHEN floor(list_dot_product(n.e, pl.hp) * 10000 + 0.5::DOUBLE) / 10000 >= 0
+                      THEN (1 << (pl.p % 4)) ELSE 0 END AS bit
+               FROM n CROSS JOIN pl),
+             bk AS (SELECT vec_id, t, SUM(bit)::BIGINT AS bucket FROM bits GROUP BY vec_id, t),
+             q AS (SELECT vec_id AS q_id, t, bucket FROM bk
+                   WHERE vec_id >= 100 AND vec_id < 105),
+             cand AS (
+               SELECT DISTINCT q.q_id, v.vec_id
+               FROM q JOIN bk v ON q.t = v.t AND q.bucket = v.bucket AND v.vec_id <> q.q_id),
+             scored AS (
+               SELECT c.q_id, c.vec_id,
+                 round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+               FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.vec_id),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+               FROM scored)
+             SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
+             ORDER BY q_id, sim DESC, vec_id""")),
+
     // near-dup groups: connected components over the jaccard>=0.8 pair
     // graph, labeled by the component's min doc_id. Spark side: iterative
     // min-label propagation (the components here are tiny chains; a

@@ -116,6 +116,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plane join went cartesian:\n$p")
   }
 
+  test("srp ANN: candidates join on (table, bucket), top-k window-pruned") {
+    val p = plan("q_srp_ann")
+    assert(!p.contains("CartesianProduct"), s"q_srp_ann went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q_srp_ann pairs without an equi key:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not window-pruned:\n$p")
+  }
+
   test("rebalance broadcasts the rate table; acceptance is per-row") {
     val p = plan("q_rebalance")
     assert(p.contains("BroadcastHashJoin"), s"rate join should broadcast:\n$p")

@@ -348,6 +348,21 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.changesBetween(spark, "t", 3, 3).isEmpty)
   }
 
+  test("changesBetween: compactions in range are skipped, fast path survives") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vcdfc"))
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")       // v0
+    sink.append(Seq((2, "b")).toDF("id", "v"), "t")       // v1
+    sink.compact(spark, "t")                              // v2 (content-preserving)
+    sink.append(Seq((3, "c")).toDF("id", "v"), "t")       // v3
+    val d = sink.changesBetween(spark, "t", 0, 3)
+    // inserts are exactly the range's APPENDS; the compaction contributes
+    // nothing (its dir duplicates v0+v1) and must not force the diff path
+    assert(d.queryExecution.optimizedPlan.toString.indexOf("Except") < 0,
+      "compact-only range fell back to the exceptAll diff")
+    assert(d.collect().map(r => (r.getInt(0), r.getAs[String]("_change_type")))
+      .toSet == Set((2, "insert"), (3, "insert")))
+  }
+
   test("concurrent delete+merge rewrites serialize: no lost update") {
     import org.apache.spark.sql.functions.col
     val sink = new VersionedParquetSink(TestSpark.tmpDir("vrewrace"))
