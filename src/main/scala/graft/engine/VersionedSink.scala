@@ -219,8 +219,8 @@ final class VersionedParquetSink(basePath: String,
       .getOrElse("")
     val compField = compacts.map(c => s""","compacts":$c""").getOrElse("") +
       op.map(o => s""","op":"$o"""").getOrElse("")
-    val schemaB64 = Base64.getEncoder.encodeToString(
-      schemaDdl.getBytes(StandardCharsets.UTF_8))
+    def b64enc(s: String): String =
+      Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     var reuse = snapshot // first attempt only; retries re-read under the lock
     while (true) {
       val claimed: Option[Option[Long]] = // None=retry, Some(None)=key lost
@@ -268,6 +268,21 @@ final class VersionedParquetSink(basePath: String,
               }
             }
             val attempt = entries.lastOption.map(_.version + 1).getOrElse(0L)
+            // A compaction's DDL must be the LATEST committed DDL, not
+            // its caller's snapshot: a schema-evolution append racing
+            // past the compaction's base is non-conflicting (its data
+            // dir stays in the scan set), but committing the snapshot's
+            // pre-evolution DDL on top of it would make every later
+            // reader project the evolved column away — silent column
+            // loss. The folded rows simply read the evolved column as
+            // null, exactly like any pre-evolution file. delete/merge
+            // never get here stale (requireBase aborts on ANY newer
+            // commit), so using the latest DDL is correct for every
+            // rewrite.
+            val effectiveDdl =
+              if (rewriteOnlyConflict)
+                entries.lastOption.flatMap(_.schemaDdl).getOrElse(schemaDdl)
+              else schemaDdl
             // Write the FULL marker body to a temp file, then atomically
             // rename it to <n>.commit. create-then-write would make an
             // EMPTY marker visible first — readers would throw on it and
@@ -276,7 +291,7 @@ final class VersionedParquetSink(basePath: String,
             val out = f.create(tmp, true)
             try {
               out.write(
-                s"""{"version":$attempt,"dir":"$unique"$keyField$compField,"schemaB64":"$schemaB64","ts":"${java.time.Instant.now}"}"""
+                s"""{"version":$attempt,"dir":"$unique"$keyField$compField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
                   .getBytes(StandardCharsets.UTF_8))
             } finally out.close()
             val marker = new Path(s"${commitDir(table)}/$attempt.commit")
@@ -348,22 +363,8 @@ final class VersionedParquetSink(basePath: String,
     // concurrent delete/merge/compaction re-derives from the fresh
     // snapshot (concurrent APPENDS never abort it — they stay visible
     // past the compaction's high-water mark)
-    val maxAttempts = 5
-    var attempt = 0
-    while (true) {
-      val entries = manifest(spark, table)
-      require(entries.nonEmpty, s"nothing to compact for $table")
-      val replayed = commitKey.flatMap(k =>
-        entries.find(_.key.contains(k)).map(_.version))
-      replayed.foreach(v => return v)
-      try return doCompact(spark, table, entries, targetFiles, commitKey)
-      catch {
-        case e: VersionedParquetSink.ConcurrentRewriteException =>
-          attempt += 1
-          if (attempt >= maxAttempts) throw e // livelock guard
-      }
-    }
-    -1L // unreachable
+    retryingRewrite(spark, table, "compact", commitKey)(entries =>
+      doCompact(spark, table, entries, targetFiles, commitKey))
   }
 
   private def doCompact(spark: SparkSession, table: String,
@@ -449,13 +450,13 @@ final class VersionedParquetSink(basePath: String,
     } finally if (!preCached) { updates.unpersist(); () }
   }
 
-  /** The shared copy-on-write loop: derive the new table content from the
-    * current snapshot, write it to a unique dir, commit with
-    * `compacts = baseVersion` (supersedes what it was derived from), and
-    * retry from a FRESH snapshot when the serializability check aborts. */
-  private def rewriteWith(spark: SparkSession, table: String, opName: String,
-      commitKey: Option[String],
-      transform: DataFrame => DataFrame): Long = {
+  /** Optimistic-retry scaffold shared by compact/delete/merge: re-reads
+    * the manifest each attempt, short-circuits keyed replays to the
+    * original version, and retries `body` from the fresh manifest when a
+    * rewrite-conflict abort escapes — with a bounded livelock guard. */
+  private def retryingRewrite(spark: SparkSession, table: String,
+      opName: String, commitKey: Option[String])(
+      body: Seq[Commit] => Long): Long = {
     val maxAttempts = 5
     var attempt = 0
     while (true) {
@@ -464,23 +465,8 @@ final class VersionedParquetSink(basePath: String,
       val replayed = commitKey.flatMap(k =>
         entries.find(_.key.contains(k)).map(_.version))
       replayed.foreach(v => return v)
-      val baseV = entries.last.version
-      val out = transform(readAt(spark, table, baseV))
-      val unique = s"d-${UUID.randomUUID()}"
-      out.write.mode(SaveMode.ErrorIfExists)
-        .parquet(s"${tableDir(table)}/$unique")
-      try {
-        return commitLoop(spark, table, unique, commitKey,
-          compacts = Some(baseV),
-          schemaDdl = entries.last.schemaDdl.getOrElse(out.schema.toDDL),
-          cleanupOnKeyLoss = true, requireBase = Some(baseV),
-          op = Some(opName))
-          // None = a same-key racer committed first; report its version
-          .orElse(commitKey.flatMap(k =>
-            manifest(spark, table).find(_.key.contains(k)).map(_.version)))
-          .getOrElse(throw new IllegalStateException(
-            s"$opName of $table lost the commit race with no keyed winner"))
-      } catch {
+      try return body(entries)
+      catch {
         case e: VersionedParquetSink.ConcurrentRewriteException =>
           attempt += 1
           if (attempt >= maxAttempts) throw e // livelock guard: surface it
@@ -488,6 +474,31 @@ final class VersionedParquetSink(basePath: String,
     }
     -1L // unreachable
   }
+
+  /** The shared copy-on-write loop: derive the new table content from the
+    * current snapshot, write it to a unique dir, commit with
+    * `compacts = baseVersion` (supersedes what it was derived from), and
+    * retry from a FRESH snapshot when the serializability check aborts. */
+  private def rewriteWith(spark: SparkSession, table: String, opName: String,
+      commitKey: Option[String],
+      transform: DataFrame => DataFrame): Long =
+    retryingRewrite(spark, table, opName, commitKey) { entries =>
+      val baseV = entries.last.version
+      val out = transform(readAt(spark, table, baseV))
+      val unique = s"d-${UUID.randomUUID()}"
+      out.write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${tableDir(table)}/$unique")
+      commitLoop(spark, table, unique, commitKey,
+        compacts = Some(baseV),
+        schemaDdl = entries.last.schemaDdl.getOrElse(out.schema.toDDL),
+        cleanupOnKeyLoss = true, requireBase = Some(baseV),
+        op = Some(opName))
+        // None = a same-key racer committed first; report its version
+        .orElse(commitKey.flatMap(k =>
+          manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+        .getOrElse(throw new IllegalStateException(
+          s"$opName of $table lost the commit race with no keyed winner"))
+    }
 
   /** Change-data-feed between two versions (Delta CDF parity): the rows
     * added and removed going from `fromV` to `toV`, tagged with a

@@ -32,16 +32,11 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Linear min-max bucketing of a numeric column into [0, 2^bits): the
-    * monotone scale z-ordering needs. The column's min/max are computed
-    * distributed and collected as TWO scalars (constant-folded into the
-    * bucketing expression). A constant column buckets to 0. */
-  private def bucketed(df: DataFrame, c: String, bits: Int): Column = {
-    val row = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
-    require(!row.isNullAt(0) && !row.isNullAt(1),
-      s"z-order column '$c' is all-null")
-    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-    val buckets = 1 << bits
+  /** Linear min-max bucketing of a numeric column into [0, 2^bits) given
+    * its collected bounds: the monotone scale z-ordering needs. A
+    * constant column buckets to 0. */
+  private def bucketed(c: String, lo: Double, hi: Double, bits: Int): Column = {
+    val buckets = 1L << bits // 1 << 31 would overflow Int to negative
     if (hi == lo) lit(0L)
     else least(
       floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets),
@@ -57,7 +52,17 @@ object ZOrder {
     * Null keys bucket lowest (sorted first), matching a sorted write. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
       numFiles: Int = 8, bits: Int = 16): Unit = {
-    val z = zValue(bucketed(df, colA, bits), bucketed(df, colB, bits), bits)
+    // ONE aggregate job collects both columns' bounds (four scalars) —
+    // a per-column agg would scan the input twice before the write scan
+    val row = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    for ((c, i) <- Seq(colA -> 0, colB -> 2))
+      require(!row.isNullAt(i) && !row.isNullAt(i + 1),
+        s"z-order column '$c' is all-null")
+    val z = zValue(
+      bucketed(colA, row.getDouble(0), row.getDouble(1), bits),
+      bucketed(colB, row.getDouble(2), row.getDouble(3), bits), bits)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")

@@ -96,10 +96,14 @@ object TrainingQueries {
           .orderBy(desc("n"), asc("bigram"))
           .limit(25)
       },
+      // Oracle note: same constant-range workaround as q_chunk (DuckDB
+      // can't lateral-join range() on a column) — the 4096 bound caps
+      // ORACLE bigrams at 4096 words/doc (testdata max is 100; Spark
+      // side is uncapped).
       Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
              len(str_split(text, ' ')) AS nw FROM documents),
              b AS (SELECT ws[t.i] || ' ' || ws[t.i + 1] AS bigram
-                   FROM w CROSS JOIN range(1, 512) t(i) WHERE t.i <= nw - 1)
+                   FROM w CROSS JOIN range(1, 4096) t(i) WHERE t.i <= nw - 1)
              SELECT bigram, count(*) AS n FROM b GROUP BY 1
              ORDER BY n DESC, bigram LIMIT 25""")),
 

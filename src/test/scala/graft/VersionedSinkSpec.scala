@@ -390,6 +390,40 @@ class VersionedSinkSpec extends AnyFunSuite {
       s"merge lost: $m")
   }
 
+  test("compact racing a schema-evolution append keeps the evolved DDL") {
+    // a compaction commits the LATEST committed DDL, not its snapshot's:
+    // an evolution append landing between the compaction's base and its
+    // claim is non-conflicting (its dir stays scanned), but committing
+    // the stale pre-evolution DDL on top of it would project the new
+    // column away for every later reader. The race window is tiny, so
+    // run the interleaving several times — the assertion must hold for
+    // every outcome (evolution before, during, or after the compact).
+    for (i <- 0 until 4) {
+      val sink = new VersionedParquetSink(TestSpark.tmpDir(s"vevco$i"))
+      sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      try {
+        Seq(
+          () => sink.append(Seq((2, "b", 9L)).toDF("id", "v", "extra"), "t",
+            allowEvolution = true),
+          () => { sink.compact(spark, "t"); () }
+        ).map { task =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try task() catch { case e: Throwable => errors.add(e) }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      assert(errors.isEmpty, s"race errors: ${errors.toArray.mkString("; ")}")
+      val read = sink.read(spark, "t")
+      assert(read.columns.contains("extra"),
+        s"evolved column lost after compact race (iteration $i)")
+      assert(read.filter($"id" === 2).select("extra").head().getLong(0) == 9L)
+      assert(read.count() == 2)
+    }
+  }
+
   test("concurrent compact cannot resurrect a racing delete's rows") {
     import org.apache.spark.sql.functions.col
     val sink = new VersionedParquetSink(TestSpark.tmpDir("vcompdel"))
