@@ -63,10 +63,40 @@ object ZOrder {
     val z = zValue(
       bucketed(colA, row.getDouble(0), row.getDouble(1), bits),
       bucketed(colB, row.getDouble(2), row.getDouble(3), bits), bits)
+    writeByZ(df, z, path, numFiles)
+  }
+
+  /** Equi-depth (quantile) variant for SKEWED columns: bucket boundaries
+    * come from approxQuantile, so every bucket holds ~equal row counts
+    * where min-max scaling would collapse the mass into one bucket and
+    * lose that column's locality entirely (e.g. zipfian activity
+    * counts). `bits` is small by design (2^bits - 1 boundary literals
+    * per column are baked into the bucketing expression); the boundary
+    * computation is one distributed approx-quantile pass over both
+    * columns. */
+  def writeZOrderedQuantile(df: DataFrame, colA: String, colB: String,
+      path: String, numFiles: Int = 8, bits: Int = 8,
+      relativeError: Double = 0.001): Unit = {
+    require(bits >= 1 && bits <= 12, s"quantile bits must be in [1,12], got $bits")
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val Array(boundsA, boundsB) =
+      df.stat.approxQuantile(Array(colA, colB), probs, relativeError)
+    def qBucket(c: String, bounds: Array[Double]): Column = {
+      val arr = array(bounds.map(lit): _*)
+      // bucket = #boundaries <= x; nulls fail every comparison -> bucket 0
+      // (lowest, same contract as the min-max variant)
+      size(filter(arr, b => col(c).cast("double") >= b)).cast("long")
+    }
+    val z = zValue(qBucket(colA, boundsA), qBucket(colB, boundsB), bits)
+    writeByZ(df, z, path, numFiles)
+  }
+
+  private def writeByZ(df: DataFrame, z: Column, path: String,
+      numFiles: Int): Unit =
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path) // OPTIMIZE-style rewrite
-  }
 }

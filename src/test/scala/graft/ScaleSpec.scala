@@ -164,4 +164,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(filesTouched(zordered, predB) <= files / 2,
       s"z-layout lost b-locality: ${filesTouched(zordered, predB)}")
   }
+
+  test("quantile z-order keeps locality on a SKEWED column where min-max collapses") {
+    // RANGE skew: a is uniform in [0,1000) except one 10^9 outlier. The
+    // outlier stretches min-max's scale so the entire real mass lands in
+    // bucket 0 — column a's locality is gone and any a-predicate
+    // scatters by b across all files. Equi-depth boundaries ignore the
+    // outlier (it is one row of mass) and keep a's locality.
+    val rng = new scala.util.Random(11)
+    val data = ((1 to 20000).map { _ =>
+      (rng.nextInt(1000), rng.nextInt(1000), rng.nextInt())
+    } :+ ((1000000000, 0, 0))).toDF("a", "b", "payload")
+    val files = 16
+
+    val minmax = TestSpark.tmpDir("zq_minmax")
+    graft.engine.ZOrder.writeZOrdered(data, "a", "b", minmax, numFiles = files)
+    val quant = TestSpark.tmpDir("zq_quant")
+    graft.engine.ZOrder.writeZOrderedQuantile(data, "a", "b", quant,
+      numFiles = files)
+
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(col("_metadata.file_path")).distinct().count()
+
+    val dense = col("a").between(100, 149) // 5% slice inside the real mass
+    val m = spark.read.parquet(minmax).filter(dense)
+    val q = spark.read.parquet(quant).filter(dense)
+    assert(m.exceptAll(q).isEmpty && q.exceptAll(m).isEmpty)
+
+    val mTouched = filesTouched(minmax, dense)
+    val qTouched = filesTouched(quant, dense)
+    // min-max: all 20k real rows share bucket 0, z scatters them by b
+    assert(mTouched >= files - 2, s"expected min-max to scatter: $mTouched")
+    assert(qTouched <= files / 2,
+      s"quantile layout should bound the dense predicate: $qTouched vs $mTouched")
+  }
 }
