@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance on the sink's change feed —
+  * the consumer-side payoff of [[VersionedParquetSink.changesBetween]]:
+  * a per-key aggregate view refreshed by reading ONLY the source
+  * versions since the last refresh, never rescanning the table.
+  *
+  * The maintained view is `SELECT key, count(*) AS n, sum(value) AS
+  * total GROUP BY key`, the shape behind most freshness dashboards and
+  * feature stores. Inserts increment, deletes decrement (an upsert in
+  * the feed is a delete + insert, so updates net out correctly); keys
+  * whose count reaches zero are removed from the view.
+  *
+  * Exactness: `total` is stored as DECIMAL(18,2) so incremental
+  * increments are bit-equal to a full recompute at any point — a double
+  * column would drift after enough refreshes.
+  *
+  * Scale shape: one groupBy over the CHANGE ROWS (O(changes) on
+  * append-only ranges — the fast path survives compactions), one keyed
+  * outer join against the current view, then one merge + one keyed
+  * anti-join delete on the view table. Nothing scans the source table
+  * and nothing collects.
+  */
+object IncrementalView {
+
+  /** Apply the source changes in `(fromV, toV]` to the view table.
+    * `fromV = -1` bootstraps the view from the full history. Returns
+    * `toV` (the caller persists it as the next refresh's `fromV`).
+    * Refreshes are made replayable by keying the view commits on the
+    * version range, so a crashed-and-retried refresh cannot double-apply
+    * its delta. */
+  def refreshAggregate(spark: SparkSession, sink: VersionedParquetSink,
+      src: String, view: String, keyCol: String, valueCol: String,
+      fromV: Long, toV: Long): Long = {
+    val changes = sink.changesBetween(spark, src, fromV, toV)
+    val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
+    val delta = changes.groupBy(col(keyCol))
+      .agg(sum(sign).cast("long").as("dn"),
+        sum(col(valueCol).cast("decimal(18,2)") * sign)
+          .cast("decimal(18,2)").as("dtotal"))
+
+    val rangeKey = s"ivm:$src->$view:$fromV..$toV"
+    if (!sink.exists(spark, view)) {
+      // bootstrap: the delta IS the view (still O(changes) via the CDF
+      // fast path when the source history is append-only)
+      val seeded = delta.filter(col("dn") > 0)
+        .select(col(keyCol), col("dn").as("n"), col("dtotal").as("total"))
+      sink.appendOnce(seeded, view, rangeKey)
+      return toV
+    }
+
+    val current = sink.read(spark, view)
+    // right join: only delta-touched keys flow into the merge (untouched
+    // keys stay as-is in the view — merge leaves unmatched rows alone),
+    // keeping the refresh O(changes) end to end
+    val merged = current
+      .join(delta, Seq(keyCol), "right")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("dtotal"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("total"))
+    // keys still live -> upsert; keys emptied by deletes -> drop from view
+    sink.merge(spark, view, merged.filter(col("n") > 0),
+      Seq(keyCol), commitKey = Some(s"$rangeKey:merge"))
+    val gone = merged.filter(col("n") <= 0).select(col(keyCol))
+    if (!gone.isEmpty)
+      sink.deleteMatching(spark, view, gone, Seq(keyCol),
+        commitKey = Some(s"$rangeKey:delete"))
+    toV
+  }
+}

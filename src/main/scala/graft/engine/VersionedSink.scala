@@ -416,6 +416,19 @@ final class VersionedParquetSink(basePath: String,
     rewriteWith(spark, table, "delete", commitKey,
       snap => snap.filter(!coalesce(condition, lit(false))))
 
+  /** DELETE by key list (the GDPR/right-to-erasure shape): remove every
+    * row whose `keyCols` match a row of `keys` — a DISTRIBUTED anti-join
+    * rewrite, so the key list can itself be table-sized (a predicate
+    * `isin` collapses at scale; this never collects). Same serializable
+    * commit + replay semantics as [[delete]]. */
+  def deleteMatching(spark: SparkSession, table: String, keys: DataFrame,
+      keyCols: Seq[String], commitKey: Option[String] = None): Long = {
+    require(keyCols.nonEmpty, "deleteMatching requires at least one key column")
+    rewriteWith(spark, table, "delete", commitKey, snap =>
+      snap.join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti"))
+  }
+
   /** MERGE/upsert (Delta `MERGE WHEN MATCHED UPDATE SET * WHEN NOT
     * MATCHED INSERT *` parity): every snapshot row whose `keyCols` match
     * an `updates` row is replaced by it; unmatched `updates` rows are

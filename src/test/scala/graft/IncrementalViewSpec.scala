@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{IncrementalView, VersionedParquetSink}
+
+/** The CDF consumer path: a per-key aggregate view maintained from
+  * changesBetween must equal a full recompute after every refresh —
+  * across appends, compactions (fast path), deletes and merges (diff
+  * path), including replayed refreshes. */
+class IncrementalViewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fullRecompute(src: DataFrame): DataFrame =
+    src.groupBy("k").agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,2)")).as("total"))
+
+  private def assertViewMatches(sink: VersionedParquetSink): Unit = {
+    val view = sink.read(spark, "view").select("k", "n", "total")
+    val full = fullRecompute(sink.read(spark, "src"))
+    assert(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      s"view ${view.collect().toSeq} != full ${full.collect().toSeq}")
+  }
+
+  test("incremental refresh equals full recompute across appends, compact, DML") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("ivm"))
+
+    // bootstrap from two appends
+    sink.append(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("k", "v"), "src")
+    sink.append(Seq(("b", 5.0), ("c", 7.0)).toDF("k", "v"), "src")
+    var last = IncrementalView.refreshAggregate(spark, sink, "src", "view",
+      "k", "v", fromV = -1L, toV = sink.latestVersion(spark, "src").get)
+    assertViewMatches(sink)
+
+    // appends + a compaction: the refresh stays on the CDF fast path
+    sink.append(Seq(("a", 3.0), ("d", 1.5)).toDF("k", "v"), "src")
+    sink.compact(spark, "src")
+    sink.append(Seq(("d", 2.5)).toDF("k", "v"), "src")
+    val to2 = sink.latestVersion(spark, "src").get
+    val changes = sink.changesBetween(spark, "src", last, to2)
+    assert(changes.queryExecution.optimizedPlan.toString.indexOf("Except") < 0,
+      "append+compact range should use the CDF fast path")
+    last = IncrementalView.refreshAggregate(spark, sink, "src", "view",
+      "k", "v", last, to2)
+    assertViewMatches(sink)
+
+    // delete empties key b entirely and trims a; merge upserts c
+    sink.delete(spark, "src", col("k") === "b" || col("v") === 1.0)
+    sink.merge(spark, "src",
+      Seq(("c", 100.0)).toDF("k", "v"), Seq("k")) // replaces c's single row
+    val to3 = sink.latestVersion(spark, "src").get
+    last = IncrementalView.refreshAggregate(spark, sink, "src", "view",
+      "k", "v", last, to3)
+    assertViewMatches(sink)
+    // key b must be GONE from the view, not present with n=0
+    assert(sink.read(spark, "view").filter($"k" === "b").isEmpty)
+
+    // a crashed-and-replayed refresh of the same range is a no-op
+    val versionsBefore = sink.versions(spark, "view").size
+    IncrementalView.refreshAggregate(spark, sink, "src", "view",
+      "k", "v", to2, to3)
+    assertViewMatches(sink)
+    assert(sink.versions(spark, "view").size == versionsBefore,
+      "replayed refresh must not commit new view versions")
+  }
+
+  test("deleteMatching removes exactly the listed keys, distributed") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("ivmdel"))
+    sink.append((1 to 100).map(i => (i.toLong, s"u$i")).toDF("id", "v"), "t")
+    val doomed = Seq(3L, 7L, 50L).toDF("id")
+    sink.deleteMatching(spark, "t", doomed, Seq("id"))
+    val ids = sink.read(spark, "t").select("id").as[Long].collect().toSet
+    assert(ids == (1L to 100L).toSet -- Set(3L, 7L, 50L))
+  }
+}
