@@ -23,13 +23,23 @@ object ZOrder {
   /** Bit-interleaved z-value of two ALREADY-BUCKETED non-negative ints
     * in [0, 2^bits): bit i of `a` lands at position 2i, bit i of `b` at
     * 2i+1. Bits are disjoint, so OR assembles the value. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** N-column round-robin interleave (bit i of column k lands at
+    * position i*N + k) — the general OPTIMIZE ZORDER BY (c1..cN) form.
+    * Total interleaved width must fit a signed long. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zValueN requires at least one column")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits*columns must be in [1,63], got $bits x ${cols.size}")
+    val n = cols.size
+    (for {
+      i <- 0 until bits
+      (c, k) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + k))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Linear min-max bucketing of a numeric column into [0, 2^bits) given

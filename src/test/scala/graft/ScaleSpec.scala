@@ -165,6 +165,17 @@ class ScaleSpec extends AnyFunSuite {
       s"z-layout lost b-locality: ${filesTouched(zordered, predB)}")
   }
 
+  test("zValueN interleaves round-robin: bit i of column k at position i*N+k") {
+    val row = spark.range(1).select(
+      graft.engine.ZOrder.zValueN(Seq(lit(1L), lit(1L), lit(1L)), bits = 1).as("a"),
+      graft.engine.ZOrder.zValueN(Seq(lit(2L), lit(0L), lit(1L)), bits = 2).as("b"),
+      // 2-column form must equal the documented pairwise layout
+      graft.engine.ZOrder.zValue(lit(3L), lit(1L), bits = 2).as("c")).head()
+    assert(row.getLong(0) == 7L)  // 0b111
+    assert(row.getLong(1) == 12L) // c0 bit1 -> pos 3 (8), c2 bit0 -> pos 2 (4)
+    assert(row.getLong(2) == 7L)  // a bits at 0,2 (5) | b bit at 1 (2)
+  }
+
   test("quantile z-order keeps locality on a SKEWED column where min-max collapses") {
     // RANGE skew: a is uniform in [0,1000) except one 10^9 outlier. The
     // outlier stretches min-max's scale so the entire real mass lands in
