@@ -29,9 +29,14 @@ object IncrementalView {
   /** Apply the source changes in `(fromV, toV]` to the view table.
     * `fromV = -1` bootstraps the view from the full history. Returns
     * `toV` (the caller persists it as the next refresh's `fromV`).
-    * Refreshes are made replayable by keying the view commits on the
-    * version range, so a crashed-and-retried refresh cannot double-apply
-    * its delta. */
+    *
+    * Every refresh commits EXACTLY ONCE under the range-derived key —
+    * the bootstrap append and the upsert+delete (one atomic
+    * [[VersionedParquetSink.applyChanges]] commit) share the same key,
+    * so a crashed-and-retried refresh is a keyed no-op at ANY crash
+    * point. Splitting the upsert and delete into two keyed commits is
+    * NOT replay-safe: a retry after the first commit would re-derive
+    * the delta against the already-updated view and delete live keys. */
   def refreshAggregate(spark: SparkSession, sink: VersionedParquetSink,
       src: String, view: String, keyCol: String, valueCol: String,
       fromV: Long, toV: Long): Long = {
@@ -55,7 +60,8 @@ object IncrementalView {
     val current = sink.read(spark, view)
     // right join: only delta-touched keys flow into the merge (untouched
     // keys stay as-is in the view — merge leaves unmatched rows alone),
-    // keeping the refresh O(changes) end to end
+    // keeping the refresh O(changes) end to end. Cached: it feeds the
+    // upsert branch AND the delete-keys branch of the single commit.
     val merged = current
       .join(delta, Seq(keyCol), "right")
       .select(col(keyCol),
@@ -63,13 +69,15 @@ object IncrementalView {
         (coalesce(col("total"), lit(0).cast("decimal(18,2)")) +
           coalesce(col("dtotal"), lit(0).cast("decimal(18,2)")))
           .cast("decimal(18,2)").as("total"))
-    // keys still live -> upsert; keys emptied by deletes -> drop from view
-    sink.merge(spark, view, merged.filter(col("n") > 0),
-      Seq(keyCol), commitKey = Some(s"$rangeKey:merge"))
-    val gone = merged.filter(col("n") <= 0).select(col(keyCol))
-    if (!gone.isEmpty)
-      sink.deleteMatching(spark, view, gone, Seq(keyCol),
-        commitKey = Some(s"$rangeKey:delete"))
+      .cache()
+    try {
+      // keys still live -> upsert; keys emptied by deletes -> drop —
+      // both in ONE commit keyed by the range (replay = no-op)
+      sink.applyChanges(spark, view,
+        upserts = merged.filter(col("n") > 0),
+        deleteKeys = merged.filter(col("n") <= 0).select(col(keyCol)),
+        keyCols = Seq(keyCol), commitKey = Some(rangeKey))
+    } finally { merged.unpersist(); () }
     toV
   }
 }

@@ -441,26 +441,42 @@ final class VersionedParquetSink(basePath: String,
     * `updates` is a trickle — the common CDC shape — else shuffle) plus a
     * union; nothing collects. */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-      keyCols: Seq[String], commitKey: Option[String] = None): Long = {
-    require(keyCols.nonEmpty, "merge requires at least one key column")
-    // updates is evaluated at least twice (dup-key guard + the rewrite,
+      keyCols: Seq[String], commitKey: Option[String] = None): Long =
+    applyChanges(spark, table, updates,
+      updates.select(keyCols.map(col): _*).limit(0), keyCols, commitKey)
+
+  /** MERGE that also DELETES (Delta's `WHEN MATCHED THEN DELETE` arm in
+    * the same statement): upsert every `upserts` row and remove every
+    * row matching `deleteKeys`, in ONE serializable commit — a caller
+    * needing both (e.g. incremental view maintenance) gets single-key
+    * replay semantics instead of a crash window between two commits.
+    * An upserted key also listed in `deleteKeys` ends up upserted (the
+    * union applies after the anti-join). */
+  def applyChanges(spark: SparkSession, table: String, upserts: DataFrame,
+      deleteKeys: DataFrame, keyCols: Seq[String],
+      commitKey: Option[String] = None): Long = {
+    require(keyCols.nonEmpty, "applyChanges requires at least one key column")
+    // upserts is evaluated at least twice (dup-key guard + the rewrite,
     // which reads it for the anti-join AND the union) — cache it for the
     // duration unless the caller already did
     val preCached =
-      updates.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    if (!preCached) updates.cache()
+      upserts.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!preCached) upserts.cache()
     try {
-      val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      val dupKeys = upserts.groupBy(keyCols.map(col): _*)
         .count().filter(col("count") > 1).limit(1).count()
       require(dupKeys == 0,
         s"merge into '$table': updates carry duplicate rows for some " +
           s"(${keyCols.mkString(", ")}) key — ambiguous merge")
       rewriteWith(spark, table, "merge", commitKey, { snap =>
-        SchemaCheck.enforceAppend(table, Some(snap.schema), updates.schema)
-        snap.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(updates.select(snap.columns.map(col): _*))
+        SchemaCheck.enforceAppend(table, Some(snap.schema), upserts.schema)
+        val touched = upserts.select(keyCols.map(col): _*)
+          .unionByName(deleteKeys.select(keyCols.map(col): _*))
+          .distinct()
+        snap.join(touched, keyCols, "left_anti")
+          .unionByName(upserts.select(snap.columns.map(col): _*))
       })
-    } finally if (!preCached) { updates.unpersist(); () }
+    } finally if (!preCached) { upserts.unpersist(); () }
   }
 
   /** Optimistic-retry scaffold shared by compact/delete/merge: re-reads

@@ -81,9 +81,7 @@ object ExtendedQueries {
     // no coordination; the scale-correct way to split 100 TB.
     Q("q_train_split",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-            1, 4), 16, 10).cast("int") % 10).as("hv"))
+        .select(col("doc_id"), (Helpers.hash16(col("doc_id")) % 10).as("hv"))
         .select(col("doc_id"),
           when(col("hv") < 8, "train")
             .when(col("hv") < 9, "valid")

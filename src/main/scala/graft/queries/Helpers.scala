@@ -20,11 +20,18 @@ import org.apache.spark.sql.functions._
   *  - [[dsum]]: double sums through DECIMAL(18,2) (exact,
   *    order-independent), converted to double once at the end.
   */
-private[queries] object Helpers {
+private[graft] object Helpers {
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
   def ntz(c: Column): Column = c.cast("timestamp_ntz")
   def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Spark-side 16-bit id hash (0..65535): first 4 hex chars of
+    * md5(id-as-string) — the acceptance/split hash of q_train_split /
+    * q_rebalance / streaming Rebalance; [[hex4]] is its oracle mirror. */
+  def hash16(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int")
 
   /** The 6-word English stopword tuple, verbatim in Spark expressions
     * and oracle SQL of q_lang_id / q_quality_score / q_text_clean. */

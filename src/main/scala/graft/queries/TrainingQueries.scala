@@ -205,9 +205,7 @@ object TrainingQueries {
           .withColumn("rate", r4(col("n_min") / col("n_lang")))
           .select("lang", "rate")
         docs.join(broadcast(rates), Seq("lang"))
-          .withColumn("hv",
-            conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-              1, 4), 16, 10).cast("int"))
+          .withColumn("hv", Helpers.hash16(col("doc_id")))
           .filter(col("hv") / 65536.0 < col("rate"))
           .select("doc_id", "lang")
           .orderBy("doc_id")

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.VersionedParquetSink
+import graft.queries.Helpers
 
 /** Streaming distribution rebalancing — the incremental form of
   * q_rebalance: every micro-batch is filtered by per-group acceptance
@@ -10,26 +11,42 @@ import graft.engine.VersionedParquetSink
   * accepted corpus converges toward the smallest group's volume even as
   * the stream's mix drifts.
   *
-  * State is a tiny per-group counts table persisted ON THE SINK (one row
-  * per group, upserted via merge with batch-keyed commits), not in the
-  * streaming state store — so it survives checkpoint loss, is readable
-  * by any session, and the whole operator is exactly-once under replay
-  * (counts merge and corpus append share the batch key).
+  * State is an APPEND-ONLY per-batch counts log persisted on the sink
+  * (`countsTable`: group, n_seen, batch_key) — not the streaming state
+  * store — so it survives checkpoint loss and is readable by any
+  * session. Cumulative counts are one tiny groupBy over it.
+  *
+  * Replay contract (all writes share the batch key):
+  *  - rates are derived from the log EXCLUDING this batch's key, so a
+  *    replay that already appended its counts recomputes the IDENTICAL
+  *    rates (and therefore the identical accepted set) — a crash
+  *    between the two appends cannot change the sample;
+  *  - the corpus append additionally anti-joins the already-committed
+  *    corpus ids, so a replayed row can never duplicate even if a
+  *    caller re-batches arbitrarily;
+  *  - streaming keys are content-derived (order-independent id
+  *    fingerprint of the batch), so new files arriving between a
+  *    checkpoint loss and the replay are never silently swallowed by a
+  *    batch-id collision — and maxFilesPerTrigger=1 makes batch
+  *    composition deterministic, so post-loss replays re-form the SAME
+  *    per-file batches and the counts log never over-counts.
   *
   * Acceptance itself is the same pure per-row hash test as q_rebalance
-  * (hash(id)/2^16 < rate): no window, no per-group sort, no state beyond
-  * the |groups|-row broadcast — identical behavior in a backfill and in
-  * a stream.
+  * (hash16(id)/2^16 < rate): no window, no per-group sort, identical
+  * behavior in a backfill and in a stream.
   */
 object Rebalance {
 
   final case class Result(accepted: Long, seen: Long)
 
   /** File-stream wrapper: JSON lines with (doc_id, text, <groupCol>)
-    * rebalanced into `<prefix>corpus` with counts in `<prefix>counts`. */
+    * rebalanced into `corpusTable` with the counts log in
+    * `countsTable`. Keys are per-table, so two pipelines on one sink
+    * separate cleanly by table names. */
   def streamRebalanced(spark: SparkSession, docsDir: String,
       sink: VersionedParquetSink, checkpoint: String,
       groupCol: String = "lang",
+      corpusTable: String = "balanced", countsTable: String = "group_counts",
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -40,15 +57,33 @@ object Rebalance {
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField(groupCol,
         org.apache.spark.sql.types.StringType, nullable = false)))
-    spark.readStream.schema(schema).json(docsDir)
+    // one file per micro-batch: batch composition is then DETERMINISTIC
+    // across checkpoint loss (a replay re-forms the same per-file
+    // batches, so the content keys align and every write no-ops; without
+    // this, a replay could merge several files into one batch with a new
+    // key and double-append the counts). Throughput trade-off is the
+    // usual maxFilesPerTrigger one — ingest feeds land files steadily.
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(docsDir)
       .writeStream
       .queryName("graft-rebalance-ingest")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // content-derived key (order-independent id fingerprint):
+          // stable across checkpoint loss — a replayed batch of the same
+          // rows no-ops, while a post-loss batch that also picked up NEW
+          // files gets a NEW key, so its rows are never silently
+          // swallowed by a batch-id collision (inputFiles is empty on
+          // foreachBatch frames, so the fingerprint comes from the data)
+          val sig = batch.agg(count(lit(1)),
+            sum(crc32(col("doc_id").cast("string")))).head()
+          val key = s"rebalance-${sig.getLong(0)}-${sig.getLong(1)}"
           appendRebalanced(batch.sparkSession, sink, batch, groupCol,
-            idCol = "doc_id", batchKey = Some(s"rebalance-$batchId"))
+            idCol = "doc_id", batchKey = Some(key),
+            corpusTable = corpusTable, countsTable = countsTable)
           ()
         }
       }
@@ -56,53 +91,59 @@ object Rebalance {
   }
 
   /** Rebalance one batch against the persisted cumulative counts and
-    * append the accepted rows. `batchKey` makes both writes (counts
-    * merge + corpus append) exactly-once under replay. */
+    * append the accepted rows (see the class doc for the replay
+    * contract). */
   def appendRebalanced(spark: SparkSession, sink: VersionedParquetSink,
       rows: DataFrame, groupCol: String, idCol: String,
       batchKey: Option[String] = None,
       corpusTable: String = "balanced", countsTable: String = "group_counts")
       : Result = {
-    val batchCounts = rows.groupBy(groupCol)
-      .agg(count(lit(1)).cast("long").as("n_seen"))
-    val cum =
-      if (!sink.exists(spark, countsTable)) batchCounts
-      else sink.read(spark, countsTable)
-        .unionByName(batchCounts)
+    // ad-hoc (unkeyed) calls still need a unique log marker to exclude
+    val key = batchKey.getOrElse(s"adhoc-${java.util.UUID.randomUUID()}")
+    val cached = rows.cache()
+    try {
+      val batchCounts = cached.groupBy(col(groupCol))
+        .agg(count(lit(1)).cast("long").as("n_seen"))
+        .withColumn("batch_key", lit(key))
+      val nSeen = batchCounts.agg(sum("n_seen")).head().getLong(0)
+
+      // cumulative counts EXCLUDING this batch's key: deterministic under
+      // replay whether or not the counts append already committed
+      val prev =
+        if (!sink.exists(spark, countsTable)) batchCounts.limit(0)
+        else sink.read(spark, countsTable).filter(col("batch_key") =!= key)
+      val cum = prev.unionByName(batchCounts)
         .groupBy(groupCol)
         .agg(sum("n_seen").cast("long").as("n_seen"))
 
-    // same rate formula as q_rebalance: smallest group's cumulative
-    // volume over this group's, floor-rounded (rational)
-    val rates = cum
-      .crossJoin(broadcast(cum.agg(min("n_seen").as("n_min"))))
-      .withColumn("rate",
-        floor(col("n_min") / col("n_seen") * 10000 + 0.5) / 10000)
-      .select(col(groupCol), col("rate"))
-    val accepted = rows.join(broadcast(rates), Seq(groupCol))
-      .withColumn("hv",
-        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
-          16, 10).cast("int"))
-      .filter(col("hv") / 65536.0 < col("rate"))
-      .drop("rate", "hv")
-      .select(rows.columns.map(col): _*)
-
-    val nAccepted = accepted.count()
-    val nSeen = rows.count()
-    // counts FIRST (idempotent): a crash between the two writes replays
-    // into a keyed no-op, then the corpus append proceeds
-    val countsKey = batchKey.map(k => s"$k:counts")
-    if (!sink.exists(spark, countsTable)) {
-      countsKey match {
-        case Some(k) => sink.appendOnce(cum, countsTable, k); ()
-        case None => sink.append(cum, countsTable)
-      }
-    } else sink.merge(spark, countsTable, cum, Seq(groupCol),
-      commitKey = countsKey)
-    batchKey match {
-      case Some(k) => sink.appendOnce(accepted, corpusTable, s"$k:corpus")
-      case None => sink.append(accepted, corpusTable)
-    }
-    Result(nAccepted, nSeen)
+      // same rate formula as q_rebalance (r4 of the rational rate)
+      val rates = cum
+        .crossJoin(broadcast(cum.agg(min("n_seen").as("n_min"))))
+        .withColumn("rate", Helpers.r4(col("n_min") / col("n_seen")))
+        .select(col(groupCol), col("rate"))
+      val sampled = cached.join(broadcast(rates), Seq(groupCol))
+        .filter(Helpers.hash16(col(idCol)) / 65536.0 < col("rate"))
+        .select(cached.columns.map(col): _*)
+      // id-level dedup vs the committed corpus: a re-batched replay
+      // (checkpoint loss) can never append the same row twice
+      val accepted = (
+        if (!sink.exists(spark, corpusTable)) sampled
+        else sampled.join(
+          sink.read(spark, corpusTable).select(col(idCol)), Seq(idCol),
+          "left_anti")
+      ).cache() // consumed by the count AND the corpus write
+      try {
+        val nAccepted = accepted.count()
+        batchKey match {
+          case Some(k) =>
+            sink.appendOnce(batchCounts, countsTable, s"$k:counts")
+            sink.appendOnce(accepted, corpusTable, s"$k:corpus")
+          case None =>
+            sink.append(batchCounts, countsTable)
+            sink.append(accepted, corpusTable)
+        }
+        Result(nAccepted, nSeen)
+      } finally { accepted.unpersist(); () }
+    } finally { cached.unpersist(); () }
   }
 }

@@ -66,6 +66,41 @@ class IncrementalViewSpec extends AnyFunSuite {
       "replayed refresh must not commit new view versions")
   }
 
+  test("replayed refresh whose first run deleted nothing cannot delete live keys") {
+    // regression: with the two-commit (merge + delete) design, a replay
+    // re-derived the delta against the already-updated view, saw n drop
+    // to 0 and deleted a LIVE key; the single applyChanges commit makes
+    // the whole refresh a keyed no-op instead
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("ivmrep"))
+    sink.append(Seq(("x", 1.0), ("x", 2.0)).toDF("k", "v"), "src")
+    var last = IncrementalView.refreshAggregate(spark, sink, "src", "view",
+      "k", "v", -1L, sink.latestVersion(spark, "src").get)
+    // one row of x deleted: dn = -1, x stays live at n=1, NO delete commit
+    sink.delete(spark, "src", $"v" === 2.0)
+    val to = sink.latestVersion(spark, "src").get
+    IncrementalView.refreshAggregate(spark, sink, "src", "view", "k", "v", last, to)
+    assert(sink.read(spark, "view").filter($"k" === "x").head().getLong(1) == 1L)
+    // crash-and-replay of the same range: x must SURVIVE with n=1
+    IncrementalView.refreshAggregate(spark, sink, "src", "view", "k", "v", last, to)
+    val x = sink.read(spark, "view").filter($"k" === "x").collect()
+    assert(x.length == 1 && x.head.getLong(1) == 1L,
+      s"replay corrupted the view: ${x.toSeq}")
+  }
+
+  test("crashed-and-retried bootstrap cannot double the view") {
+    // regression: the bootstrap committed under `rangeKey` but a retry
+    // took the merge path keyed `rangeKey:merge`, doubling every count;
+    // both paths now share the same key
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("ivmboot"))
+    sink.append(Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v"), "src")
+    val to = sink.latestVersion(spark, "src").get
+    IncrementalView.refreshAggregate(spark, sink, "src", "view", "k", "v", -1L, to)
+    // caller crashed before persisting toV; same bootstrap range retried
+    IncrementalView.refreshAggregate(spark, sink, "src", "view", "k", "v", -1L, to)
+    assertViewMatches(sink)
+    assert(sink.read(spark, "view").filter($"k" === "a").head().getLong(1) == 2L)
+  }
+
   test("deleteMatching removes exactly the listed keys, distributed") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("ivmdel"))
     sink.append((1 to 100).map(i => (i.toLong, s"u$i")).toDF("id", "v"), "t")

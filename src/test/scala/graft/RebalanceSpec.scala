@@ -8,6 +8,11 @@ class RebalanceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def cumCounts(sink: VersionedParquetSink): Map[String, Long] =
+    sink.read(spark, "group_counts").groupBy("lang")
+      .sum("n_seen").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+
   test("batch rebalancing converges toward the smallest group's volume") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("rbb"))
     // 10:1 skew — en should be accepted at ~10% rate, de fully
@@ -21,10 +26,8 @@ class RebalanceSpec extends AnyFunSuite {
     // hash acceptance at rate 0.1 over 500 docs: allow generous noise
     assert(byLang("en") >= 25 && byLang("en") <= 85,
       s"en should be downsampled to ~50: $byLang")
-    // counts table carries the cumulative distribution
-    val counts = sink.read(spark, "group_counts").collect()
-      .map(x => x.getString(0) -> x.getLong(1)).toMap
-    assert(counts == Map("en" -> 500L, "de" -> 50L))
+    // counts log carries the cumulative distribution
+    assert(cumCounts(sink) == Map("en" -> 500L, "de" -> 50L))
   }
 
   test("streaming rebalance: cumulative rates adapt, replay is exactly-once") {
@@ -47,19 +50,54 @@ class RebalanceSpec extends AnyFunSuite {
     Files.write(Paths.get(docsDir, "b2.json"),
       (41 to 540).map(i => line(i, "en")).mkString("\n").getBytes)
     Rebalance.streamRebalanced(spark, docsDir, sink, ckpt).awaitTermination()
-    val counts = sink.read(spark, "group_counts").collect()
-      .map(x => x.getString(0) -> x.getLong(1)).toMap
-    assert(counts == Map("en" -> 520L, "de" -> 20L), s"got $counts")
+    assert(cumCounts(sink) == Map("en" -> 520L, "de" -> 20L))
     val accepted2 = sink.read(spark, "balanced").count()
     assert(accepted2 >= 40 && accepted2 <= 40 + 80,
       s"flood should be heavily downsampled, got ${accepted2 - 40} of 500")
 
-    // catastrophic restart: checkpoint LOST — batch-keyed commits absorb
-    // the full replay with no double counts and no double appends
+    // catastrophic restart: checkpoint LOST — content-derived batch keys
+    // absorb the replay of the SAME files with no double counts/appends
     val ckpt2 = TestSpark.tmpDir("rbs_ck2")
     Rebalance.streamRebalanced(spark, docsDir, sink, ckpt2).awaitTermination()
     assert(sink.read(spark, "balanced").count() == accepted2)
-    assert(sink.read(spark, "group_counts").collect()
-      .map(x => x.getString(0) -> x.getLong(1)).toMap == counts)
+    assert(cumCounts(sink) == Map("en" -> 520L, "de" -> 20L))
+
+    // checkpoint lost AGAIN and a NEW file arrived before the restart:
+    // the replayed batch now holds old + new files under a NEW content
+    // key, so the new rows must land (a batch-id key would silently
+    // swallow them) while the old rows never duplicate (id anti-join)
+    Files.write(Paths.get(docsDir, "b3.json"),
+      (1001 to 1020).map(i => line(i, "de")).mkString("\n").getBytes)
+    val ckpt3 = TestSpark.tmpDir("rbs_ck3")
+    Rebalance.streamRebalanced(spark, docsDir, sink, ckpt3).awaitTermination()
+    val balanced = sink.read(spark, "balanced")
+    val newDe = balanced.filter($"doc_id" >= 1001).count()
+    assert(newDe == 20, s"new file's rows were swallowed: $newDe of 20")
+    // no id appears twice anywhere
+    assert(balanced.count() ==
+      balanced.select("doc_id").distinct().count())
+  }
+
+  test("replay between the counts append and the corpus append keeps the sample identical") {
+    // simulate the crash window: run once normally, then manually replay
+    // with the same batch key after the counts append already committed —
+    // rates must EXCLUDE the batch's own counts, so the accepted set (and
+    // the corpus) is byte-identical, not resampled at half the rate
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("rbcrash"))
+    Rebalance.appendRebalanced(spark, sink,
+      Seq((1L, "a", "fr")).toDF("doc_id", "text", "lang"), "lang", "doc_id",
+      batchKey = Some("seed"))
+    val batch = ((1 to 200).map(i => (100L + i, s"t$i", "en")) ++
+      Seq((900L, "x", "fr"))).toDF("doc_id", "text", "lang")
+    val r1 = Rebalance.appendRebalanced(spark, sink, batch, "lang", "doc_id",
+      batchKey = Some("b-7"))
+    val corpus1 = sink.read(spark, "balanced").orderBy("doc_id").collect().toSeq
+    // full replay of the same batch key: counts appendOnce no-ops, and the
+    // recomputed rates/accepted set must match the first run exactly
+    val r2 = Rebalance.appendRebalanced(spark, sink, batch, "lang", "doc_id",
+      batchKey = Some("b-7"))
+    val corpus2 = sink.read(spark, "balanced").orderBy("doc_id").collect().toSeq
+    assert(corpus1 == corpus2, "replay changed the committed sample")
+    assert(r1.seen == r2.seen)
   }
 }
