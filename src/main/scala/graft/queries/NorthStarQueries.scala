@@ -713,6 +713,56 @@ object NorthStarQueries {
              SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
              ORDER BY q_id, sim DESC, vec_id""")),
 
+    // Contamination-safe train/test split: documents are split by the
+    // hash of their NEAR-DUP GROUP, not their own id — near-duplicates
+    // can never straddle the boundary, the leak q_train_split's
+    // per-document hash cannot prevent (a test doc's near-copy in train
+    // IS contamination). Composition of the CC group labeling with the
+    // per-row hash split: the only additions over q_dedup_groups are a
+    // left join back to documents (singletons group as themselves) and
+    // the row-local hash test.
+    Q("q_split_groups",
+      (s, d) => {
+        val edges = scoredPairs(s, d)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("d1"), col("d2"))
+        val cc = graft.engine.Graph.connectedComponents(s, edges)
+          .select(col("vertex").as("doc_id"), col("component"))
+        Tables.documents(s, d)
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("component"), col("doc_id")))
+          .withColumn("split",
+            when(Helpers.hash16(col("group_id")) % 10 < 9, "train")
+              .otherwise("test"))
+          .select("doc_id", "group_id", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             p0 AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (
+               SELECT d1, d2 FROM p0
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2
+               WHERE floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 >= 0.8),
+             edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+             reach(doc_id, lbl) AS (
+               SELECT d1, d1 FROM edges
+               UNION
+               SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.doc_id),
+             groups AS (
+               SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+             lbl AS (
+               SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+               FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id)
+             SELECT doc_id, group_id,
+               CASE WHEN ${Helpers.hex4("md5(group_id::VARCHAR)")} % 10 < 9
+                    THEN 'train' ELSE 'test' END AS split
+             FROM lbl ORDER BY doc_id""")),
+
     // near-dup groups: connected components over the jaccard>=0.8 pair
     // graph, labeled by the component's min doc_id. Spark side: iterative
     // min-label propagation (the components here are tiny chains; a

@@ -273,6 +273,21 @@ object TrainingQueries {
              SELECT lang, bin, count(*) AS n_docs, SUM(nw)::BIGINT AS total_words
              FROM b GROUP BY lang, bin ORDER BY lang, bin""")),
 
+    // Per-group exact median (linear-interpolated, the SQL
+    // percentile_cont contract): corpus length profile per language —
+    // one shuffle on the group key, each group's percentile buffer
+    // merged map-side. Interpolated midpoints of integer lengths are
+    // dyadic rationals (x.0 / x.5), exact in IEEE on both engines.
+    Q("q_median_group",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5)").as("median_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             quantile_cont(n_chars, 0.5) AS median_chars
+             FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Hopping-window aggregation: 60-minute windows sliding every 30 —
     // the batch mirror of the streaming windowed stats (each event lands
     // in exactly 2 windows). Spark's built-in window() generates the
