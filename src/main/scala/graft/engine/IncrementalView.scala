@@ -36,7 +36,15 @@ object IncrementalView {
     * so a crashed-and-retried refresh is a keyed no-op at ANY crash
     * point. Splitting the upsert and delete into two keyed commits is
     * NOT replay-safe: a retry after the first commit would re-derive
-    * the delta against the already-updated view and delete live keys. */
+    * the delta against the already-updated view and delete live keys.
+    *
+    * Concurrency contract: refreshes of ONE view must be serialized by
+    * the caller — ranges are inherently ordered (applying (v2,v3]
+    * before (v1,v2] is wrong regardless of locking), and a concurrent
+    * same-view writer could land between reading the view and the
+    * commit, whose conflict-retry would re-commit THIS refresh's
+    * pre-derived rows over the other writer's. Different views (and the
+    * source) are free to proceed concurrently. */
   def refreshAggregate(spark: SparkSession, sink: VersionedParquetSink,
       src: String, view: String, keyCol: String, valueCol: String,
       fromV: Long, toV: Long): Long = {

@@ -162,6 +162,13 @@ final class VersionedParquetSink(basePath: String,
       commitKey: String): Boolean =
     doAppend(df, table, Some(commitKey))
 
+  /** Keyed append with opt-in schema evolution — the combination a
+    * long-lived exactly-once ingest needs when its own bookkeeping
+    * schema grows a column (see streaming/Rebalance's counts log). */
+  def appendOnce(df: DataFrame, table: String, commitKey: String,
+      allowEvolution: Boolean): Boolean =
+    doAppend(df, table, Some(commitKey), allowEvolution = allowEvolution)
+
   private def doAppend(df: DataFrame, table: String,
       commitKey: Option[String], allowEvolution: Boolean = false): Boolean = {
     val spark = df.sparkSession

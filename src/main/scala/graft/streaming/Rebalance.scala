@@ -71,19 +71,34 @@ object Rebalance {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // content-derived key (order-independent id fingerprint):
-          // stable across checkpoint loss — a replayed batch of the same
-          // rows no-ops, while a post-loss batch that also picked up NEW
-          // files gets a NEW key, so its rows are never silently
-          // swallowed by a batch-id collision (inputFiles is empty on
-          // foreachBatch frames, so the fingerprint comes from the data)
-          val sig = batch.agg(count(lit(1)),
-            sum(crc32(col("doc_id").cast("string")))).head()
+        // content-derived key (order-independent FULL-ROW fingerprint):
+        // stable across checkpoint loss — a replayed batch of the same
+        // rows no-ops, while a post-loss batch that picked up NEW files
+        // gets a NEW key, so its rows are never silently swallowed by a
+        // batch-id collision (inputFiles is empty on foreachBatch
+        // frames, so the fingerprint comes from the data). Hashing the
+        // whole row, not just the id, means a corrected re-emission of
+        // the same ids is a NEW batch, not a swallowed replay. The same
+        // aggregate doubles as the emptiness check (one job, not two).
+        val sig = batch.agg(count(lit(1)),
+          sum(crc32(concat_ws("",
+            col("doc_id"), col(groupCol), col("text"))))).head()
+        if (sig.getLong(0) > 0) {
           val key = s"rebalance-${sig.getLong(0)}-${sig.getLong(1)}"
           appendRebalanced(batch.sparkSession, sink, batch, groupCol,
             idCol = "doc_id", batchKey = Some(key),
-            corpusTable = corpusTable, countsTable = countsTable)
+            corpusTable = corpusTable, countsTable = countsTable,
+            // maxFilesPerTrigger=1 makes batch composition deterministic,
+            // so keyed no-ops fully cover replays — the per-batch
+            // O(corpus) anti-join would be pure overhead on the hot path
+            dedupAgainstCorpus = false)
+          // bound the counts log's file/manifest growth (its row count is
+          // G per batch — tiny; the FILE count is what a year of
+          // micro-batches would bloat). Keyed: a replayed maintenance
+          // batch skips the rewrite.
+          if (batchId % 64 == 63)
+            sink.compact(spark, countsTable, targetFiles = Some(1),
+              commitKey = Some(s"$key:compact"))
           ()
         }
       }
@@ -96,7 +111,8 @@ object Rebalance {
   def appendRebalanced(spark: SparkSession, sink: VersionedParquetSink,
       rows: DataFrame, groupCol: String, idCol: String,
       batchKey: Option[String] = None,
-      corpusTable: String = "balanced", countsTable: String = "group_counts")
+      corpusTable: String = "balanced", countsTable: String = "group_counts",
+      dedupAgainstCorpus: Boolean = true)
       : Result = {
     // ad-hoc (unkeyed) calls still need a unique log marker to exclude
     val key = batchKey.getOrElse(s"adhoc-${java.util.UUID.randomUUID()}")
@@ -105,13 +121,25 @@ object Rebalance {
       val batchCounts = cached.groupBy(col(groupCol))
         .agg(count(lit(1)).cast("long").as("n_seen"))
         .withColumn("batch_key", lit(key))
-      val nSeen = batchCounts.agg(sum("n_seen")).head().getLong(0)
+      val nSeen = batchCounts.agg(coalesce(sum("n_seen"), lit(0L)))
+        .head().getLong(0)
+      if (nSeen == 0) return Result(0L, 0L) // empty frame: nothing to log
 
       // cumulative counts EXCLUDING this batch's key: deterministic under
-      // replay whether or not the counts append already committed
+      // replay whether or not the counts append already committed. A
+      // counts table written by the pre-log (merged) layout has no
+      // batch_key column — its rows are all prior state, nothing to
+      // exclude; the first post-upgrade append evolves the schema.
       val prev =
         if (!sink.exists(spark, countsTable)) batchCounts.limit(0)
-        else sink.read(spark, countsTable).filter(col("batch_key") =!= key)
+        else {
+          val t = sink.read(spark, countsTable)
+          // null-safe inequality: legacy (pre-evolution) rows read
+          // batch_key as NULL and must stay included, not drop to null
+          if (t.columns.contains("batch_key"))
+            t.filter(!(col("batch_key") <=> lit(key)))
+          else t.withColumn("batch_key", lit("legacy"))
+        }
       val cum = prev.unionByName(batchCounts)
         .groupBy(groupCol)
         .agg(sum("n_seen").cast("long").as("n_seen"))
@@ -126,8 +154,13 @@ object Rebalance {
         .select(cached.columns.map(col): _*)
       // id-level dedup vs the committed corpus: a re-batched replay
       // (checkpoint loss) can never append the same row twice
+      // id-level dedup vs the committed corpus: protects AD-HOC callers
+      // whose re-batched replays have no stable key. The streaming
+      // wrapper turns it OFF — with deterministic per-file batches the
+      // keyed no-op already covers replays, and a per-batch O(corpus)
+      // scan would dominate steady-state ingest.
       val accepted = (
-        if (!sink.exists(spark, corpusTable)) sampled
+        if (!dedupAgainstCorpus || !sink.exists(spark, corpusTable)) sampled
         else sampled.join(
           sink.read(spark, corpusTable).select(col(idCol)), Seq(idCol),
           "left_anti")
@@ -136,10 +169,11 @@ object Rebalance {
         val nAccepted = accepted.count()
         batchKey match {
           case Some(k) =>
-            sink.appendOnce(batchCounts, countsTable, s"$k:counts")
+            sink.appendOnce(batchCounts, countsTable, s"$k:counts",
+              allowEvolution = true) // legacy (pre-log) counts schema
             sink.appendOnce(accepted, corpusTable, s"$k:corpus")
           case None =>
-            sink.append(batchCounts, countsTable)
+            sink.append(batchCounts, countsTable, allowEvolution = true)
             sink.append(accepted, corpusTable)
         }
         Result(nAccepted, nSeen)

@@ -78,6 +78,26 @@ class RebalanceSpec extends AnyFunSuite {
       balanced.select("doc_id").distinct().count())
   }
 
+  test("upgrade from the merged (pre-log) counts layout: legacy rows still count") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("rbleg"))
+    // old layout: one merged row per group, NO batch_key column
+    sink.append(Seq(("en", 400L), ("de", 40L)).toDF("lang", "n_seen"),
+      "group_counts")
+    val r = Rebalance.appendRebalanced(spark, sink,
+      (1 to 100).map(i => (i.toLong, s"t$i", "en")).toDF("doc_id", "text", "lang"),
+      "lang", "doc_id", batchKey = Some("up-1"))
+    assert(r.seen == 100)
+    // legacy counts participate: en cumulative 500 vs de 40 -> rate 0.08
+    val en = sink.read(spark, "balanced").count()
+    assert(en <= 25, s"legacy counts ignored: accepted $en of 100")
+    assert(cumCounts(sink) == Map("en" -> 500L, "de" -> 40L))
+    // empty ad-hoc frame is a clean no-op, not an NPE
+    val r0 = Rebalance.appendRebalanced(spark, sink,
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),
+      "lang", "doc_id")
+    assert(r0 == Rebalance.Result(0L, 0L))
+  }
+
   test("replay between the counts append and the corpus append keeps the sample identical") {
     // simulate the crash window: run once normally, then manually replay
     // with the same batch key after the counts append already committed —
