@@ -273,6 +273,55 @@ object TrainingQueries {
              SELECT lang, bin, count(*) AS n_docs, SUM(nw)::BIGINT AS total_words
              FROM b GROUP BY lang, bin ORDER BY lang, bin""")),
 
+    // Statistical LM quality filter (the CCNet-shape perplexity screen):
+    // score every document by the mean log-probability of its bigrams
+    // under the corpus bigram model, ln P(w2|w1) = ln(c(w1 w2)/c(w1 ·));
+    // the lowest-scoring docs are the spam/boilerplate candidates. The
+    // count model tables are groupBys keyed on bigram/unigram (the
+    // unigram table derives from the bigram counts — one pass over the
+    // bigram stream builds the model, one more probes it); per-doc
+    // means go through 1e-6-floor-rounded DECIMAL terms so the sum is
+    // order-independent (ln parity at 4-6 decimals is the q_tfidf
+    // precedent). Bottom-25 by score with doc_id tie-break.
+    Q("q_lm_score",
+      (s, d) => {
+        def bigrams = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("bg",
+            expr("filter(zip_with(ws, slice(ws, 2, size(ws)), " +
+              "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
+          .select(col("doc_id"), explode(col("bg")).as("bigram"))
+        val bc = bigrams.groupBy("bigram").agg(count(lit(1)).as("cb"))
+        val uc = bc
+          .withColumn("w1", expr("split(bigram, ' ')[0]"))
+          .groupBy("w1").agg(sum("cb").as("cu"))
+        bigrams
+          .join(broadcast(bc), Seq("bigram"))
+          .withColumn("w1", expr("split(bigram, ' ')[0]"))
+          .join(broadcast(uc), Seq("w1"))
+          .withColumn("l",
+            (floor(log(col("cb") / col("cu")) * 1000000 + 0.5) / 1000000)
+              .cast("decimal(18,6)"))
+          .groupBy("doc_id")
+          .agg(r4(sum("l").cast("double") / count(lit(1))).as("lm_score"))
+          .orderBy("lm_score", "doc_id")
+          .limit(25)
+      },
+      Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
+             len(str_split(text, ' ')) AS nw FROM documents),
+             bg AS (SELECT doc_id, ws[t.i] AS w1, ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+                    FROM w CROSS JOIN range(1, 4096) t(i) WHERE t.i <= nw - 1),
+             bc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+             uc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+             lp AS (
+               SELECT g.doc_id,
+                 CAST(floor(ln(bc.cb::DOUBLE / uc.cu) * 1000000 + 0.5::DOUBLE) / 1000000 AS DECIMAL(18,6)) AS l
+               FROM bg g JOIN bc ON g.bigram = bc.bigram JOIN uc ON g.w1 = uc.w1),
+             sc AS (SELECT doc_id,
+                      floor(CAST(SUM(l) AS DOUBLE) / count(*) * 10000 + 0.5::DOUBLE) / 10000 AS lm_score
+                    FROM lp GROUP BY doc_id)
+             SELECT doc_id, lm_score FROM sc ORDER BY lm_score, doc_id LIMIT 25""")),
+
     // Per-group exact median (linear-interpolated, the SQL
     // percentile_cont contract): corpus length profile per language —
     // one shuffle on the group key, each group's percentile buffer
