@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NormalizeNfc}
 
 /** Session extensions for the graft engine — the public, cluster-safe way
   * to register custom Catalyst expressions (set
@@ -11,30 +11,40 @@ import graft.functions.DotProduct
   *
   * Functions:
   *  - `graft_dot(array<double>, array<double>) -> double`: codegen'd
-  *    dot product ([[graft.functions.DotProduct]]).
+  *    dot product ([[graft.functions.DotProduct]]);
+  *  - `graft_nfc(string) -> string`: codegen'd Unicode NFC
+  *    normalization ([[graft.functions.NormalizeNfc]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotRegistration)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotRegistration = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => {
-      if (children.size != 2) throw new IllegalArgumentException(
-        s"graft_dot requires exactly 2 arguments, got ${children.size}")
-      DotProduct(children.head, children(1))
-    })
+  private val registrations = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"graft_dot requires exactly 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_nfc requires exactly 1 argument, got ${children.size}")
+        NormalizeNfc(children.head)
+      }))
 
   /** Late registration for sessions built without the extensions conf
-    * (e.g. a host harness's own SparkSession): queries that need
-    * `graft_dot` call this first, so they are self-sufficient. */
+    * (e.g. a host harness's own SparkSession): queries that need the
+    * graft functions call this first, so they are self-sufficient. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.catalog.functionExists("graft_dot")) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", dotRegistration._3, "scala_udf")
+    registrations.foreach { case (id, _, builder) =>
+      if (!spark.catalog.functionExists(id.funcName)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          id.funcName, builder, "scala_udf")
+      }
     }
 }

@@ -273,6 +273,24 @@ object TrainingQueries {
              SELECT lang, bin, count(*) AS n_docs, SUM(nw)::BIGINT AS total_words
              FROM b GROUP BY lang, bin ORDER BY lang, bin""")),
 
+    // Text canonicalization fingerprint: Unicode NFC + lowercase before
+    // hashing — the step that keeps composed/decomposed forms of the
+    // same text from defeating every downstream dedup/contamination
+    // hash. graft_nfc is the repo's second custom codegen'd Expression
+    // (Spark has no built-in normalizer; a UDF would leave whole-stage
+    // codegen); DuckDB's nfc_normalize is the oracle mirror. Row-local,
+    // zero shuffles.
+    Q("q_normalize",
+      (s, d) => {
+        graft.GraftExtensions.ensureRegistered(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(expr("graft_nfc(lower(text))").cast("binary")).as("h"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(nfc_normalize(lower(text))) AS h
+             FROM documents ORDER BY doc_id""")),
+
     // Statistical LM quality filter (the CCNet-shape perplexity screen):
     // score every document by the mean log-probability of its bigrams
     // under the corpus bigram model, ln P(w2|w1) = ln(c(w1 w2)/c(w1 ·));

@@ -31,6 +31,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_dot requires"))
   }
 
+  test("graft_nfc: composed and decomposed forms hash identically; null passes") {
+    val composed = "café"            // é as one codepoint
+    val decomposed = "café"          // e + combining acute
+    assert(composed != decomposed)         // raw strings differ...
+    val r = spark.sql(
+      s"""SELECT graft_nfc('$composed') = graft_nfc('$decomposed') AS eq,
+         |       graft_nfc('plain ascii') AS same,
+         |       graft_nfc(cast(null as string)) AS n""".stripMargin)
+      .collect()(0)
+    assert(r.getBoolean(0), "...but must normalize to the same text")
+    assert(r.getString(1) == "plain ascii") // fast path: unchanged
+    assert(r.isNullAt(2))
+    // interpreted path (no codegen) must agree with the generated one
+    import graft.functions.NormalizeNfc
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(NormalizeNfc.nfc(UTF8String.fromString(decomposed)).toString == composed)
+  }
+
   test("shingleSet: sliding distinct n-grams; short docs empty") {
     assert(Text.shingleSet("a b c d", 3).toSeq == Seq("a b c", "b c d"))
     assert(Text.shingleSet("a b", 3).isEmpty)
