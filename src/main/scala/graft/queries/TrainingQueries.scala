@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
@@ -142,6 +142,82 @@ object TrainingQueries {
                    FROM a JOIN b ON a.doc_id = b.doc_id AND a.w1 < b.w2)
              SELECT pair, count(*) AS n_docs FROM p GROUP BY 1
              ORDER BY n_docs DESC, pair LIMIT 25""")),
+
+    // Funnel analysis: users progressing view -> click -> purchase in
+    // strict time order — the canonical product-analytics staged
+    // conversion count. Each stage is one filtered pass joined on
+    // user_id against the previous stage's first-completion time (equi
+    // key + a residual ts predicate), so the whole funnel is three
+    // keyed shuffles over pre-filtered slices — never a per-user event
+    // list collection.
+    Q("q_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def firstAfter(stage: String, prev: DataFrame, prevT: String,
+            out: String): DataFrame =
+          e.filter(col("event_type") === stage)
+            .join(prev, Seq("user_id"))
+            .filter(col("ts") > col(prevT))
+            .groupBy("user_id").agg(min("ts").as(out))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = firstAfter("click", s1, "t1", "t2")
+        val s3 = firstAfter("purchase", s2, "t2", "t3")
+        def stageCount(df: DataFrame, name: String): DataFrame =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("stage"), col("n_users"))
+        stageCount(s1, "stage1_view")
+          .unionByName(stageCount(s2, "stage2_click"))
+          .unionByName(stageCount(s3, "stage3_purchase"))
+          .orderBy("stage")
+      },
+      Some("""WITH s1 AS (
+               SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (
+               SELECT e.user_id, min(ts) AS t2 FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             s3 AS (
+               SELECT e.user_id, min(ts) AS t3 FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+             SELECT 'stage1_view' AS stage, count(*) AS n_users FROM s1
+             UNION ALL SELECT 'stage2_click', count(*) FROM s2
+             UNION ALL SELECT 'stage3_purchase', count(*) FROM s3
+             ORDER BY stage""")),
+
+    // Weekly cohort retention: users bucketed by their FIRST activity
+    // week, counted in every later week they return — the standard
+    // retention triangle. Two shuffles (first-activity agg + the
+    // (cohort, week) count over the distinct user-week pairs), join
+    // keyed on user_id. Both engines truncate weeks to ISO Monday and
+    // difference exact epoch seconds, so week indexes are integral.
+    Q("q_retention",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val first = e.groupBy("user_id")
+          .agg(date_trunc("week", min("ts")).as("w0"))
+        val active = e
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        first.join(active, Seq("user_id"))
+          .select(date_format(col("w0"), "yyyy-MM-dd").as("cohort"),
+            ((unix_seconds(col("w")) - unix_seconds(col("w0"))) / 604800L)
+              .cast("long").as("week_k"))
+          .groupBy("cohort", "week_k")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "week_k")
+      },
+      Some("""WITH f AS (
+               SELECT user_id, date_trunc('week', min(ts)) AS w0
+               FROM events GROUP BY 1),
+             a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+             r AS (SELECT f.user_id, strftime(f.w0, '%Y-%m-%d') AS cohort,
+                     CAST((epoch(a.w) - epoch(f.w0)) / 604800 AS BIGINT) AS week_k
+                   FROM f JOIN a ON f.user_id = a.user_id)
+             SELECT cohort, week_k, count(*) AS n_users FROM r
+             GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Per-user outlier screen: z-score of each event value against the
     // user's own distribution — the anomaly/spam filter shape. ONE

@@ -124,6 +124,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-k not window-pruned:\n$p")
   }
 
+  test("funnel stages join keyed on user_id (no cartesian, no event-list collect)") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct"), s"funnel went all-pairs:\n$p")
+    assert(p.contains("Join") && p.contains("user_id"),
+      s"stage joins lost their user_id key:\n$p")
+    assert(!p.contains("collect_list"), s"funnel collects event lists:\n$p")
+  }
+
   test("rebalance broadcasts the rate table; acceptance is per-row") {
     val p = plan("q_rebalance")
     assert(p.contains("BroadcastHashJoin"), s"rate join should broadcast:\n$p")
