@@ -130,6 +130,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Join") && p.contains("user_id"),
       s"stage joins lost their user_id key:\n$p")
     assert(!p.contains("collect_list"), s"funnel collects event lists:\n$p")
+    // each stage's event_type filter must reach the parquet scan — a
+    // funnel that scans all events per stage reads the table 3x harder
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
   test("rebalance broadcasts the rate table; acceptance is per-row") {
