@@ -713,6 +713,74 @@ object NorthStarQueries {
              SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
              ORDER BY q_id, sim DESC, vec_id""")),
 
+    // Per-source duplication-rate dashboard: the corpus-QA readout that
+    // tells you WHICH crawl source is spamming near-duplicates — share
+    // of each source's docs that are non-canonical members of a near-dup
+    // group (vertex != component label). Reuses the shared pair/CC
+    // machinery; one broadcast-sized join onto documents, one groupBy.
+    Q("q_dup_rate_source",
+      (s, d) => {
+        val edges = scoredPairs(s, d)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("d1"), col("d2"))
+        val dups = graft.engine.Graph.connectedComponents(s, edges)
+          .filter(col("vertex") =!= col("component"))
+          .select(col("vertex").as("doc_id"), lit(1).as("is_dup"))
+        Tables.documents(s, d)
+          .join(broadcast(dups), Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("is_dup"), lit(0))).cast("long").as("n_dups"))
+          .withColumn("dup_rate", r4(col("n_dups") / col("n_docs")))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             p0 AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             pairs AS (
+               SELECT d1, d2 FROM p0
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2
+               WHERE floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 >= 0.8),
+             edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+             reach(doc_id, lbl) AS (
+               SELECT d1, d1 FROM edges
+               UNION
+               SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.doc_id),
+             groups AS (
+               SELECT doc_id, min(lbl) AS group_id FROM reach GROUP BY doc_id),
+             dups AS (SELECT doc_id, 1 AS is_dup FROM groups WHERE doc_id <> group_id)
+             SELECT d.source, count(*) AS n_docs,
+               SUM(COALESCE(dups.is_dup, 0))::BIGINT AS n_dups,
+               floor(SUM(COALESCE(dups.is_dup, 0))::DOUBLE / count(*) * 10000 + 0.5::DOUBLE) / 10000 AS dup_rate
+             FROM documents d LEFT JOIN dups ON d.doc_id = dups.doc_id
+             GROUP BY d.source ORDER BY d.source""")),
+
+    // Embedding-norm health stats per label: the vector-pipeline QA
+    // readout (zero/degenerate vectors, scale drift between label
+    // cohorts). Norms round to 4 (irrational sqrt mantissa, plain
+    // round), means through DECIMAL(18,4) of the rounded values (exact,
+    // order-independent) then the rational mean floor-rounds via r4.
+    Q("q_emb_stats",
+      (s, d) => {
+        emb(s, d)
+          .withColumn("nr", round(col("nrm"), 4))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            r4(sum(col("nr").cast("decimal(18,4)")).cast("double") /
+              count(lit(1))).as("mean_norm"),
+            min("nr").as("min_norm"), max("nr").as("max_norm"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $embCte
+             SELECT label, count(*) AS n_vecs,
+               floor(CAST(SUM(CAST(round(nrm, 4) AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000 + 0.5::DOUBLE) / 10000 AS mean_norm,
+               min(round(nrm, 4)) AS min_norm, max(round(nrm, 4)) AS max_norm
+             FROM n GROUP BY label ORDER BY label""")),
+
     // Contamination-safe train/test split: documents are split by the
     // hash of their NEAR-DUP GROUP, not their own id — near-duplicates
     // can never straddle the boundary, the leak q_train_split's
