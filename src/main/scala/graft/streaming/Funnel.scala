@@ -33,6 +33,54 @@ object Funnel {
     * funnel step done); `ts` is the completing event's epoch micros. */
   case class Transition(user_id: Long, stage: Int, ts: Long)
 
+  /** One emitted (user, cohort-week, week-index) retention fact. */
+  case class WeekActive(user_id: Long, cohort: String, week_k: Long)
+
+  /** Streaming cohort retention — the incremental form of q_retention:
+    * per-user state holds the FIRST-activity week (the cohort) and the
+    * weeks already emitted, so each (user, week) activity fact flows
+    * downstream exactly once; `groupBy(cohort, week_k).count()` is the
+    * live retention triangle. Late events from before a user's known
+    * cohort cannot rewind it (same late-row contract as the funnel —
+    * the batch q_retention is the exact reference). State is one week
+    * list per user, growing one entry per ACTIVE week, TTL-evicted. */
+  def weeklyRetention(spark: SparkSession, events: DataFrame,
+      ttl: Option[String] = None): Dataset[WeekActive] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id").cast("long"),
+        unix_seconds(date_trunc("week", col("ts"))).as("w"))
+      .filter(col("user_id").isNotNull && col("w").isNotNull)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[RetentionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val weeks = rows.map(_._2).toSeq.distinct.sorted
+            val prev = state.getOption
+            // first batch pins the cohort; later batches can only add
+            // weeks AT or AFTER it (late pre-cohort rows are skipped)
+            val cohort = prev.map(_.cohort).getOrElse(weeks.head)
+            val seen = prev.map(_.seen).getOrElse(Seq.empty)
+            val fresh = weeks.filter(w => w >= cohort && !seen.contains(w))
+            state.update(RetentionState(cohort, seen ++ fresh))
+            ttl.foreach(state.setTimeoutDuration)
+            val cohortDay = java.time.Instant.ofEpochSecond(cohort)
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+            fresh.iterator.map(w =>
+              WeekActive(user, cohortDay, (w - cohort) / 604800L))
+          }
+      }
+  }
+
+  /** (cohort week epoch-seconds, weeks already emitted). */
+  case class RetentionState(cohort: Long, seen: Seq[Long])
+
   /** Transform an event stream (user_id, event_type, ts) into the
     * stream of stage completions for the ordered `stages` list. */
   def stageTransitions(spark: SparkSession, events: DataFrame,

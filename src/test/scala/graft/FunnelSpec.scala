@@ -53,4 +53,31 @@ class FunnelSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(byStage == Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
   }
+
+  test("streaming retention: cohort pinned by first activity, weeks emitted once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+
+    val q = Funnel.weeklyRetention(spark, events)
+      .writeStream.format("memory").queryName("retention")
+      .outputMode(OutputMode.Append).start()
+
+    // week of 2024-02-05 (Monday). user 1 active wk0; user 2 active wk0
+    mem.addData((1L, ts("2024-02-06 10:00:00")), (2L, ts("2024-02-07 09:00:00")))
+    q.processAllAvailable()
+    // user 1 returns wk1 AND repeats wk0 (no duplicate emission);
+    // a pre-cohort late row for user 2 must be skipped, not rewind
+    mem.addData(
+      (1L, ts("2024-02-13 10:00:00")), (1L, ts("2024-02-08 23:00:00")),
+      (2L, ts("2024-01-30 08:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("retention").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, "2024-02-05", 0L), (1L, "2024-02-05", 1L),
+      (2L, "2024-02-05", 0L)), s"got $rows")
+  }
 }
