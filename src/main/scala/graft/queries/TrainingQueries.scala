@@ -18,8 +18,8 @@ import graft.engine.Tables
   *
   * Scale notes inline. The common shape: everything row-local until ONE
   * shuffle on the natural key (bigram, pair, user, window), with map-side
-  * partial aggregation; the only global window (q_ntile) is called out
-  * explicitly with its 100 TB alternative.
+  * partial aggregation; q_ntile computes exact deciles from the length
+  * HISTOGRAM so even it never globally sorts the corpus.
   */
 object TrainingQueries {
 
@@ -295,21 +295,42 @@ object TrainingQueries {
              SELECT h.doc_id, h.lang FROM h JOIN r ON h.lang = r.lang
              WHERE hv::DOUBLE / 65536.0 < rate ORDER BY doc_id""")),
 
-    // Length-decile profile: ntile(10) over (n_chars, doc_id) — the
-    // corpus length histogram quality teams read before choosing
-    // truncation budgets. NOTE the deliberate scale trade-off: exact
-    // ntile is a GLOBAL window (one ordered partition). That is the
-    // operator's contract; at 100 TB you either run it on the aggregated
-    // (n_chars, count) table (cardinality = distinct lengths, tiny) or
-    // switch to approx_percentile bounds + the row-local binning that
-    // q_histogram/q_quantize already cover.
+    // Length-decile profile: exact ntile(10) over (n_chars, doc_id) —
+    // the corpus length histogram quality teams read before choosing
+    // truncation budgets — WITHOUT ever sorting the corpus. The
+    // per-bucket aggregate (count, min, max of n_chars) is fully
+    // determined by the (n_chars, count) histogram: rows sharing
+    // n_chars are CONTIGUOUS under the ntile order, so the doc_id
+    // tie-break decides which doc lands where but never changes the
+    // aggregate. Plan: one hash shuffle (groupBy n_chars, cardinality =
+    // distinct lengths — tiny vs the corpus), a cumulative count over
+    // that histogram (the only ordered window, histogram-sized), then
+    // each decile's rank range [blo, bhi] intersected with each
+    // length-run's rank range [cum-cnt+1, cum] arithmetically. ntile
+    // rank math mirrors the SQL standard: base = N div 10, first
+    // N % 10 buckets take one extra row. At 100 TB the corpus is never
+    // globally sorted; PlanAuditSpec pins that every single-partition
+    // exchange sits above an aggregate.
     Q("q_ntile",
       (s, d) => {
-        val w = Window.orderBy("n_chars", "doc_id")
-        Tables.documents(s, d)
-          .withColumn("bucket", ntile(10).over(w))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n_docs"),
+        val hist = Tables.documents(s, d)
+          .groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runs = hist
+          .withColumn("cum", sum("cnt").over(w))
+          .crossJoin(broadcast(hist.agg(sum("cnt").as("n_total"))))
+        val buckets = s.range(1, 11).toDF("b")
+        runs.crossJoin(broadcast(buckets))
+          .withColumn("base", expr("n_total DIV 10"))
+          .withColumn("rem", expr("n_total % 10"))
+          .withColumn("blo", expr("(b - 1) * base + least(b - 1, rem) + 1"))
+          .withColumn("bhi", expr("b * base + least(b, rem)"))
+          .withColumn("overlap",
+            expr("least(bhi, cum) - greatest(blo, cum - cnt + 1) + 1"))
+          .filter(col("overlap") > 0)
+          .groupBy(col("b").cast("int").as("bucket"))
+          .agg(sum("overlap").cast("long").as("n_docs"),
             min("n_chars").as("lo"), max("n_chars").as("hi"))
           .orderBy("bucket")
       },

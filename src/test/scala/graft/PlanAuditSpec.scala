@@ -141,6 +141,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"rate join should broadcast:\n$p")
   }
 
+  test("ntile profile: no per-row global sort; single-partition exchanges only above aggregates") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = SparkEntry.queries("q_ntile")(spark, sf)
+    // sparkPlan predates EnsureRequirements (no exchanges yet); unwrap the
+    // AQE node to see the physical plan with exchanges inserted
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val ps = p.toString
+    // the decile profile must come from the length histogram, never a
+    // per-row ntile window (= one task sorting the whole corpus)
+    assert(!ps.contains("ntile("), s"per-row ntile window remains:\n$ps")
+    val singles = p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singles.nonEmpty, "expected the histogram cumulative window")
+    singles.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        s"single-partition exchange over unaggregated (corpus-sized) data:\n$ps")
+    }
+  }
+
   test("sessionize plans ONE data shuffle shared by both windows and the agg") {
     val p = plan("q_sessionize")
     // one hashpartitioning(user_id) feeds lag-window, sum-window AND the
