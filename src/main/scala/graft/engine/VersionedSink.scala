@@ -66,10 +66,11 @@ final class VersionedParquetSink(basePath: String,
   /** One committed version: the raw marker body plus its parsed fields.
     * `compacts` marks a compaction commit that supersedes every version
     * <= its value; `schemaDdl` is the commit's schema; `ts` the commit
-    * wall-clock (epoch millis) for timestamp time travel. */
-  private final case class Commit(version: Long, dir: String,
+    * wall-clock (epoch millis) for timestamp time travel; `stats` the
+    * per-file min/max JSON (Delta add-action shape) for data skipping. */
+  private[engine] final case class Commit(version: Long, dir: String,
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
-      ts: Option[Long], op: Option[String], raw: String)
+      ts: Option[Long], op: Option[String], stats: Option[String], raw: String)
 
   private def parseCommit(version: Long, body: String): Commit = {
     // [^"]* not [^"]+: an empty-string value is a real value (an empty
@@ -89,7 +90,7 @@ final class VersionedParquetSink(basePath: String,
       str("schemaB64").filter(_.nonEmpty).map(b64),
       str("ts").flatMap(t =>
         scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption),
-      str("op"), body)
+      str("op"), str("statsB64").filter(_.nonEmpty).map(b64), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -183,10 +184,11 @@ final class VersionedParquetSink(basePath: String,
     val unique = s"d-${UUID.randomUUID()}"
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
+    val stats = FileStats.collect(spark, s"${tableDir(table)}/$unique", df.schema)
     commitLoop(spark, table, unique, commitKey, compacts = None,
       schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true,
       snapshot = Some(entries), enforceSchema = true,
-      allowEvolution = allowEvolution).isDefined
+      allowEvolution = allowEvolution, statsJson = Some(stats)).isDefined
   }
 
   /** Claim the next version for data dir `unique`. Returns the claimed
@@ -215,7 +217,8 @@ final class VersionedParquetSink(basePath: String,
       allowEvolution: Boolean = false,
       requireBase: Option[Long] = None,
       rewriteOnlyConflict: Boolean = false,
-      op: Option[String] = None): Option[Long] = {
+      op: Option[String] = None,
+      statsJson: Option[String] = None): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -225,7 +228,12 @@ final class VersionedParquetSink(basePath: String,
       Base64.getEncoder.encodeToString(k.getBytes(StandardCharsets.UTF_8))}"""")
       .getOrElse("")
     val compField = compacts.map(c => s""","compacts":$c""").getOrElse("") +
-      op.map(o => s""","op":"$o"""").getOrElse("")
+      op.map(o => s""","op":"$o"""").getOrElse("") +
+      // stats travel base64'd like schema/key — the nested JSON would
+      // otherwise defeat the marker's flat field regexes
+      statsJson.map(st => s""","statsB64":"${
+        Base64.getEncoder.encodeToString(st.getBytes(StandardCharsets.UTF_8))}"""")
+        .getOrElse("")
     def b64enc(s: String): String =
       Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     var reuse = snapshot // first attempt only; retries re-read under the lock
@@ -391,7 +399,9 @@ final class VersionedParquetSink(basePath: String,
         .getOrElse(snap.schema.toDDL),
       cleanupOnKeyLoss = true, // same-key racer won: drop our rewrite
       requireBase = Some(maxV), rewriteOnlyConflict = true,
-      op = Some("compact"))
+      op = Some("compact"),
+      statsJson = Some(FileStats.collect(spark,
+        s"${tableDir(table)}/$unique", snap.schema)))
       .orElse(commitKey.flatMap(k =>
         manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
@@ -528,7 +538,9 @@ final class VersionedParquetSink(basePath: String,
         compacts = Some(baseV),
         schemaDdl = entries.last.schemaDdl.getOrElse(out.schema.toDDL),
         cleanupOnKeyLoss = true, requireBase = Some(baseV),
-        op = Some(opName))
+        op = Some(opName),
+        statsJson = Some(FileStats.collect(spark,
+          s"${tableDir(table)}/$unique", out.schema)))
         // None = a same-key racer committed first; report its version
         .orElse(commitKey.flatMap(k =>
           manifest(spark, table).find(_.key.contains(k)).map(_.version)))
@@ -681,6 +693,72 @@ final class VersionedParquetSink(basePath: String,
         spark.read.schema(schema).parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*) // pre-schema-field markers
     }
+  }
+
+  /** Data-skipping read (Delta's stats-based file pruning — its core
+    * read-path win): scans ONLY the files whose per-file min/max stats
+    * could satisfy `condition`, then applies the full filter. Pruning is
+    * an optimization, never a correctness dependency — every unprunable
+    * shape (unknown predicate, cast-wrapped column, commit written
+    * before stats existed) degrades to scanning that commit's whole
+    * directory. At 100 TB this is the difference between opening every
+    * file of a z-ordered table and opening the handful whose ranges
+    * overlap the predicate ([[ZOrder]] clusters; this skips). */
+  def readWhere(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): DataFrame =
+    readAtWhere(spark, table, Long.MaxValue, condition)
+
+  /** [[readWhere]] with time travel: the table as of version `v`,
+    * stats-pruned for `condition`. */
+  def readAtWhere(spark: SparkSession, table: String, v: Long,
+      condition: org.apache.spark.sql.Column): DataFrame = {
+    val entries = manifest(spark, table).filter(_.version <= v)
+    require(entries.nonEmpty, s"no committed versions <= $v for $table")
+    val schema = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
+      StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+    val pred = schema.flatMap(FileStats.resolvePredicate(spark, _, condition))
+    val paths = scanPaths(table, entries, pred, schema)
+    val base =
+      if (paths.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(readAt(spark, table, v).schema))
+      else schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    base.filter(condition)
+  }
+
+  /** The concrete paths a [[readAtWhere]] scan opens: pruned FILE paths
+    * for commits carrying stats, whole directories otherwise. Exposed
+    * for the scale tests ("a selective predicate touches few files"). */
+  private[graft] def scanPaths(table: String, entries: Seq[Commit],
+      pred: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      schema: Option[StructType]): Seq[String] =
+    liveEntries(entries).flatMap { e =>
+      val dirPath = s"${tableDir(table)}/${e.dir}"
+      (e.stats, pred, schema) match {
+        case (Some(json), Some(p), Some(sc)) =>
+          FileStats.parse(json).collect {
+            case (f, pf) if FileStats.mayMatch(p, sc, pf) => s"$dirPath/$f"
+          }.toSeq.sorted
+        case _ => Seq(dirPath)
+      }
+    }
+
+  /** Test/observability hook: (files surviving pruning, total files) for
+    * a predicate at the latest version. */
+  private[graft] def pruningStats(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): (Int, Int) = {
+    val entries = manifest(spark, table)
+    val schema = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
+      StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+    val live = liveEntries(entries)
+    val total = live.map(e =>
+      e.stats.map(FileStats.parse(_).size).getOrElse(1)).sum
+    val pred = schema.flatMap(FileStats.resolvePredicate(spark, _, condition))
+    val kept = scanPaths(table, entries, pred, schema).size
+    (kept, total)
   }
 
   /** Timestamp time travel (Delta's `timestampAsOf`): the table as of the
