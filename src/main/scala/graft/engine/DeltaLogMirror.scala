@@ -1,0 +1,171 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+import graft.engine.VersionedParquetSink.{liveEntries, Commit}
+
+/** Write-side mirror of the sink's commit log as a `_delta_log/`
+  * directory per the PUBLIC Delta Lake transaction protocol
+  * (https://github.com/delta-io/delta/blob/master/PROTOCOL.md): one
+  * `<version zero-padded to 20>.json` per sink version, each a sequence
+  * of single-line JSON actions — `protocol` + `metaData` in commit 0
+  * (and `metaData` again on schema change), `add` with Delta-shape
+  * per-file `stats` for the commit's data files, `remove` for files a
+  * rewrite (delete/merge/compact) supersedes, plus a `commitInfo`. A
+  * Delta-capable reader (or DuckDB's delta extension) can open the
+  * table without any of this repo's code — the last interop gap of the
+  * `VersionedParquetSink`, closed WRITE-side only (no Delta jars exist
+  * in this environment to read it back; the protocol doc is the spec).
+  *
+  * The mirror is SELF-HEALING and best-effort: after every successful
+  * marker claim, [[sync]] writes every log version not yet on disk (so
+  * a writer that crashed between marker and mirror leaves a gap that
+  * the NEXT commit fills — Delta readers require contiguous versions),
+  * and a mirror IO failure never fails the already-durable commit.
+  * Concurrent mirrors of the same version race benignly: the loser's
+  * rename fails against an identical file.
+  */
+object DeltaLogMirror {
+
+  private val mapper = new ObjectMapper()
+
+  /** Stable Delta table id, derived from the table path (the protocol
+    * wants one id for the table's lifetime; a name-based UUID gives
+    * that without storing anything). */
+  private def tableId(tableDir: String): String =
+    UUID.nameUUIDFromBytes(tableDir.getBytes(StandardCharsets.UTF_8)).toString
+
+  private def logName(v: Long): String = f"$v%020d.json"
+
+  /** Mirror every not-yet-mirrored version of `entries` (ascending) into
+    * `<tableDir>/_delta_log/`. Never throws. */
+  def sync(spark: SparkSession, tableDir: String,
+      entries: Seq[Commit]): Unit =
+    try {
+      if (entries.isEmpty) return
+      val logDir = new Path(s"$tableDir/_delta_log")
+      val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(logDir)
+      val existing: Set[String] = fs.listStatus(logDir).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".json")).toSet
+      entries.filterNot(e => existing.contains(logName(e.version)))
+        .sortBy(_.version)
+        .foreach { e =>
+          val body = renderVersion(spark, tableDir, entries, e)
+          val tmp = new Path(s"$tableDir/_delta_log/.tmp-${UUID.randomUUID()}")
+          val out = fs.create(tmp, true)
+          try out.write(body.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          if (!fs.rename(tmp, new Path(logDir, logName(e.version))))
+            fs.delete(tmp, false) // a racer mirrored the same version
+        }
+    } catch {
+      case e: Exception =>
+        // the sink's OWN log is already durable; the mirror heals on the
+        // next commit — interop must never fail a committed write
+        System.err.println(s"[delta-log-mirror] sync of $tableDir failed " +
+          s"(will heal on next commit): ${e.getMessage}")
+    }
+
+  private def renderVersion(spark: SparkSession, tableDir: String,
+      entries: Seq[Commit], e: Commit): String = {
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val upTo = entries.filter(_.version <= e.version)
+    val prev = upTo.filterNot(_.version == e.version)
+    val ts = e.ts.getOrElse(System.currentTimeMillis())
+    val lines = Seq.newBuilder[String]
+
+    // commitInfo first (Delta writes it first by convention)
+    lines += {
+      val ci = mapper.createObjectNode()
+      val n = ci.putObject("commitInfo")
+      n.put("timestamp", ts)
+      n.put("operation", e.op.map(_.toUpperCase).getOrElse("WRITE"))
+      n.putObject("operationParameters")
+      n.put("engineInfo", "graft-versioned-parquet-sink")
+      mapper.writeValueAsString(ci)
+    }
+
+    if (e.version == 0L) {
+      val p = mapper.createObjectNode()
+      val n = p.putObject("protocol")
+      n.put("minReaderVersion", 1)
+      n.put("minWriterVersion", 2)
+      lines += mapper.writeValueAsString(p)
+    }
+
+    // metaData in commit 0 and whenever the schema changed — the
+    // schemaString is StructType.json, which IS Delta's schema format
+    val prevDdl = prev.lastOption.flatMap(_.schemaDdl)
+    if (e.version == 0L || (e.schemaDdl.isDefined && e.schemaDdl != prevDdl)) {
+      e.schemaDdl.foreach { ddl =>
+        val m = mapper.createObjectNode()
+        val n = m.putObject("metaData")
+        n.put("id", tableId(tableDir))
+        val fmt = n.putObject("format")
+        fmt.put("provider", "parquet")
+        fmt.putObject("options")
+        n.put("schemaString", StructType(StructType.fromDDL(ddl)
+          .fields.map(_.copy(nullable = true))).json)
+        n.putArray("partitionColumns")
+        n.putObject("configuration")
+        n.put("createdTime", ts)
+        lines += mapper.writeValueAsString(m)
+      }
+    }
+
+    // remove: files a rewrite supersedes = dirs live before this commit
+    // but not after it (appends supersede nothing)
+    if (e.compacts.isDefined) {
+      val before = liveEntries(prev).map(_.dir).toSet
+      val after = liveEntries(upTo).map(_.dir).toSet
+      (before -- after).toSeq.sorted.foreach { dir =>
+        parquetFiles(fs, s"$tableDir/$dir").foreach { st =>
+          val r = mapper.createObjectNode()
+          val n = r.putObject("remove")
+          n.put("path", s"$dir/${st.getPath.getName}")
+          n.put("deletionTimestamp", ts)
+          n.put("dataChange", true)
+          lines += mapper.writeValueAsString(r)
+        }
+      }
+    }
+
+    // add: this commit's own data files, with Delta-shape stats when the
+    // marker carries them
+    val statsByFile: Map[String, String] = e.stats.map { json =>
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(json).properties().asScala
+        .map(p => p.getKey -> p.getValue.toString).toMap
+    }.getOrElse(Map.empty)
+    parquetFiles(fs, s"$tableDir/${e.dir}").foreach { st =>
+      val a = mapper.createObjectNode()
+      val n = a.putObject("add")
+      n.put("path", s"${e.dir}/${st.getPath.getName}")
+      n.putObject("partitionValues")
+      n.put("size", st.getLen)
+      n.put("modificationTime", st.getModificationTime)
+      n.put("dataChange", true)
+      statsByFile.get(st.getPath.getName).foreach(n.put("stats", _))
+      lines += mapper.writeValueAsString(a)
+    }
+
+    lines.result().mkString("", "\n", "\n")
+  }
+
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+  }
+}

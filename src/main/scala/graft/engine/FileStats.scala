@@ -76,6 +76,19 @@ object FileStats {
     val rows = df.groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val root = mapper.createObjectNode()
+    // zero-row part files never reach the aggregation but still exist on
+    // disk; record them with numRecords 0 so (a) every data file has a
+    // stats entry (the _delta_log mirror attaches stats per add action)
+    // and (b) the pruner can skip them outright
+    df.inputFiles.map(_.split('/').last)
+      .filterNot(f => rows.exists(_.getString(0).split('/').last == f))
+      .foreach { f =>
+        val entry = root.putObject(f)
+        entry.put("numRecords", 0L)
+        entry.putObject("minValues")
+        entry.putObject("maxValues")
+        entry.putObject("nullCount")
+      }
     rows.foreach { r =>
       val fileName = r.getString(0).split('/').last
       val entry = root.putObject(fileName)

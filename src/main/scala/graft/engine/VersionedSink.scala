@@ -63,14 +63,7 @@ final class VersionedParquetSink(basePath: String,
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** One committed version: the raw marker body plus its parsed fields.
-    * `compacts` marks a compaction commit that supersedes every version
-    * <= its value; `schemaDdl` is the commit's schema; `ts` the commit
-    * wall-clock (epoch millis) for timestamp time travel; `stats` the
-    * per-file min/max JSON (Delta add-action shape) for data skipping. */
-  private[engine] final case class Commit(version: Long, dir: String,
-      key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
-      ts: Option[Long], op: Option[String], stats: Option[String], raw: String)
+  import VersionedParquetSink.Commit
 
   private def parseCommit(version: Long, body: String): Commit = {
     // [^"]* not [^"]+: an empty-string value is a real value (an empty
@@ -324,6 +317,9 @@ final class VersionedParquetSink(basePath: String,
       claimed match {
         case Some(Some(v)) =>
           maybeCheckpoint(spark, table, v)
+          // external interop: mirror the commit (and any gap a crashed
+          // writer left) into _delta_log; best-effort, never throws
+          DeltaLogMirror.sync(spark, tableDir(table), manifest(spark, table))
           return Some(v)
         case Some(None) =>
           if (cleanupOnKeyLoss)
@@ -654,22 +650,8 @@ final class VersionedParquetSink(basePath: String,
   override def read(spark: SparkSession, table: String): DataFrame =
     readAt(spark, table, Long.MaxValue)
 
-  /** The entries a reader actually scans: the NEWEST compaction commit
-    * plus every non-compaction append past its high-water mark. Older
-    * compaction commits are NEVER read — each holds only a redundant
-    * full copy of data the chosen compaction + later appends already
-    * cover, and including one duplicates every folded row (found by the
-    * concurrent-compaction stress test). */
-  private def liveEntries(entries: Seq[Commit]): Seq[Commit] = {
-    val comp = entries.filter(_.compacts.isDefined)
-      .sortBy(_.version).lastOption
-    comp match {
-      case None => entries
-      case Some(c) =>
-        c +: entries.filter(e =>
-          e.version > c.compacts.get && e.compacts.isEmpty)
-    }
-  }
+  private def liveEntries(entries: Seq[Commit]): Seq[Commit] =
+    VersionedParquetSink.liveEntries(entries)
 
   /** Time travel: the table as of version `v` (inclusive). A compaction
     * commit <= v replaces everything it folded in (its `compacts`
@@ -792,6 +774,32 @@ final class VersionedParquetSink(basePath: String,
 object VersionedParquetSink {
   /** Serializes marker claims within one JVM (see commitLoop). */
   private[engine] val localClaimLock = new Object
+
+  /** One committed version: the raw marker body plus its parsed fields.
+    * `compacts` marks a compaction commit that supersedes every version
+    * <= its value; `schemaDdl` is the commit's schema; `ts` the commit
+    * wall-clock (epoch millis) for timestamp time travel; `stats` the
+    * per-file min/max JSON (Delta add-action shape) for data skipping. */
+  private[engine] final case class Commit(version: Long, dir: String,
+      key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
+      ts: Option[Long], op: Option[String], stats: Option[String], raw: String)
+
+  /** The entries a reader actually scans: the NEWEST compaction commit
+    * plus every non-compaction append past its high-water mark. Older
+    * compaction commits are NEVER read — each holds only a redundant
+    * full copy of data the chosen compaction + later appends already
+    * cover, and including one duplicates every folded row (found by the
+    * concurrent-compaction stress test). */
+  private[engine] def liveEntries(entries: Seq[Commit]): Seq[Commit] = {
+    val comp = entries.filter(_.compacts.isDefined)
+      .sortBy(_.version).lastOption
+    comp match {
+      case None => entries
+      case Some(c) =>
+        c +: entries.filter(e =>
+          e.version > c.compacts.get && e.compacts.isEmpty)
+    }
+  }
 
   /** A delete/merge found a commit newer than the snapshot it rewrote —
     * the write-write conflict Delta surfaces as

@@ -462,4 +462,78 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "raw").count() == 1)
     assert(Pipeline.run(spark, feeds, sink).newArticles == 0) // idempotent
   }
+
+  test("_delta_log mirror: contiguous protocol-spec JSON commits matching sink history") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val store = TestSpark.tmpDir("dlog")
+    val sink = new VersionedParquetSink(store)
+    import spark.implicits._
+    sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "t")
+    sink.append(Seq((3L, "c")).toDF("id", "s"), "t")
+    sink.delete(spark, "t", col("id") === 1L)
+    sink.compact(spark, "t", targetFiles = Some(1))
+    sink.append(Seq((4L, "d", 9L)).toDF("id", "s", "extra"), "t",
+      allowEvolution = true)
+
+    val logDir = new java.io.File(s"$store/t/_delta_log")
+    val names = logDir.listFiles.map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(names.toSeq == (0L to 4L).map(v => f"$v%020d.json"),
+      s"log not contiguous: ${names.mkString(", ")}")
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def actions(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(logDir, f"$v%020d.json"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+      finally src.close()
+    }
+
+    // commit 0: protocol + metaData per the public Delta protocol
+    val v0 = actions(0)
+    val proto = v0.flatMap(a => Option(a.get("protocol"))).head
+    assert(proto.get("minReaderVersion").asInt == 1)
+    assert(proto.get("minWriterVersion").asInt == 2)
+    val meta0 = v0.flatMap(a => Option(a.get("metaData"))).head
+    assert(meta0.get("format").get("provider").asText == "parquet")
+    assert(DataType.fromJson(meta0.get("schemaString").asText)
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("id", "s"))
+
+    // schema evolution re-emits metaData with the SAME table id
+    val meta4 = actions(4).flatMap(a => Option(a.get("metaData"))).head
+    assert(meta4.get("id").asText == meta0.get("id").asText)
+    assert(DataType.fromJson(meta4.get("schemaString").asText)
+      .asInstanceOf[StructType].fieldNames.contains("extra"))
+
+    // replaying add/remove reconstructs exactly the live file set, and
+    // the add-level stats row counts sum to the table's row count
+    val numRecords = scala.collection.mutable.Map[String, Long]()
+    val live = scala.collection.mutable.Set[String]()
+    (0L to 4L).foreach { v =>
+      actions(v).foreach { a =>
+        Option(a.get("add")).foreach { n =>
+          val p = n.get("path").asText
+          live += p
+          assert(n.get("size").asLong > 0)
+          val st = mapper.readTree(n.get("stats").asText)
+          numRecords(p) = st.get("numRecords").asLong
+        }
+        Option(a.get("remove")).foreach(n => live -= n.get("path").asText)
+      }
+    }
+    live.foreach(p => assert(new java.io.File(s"$store/t/$p").isFile,
+      s"live file $p missing on disk"))
+    val viaSink = sink.read(spark, "t")
+    assert(live.toSeq.map(numRecords).sum == viaSink.count())
+    val viaLog = spark.read.parquet(live.toSeq.map(p => s"$store/t/$p"): _*)
+    assert(viaLog.count() == viaSink.count())
+
+    // self-healing: a crashed writer's missing log version reappears on
+    // the next commit (Delta readers need contiguous versions)
+    assert(new java.io.File(logDir, f"${3L}%020d.json").delete())
+    sink.append(Seq((5L, "e", 10L)).toDF("id", "s", "extra"), "t")
+    val healed = logDir.listFiles.map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(healed.toSeq == (0L to 5L).map(v => f"$v%020d.json"),
+      s"gap not healed: ${healed.mkString(", ")}")
+  }
 }
