@@ -8,15 +8,25 @@ import org.apache.spark.sql.functions._
   * a per-key aggregate view refreshed by reading ONLY the source
   * versions since the last refresh, never rescanning the table.
   *
-  * The maintained view is `SELECT key, count(*) AS n, sum(value) AS
-  * total GROUP BY key`, the shape behind most freshness dashboards and
-  * feature stores. Inserts increment, deletes decrement (an upsert in
-  * the feed is a delete + insert, so updates net out correctly); keys
-  * whose count reaches zero are removed from the view.
+  * The maintained view is `SELECT key, count(*) AS n,
+  * sum(coalesce(value, 0)) AS total GROUP BY key`, the shape behind
+  * most freshness dashboards and feature stores. NULL-value semantics
+  * are deliberately `coalesce(value, 0)`, NOT SQL's null-skipping
+  * `sum(value)`: a key whose every row is NULL reads as total 0.00
+  * here, where plain `sum` would read NULL — an incremental maintainer
+  * cannot distinguish "all contributing rows were NULL" from "some
+  * were" without keeping a per-key non-null count, so the coalescing
+  * form is the one that stays exactly incrementally maintainable.
+  * Inserts increment, deletes decrement (an upsert in the feed is a
+  * delete + insert, so updates net out correctly); keys whose count
+  * reaches zero are removed from the view.
   *
   * Exactness: `total` is stored as DECIMAL(18,2) so incremental
   * increments are bit-equal to a full recompute at any point — a double
-  * column would drift after enough refreshes.
+  * column would drift after enough refreshes. The 18,2 accumulator
+  * overflows (to NULL under non-ANSI mode) past ~10^16; views over
+  * larger magnitudes should widen both the view column and this cast
+  * together.
   *
   * Scale shape: one groupBy over the CHANGE ROWS (O(changes) on
   * append-only ranges — the fast path survives compactions), one keyed
@@ -50,9 +60,15 @@ object IncrementalView {
       fromV: Long, toV: Long): Long = {
     val changes = sink.changesBetween(spark, src, fromV, toV)
     val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
+    // outer coalesce: a key whose every row in the range is NULL-valued
+    // must contribute 0.00, not NULL — the documented coalesce(value,0)
+    // semantics, and what keeps the BOOTSTRAP branch (which seeds the
+    // view from dtotal directly) bit-equal to the incremental branch
+    // (which coalesces during the merge)
     val delta = changes.groupBy(col(keyCol))
       .agg(sum(sign).cast("long").as("dn"),
-        sum(col(valueCol).cast("decimal(18,2)") * sign)
+        coalesce(sum(col(valueCol).cast("decimal(18,2)") * sign),
+          lit(0).cast("decimal(18,2)"))
           .cast("decimal(18,2)").as("dtotal"))
 
     val rangeKey = s"ivm:$src->$view:$fromV..$toV"

@@ -53,6 +53,32 @@ object NorthStarQueries {
       .toDF("doc_id", "s")
   }
 
+  /** BOUNDED per-(session, dir) memoization shared by the four cached
+    * tables below: at most ONE dir per live session — touching a new dir
+    * evicts (and unpersists) the session's entries for other dirs, since
+    * only one data dir is active per run; entries of stopped sessions
+    * are always swept. A long-lived session walking many dirs therefore
+    * pins one dir's block set per cache, not one per dir ever touched.
+    * The (re-)cache at the end covers a host's clearCache() between
+    * queries (Bench/Verify do this), which drops blocks but not memo
+    * entries. */
+  private def memoize(
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    import scala.jdk.CollectionConverters._
+    cache.entrySet.asScala
+      .filter(e => e.getKey._1 == s && e.getKey._2 != d).toSeq
+      .foreach { e =>
+        try e.getValue.unpersist() catch { case _: Exception => () }
+        cache.remove(e.getKey)
+      }
+    val df = cache.computeIfAbsent((s, d), _ => build)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
   /** Shingles with the hot-shingle cap applied (df <= MaxShingleDf), the
     * input to pairwise jaccard. Cached because one query uses it three
     * times (sizes + both join sides) — and memoized per (session, dir) so
@@ -60,11 +86,8 @@ object NorthStarQueries {
     * ONE cached table instead of leaking a new set of blocks per call. */
   private[queries] val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[queries] def cappedShingles(s: SparkSession, d: String): DataFrame = {
-    // evict entries whose session is gone — otherwise the memo pins
-    // stopped sessions (and their plans) for the JVM lifetime
-    shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val df = shingleCache.computeIfAbsent((s, d), { case (s, d) =>
+  private[queries] def cappedShingles(s: SparkSession, d: String): DataFrame =
+    memoize(shingleCache, s, d) {
       // df cap as a count-over-partition window: ONE shuffle of the
       // shingle stream, vs the groupBy+join form's TWO evaluations of
       // the flatMap shingling plus a join (measured ~15% off the whole
@@ -74,13 +97,7 @@ object NorthStarQueries {
         .withColumn("df", count(lit(1)).over(w))
         .filter(col("df") <= MaxShingleDf)
         .select("doc_id", "s")
-    })
-    // (re-)cache: a host's spark.catalog.clearCache() (Bench/Verify do
-    // this between queries) drops the blocks but not this memo entry
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.cache()
-    df
-  }
+    }
 
   /** (doc_id, s, h): shingles with their md5, memoized+cached per
     * (session, dir) like cappedShingles — q_minhash_est reads it four
@@ -88,16 +105,11 @@ object NorthStarQueries {
     * set on every invocation through the public queries contract. */
   private[queries] val hashedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[queries] def hashedShingles(s: SparkSession, d: String): DataFrame = {
-    hashedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val df = hashedCache.computeIfAbsent((s, d), { case (s, d) =>
+  private[queries] def hashedShingles(s: SparkSession, d: String): DataFrame =
+    memoize(hashedCache, s, d) {
       shingled(s, d).select(col("doc_id"), col("s"),
         md5(col("s").cast("binary")).as("h"))
-    })
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.cache()
-    df
-  }
+    }
 
   /** Trained IVF centroids (cell, c_emb, c_nrm): deterministic k-means
     * over the corpus (engine/KMeans.scala — hash-ordered init, 2 fixed
@@ -109,15 +121,10 @@ object NorthStarQueries {
   val IvfIters = 2
   private[queries] val centCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
-    centCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val df = centCache.computeIfAbsent((s, d), { case (s, d) =>
+  private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame =
+    memoize(centCache, s, d) {
       graft.engine.KMeans.train(s, emb(s, d), IvfK, IvfIters)
-    })
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.cache()
-    df
-  }
+    }
 
   /** IVF cell assignment (vec_id, emb, nrm, cell), memoized+cached:
     * q_ivf_search consumes it TWICE (query side + probe side) — uncached
@@ -125,9 +132,8 @@ object NorthStarQueries {
     * corpus) would run twice per execution. */
   private[queries] val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
-    ivfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val df = ivfCache.computeIfAbsent((s, d), { case (s, d) =>
+  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    memoize(ivfCache, s, d) {
       val e = emb(s, d)
       val cents = trainedCentroids(s, d)
         .select(col("cell"), col("c_emb"), col("c_nrm"))
@@ -138,11 +144,7 @@ object NorthStarQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
-    })
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.cache()
-    df
-  }
+    }
 
   /** SRP-LSH geometry: 8 hyperplanes over the 64-dim embeddings. Each
     * component is md5-derived — `hex4(md5("p_j")) / 65535 - 0.5` — so the

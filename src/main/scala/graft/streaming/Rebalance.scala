@@ -80,8 +80,13 @@ object Rebalance {
         // whole row, not just the id, means a corrected re-emission of
         // the same ids is a NEW batch, not a swallowed replay. The same
         // aggregate doubles as the emptiness check (one job, not two).
+        // \u0001 separator (cannot occur in the data): an empty
+        // separator would let boundary-shifted values (group='en',
+        // text='xy' vs group='enx', text='y') produce identical per-row
+        // strings, and a genuinely different batch could then collide on
+        // (count, crc-sum) and be swallowed as a replay
         val sig = batch.agg(count(lit(1)),
-          sum(crc32(concat_ws("",
+          sum(crc32(concat_ws("\u0001",
             col("doc_id"), col(groupCol), col("text"))))).head()
         if (sig.getLong(0) > 0) {
           val key = s"rebalance-${sig.getLong(0)}-${sig.getLong(1)}"

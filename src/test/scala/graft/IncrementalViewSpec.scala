@@ -13,9 +13,12 @@ class IncrementalViewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // the documented reference semantics: sum(coalesce(v, 0)) — an
+  // incremental maintainer cannot reproduce SQL's null-skipping sum for
+  // all-NULL keys without extra per-key state (see IncrementalView doc)
   private def fullRecompute(src: DataFrame): DataFrame =
     src.groupBy("k").agg(count(lit(1)).as("n"),
-      sum(col("v").cast("decimal(18,2)")).as("total"))
+      sum(coalesce(col("v"), lit(0)).cast("decimal(18,2)")).as("total"))
 
   private def assertViewMatches(sink: VersionedParquetSink): Unit = {
     val view = sink.read(spark, "view").select("k", "n", "total")
@@ -99,6 +102,24 @@ class IncrementalViewSpec extends AnyFunSuite {
     IncrementalView.refreshAggregate(spark, sink, "src", "view", "k", "v", -1L, to)
     assertViewMatches(sink)
     assert(sink.read(spark, "view").filter($"k" === "a").head().getLong(1) == 2L)
+  }
+
+  test("all-NULL-value keys: bootstrap and incremental agree on total 0.00") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("ivmnull"))
+    val nullV: Option[Double] = None
+    sink.append(Seq(("a", Some(1.0)), ("n", nullV)).toDF("k", "v"), "src")
+    var last = IncrementalView.refreshAggregate(spark, sink, "src", "view",
+      "k", "v", -1L, sink.latestVersion(spark, "src").get)
+    assertViewMatches(sink)
+    // the all-null key reads total 0.00 — the documented coalesce
+    // semantics, identical on the bootstrap and incremental paths
+    val n0 = sink.read(spark, "view").filter($"k" === "n")
+      .select("total").head()
+    assert(n0.getDecimal(0).compareTo(new java.math.BigDecimal("0.00")) == 0)
+    sink.append(Seq(("n", nullV), ("a", nullV)).toDF("k", "v"), "src")
+    IncrementalView.refreshAggregate(spark, sink, "src", "view",
+      "k", "v", last, sink.latestVersion(spark, "src").get)
+    assertViewMatches(sink)
   }
 
   test("deleteMatching removes exactly the listed keys, distributed") {
