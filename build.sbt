@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW: by default sbt routes
+// forked output through its logger, prefixing every line with "[info] "
+// — which made Bench's one-line JSON report unparseable downstream
+// (BENCH_r03 "parsed": null). With StdoutOutput the JSON line reaches
+// stdout unwrapped; the authoritative copy still lands in BENCH_OUT.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
