@@ -44,4 +44,34 @@ object Skew {
       explode(array((0 until salt).map(lit): _*)))
     p.join(b, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Plan-time skew probe: the hottest key's share among (up to)
+    * `sampleRows` rows of `df` — ONE tiny job over a prefix sample (no
+    * full scan; the hot key of a skewed table dominates any prefix).
+    * 0.0 on an empty input. */
+  def topKeyShare(df: DataFrame, key: String,
+      sampleRows: Int = 50000): Double = {
+    val agg = df.select(key).filter(col(key).isNotNull)
+      .limit(sampleRows)
+      .groupBy(key).count()
+      .agg(coalesce(max("count"), lit(0L)), coalesce(sum("count"), lit(0L)))
+      .head()
+    val n = agg.getLong(1)
+    if (n == 0L) 0.0 else agg.getLong(0).toDouble / n
+  }
+
+  /** [[saltedJoin]] behind a skew-threshold heuristic: salts ONLY when
+    * the sampled top-key share crosses `threshold`, otherwise returns
+    * the untouched plain equi-join plan. This is the form production
+    * paths embed (q_funnel's per-stage user_id joins use it): mild skew
+    * is AQE's job and salting unconditionally would replicate the build
+    * side for nothing, but a viral key that owns a fifth of the shuffle
+    * needs the explicit fan-out. Costs one prefix-sample job at plan
+    * time. */
+  def adaptiveJoin(probe: DataFrame, build: DataFrame, key: String,
+      salt: Int = 8, threshold: Double = 0.2,
+      joinType: String = "inner"): DataFrame =
+    if (topKeyShare(probe, key) >= threshold)
+      saltedJoin(probe, build, key, salt, joinType)
+    else probe.join(build, Seq(key), joinType)
 }

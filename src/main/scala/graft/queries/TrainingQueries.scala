@@ -149,14 +149,17 @@ object TrainingQueries {
     // user_id against the previous stage's first-completion time (equi
     // key + a residual ts predicate), so the whole funnel is three
     // keyed shuffles over pre-filtered slices — never a per-user event
-    // list collection.
+    // list collection. The stage joins go through Skew.adaptiveJoin:
+    // on uniform data the plan is the untouched equi-join, but a viral
+    // user owning >20% of a stage's events (the classic funnel skew)
+    // fans out over salted sub-keys instead of pinning one task.
     Q("q_funnel",
       (s, d) => {
         val e = Tables.events(s, d)
         def firstAfter(stage: String, prev: DataFrame, prevT: String,
             out: String): DataFrame =
-          e.filter(col("event_type") === stage)
-            .join(prev, Seq("user_id"))
+          graft.engine.Skew.adaptiveJoin(
+              e.filter(col("event_type") === stage), prev, "user_id")
             .filter(col("ts") > col(prevT))
             .groupBy("user_id").agg(min("ts").as(out))
         val s1 = e.filter(col("event_type") === "view")

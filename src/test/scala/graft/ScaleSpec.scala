@@ -66,6 +66,43 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("adaptiveJoin: salts only past the skew threshold, rows identical either way") {
+    // skewed fixture: one hot key owns ~95% of the probe rows
+    val hot = ((1 to 5000).map(i => ("hot", i)) ++
+      (1 to 250).map(i => (s"k${i % 50}", i))).toDF("key", "v")
+    val uniform = (1 to 5000).map(i => (s"k${i % 500}", i)).toDF("key", "v")
+    val dim = (Seq("hot") ++ (1 to 500).map(i => s"k$i")).zipWithIndex
+      .toDF("key", "dim")
+
+    assert(Skew.topKeyShare(hot, "key") > 0.5)
+    assert(Skew.topKeyShare(uniform, "key") < 0.1)
+
+    // skewed probe: the adaptive plan IS the salted plan...
+    val salted = Skew.adaptiveJoin(hot, dim, "key", salt = 8)
+    assert(salted.queryExecution.analyzed.toString.contains("__salt"),
+      "skewed probe should take the salted path")
+    // ...and stays row-identical to the plain join
+    val plain = hot.join(dim, Seq("key"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // uniform probe: the plan is the untouched equi-join (no salt cost)
+    val untouched = Skew.adaptiveJoin(uniform, dim, "key", salt = 8)
+    assert(!untouched.queryExecution.analyzed.toString.contains("__salt"),
+      "uniform probe must not pay the salted fan-out")
+
+    // the hot key's join work spreads over multiple shuffle partitions
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val parts = Skew.adaptiveJoin(hot.repartition(4), dim.hint("shuffle_hash"),
+          "key", salt = 8)
+        .withColumn("pid", spark_partition_id())
+        .filter(col("key") === "hot")
+        .select("pid").distinct().count()
+      assert(parts >= 4, s"hot key confined to $parts partitions (salt=8)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("bucketed tables: co-located join plans with NO shuffle exchange") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
