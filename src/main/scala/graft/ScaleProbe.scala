@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10x scale probe: measures how each heavy query's runtime grows from
+  * sf0.1 to a synthesized ~10x corpus — the empirical check behind the
+  * "would this plan survive a 100 TB scale-up" claims (a plan audit
+  * shows the SHAPE is right; this shows the measured exponent).
+  *
+  * Data synthesis (derived from sf0.1, written under /tmp — testdata is
+  * read-only): each table is replicated `factor` times with ids remapped
+  * into disjoint ranges. Content is VARIED per replica so similarity
+  * structure scales like 10x more data, not 10 copies of the same data
+  * (10 verbatim copies would make every document a member of a 10-way
+  * near-dup clique — a quadratic pair blow-up that measures the
+  * SYNTHESIS artifact, not the plan):
+  *  - documents: per-replica character substitution (rotating vowel /
+  *    consonant maps, length-preserving so n_chars stays consistent) —
+  *    replicas share no shingles, so near-dup structure is replica-local
+  *    and pair counts scale linearly;
+  *  - embeddings: per-replica circular shift of the 64-dim vector
+  *    (norm-preserving, direction-scrambling — no cross-replica cosine
+  *    near-dups);
+  *  - events: user_id/event_id remapped per replica (10x users, same
+  *    per-user event distribution).
+  *
+  * Output: one JSON line {"factor":N,"queries":{q:{"t1":s,"t10":s,
+  * "ratio":r}},...} on stdout and in SCALE_PROBE_OUT (default
+  * /root/repo/scale_probe.json). `ratio` is t10/t1 — ~10 means linear,
+  * >~14 (exponent > ~1.15) flags a super-linear plan.
+  */
+object ScaleProbe {
+
+  /** The probe set: the dedup/similarity family plus the slowest
+    * documents/embeddings/events queries from the round-3 bench (the
+    * TPC-H-table queries are plain scans/joins/windows whose linearity
+    * Spark itself guarantees; the hand-built LSH/graph/model topologies
+    * are where a super-linear surprise could hide). */
+  val ProbeQueries: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_simhash",
+    "q_dedup_embed", "q_dedup_groups", "q_dedup_keep", "q_minhash_est",
+    "q_dup_rate_source", "q_split_groups", "q_lm_score", "q_cosine_topk",
+    "q_ann_bucket", "q_srp_ann", "q_tfidf", "q_repetition",
+    "q_sessionize", "q_zscore")
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generateIfMissing(spark, src, out, factor)
+
+    def execOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+    def exec(name: String, dir: String): Double =
+      math.min(execOnce(name, dir), execOnce(name, dir))
+
+    // warmup both dirs (codegen, collation init, parquet reader)
+    exec("q_dedup_exact", src)
+    exec("q_dedup_exact", out)
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val rows = ProbeQueries.filter(n => only.forall(_.contains(n))).map { q =>
+      val t1 = exec(q, src)
+      val t10 = exec(q, out)
+      val ratio = if (t1 > 0) t10 / t1 else -1.0
+      System.err.println(f"[probe] $q%-20s t1=$t1%6.2fs t10=$t10%6.2fs ratio=$ratio%5.2f")
+      q -> (t1, t10, ratio)
+    }
+    val qs = rows.map { case (q, (t1, t10, r)) =>
+      f""""$q":{"t1":$t1%.3f,"t10":$t10%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"factor":$factor,"src":"$src","queries":$qs}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SCALE_PROBE_OUT", "/root/repo/scale_probe.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[probe] could not write $outPath: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+
+  /** Per-replica length-preserving character map: 10 distinct
+    * vowel/consonant rotations; replica 0 is the identity (the base
+    * corpus is a subset of the scaled one). */
+  private def charMap(i: Int): (String, String) = {
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    ("aeioubcdfg",
+      rot("aeiou", i % 5) + (if (i < 5) "bcdfg" else rot("bcdfg", i - 4)))
+  }
+
+  private def generateIfMissing(spark: SparkSession, src: String,
+      out: String, factor: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_READY"))) return
+    System.err.println(s"[probe] generating ${factor}x corpus under $out")
+    val reps = spark.range(factor).toDF("r")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val textCol = (0 until factor).foldLeft(lit(null).cast("string")) {
+      (acc, i) =>
+        val (from, to) = charMap(i)
+        when(col("r") === i, translate(col("text"), from, to)).otherwise(acc)
+    }
+    docs.crossJoin(reps).select(
+        (col("doc_id") + col("r") * maxDoc).as("doc_id"),
+        textCol.as("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dims = 64
+    val embCol = (0 until factor).foldLeft(lit(null).cast("array<float>")) {
+      (acc, i) =>
+        val shift = (i * 7) % dims
+        val shifted =
+          if (shift == 0) col("embedding")
+          else concat(slice(col("embedding"), shift + 1, dims - shift),
+            slice(col("embedding"), 1, shift))
+        when(col("r") === i, shifted).otherwise(acc)
+    }
+    emb.crossJoin(reps).select(
+        (col("vec_id") + col("r") * maxVec).as("vec_id"),
+        embCol.as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // ts read as raw int64 nanos (nanosAsLong is set session-wide here)
+    // and written back as int64 — Tables.events treats both identically
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val ids = ev.agg(max("user_id"), max("event_id")).head()
+    val (maxUser, maxEvent) = (ids.getLong(0) + 1, ids.getLong(1) + 1)
+    ev.crossJoin(reps).select(
+        (col("event_id") + col("r") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_READY"), true).close()
+  }
+}

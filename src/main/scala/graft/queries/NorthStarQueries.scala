@@ -360,16 +360,26 @@ object NorthStarQueries {
              SELECT doc_id, $simhashCombine AS simhash
              FROM bits ORDER BY doc_id""")),
 
-    // embedding-cosine near-dup with label blocking (IVF-style: compare
-    // only within a coarse partition, shuffle keys on label)
+    // embedding-cosine near-dup with (label, IVF-cell) blocking:
+    // candidates only within the same label AND trained IVF cell, exact
+    // cosine verifies. The round-4 10x probe showed why label-only
+    // blocking is a scale-killer: label cardinality is CONSTANT, so
+    // within-label pairs — and with a low threshold the OUTPUT itself —
+    // grow quadratically (measured t10/t1 = 46). Cell blocking applies
+    // the IVF sizing rule: k grows with the corpus (k=10 matches this
+    // synthetic scale), holding block sizes and per-block pair cost
+    // constant — the same contract every IVF-blocked dedup ships with,
+    // trading the cross-cell pair (recoverable via multi-probe,
+    // q_ivf_probe2) for linear total work.
     Q("q_dedup_embed",
       (s, d) => {
-        val e = emb(s, d)
+        val cells = ivfAssigned(s, d).select("vec_id", "cell")
+        val e = emb(s, d).join(cells, "vec_id")
         val a = e.select(col("vec_id").as("d1"), col("emb").as("e1"),
-          col("nrm").as("n1"), col("label"))
+          col("nrm").as("n1"), col("label"), col("cell"))
         val b = e.select(col("vec_id").as("d2"), col("emb").as("e2"),
-          col("nrm").as("n2"), col("label"))
-        a.join(b, Seq("label"))
+          col("nrm").as("n2"), col("label"), col("cell"))
+        a.join(b, Seq("label", "cell"))
           .filter(col("d1") < col("d2"))
           .withColumn("sim",
             round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 4))
@@ -377,10 +387,23 @@ object NorthStarQueries {
           .select("d1", "d2", "sim")
           .orderBy("d1", "d2")
       },
-      Some(s"""WITH $embCte
+      Some(s"""WITH $embCte,
+             $kmeansCte,
+             scored AS (
+               SELECT n.vec_id, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+               FROM n CROSS JOIN c),
+             asn AS (
+               SELECT vec_id, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cell) AS rn FROM scored)
+               WHERE rn = 1),
+             m AS (SELECT n.vec_id, n.e, n.nrm, n.label, asn.cell
+                   FROM n JOIN asn USING (vec_id))
              SELECT a.vec_id AS d1, b.vec_id AS d2,
                round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
-             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             FROM m a JOIN m b ON a.label = b.label AND a.cell = b.cell
+               AND a.vec_id < b.vec_id
              WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
              ORDER BY d1, d2""")),
 

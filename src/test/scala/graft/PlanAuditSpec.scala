@@ -60,13 +60,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // BroadcastNestedLoopJoin is the same O(n*m) comparison with a
     // broadcast coat — reject both (a non-equi-keyed refactor plans BNLJ
     // when one side fits the broadcast threshold)
-    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed",
+    for (q <- Seq("q_dedup_minhash", "q_dedup_ngram",
         "q_ann_bucket", "q_minhash_est")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q pairs without an equi key:\n$p")
     }
+    // q_dedup_embed blocks on (label, IVF cell): its only unkeyed join
+    // is the k-row broadcast centroid assignment (the IVF contract,
+    // same as q_ivf_probe2); the corpus-sized pair join must stay keyed
+    val pe = plan("q_dedup_embed")
+    assert(!pe.contains("CartesianProduct"), s"q_dedup_embed went all-pairs:\n$pe")
+    assert(pe.contains("BroadcastHashJoin") || pe.contains("SortMergeJoin") ||
+      pe.contains("ShuffledHashJoin"), s"pair join lost its equi key:\n$pe")
   }
 
   test("multi-probe IVF: candidates join on cell (keyed), top-k window-pruned") {
