@@ -104,9 +104,33 @@ object ZOrder {
 
   private def writeByZ(df: DataFrame, z: Column, path: String,
       numFiles: Int): Unit =
+    clusterByZ(df, z, numFiles)
+      .write.mode("overwrite").parquet(path) // OPTIMIZE-style rewrite
+
+  private def clusterByZ(df: DataFrame, z: Column, numFiles: Int): DataFrame =
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(path) // OPTIMIZE-style rewrite
+
+  /** The layout of [[writeZOrdered]] as a DataFrame (z-clustered into
+    * `numFiles` range partitions, helper column dropped) WITHOUT the
+    * write — for sinks that own their write path. Appending this
+    * through [[VersionedParquetSink]] composes the two halves of data
+    * skipping: z-order makes each output file cover a tight range of
+    * BOTH columns, and the sink's per-file min/max stats let readWhere
+    * open only the intersecting files. */
+  def zOrdered(df: DataFrame, colA: String, colB: String,
+      numFiles: Int = 8, bits: Int = 16): DataFrame = {
+    val row = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    for ((c, i) <- Seq(colA -> 0, colB -> 2))
+      require(!row.isNullAt(i) && !row.isNullAt(i + 1),
+        s"z-order column '$c' is all-null")
+    val z = zValue(
+      bucketed(colA, row.getDouble(0), row.getDouble(1), bits),
+      bucketed(colB, row.getDouble(2), row.getDouble(3), bits), bits)
+    clusterByZ(df, z, numFiles)
+  }
 }

@@ -236,6 +236,30 @@ class ScaleSpec extends AnyFunSuite {
     check(expr("id % 7 = 0"), 8) // ...and still returns the right rows
   }
 
+  test("z-order + data skipping compose: either column's predicate opens few sink files") {
+    // the two halves of the read-path win: z-order clusters each output
+    // file into a tight range of BOTH columns; the sink's per-file stats
+    // then let readWhere open only the intersecting files
+    val rng = new scala.util.Random(13)
+    val data = (1 to 20000)
+      .map(_ => (rng.nextInt(1000), rng.nextInt(1000), rng.nextInt()))
+      .toDF("a", "b", "payload")
+    val store = TestSpark.tmpDir("zskip")
+    val sink = new VersionedParquetSink(store)
+    sink.append(ZOrder.zOrdered(data, "a", "b", numFiles = 16), "t")
+
+    val predA = col("a").between(100, 149) // 5% slice of a
+    val predB = col("b").between(700, 749) // 5% slice of b
+    for (p <- Seq(predA, predB)) {
+      val (kept, total) = sink.pruningStats(spark, "t", p)
+      assert(total == 16, s"expected 16 files, saw $total")
+      assert(kept <= 8, s"z+stats should halve the scan for $p: $kept/$total")
+      val skip = sink.readWhere(spark, "t", p)
+      val full = sink.read(spark, "t").filter(p)
+      assert(skip.exceptAll(full).isEmpty && full.exceptAll(skip).isEmpty)
+    }
+  }
+
   test("data skipping survives delete + compaction (stats re-derived on rewrite)") {
     val store = TestSpark.tmpDir("dskip_rw")
     val sink = new VersionedParquetSink(store)
