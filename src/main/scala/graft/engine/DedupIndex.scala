@@ -57,15 +57,34 @@ object DedupIndex {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType, nullable = false)))
-    spark.readStream.schema(schema).json(docsDir)
+    // one file per micro-batch (the Rebalance recipe): batch composition
+    // is then DETERMINISTIC across checkpoint loss, so the content keys
+    // align file-for-file — a crash between appendDeduped's three table
+    // writes heals on replay (same key: corpus no-ops, index fills in),
+    // and a post-loss NEW file forms its own batch with its own key
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(docsDir)
       .writeStream
       .queryName("graft-dedup-ingest")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        // CONTENT-derived key, NOT batchId (the round-4 chaos test's
+        // find): after checkpoint loss the re-formed batch 0 may MERGE
+        // already-committed files with NEW ones; a batchId key would
+        // match the pre-crash commit and appendOnce would silently
+        // swallow the new files' rows. A content key makes an identical
+        // replay a no-op while any re-batched superset proceeds — the
+        // index's fingerprint stage then absorbs the already-ingested
+        // rows, so the combination stays exactly-once under ANY
+        // re-batching. The aggregate doubles as the emptiness check.
+        // ( separator: boundary-shifted values must not collide.)
+        val sig = batch.agg(count(lit(1)),
+          sum(crc32(concat_ws("", col("doc_id"), col("text"))))).head()
+        if (sig.getLong(0) > 0) {
           appendDeduped(batch.sparkSession, sink, batch,
-            batchKey = Some(s"dedup-batch-$batchId"),
+            batchKey = Some(s"dedup-${sig.getLong(0)}-${sig.getLong(1)}"),
             verifyThreshold = verifyThreshold)
           ()
         }

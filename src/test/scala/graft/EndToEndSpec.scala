@@ -96,4 +96,82 @@ class EndToEndSpec extends AnyFunSuite {
       assert(sink.read(spark, "actors").count() == actors.size)
     } finally server.stop(0)
   }
+
+  test("chaos: dedup + rebalance streams lose checkpoints mid-batch, stay globally exactly-once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.engine.DedupIndex
+    import graft.streaming.Rebalance
+
+    def writeFile(dir: String, name: String,
+        rows: Seq[(Long, String, String)]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try rows.foreach { case (id, t, l) =>
+        w.println(s"""{"doc_id":$id,"text":"$t","lang":"$l"}""")
+      } finally w.close()
+    }
+    def rmrf(p: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+    val f1 = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "alpha beta gamma delta epsilon", "en"), // exact dup of 1
+      (3L, "uno dos tres cuatro cinco seis", "es"),
+      (4L, "un deux trois quatre cinq six", "fr"))
+    val f2 = Seq(
+      (5L, "alpha beta gamma delta epsilon", "en"), // dup of committed 1
+      (6L, "nuevo documento totalmente distinto", "es"))
+
+    def runBoth(feed: String, sink: VersionedParquetSink, ck1: String,
+        ck2: String): Unit = {
+      DedupIndex.streamDeduped(spark, feed, sink, ck1).awaitTermination()
+      Rebalance.streamRebalanced(spark, feed, sink, ck2).awaitTermination()
+    }
+
+    // ---- chaos run -----------------------------------------------------
+    val feed = TestSpark.tmpDir("chaos_feed")
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("chaos_sink"))
+    val (ck1, ck2) = (TestSpark.tmpDir("chaos_ck1"), TestSpark.tmpDir("chaos_ck2"))
+    writeFile(feed, "f1.json", f1)
+    runBoth(feed, sink, ck1, ck2)
+    assert(sink.read(spark, "corpus").count() == 3) // dup 2 dropped
+
+    // file 2 lands; the dedup worker crashes MID-BATCH: its corpus
+    // append commits but the fp/sig index entries never do — simulated
+    // by committing the survivor row under exactly the content key the
+    // stream derives for f2's (file-pinned) batch
+    writeFile(feed, "f2.json", f2)
+    val f2df = f2.toDF("doc_id", "text", "lang").select("doc_id", "text")
+    val sig = f2df.agg(count(lit(1)),
+      sum(crc32(concat_ws("", col("doc_id"), col("text"))))).head()
+    val f2key = s"dedup-${sig.getLong(0)}-${sig.getLong(1)}"
+    assert(sink.appendOnce(Seq((6L, f2(1)._2)).toDF("doc_id", "text"),
+      "corpus", s"$f2key:corpus"))
+
+    // ...and BOTH checkpoints are lost (SIGKILL + volume wipe)
+    rmrf(ck1); rmrf(ck2)
+    runBoth(feed, sink, ck1, ck2)
+
+    // ---- clean single-run reference ------------------------------------
+    val feedR = TestSpark.tmpDir("chaosr_feed")
+    val sinkR = new VersionedParquetSink(TestSpark.tmpDir("chaosr_sink"))
+    writeFile(feedR, "f1.json", f1)
+    writeFile(feedR, "f2.json", f2)
+    runBoth(feedR, sinkR,
+      TestSpark.tmpDir("chaosr_ck1"), TestSpark.tmpDir("chaosr_ck2"))
+
+    // every table on the chaos sink equals the never-crashed reference
+    for (t <- Seq("corpus", "dedup_fp", "dedup_sig", "balanced", "group_counts")) {
+      val a = sink.read(spark, t)
+      val b = sinkR.read(spark, t).select(a.columns.map(col): _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"table $t diverged:\n chaos=${a.collect().toSeq}\n ref=${b.collect().toSeq}")
+    }
+    // and the headline invariant: no document ingested twice, none lost
+    val ids = sink.read(spark, "corpus").select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L, 4L, 6L), s"corpus ids: ${ids.toSeq}")
+  }
 }
