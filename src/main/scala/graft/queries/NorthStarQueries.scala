@@ -1029,6 +1029,79 @@ object NorthStarQueries {
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // Exact duplicate-SPAN removal — the Lee et al. ("Deduplicating
+    // Training Data Makes Language Models Better") operation at 8-word
+    // granularity: every 8-token span whose hash occurs in 2+ documents
+    // is masked from ALL of them, and the cleaned text is
+    // fingerprinted. This removes boilerplate shared across documents
+    // (headers, license blocks, templates) that document-level dedup
+    // keeps. Scale shape: positions are row-local (one explode per
+    // token), the only shuffles are the span-hash groupBy (shared-span
+    // detection), the keyed join back on hash, and the (doc, position)
+    // anti-join — every join key is content-derived and unbounded in
+    // cardinality, so nothing degenerates as the corpus grows (8-word
+    // spans are near-unique unless genuinely duplicated). Docs shorter
+    // than the span width pass through untouched; a fully-masked doc
+    // keeps n_tokens with n_kept = 0 and the empty-string hash (both
+    // engines agree on md5('')).
+    Q("q_span_clean",
+      (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"),
+          split(col("text"), " ").as("ws"))
+        // (doc, i, h): hash of the 8-token span starting at 0-based i.
+        // sequence(0, negative) would count DOWN — guard short docs.
+        val spans = toks.select(col("doc_id"), col("ws"),
+            explode(expr("CASE WHEN size(ws) >= 8 " +
+              "THEN sequence(0, size(ws) - 8) ELSE array() END")).as("i"))
+          .select(col("doc_id"), col("i"),
+            md5(expr("array_join(slice(ws, i + 1, 8), ' ')")
+              .cast("binary")).as("h"))
+        val shared = spans.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        // token positions covered by any shared span
+        val bad = spans.join(shared, "h")
+          .select(col("doc_id"),
+            explode(expr("sequence(i, i + 7)")).as("j"))
+          .distinct()
+        val tokPos = toks.select(col("doc_id"),
+          posexplode(col("ws")).as(Seq("j", "w")))
+        val keptAgg = tokPos.join(bad, Seq("doc_id", "j"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(expr("array_join(transform(array_sort(" +
+              "collect_list(struct(j, w))), x -> x.w), ' ')")
+              .cast("binary")).as("h_clean"))
+        toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+          .join(keptAgg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("h_clean"), md5(lit("").cast("binary"))).as("h_clean"))
+          .orderBy("doc_id")
+      },
+      // oracle note: DuckDB can't lateral generate_series on a column —
+      // CROSS JOIN a constant range (600 > any testdata token count,
+      // Spark side uncapped) and filter, the q_chunk precedent
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+             g AS (SELECT doc_id, i, md5(array_to_string(ws[i + 1:i + 8], ' ')) AS h
+                   FROM t CROSS JOIN range(0, 600) r(i) WHERE i + 8 <= len(ws)),
+             shared AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             bad AS (SELECT DISTINCT g.doc_id, g.i + s.k AS j
+                     FROM g JOIN shared USING (h) CROSS JOIN range(0, 8) s(k)),
+             tok AS (SELECT doc_id, i AS j, ws[i + 1] AS w
+                     FROM t CROSS JOIN range(0, 600) r(i) WHERE i < len(ws)),
+             kept AS (SELECT tok.doc_id, tok.j, tok.w FROM tok
+                      WHERE NOT EXISTS (SELECT 1 FROM bad
+                        WHERE bad.doc_id = tok.doc_id AND bad.j = tok.j)),
+             ka AS (SELECT doc_id, count(*) AS n_kept,
+                      md5(string_agg(w, ' ' ORDER BY j)) AS h_clean
+                    FROM kept GROUP BY doc_id)
+             SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+               coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(ka.h_clean, md5('')) AS h_clean
+             FROM t LEFT JOIN ka USING (doc_id)
+             ORDER BY doc_id"""))
   )
 }

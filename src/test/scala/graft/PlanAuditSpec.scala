@@ -131,6 +131,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-k not window-pruned:\n$p")
   }
 
+  test("span-clean: every join equi-keyed (hash / doc+position), no cartesian") {
+    val p = plan("q_span_clean")
+    assert(!p.contains("CartesianProduct"), s"q_span_clean went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q_span_clean joins without an equi key:\n$p")
+  }
+
   test("funnel stages join keyed on user_id (no cartesian, no event-list collect)") {
     val p = plan("q_funnel")
     assert(!p.contains("CartesianProduct"), s"funnel went all-pairs:\n$p")
