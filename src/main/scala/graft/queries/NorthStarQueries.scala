@@ -1050,46 +1050,50 @@ object NorthStarQueries {
       (s, d) => {
         val toks = docs(s, d).select(col("doc_id"),
           split(col("text"), " ").as("ws"))
-        // (doc, i, h): hash of the 8-token span starting at 0-based i.
+        // (doc, i, sp): the RAW 8-token span starting at 0-based i —
+        // grouping on the span text itself is exact (no hash-collision
+        // caveat) and drops a per-position md5 from the hot path; the
+        // string is an internal join key, never output.
         // sequence(0, negative) would count DOWN — guard short docs.
         val spans = toks.select(col("doc_id"), col("ws"),
             explode(expr("CASE WHEN size(ws) >= 8 " +
               "THEN sequence(0, size(ws) - 8) ELSE array() END")).as("i"))
           .select(col("doc_id"), col("i"),
-            md5(expr("array_join(slice(ws, i + 1, 8), ' ')")
-              .cast("binary")).as("h"))
-        val shared = spans.groupBy("h")
+            expr("array_join(slice(ws, i + 1, 8), ' ')").as("sp"))
+        val shared = spans.groupBy("sp")
           .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") >= 2).select("h")
+          .filter(col("nd") >= 2).select("sp")
         // token positions covered by any shared span
-        val bad = spans.join(shared, "h")
+        val bad = spans.join(shared, "sp")
           .select(col("doc_id"),
             explode(expr("sequence(i, i + 7)")).as("j"))
           .distinct()
+        // ONE aggregation over marked token positions (left join keeps
+        // masked tokens with a marker): n_tokens, n_kept and the
+        // cleaned-text hash fall out of the same groupBy, and every doc
+        // appears (split of even an empty text yields one token), so no
+        // final re-scan join is needed
         val tokPos = toks.select(col("doc_id"),
           posexplode(col("ws")).as(Seq("j", "w")))
-        val keptAgg = tokPos.join(bad, Seq("doc_id", "j"), "left_anti")
+        tokPos.join(bad.withColumn("b", lit(1)), Seq("doc_id", "j"), "left")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            md5(expr("array_join(transform(array_sort(" +
-              "collect_list(struct(j, w))), x -> x.w), ' ')")
-              .cast("binary")).as("h_clean"))
-        toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
-          .join(keptAgg, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-            coalesce(col("h_clean"), md5(lit("").cast("binary"))).as("h_clean"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(when(col("b").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_kept"),
+            md5(expr("array_join(transform(filter(array_sort(" +
+              "collect_list(struct(j, w, b))), x -> x.b IS NULL), " +
+              "x -> x.w), ' ')").cast("binary")).as("h_clean"))
           .orderBy("doc_id")
       },
       // oracle note: DuckDB can't lateral generate_series on a column —
       // CROSS JOIN a constant range (600 > any testdata token count,
       // Spark side uncapped) and filter, the q_chunk precedent
       Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-             g AS (SELECT doc_id, i, md5(array_to_string(ws[i + 1:i + 8], ' ')) AS h
+             g AS (SELECT doc_id, i, array_to_string(ws[i + 1:i + 8], ' ') AS sp
                    FROM t CROSS JOIN range(0, 600) r(i) WHERE i + 8 <= len(ws)),
-             shared AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+             shared AS (SELECT sp FROM g GROUP BY sp HAVING count(DISTINCT doc_id) >= 2),
              bad AS (SELECT DISTINCT g.doc_id, g.i + s.k AS j
-                     FROM g JOIN shared USING (h) CROSS JOIN range(0, 8) s(k)),
+                     FROM g JOIN shared USING (sp) CROSS JOIN range(0, 8) s(k)),
              tok AS (SELECT doc_id, i AS j, ws[i + 1] AS w
                      FROM t CROSS JOIN range(0, 600) r(i) WHERE i < len(ws)),
              kept AS (SELECT tok.doc_id, tok.j, tok.w FROM tok
