@@ -640,6 +640,41 @@ object ExtendedQueries {
                  / quantile_cont(o_totalprice, 0.95) <= 0.01 AS p95_within_1pct,
                abs(approx_quantile(o_totalprice, 0.99) - quantile_cont(o_totalprice, 0.99))
                  / quantile_cont(o_totalprice, 0.99) <= 0.01 AS p99_within_1pct
-             FROM orders"""))
+             FROM orders""")),
+
+    // Heavy hitters: exact top-10 corpus tokens (hash-checked) plus the
+    // engine-side guarantee of a ONE-PASS, O(k)-state Misra-Gries
+    // sketch (functions/Sketches.scala — the repo's custom typed
+    // Aggregator, map-side-combined like any built-in): every token
+    // with frequency > n/(k+1) must appear among the k=20 candidates,
+    // a theorem independent of row order and merge tree, so the
+    // boolean is deterministically true in any partitioning. DuckDB
+    // 1.0 ships no top-k sketch, so the oracle emits the literal —
+    // the sketch-family precedent where only one engine has the
+    // sketch (exact columns stay fully hash-compared). The collected
+    // candidate map is <= k entries — the bounded-driver-materialization
+    // pattern (KMeans centroids precedent).
+    Q("q_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val MgK = 20
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w")).as[String]
+        val cand = toks
+          .select(new graft.functions.MisraGries(MgK).toColumn)
+          .head().keySet.toSeq
+        val counts = toks.toDF("w").groupBy("w")
+          .agg(count(lit(1)).as("cnt"))
+        counts.crossJoin(broadcast(counts.agg(sum("cnt").as("n"))))
+          .withColumn("sketch_ok",
+            !(col("cnt") > col("n") / (MgK + 1.0)) ||
+              (if (cand.isEmpty) lit(false) else col("w").isin(cand: _*)))
+          .select("w", "cnt", "sketch_ok")
+          .orderBy(desc("cnt"), col("w")).limit(10)
+      },
+      Some("""WITH t AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+             c AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1)
+             SELECT w, cnt, true AS sketch_ok FROM c
+             ORDER BY cnt DESC, w LIMIT 10"""))
   )
 }

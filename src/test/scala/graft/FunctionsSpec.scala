@@ -74,4 +74,35 @@ class FunctionsSpec extends AnyFunSuite {
     val fps = df.collect().map(_.getString(0))
     assert(fps(0) == fps(1)) // same after normalization
   }
+
+  test("Misra-Gries guarantee holds under adversarial order and merge trees") {
+    import graft.functions.MisraGries
+    val k = 9
+    // 3 heavy items above n/(k+1) buried in a long tail of uniques
+    val heavy = Seq.fill(500)("A") ++ Seq.fill(400)("B") ++ Seq.fill(350)("C")
+    val tail = (1 to 1750).map(i => s"u$i")
+    val stream = new scala.util.Random(5).shuffle(heavy ++ tail)
+    val n = stream.size
+    assert(Seq(500, 400, 350).forall(_ > n / (k + 1)))
+    val mg = new MisraGries(k)
+
+    // sequential reduce
+    val seq = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(Set("A", "B", "C").subsetOf(seq.keySet), s"sequential: $seq")
+
+    // adversarial merge trees: varying partition counts and sizes
+    for (parts <- Seq(2, 7, 32)) {
+      val buffers = stream.grouped(math.max(1, n / parts)).toSeq
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+      val left = buffers.reduceLeft(mg.merge)
+      val balanced = buffers.reduce(mg.merge)
+      for ((m, how) <- Seq(left -> "left-fold", balanced -> "balanced")) {
+        assert(m.size <= k, s"$how/$parts: ${m.size} counters")
+        assert(Set("A", "B", "C").subsetOf(m.keySet),
+          s"$how/$parts lost a guaranteed item: $m")
+        // candidate counts are lower bounds within n/(k+1) of truth
+        assert(m("A") <= 500 && m("A") > 500 - n / (k + 1.0))
+      }
+    }
+  }
 }
