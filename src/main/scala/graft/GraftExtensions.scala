@@ -16,8 +16,13 @@ import graft.functions.{DotProduct, NormalizeNfc}
   *    normalization ([[graft.functions.NormalizeNfc]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // Operator-optimization rule: implied raw-long bounds for predicates
+    // over the nanos->timestamp conversion chain, restoring parquet
+    // pushdown on events.ts (idempotent, fixed-point safe).
+    ext.injectOptimizerRule(_ => graft.plans.NanosRangePushdown)
+  }
 }
 
 object GraftExtensions {
@@ -40,11 +45,22 @@ object GraftExtensions {
   /** Late registration for sessions built without the extensions conf
     * (e.g. a host harness's own SparkSession): queries that need the
     * graft functions call this first, so they are self-sufficient. */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, _, builder) =>
       if (!spark.catalog.functionExists(id.funcName)) {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           id.funcName, builder, "scala_udf")
       }
     }
+    // Sessions built without the extensions conf still get the pushdown
+    // rule via the experimental hook (it runs in a later batch, but the
+    // filter is already adjacent to the relation by then, which is all
+    // the v1 pushdown needs). Double registration is harmless: the rule
+    // is idempotent.
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.NanosRangePushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NanosRangePushdown
+    }
+  }
 }

@@ -41,6 +41,16 @@ class PlanAuditSpec extends AnyFunSuite {
       .filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("events time-range predicates push raw-nanos bounds to the scan") {
+    // ts is timestamp[ns] read as a raw long; without NanosRangePushdown
+    // the date filter compares a computed expression and pushes nothing,
+    // i.e. a day-slice query becomes a full-table scan at 100 TB.
+    val pushed = plan("q_filter_range").linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(ts,"), pushed)
+    assert(pushed.contains("LessThanOrEqual(ts,"), pushed)
+  }
+
   test("column pruning: projection-only query reads only selected columns") {
     val p = plan("q_project")
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
