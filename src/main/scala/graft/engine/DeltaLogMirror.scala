@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.StructType
 
-import graft.engine.VersionedParquetSink.{liveEntries, Commit}
+import graft.engine.VersionedParquetSink.{isDv, liveEntries, Commit}
 
 /** Write-side mirror of the sink's commit log as a `_delta_log/`
   * directory per the PUBLIC Delta Lake transaction protocol
@@ -30,6 +30,18 @@ import graft.engine.VersionedParquetSink.{liveEntries, Commit}
   * and a mirror IO failure never fails the already-durable commit.
   * Concurrent mirrors of the same version race benignly: the loser's
   * rename fails against an identical file.
+  *
+  * '''Deletion vectors''': the basic protocol (reader v1) cannot express
+  * the sink's positional masks, so while an UNMATERIALIZED DV is live
+  * the mirror LAGS — it stops just before the first live DV version, and
+  * an external reader sees the newest expressible snapshot (stale but
+  * consistent, exactly like a reader pinned at an older version). Once a
+  * compact/delete/merge materializes the masks, the retired DV versions
+  * are backfilled as commitInfo-only placeholders (keeping the version
+  * chain contiguous, as Delta readers require) and the rewrite's
+  * remove+add restores the mirror to the true latest snapshot. The one
+  * caveat is documented, not silent: TIME TRAVEL into a placeholder
+  * version shows the pre-delete rows.
   */
 object DeltaLogMirror {
 
@@ -54,7 +66,14 @@ object DeltaLogMirror {
       fs.mkdirs(logDir)
       val existing: Set[String] = fs.listStatus(logDir).toSeq
         .map(_.getPath.getName).filter(_.endsWith(".json")).toSet
-      entries.filterNot(e => existing.contains(logName(e.version)))
+      // lag while an unmaterialized DV is live: everything from the first
+      // live DV on is inexpressible until a rewrite materializes it
+      val mirrorable = liveEntries(entries).filter(isDv)
+        .map(_.version).minOption match {
+        case Some(firstLiveDv) => entries.filter(_.version < firstLiveDv)
+        case None => entries
+      }
+      mirrorable.filterNot(e => existing.contains(logName(e.version)))
         .sortBy(_.version)
         .foreach { e =>
           val body = renderVersion(spark, tableDir, entries, e)
@@ -124,8 +143,10 @@ object DeltaLogMirror {
     // remove: files a rewrite supersedes = dirs live before this commit
     // but not after it (appends supersede nothing)
     if (e.compacts.isDefined) {
-      val before = liveEntries(prev).map(_.dir).toSet
-      val after = liveEntries(upTo).map(_.dir).toSet
+      // DV dirs hold mask positions, never mirrored as data — they must
+      // not appear as removes (they were never adds)
+      val before = liveEntries(prev).filterNot(isDv).map(_.dir).toSet
+      val after = liveEntries(upTo).filterNot(isDv).map(_.dir).toSet
       (before -- after).toSeq.sorted.foreach { dir =>
         parquetFiles(fs, s"$tableDir/$dir").foreach { st =>
           val r = mapper.createObjectNode()
@@ -139,22 +160,27 @@ object DeltaLogMirror {
     }
 
     // add: this commit's own data files, with Delta-shape stats when the
-    // marker carries them
-    val statsByFile: Map[String, String] = e.stats.map { json =>
-      import scala.jdk.CollectionConverters._
-      mapper.readTree(json).properties().asScala
-        .map(p => p.getKey -> p.getValue.toString).toMap
-    }.getOrElse(Map.empty)
-    parquetFiles(fs, s"$tableDir/${e.dir}").foreach { st =>
-      val a = mapper.createObjectNode()
-      val n = a.putObject("add")
-      n.put("path", s"${e.dir}/${st.getPath.getName}")
-      n.putObject("partitionValues")
-      n.put("size", st.getLen)
-      n.put("modificationTime", st.getModificationTime)
-      n.put("dataChange", true)
-      statsByFile.get(st.getPath.getName).foreach(n.put("stats", _))
-      lines += mapper.writeValueAsString(a)
+    // marker carries them. A retired DV version (reachable only as a
+    // backfilled placeholder once a rewrite materialized it) contributes
+    // NO add: its dir is a positional mask, not table data, and its
+    // effect lives in the materializing rewrite's remove+add.
+    if (!isDv(e)) {
+      val statsByFile: Map[String, String] = e.stats.map { json =>
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(json).properties().asScala
+          .map(p => p.getKey -> p.getValue.toString).toMap
+      }.getOrElse(Map.empty)
+      parquetFiles(fs, s"$tableDir/${e.dir}").foreach { st =>
+        val a = mapper.createObjectNode()
+        val n = a.putObject("add")
+        n.put("path", s"${e.dir}/${st.getPath.getName}")
+        n.putObject("partitionValues")
+        n.put("size", st.getLen)
+        n.put("modificationTime", st.getModificationTime)
+        n.put("dataChange", true)
+        statsByFile.get(st.getPath.getName).foreach(n.put("stats", _))
+        lines += mapper.writeValueAsString(a)
+      }
     }
 
     lines.result().mkString("", "\n", "\n")

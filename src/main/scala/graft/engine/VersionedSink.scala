@@ -249,9 +249,13 @@ final class VersionedParquetSink(basePath: String,
               //    (liveEntries keeps version > compacts), but committing
               //    a compaction derived from a pre-delete snapshot would
               //    shadow the delete ("last compaction wins" in
-              //    liveEntries) and resurrect its rows.
+              //    liveEntries) and resurrect its rows. A newer DELETION
+              //    VECTOR conflicts the same way: the compaction's new
+              //    file paths would orphan the DV's (path, pos) refs and
+              //    silently resurrect the masked rows.
               if (rewriteOnlyConflict)
-                entries.exists(e => e.version > b && e.compacts.isDefined)
+                entries.exists(e => e.version > b &&
+                  (e.compacts.isDefined || VersionedParquetSink.isDv(e)))
               else entries.lastOption.map(_.version).getOrElse(-1L) != b
             }) {
             f.delete(new Path(s"${tableDir(table)}/$unique"), true)
@@ -429,6 +433,48 @@ final class VersionedParquetSink(basePath: String,
     rewriteWith(spark, table, "delete", commitKey,
       snap => snap.filter(!coalesce(condition, lit(false))))
 
+  /** DELETE via a deletion vector (Delta's merge-on-read DVs): instead of
+    * rewriting the live set, commits a parquet of `(path, pos)` row
+    * positions — the rows where `condition` is TRUE — and every reader
+    * anti-joins the mask. Deleting 3 rows from a 100 TB table writes
+    * kilobytes; [[delete]]'s copy-on-write would rewrite the table. The
+    * read-side cost is a (normally broadcast) anti-join per scan, paid
+    * until a [[compact]] / [[delete]] / [[merge]] materializes the mask
+    * into plain files (all three derive from [[readAt]], which applies
+    * DVs, and their `compacts` watermark then retires the DV commits).
+    *
+    * Same SQL DELETE null semantics and serializable isolation as
+    * [[delete]]: aborts and retries from a fresh snapshot if ANY commit
+    * lands after the snapshot the positions were computed from (a stale
+    * mask could miss a racing append's matching rows), and a concurrent
+    * compaction aborts when it would orphan this mask's file refs.
+    * Masks stack: a second DV delete masks additional positions; the
+    * union applies. Row positions come from the parquet reader's
+    * `_metadata.row_index`, exact for the sink's immutable files.
+    * Returns the committed version; `commitKey` replays idempotently. */
+  def deleteVectored(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "dv", commitKey) { entries =>
+      val baseV = entries.last.version
+      val dv = readAtPos(spark, table, baseV, keepPos = true)
+        .filter(coalesce(condition, lit(false)))
+        .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+      val unique = s"d-${UUID.randomUUID()}"
+      dv.write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${tableDir(table)}/$unique")
+      commitLoop(spark, table, unique, commitKey,
+        compacts = None,
+        schemaDdl = entries.last.schemaDdl.getOrElse(
+          readAt(spark, table, baseV).schema.toDDL),
+        cleanupOnKeyLoss = true, requireBase = Some(baseV),
+        op = Some("dv"), statsJson = None)
+        .orElse(commitKey.flatMap(k =>
+          manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+        .getOrElse(throw new IllegalStateException(
+          s"dv-delete of $table lost the commit race with no keyed winner"))
+    }
+
   /** DELETE by key list (the GDPR/right-to-erasure shape): remove every
     * row whose `keyCols` match a row of `keys` — a DISTRIBUTED anti-join
     * rewrite, so the key list can itself be table-sized (a predicate
@@ -571,8 +617,14 @@ final class VersionedParquetSink(basePath: String,
     val schemaDdl = upToTo.last.schemaDdl
     def withType(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t))
-    val fastRange = range.filter(_.compacts.isEmpty)
-    if (range.forall(e => e.compacts.isEmpty || e.op.contains("compact"))) {
+    // a deletion-vector commit is a data-CHANGING commit whose dir holds
+    // mask positions, not rows: any DV in range forces the snapshot-diff
+    // path (which reads masked snapshots and reports its rows as deletes)
+    val fastRange = range.filter(e =>
+      e.compacts.isEmpty && !VersionedParquetSink.isDv(e))
+    if (range.forall(e =>
+        (e.compacts.isEmpty && !VersionedParquetSink.isDv(e)) ||
+          e.op.contains("compact"))) {
       val toSchema = schemaDdl.map(ddl => StructType(
         StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
       if (fastRange.isEmpty) {
@@ -663,11 +715,20 @@ final class VersionedParquetSink(basePath: String,
     * evolution, files written before a column existed read it as null —
     * and time travel to a pre-evolution version projects the later
     * columns away entirely. */
-  def readAt(spark: SparkSession, table: String, v: Long): DataFrame = {
+  def readAt(spark: SparkSession, table: String, v: Long): DataFrame =
+    readAtPos(spark, table, v, keepPos = false)
+
+  /** [[readAt]] with the merge-on-read machinery exposed: scans the live
+    * DATA dirs, anti-joins any live deletion-vector masks, and (for the
+    * DV writer) can keep the `__dv_path`/`__dv_pos` position columns. */
+  private def readAtPos(spark: SparkSession, table: String, v: Long,
+      keepPos: Boolean): DataFrame = {
     val entries = manifest(spark, table).filter(_.version <= v)
     require(entries.nonEmpty, s"no committed versions <= $v for $table")
-    val dirs = liveEntries(entries).map(e => s"${tableDir(table)}/${e.dir}")
-    entries.lastOption.flatMap(_.schemaDdl) match {
+    val (dvs, datas) = liveEntries(entries)
+      .partition(VersionedParquetSink.isDv)
+    val dirs = datas.map(e => s"${tableDir(table)}/${e.dir}")
+    val plain = entries.lastOption.flatMap(_.schemaDdl) match {
       case Some(ddl) =>
         // nullable-ized: pre-evolution files lack the new columns
         val schema = StructType(StructType.fromDDL(ddl)
@@ -675,6 +736,59 @@ final class VersionedParquetSink(basePath: String,
         spark.read.schema(schema).parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*) // pre-schema-field markers
     }
+    if (dvs.isEmpty && !keepPos) plain // zero overhead without DVs
+    else {
+      val withPos = withPosCols(spark, table, plain)
+      val masked =
+        if (dvs.isEmpty) withPos
+        else applyDvMask(spark, table, withPos, dvs)
+      if (keepPos) masked else masked.drop("__dv_path", "__dv_pos")
+    }
+  }
+
+  /** Attach the (file-relative path, row position) identity of every
+    * scanned row, from the parquet source's `_metadata` columns — exact
+    * and stable for immutable files, which is what deletion vectors key
+    * on. Paths are stored RELATIVE to the table dir so a relocated table
+    * keeps its masks (Delta stores relative paths for the same reason). */
+  private def withPosCols(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame = {
+    val prefix = qualifiedTableDir(spark, table)
+    df.withColumn("__dv_path", org.apache.spark.sql.functions.expr(
+        s"substring(_metadata.file_path, ${prefix.length + 2})"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+  }
+
+  private def qualifiedTableDir(spark: SparkSession, table: String): String =
+    fs(spark, tableDir(table))
+      .makeQualified(new Path(tableDir(table))).toString
+
+  /** Anti-join the union of live deletion vectors: each masked
+    * (path, pos) row disappears from the scan. The mask is broadcast
+    * while small (the overwhelmingly common shape — DVs hold row
+    * POSITIONS, not rows), so the data side never shuffles; a
+    * pathologically large mask degrades to a shuffled anti-join, still
+    * never a rewrite. */
+  private def applyDvMask(spark: SparkSession, table: String,
+      dfWithPos: DataFrame, dvs: Seq[Commit]): DataFrame = {
+    val f = fs(spark, tableDir(table))
+    val dirs = dvs.map(e => s"${tableDir(table)}/${e.dir}")
+    // explicit schema: an all-rows-kept DV write may produce no part
+    // files, and schema inference on an empty dir would throw
+    val mask0 = spark.read.schema("path STRING, pos BIGINT")
+      .parquet(dirs: _*)
+      .withColumnRenamed("path", "__dv_path")
+      .withColumnRenamed("pos", "__dv_pos")
+    val maskBytes = dirs.map { d =>
+      val p = new Path(d)
+      if (f.exists(p)) f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      else 0L
+    }.sum
+    val mask =
+      if (maskBytes <= 64L * 1024 * 1024)
+        org.apache.spark.sql.functions.broadcast(mask0)
+      else mask0
+    dfWithPos.join(mask, Seq("__dv_path", "__dv_pos"), "left_anti")
   }
 
   /** Data-skipping read (Delta's stats-based file pruning — its core
@@ -708,7 +822,14 @@ final class VersionedParquetSink(basePath: String,
         case Some(s) => spark.read.schema(s).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
-    base.filter(condition)
+    // deletion vectors compose with pruning: masks key on file-relative
+    // paths, so a pruned-away file's mask rows simply never match
+    val dvs = liveEntries(entries).filter(VersionedParquetSink.isDv)
+    val masked =
+      if (dvs.isEmpty || paths.isEmpty) base
+      else applyDvMask(spark, table, withPosCols(spark, table, base), dvs)
+        .drop("__dv_path", "__dv_pos")
+    masked.filter(condition)
   }
 
   /** The concrete paths a [[readAtWhere]] scan opens: pruned FILE paths
@@ -717,7 +838,7 @@ final class VersionedParquetSink(basePath: String,
   private[graft] def scanPaths(table: String, entries: Seq[Commit],
       pred: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       schema: Option[StructType]): Seq[String] =
-    liveEntries(entries).flatMap { e =>
+    liveEntries(entries).filterNot(VersionedParquetSink.isDv).flatMap { e =>
       val dirPath = s"${tableDir(table)}/${e.dir}"
       (e.stats, pred, schema) match {
         case (Some(json), Some(p), Some(sc)) =>
@@ -735,7 +856,7 @@ final class VersionedParquetSink(basePath: String,
     val entries = manifest(spark, table)
     val schema = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
       StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
-    val live = liveEntries(entries)
+    val live = liveEntries(entries).filterNot(VersionedParquetSink.isDv)
     val total = live.map(e =>
       e.stats.map(FileStats.parse(_).size).getOrElse(1)).sum
     val pred = schema.flatMap(FileStats.resolvePredicate(spark, _, condition))
@@ -783,6 +904,10 @@ object VersionedParquetSink {
   private[engine] final case class Commit(version: Long, dir: String,
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
       ts: Option[Long], op: Option[String], stats: Option[String], raw: String)
+
+  /** A deletion-vector commit: its dir holds `(path, pos)` row positions
+    * to MASK from the scan, not table data. */
+  private[engine] def isDv(e: Commit): Boolean = e.op.contains("dv")
 
   /** The entries a reader actually scans: the NEWEST compaction commit
     * plus every non-compaction append past its high-water mark. Older
