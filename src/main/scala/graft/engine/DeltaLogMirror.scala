@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.StructType
 
-import graft.engine.VersionedParquetSink.{isDv, liveEntries, Commit}
+import graft.engine.VersionedParquetSink.{isMergeOnRead, liveEntries, Commit}
 
 /** Write-side mirror of the sink's commit log as a `_delta_log/`
   * directory per the PUBLIC Delta Lake transaction protocol
@@ -31,9 +31,10 @@ import graft.engine.VersionedParquetSink.{isDv, liveEntries, Commit}
   * Concurrent mirrors of the same version race benignly: the loser's
   * rename fails against an identical file.
   *
-  * '''Deletion vectors''': the basic protocol (reader v1) cannot express
-  * the sink's positional masks, so while an UNMATERIALIZED DV is live
-  * the mirror LAGS — it stops just before the first live DV version, and
+  * '''Deletion vectors / merge-on-read updates''': the basic protocol
+  * (reader v1) cannot express the sink's positional masks, so while an
+  * UNMATERIALIZED mask commit (DV delete or `updateVectored`) is live
+  * the mirror LAGS — it stops just before the first live mask version, and
   * an external reader sees the newest expressible snapshot (stale but
   * consistent, exactly like a reader pinned at an older version). Once a
   * compact/delete/merge materializes the masks, the retired DV versions
@@ -68,7 +69,7 @@ object DeltaLogMirror {
         .map(_.getPath.getName).filter(_.endsWith(".json")).toSet
       // lag while an unmaterialized DV is live: everything from the first
       // live DV on is inexpressible until a rewrite materializes it
-      val mirrorable = liveEntries(entries).filter(isDv)
+      val mirrorable = liveEntries(entries).filter(isMergeOnRead)
         .map(_.version).minOption match {
         case Some(firstLiveDv) => entries.filter(_.version < firstLiveDv)
         case None => entries
@@ -145,8 +146,8 @@ object DeltaLogMirror {
     if (e.compacts.isDefined) {
       // DV dirs hold mask positions, never mirrored as data — they must
       // not appear as removes (they were never adds)
-      val before = liveEntries(prev).filterNot(isDv).map(_.dir).toSet
-      val after = liveEntries(upTo).filterNot(isDv).map(_.dir).toSet
+      val before = liveEntries(prev).filterNot(isMergeOnRead).map(_.dir).toSet
+      val after = liveEntries(upTo).filterNot(isMergeOnRead).map(_.dir).toSet
       (before -- after).toSeq.sorted.foreach { dir =>
         parquetFiles(fs, s"$tableDir/$dir").foreach { st =>
           val r = mapper.createObjectNode()
@@ -164,7 +165,7 @@ object DeltaLogMirror {
     // backfilled placeholder once a rewrite materialized it) contributes
     // NO add: its dir is a positional mask, not table data, and its
     // effect lives in the materializing rewrite's remove+add.
-    if (!isDv(e)) {
+    if (!isMergeOnRead(e)) {
       val statsByFile: Map[String, String] = e.stats.map { json =>
         import scala.jdk.CollectionConverters._
         mapper.readTree(json).properties().asScala

@@ -52,6 +52,15 @@ import org.apache.spark.sql.types.StructType
   * their markers and data, so time travel to them still works; readers at
   * or after the compaction version scan only the compacted directory plus
   * any appends that raced past it.
+  *
+  * '''Merge-on-read DML''' ([[deleteVectored]] / [[deleteMatchingVectored]]
+  * / [[updateVectored]]): Delta's deletion-vector shape — DELETE/UPDATE
+  * commit positional masks (and, for UPDATE, the updated row images)
+  * instead of rewriting data files, so small DML on a huge table writes
+  * kilobytes; readers anti-join the live masks and the next
+  * compact/delete/merge materializes them back into plain files. The
+  * copy-on-write forms ([[delete]] / [[deleteMatching]] / [[merge]])
+  * remain for read-heavy tables where per-scan mask joins aren't wanted.
   */
 final class VersionedParquetSink(basePath: String,
     checkpointInterval: Int = 10) extends TableSink {
@@ -255,7 +264,8 @@ final class VersionedParquetSink(basePath: String,
               //    silently resurrect the masked rows.
               if (rewriteOnlyConflict)
                 entries.exists(e => e.version > b &&
-                  (e.compacts.isDefined || VersionedParquetSink.isDv(e)))
+                  (e.compacts.isDefined ||
+                    VersionedParquetSink.isMergeOnRead(e)))
               else entries.lastOption.map(_.version).getOrElse(-1L) != b
             }) {
             f.delete(new Path(s"${tableDir(table)}/$unique"), true)
@@ -455,10 +465,32 @@ final class VersionedParquetSink(basePath: String,
   def deleteVectored(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
       commitKey: Option[String] = None): Long =
+    maskCommit(spark, table, commitKey,
+      snap => snap.filter(coalesce(condition, lit(false))))
+
+  /** [[deleteMatching]] (the GDPR/right-to-erasure shape) as a deletion
+    * vector: masks every row whose `keyCols` match a `keys` row via a
+    * DISTRIBUTED semi-join — the key list can be table-sized, nothing
+    * collects, and no data file is rewritten. */
+  def deleteMatchingVectored(spark: SparkSession, table: String,
+      keys: DataFrame, keyCols: Seq[String],
+      commitKey: Option[String] = None): Long = {
+    require(keyCols.nonEmpty,
+      "deleteMatchingVectored requires at least one key column")
+    maskCommit(spark, table, commitKey, snap =>
+      snap.join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi"))
+  }
+
+  /** Shared DV-delete body: `matching` selects the doomed rows from the
+    * position-annotated masked snapshot; their positions become the new
+    * mask commit. */
+  private def maskCommit(spark: SparkSession, table: String,
+      commitKey: Option[String],
+      matching: DataFrame => DataFrame): Long =
     retryingRewrite(spark, table, "dv", commitKey) { entries =>
       val baseV = entries.last.version
-      val dv = readAtPos(spark, table, baseV, keepPos = true)
-        .filter(coalesce(condition, lit(false)))
+      val dv = matching(readAtPos(spark, table, baseV, keepPos = true))
         .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
       val unique = s"d-${UUID.randomUUID()}"
       dv.write.mode(SaveMode.ErrorIfExists)
@@ -474,6 +506,65 @@ final class VersionedParquetSink(basePath: String,
         .getOrElse(throw new IllegalStateException(
           s"dv-delete of $table lost the commit race with no keyed winner"))
     }
+
+  /** UPDATE via merge-on-read (Delta's DV-backed `UPDATE ... SET`):
+    * rows where `condition` is TRUE get their old positions MASKED and
+    * their updated images appended — in ONE commit whose dir carries
+    * both payloads (new rows as top-level parquet; the mask under
+    * `_dv/`, which the underscore convention hides from every data
+    * listing, so the pairing is atomic with no marker format change).
+    * Untouched files are never rewritten: updating 3 rows of a 100 TB
+    * table writes the 3 new rows plus a kilobyte mask.
+    *
+    * `set` maps column name -> new-value expression (evaluated against
+    * the matched rows, so expressions can reference existing columns);
+    * every named column must exist — UPDATE never changes schema. Rows
+    * where `condition` is false or NULL are untouched (SQL UPDATE
+    * semantics). Serializable like [[deleteVectored]]; compaction
+    * materializes and retires the mask the same way. Returns the
+    * committed version. */
+  def updateVectored(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      commitKey: Option[String] = None): Long = {
+    require(set.nonEmpty, "updateVectored requires at least one SET column")
+    retryingRewrite(spark, table, "update", commitKey) { entries =>
+      val baseV = entries.last.version
+      val snap = readAtPos(spark, table, baseV, keepPos = true)
+      val dataCols = snap.columns
+        .filterNot(c => c == "__dv_path" || c == "__dv_pos")
+      set.keys.foreach(k => require(dataCols.contains(k),
+        s"updateVectored: SET column '$k' does not exist in $table " +
+          s"(${dataCols.mkString(", ")}); UPDATE never changes schema"))
+      // matched drives both payloads — cache for the two writes
+      val matched = snap.filter(coalesce(condition, lit(false))).cache()
+      try {
+        val unique = s"d-${UUID.randomUUID()}"
+        set.foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
+          .select(dataCols.map(col): _*)
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"${tableDir(table)}/$unique")
+        matched
+          .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+          .write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"${tableDir(table)}/$unique/_dv")
+        val ddl = entries.last.schemaDdl.getOrElse(
+          readAt(spark, table, baseV).schema.toDDL)
+        commitLoop(spark, table, unique, commitKey,
+          compacts = None, schemaDdl = ddl,
+          cleanupOnKeyLoss = true, requireBase = Some(baseV),
+          op = Some("update"),
+          statsJson = Some(FileStats.collect(spark,
+            s"${tableDir(table)}/$unique",
+            StructType(StructType.fromDDL(ddl)
+              .fields.map(_.copy(nullable = true))))))
+          .orElse(commitKey.flatMap(k =>
+            manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+          .getOrElse(throw new IllegalStateException(
+            s"update of $table lost the commit race with no keyed winner"))
+      } finally { matched.unpersist(); () }
+    }
+  }
 
   /** DELETE by key list (the GDPR/right-to-erasure shape): remove every
     * row whose `keyCols` match a row of `keys` — a DISTRIBUTED anti-join
@@ -617,13 +708,14 @@ final class VersionedParquetSink(basePath: String,
     val schemaDdl = upToTo.last.schemaDdl
     def withType(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", lit(t))
-    // a deletion-vector commit is a data-CHANGING commit whose dir holds
-    // mask positions, not rows: any DV in range forces the snapshot-diff
-    // path (which reads masked snapshots and reports its rows as deletes)
+    // a mask-carrying commit (DV delete / merge-on-read update) CHANGES
+    // data without being a rewrite marker: any such commit in range
+    // forces the snapshot-diff path (which reads masked snapshots and
+    // reports masked rows as deletes, updated rows as delete+insert)
     val fastRange = range.filter(e =>
-      e.compacts.isEmpty && !VersionedParquetSink.isDv(e))
+      e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e))
     if (range.forall(e =>
-        (e.compacts.isEmpty && !VersionedParquetSink.isDv(e)) ||
+        (e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e)) ||
           e.op.contains("compact"))) {
       val toSchema = schemaDdl.map(ddl => StructType(
         StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
@@ -725,8 +817,10 @@ final class VersionedParquetSink(basePath: String,
       keepPos: Boolean): DataFrame = {
     val entries = manifest(spark, table).filter(_.version <= v)
     require(entries.nonEmpty, s"no committed versions <= $v for $table")
-    val (dvs, datas) = liveEntries(entries)
-      .partition(VersionedParquetSink.isDv)
+    val live = liveEntries(entries)
+    // an update commit is BOTH: its dir scans as data, its _dv/ masks
+    val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
+    val datas = live.filterNot(VersionedParquetSink.isDv)
     val dirs = datas.map(e => s"${tableDir(table)}/${e.dir}")
     val plain = entries.lastOption.flatMap(_.schemaDdl) match {
       case Some(ddl) =>
@@ -772,7 +866,8 @@ final class VersionedParquetSink(basePath: String,
   private def applyDvMask(spark: SparkSession, table: String,
       dfWithPos: DataFrame, dvs: Seq[Commit]): DataFrame = {
     val f = fs(spark, tableDir(table))
-    val dirs = dvs.map(e => s"${tableDir(table)}/${e.dir}")
+    val dirs = dvs.map(e =>
+      s"${tableDir(table)}/${VersionedParquetSink.maskDir(e)}")
     // explicit schema: an all-rows-kept DV write may produce no part
     // files, and schema inference on an empty dir would throw
     val mask0 = spark.read.schema("path STRING, pos BIGINT")
@@ -824,7 +919,7 @@ final class VersionedParquetSink(basePath: String,
       }
     // deletion vectors compose with pruning: masks key on file-relative
     // paths, so a pruned-away file's mask rows simply never match
-    val dvs = liveEntries(entries).filter(VersionedParquetSink.isDv)
+    val dvs = liveEntries(entries).filter(VersionedParquetSink.isMergeOnRead)
     val masked =
       if (dvs.isEmpty || paths.isEmpty) base
       else applyDvMask(spark, table, withPosCols(spark, table, base), dvs)
@@ -908,6 +1003,17 @@ object VersionedParquetSink {
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */
   private[engine] def isDv(e: Commit): Boolean = e.op.contains("dv")
+
+  /** Any commit carrying a positional mask: a pure DV delete (whole dir
+    * is the mask) or a merge-on-read UPDATE (data dir with the mask in
+    * its `_dv/` subdir — hidden from parquet listings by the underscore
+    * convention, so the same dir serves both payloads atomically). */
+  private[engine] def isMergeOnRead(e: Commit): Boolean =
+    isDv(e) || e.op.contains("update")
+
+  /** Where commit `e`'s mask parquet lives, relative to the table dir. */
+  private[engine] def maskDir(e: Commit): String =
+    if (isDv(e)) e.dir else s"${e.dir}/_dv"
 
   /** The entries a reader actually scans: the NEWEST compaction commit
     * plus every non-compaction append past its high-water mark. Older

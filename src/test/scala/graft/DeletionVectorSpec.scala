@@ -208,6 +208,123 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(viaLog == viaSink, s"log replay diverged: $viaLog vs $viaSink")
   }
 
+  test("deleteMatchingVectored masks by key list without rewriting files") {
+    val base = TestSpark.tmpDir("dv12")
+    val sink = new VersionedParquetSink(base)
+    sink.append((1 to 30).map(i => (i, s"u$i")).toDF("id", "user"), "t")
+    val before = dataFiles(base, "t")
+    sink.deleteMatchingVectored(spark, "t",
+      Seq(3, 7, 7, 99).toDF("id"), Seq("id")) // dup + missing keys ok
+    assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet ==
+      ((1 to 30).toSet -- Set(3, 7)))
+    val after = dataFiles(base, "t")
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"data file rewritten: $p")
+    }
+  }
+
+  test("updateVectored: in-place SET without touching original files") {
+    val base = TestSpark.tmpDir("dv13")
+    val sink = new VersionedParquetSink(base)
+    sink.append((1 to 20).map(i => (i, i * 10, s"v$i")).toDF("id", "n", "v"), "t")
+    val before = dataFiles(base, "t")
+
+    import org.apache.spark.sql.functions.{concat, lit => flit}
+    val uv = sink.updateVectored(spark, "t", col("id") <= 3,
+      Map("n" -> (col("n") + 1), "v" -> concat(col("v"), flit("!"))))
+    assert(uv == 1L)
+    val rows = sink.read(spark, "t").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val expected = (1 to 20).map { i =>
+      if (i <= 3) (i, i * 10 + 1, s"v$i!") else (i, i * 10, s"v$i")
+    }.toSet
+    assert(rows == expected)
+    // original files untouched; the update wrote only 3 new rows + mask
+    val after = dataFiles(base, "t")
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"data file rewritten: $p")
+    }
+    // time travel to the pre-update version
+    assert(sink.readAt(spark, "t", 0).filter(col("id") === 1)
+      .head().getInt(1) == 10)
+    // SET of a nonexistent column fails loudly before any commit
+    val e = intercept[IllegalArgumentException] {
+      sink.updateVectored(spark, "t", col("id") === 1,
+        Map("nope" -> flit(1)))
+    }
+    assert(e.getMessage.contains("nope"))
+    assert(sink.versions(spark, "t") == Seq(0L, 1L))
+  }
+
+  test("updateVectored stacks with DVs, compacts away, and diffs in CDF") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("dv14"))
+    sink.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.deleteVectored(spark, "t", col("id") === 1) // v1
+    sink.updateVectored(spark, "t", col("id") === 2, // v2
+      Map("v" -> org.apache.spark.sql.functions.lit("updated")))
+    // the update snapshot was masked: row 1 is not resurrected
+    val now = sink.read(spark, "t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(now.keySet == (2 to 10).toSet)
+    assert(now(2) == "updated")
+    // CDF across the update = delete of the old image + insert of the new
+    val ch = sink.changesBetween(spark, "t", 1L, 2L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set((2, "v2", "delete"), (2, "updated", "insert")), s"$ch")
+    // compaction materializes both masks; reads identical after vacuum
+    sink.compact(spark, "t", targetFiles = Some(1))
+    sink.vacuum(spark, "t", graceMs = 0L, includeSuperseded = true)
+    val afterCompact = sink.read(spark, "t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(afterCompact == now)
+  }
+
+  test("updateVectored replays idempotently and updates matching zero rows") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("dv15"))
+    sink.append((1 to 5).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    val v1 = sink.updateVectored(spark, "t", col("id") === 3,
+      Map("v" -> org.apache.spark.sql.functions.lit("x")),
+      commitKey = Some("u-1"))
+    val v2 = sink.updateVectored(spark, "t", col("id") === 3,
+      Map("v" -> org.apache.spark.sql.functions.lit("y")), // ignored: replay
+      commitKey = Some("u-1"))
+    assert(v1 == v2)
+    assert(sink.read(spark, "t").filter(col("id") === 3)
+      .head().getString(1) == "x")
+    // zero matches still commits a version (SQL UPDATE touching 0 rows)
+    sink.updateVectored(spark, "t", col("id") === 999,
+      Map("v" -> org.apache.spark.sql.functions.lit("z")))
+    assert(sink.read(spark, "t").count() == 5)
+  }
+
+  test("mirror treats a live update like a live DV: lag then backfill") {
+    val store = TestSpark.tmpDir("dv16")
+    val sink = new VersionedParquetSink(store)
+    sink.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.updateVectored(spark, "t", col("id") === 1,
+      Map("v" -> org.apache.spark.sql.functions.lit("new")))
+    val logDir = new java.io.File(s"$store/t/_delta_log")
+    def logNames: Seq[String] =
+      logDir.listFiles.map(_.getName).filter(_.endsWith(".json")).sorted.toSeq
+    assert(logNames == Seq(f"${0L}%020d.json"), s"mirror ran ahead: $logNames")
+    sink.compact(spark, "t", targetFiles = Some(1))
+    assert(logNames == (0L to 2L).map(v => f"$v%020d.json"), s"$logNames")
+    // replaying the log equals the sink's snapshot (update materialized)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val live = scala.collection.mutable.Set[String]()
+    (0L to 2L).foreach { v =>
+      val src = scala.io.Source.fromFile(
+        new java.io.File(logDir, f"$v%020d.json"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(mapper.readTree).foreach { a =>
+        Option(a.get("add")).foreach(n => live += n.get("path").asText)
+        Option(a.get("remove")).foreach(n => live -= n.get("path").asText)
+      } finally src.close()
+    }
+    val viaLog = spark.read.parquet(live.toSeq.map(p => s"$store/t/$p"): _*)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(viaLog(1) == "new" && viaLog.size == 10, s"$viaLog")
+  }
+
   test("DV on an evolved schema masks by position, not by column shape") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("dv11"))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "t")
