@@ -325,6 +325,53 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(viaLog(1) == "new" && viaLog.size == 10, s"$viaLog")
   }
 
+  test("mask anti-join BROADCASTS: the data side never shuffles for a small DV") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("dv17"))
+    sink.append((1 to 1000).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.deleteVectored(spark, "t", col("id") <= 5)
+    val plan = sink.read(spark, "t").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"mask join is not a broadcast anti-join:\n$plan")
+    // no Exchange on the data side: the only exchange is the broadcast
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"data side shuffled for a kilobyte mask:\n$plan")
+  }
+
+  test("write amplification: DV delete writes KBs where copy-on-write rewrites") {
+    def treeBytes(d: java.io.File): Long =
+      if (!d.exists) 0L
+      else if (d.isFile) d.length
+      else d.listFiles.map(treeBytes).sum
+    def newBytes(base: String)(op: => Unit): Long = {
+      val before = treeBytes(new java.io.File(base))
+      op
+      treeBytes(new java.io.File(base)) - before
+    }
+    val n = 200000
+    val rows = (1 to n).map(i => (i, s"payload-$i-${"x" * 40}"))
+
+    val dvBase = TestSpark.tmpDir("dv18a")
+    val dvSink = new VersionedParquetSink(dvBase)
+    dvSink.append(rows.toDF("id", "v"), "t")
+    val dvCost = newBytes(dvBase)(
+      dvSink.deleteVectored(spark, "t", col("id") <= 10))
+
+    val cowBase = TestSpark.tmpDir("dv18b")
+    val cowSink = new VersionedParquetSink(cowBase)
+    cowSink.append(rows.toDF("id", "v"), "t")
+    val cowCost = newBytes(cowBase)(
+      cowSink.delete(spark, "t", col("id") <= 10))
+
+    // same result either way...
+    assert(dvSink.read(spark, "t").count() == n - 10)
+    assert(cowSink.read(spark, "t").count() == n - 10)
+    // ...but the DV wrote a position mask, the CoW rewrote the table.
+    // The asymmetry is the feature: it GROWS with table size (at 100 TB
+    // the CoW side is the table; the DV side is still the mask).
+    assert(cowCost > dvCost * 50,
+      s"expected >=50x write asymmetry, got CoW=$cowCost vs DV=$dvCost")
+  }
+
   test("DV on an evolved schema masks by position, not by column shape") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("dv11"))
     sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "t")
