@@ -92,7 +92,8 @@ final class VersionedParquetSink(basePath: String,
       str("schemaB64").filter(_.nonEmpty).map(b64),
       str("ts").flatMap(t =>
         scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption),
-      str("op"), str("statsB64").filter(_.nonEmpty).map(b64), body)
+      str("op"), str("statsB64").filter(_.nonEmpty).map(b64),
+      str("constraintsB64").filter(_.nonEmpty).map(b64), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -183,14 +184,19 @@ final class VersionedParquetSink(basePath: String,
     SchemaCheck.enforceAppend(table,
       entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL),
       df.schema, allowEvolution)
+    // CHECK constraints ride the write's own pass as a per-row guard;
+    // the claim loop aborts if the set changes before we commit
+    val cons = entries.lastOption.flatMap(_.constraints)
+    val guarded = constraintGuard(df, cons, table)
     val unique = s"d-${UUID.randomUUID()}"
-    df.write.mode(SaveMode.ErrorIfExists)
+    guarded.write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
     val stats = FileStats.collect(spark, s"${tableDir(table)}/$unique", df.schema)
     commitLoop(spark, table, unique, commitKey, compacts = None,
       schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true,
       snapshot = Some(entries), enforceSchema = true,
-      allowEvolution = allowEvolution, statsJson = Some(stats)).isDefined
+      allowEvolution = allowEvolution, statsJson = Some(stats),
+      enforcedConstraints = Some(cons)).isDefined
   }
 
   /** Claim the next version for data dir `unique`. Returns the claimed
@@ -220,7 +226,14 @@ final class VersionedParquetSink(basePath: String,
       requireBase: Option[Long] = None,
       rewriteOnlyConflict: Boolean = false,
       op: Option[String] = None,
-      statsJson: Option[String] = None): Option[Long] = {
+      statsJson: Option[String] = None,
+      // None = inherit the latest commit's constraint set (every normal
+      // commit); Some(x) = set it to x (add/dropConstraint)
+      newConstraints: Option[Option[String]] = None,
+      // when set, abort (cleaning up) if the latest constraint set is not
+      // the one the caller validated its rows against — closes the race
+      // where an append straddles a concurrent ADD CONSTRAINT
+      enforcedConstraints: Option[Option[String]] = None): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -272,6 +285,12 @@ final class VersionedParquetSink(basePath: String,
             throw new VersionedParquetSink.ConcurrentRewriteException(
               table, requireBase.get,
               entries.lastOption.map(_.version).getOrElse(-1L))
+          } else if (enforcedConstraints.exists(c =>
+              entries.lastOption.flatMap(_.constraints) != c)) {
+            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            throw new IllegalStateException(
+              s"CHECK constraints on '$table' changed while this append " +
+                "was validating against the old set; retry the append")
           } else {
             // Re-check the schema whenever the manifest was re-read: a
             // commit that slipped in since the caller's snapshot may have
@@ -310,10 +329,16 @@ final class VersionedParquetSink(basePath: String,
             // EMPTY marker visible first — readers would throw on it and
             // a same-key committer would see "no key" and double-commit.
             val tmp = new Path(s"${commitDir(table)}/.tmp-${UUID.randomUUID()}")
+            // constraints travel commit-to-commit like schema: inherit
+            // the latest set unless this commit explicitly changes it
+            val effConstraints: Option[String] = newConstraints
+              .getOrElse(entries.lastOption.flatMap(_.constraints))
+            val consField = effConstraints.map(c =>
+              s""","constraintsB64":"${b64enc(c)}"""").getOrElse("")
             val out = f.create(tmp, true)
             try {
               out.write(
-                s"""{"version":$attempt,"dir":"$unique"$keyField$compField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
+                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
                   .getBytes(StandardCharsets.UTF_8))
             } finally out.close()
             val marker = new Path(s"${commitDir(table)}/$attempt.commit")
@@ -540,8 +565,12 @@ final class VersionedParquetSink(basePath: String,
       val matched = snap.filter(coalesce(condition, lit(false))).cache()
       try {
         val unique = s"d-${UUID.randomUUID()}"
-        set.foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
+        val updated = set
+          .foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
           .select(dataCols.map(col): _*)
+        // updated images must still satisfy the CHECK constraints
+        constraintGuard(updated,
+          entries.lastOption.flatMap(_.constraints), table)
           .write.mode(SaveMode.ErrorIfExists)
           .parquet(s"${tableDir(table)}/$unique")
         matched
@@ -618,16 +647,145 @@ final class VersionedParquetSink(basePath: String,
       require(dupKeys == 0,
         s"merge into '$table': updates carry duplicate rows for some " +
           s"(${keyCols.mkString(", ")}) key — ambiguous merge")
+      val cons = manifest(spark, table).lastOption.flatMap(_.constraints)
       rewriteWith(spark, table, "merge", commitKey, { snap =>
         SchemaCheck.enforceAppend(table, Some(snap.schema), upserts.schema)
         val touched = upserts.select(keyCols.map(col): _*)
           .unionByName(deleteKeys.select(keyCols.map(col): _*))
           .distinct()
+        // existing rows already satisfy the constraints; only the
+        // incoming upserts need the guard
         snap.join(touched, keyCols, "left_anti")
-          .unionByName(upserts.select(snap.columns.map(col): _*))
+          .unionByName(constraintGuard(
+            upserts.select(snap.columns.map(col): _*), cons, table))
       })
     } finally if (!preCached) { upserts.unpersist(); () }
   }
+
+  /** The table's CHECK constraints (name -> SQL expression), empty if
+    * none were ever added. */
+  def constraintsOf(spark: SparkSession, table: String): Map[String, String] =
+    VersionedParquetSink.Constraints.parse(
+      manifest(spark, table).lastOption.flatMap(_.constraints)).toMap
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint parity): adds a
+    * named SQL predicate that every FUTURE write must satisfy, after
+    * validating that every EXISTING row already does (one distributed
+    * scan, exactly like Delta). Constraint metadata travels in the
+    * commit log, so it survives checkpoints, compaction, and time
+    * travel; enforcement is a codegen'd per-row guard fused into each
+    * write's own pass — no extra validation job per append. NULL
+    * evaluations pass (SQL CHECK semantics). Serializable: aborts and
+    * retries if any commit races the validation, and a concurrent
+    * append that validated against the OLD set aborts at its claim.
+    * Returns the metadata commit's version. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String, commitKey: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.expr
+    retryingRewrite(spark, table, "constraint", commitKey) { entries =>
+      val baseV = entries.last.version
+      val existing = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.constraints))
+      require(!existing.exists(_._1 == name),
+        s"constraint '$name' already exists on '$table'")
+      val snap = readAt(spark, table, baseV)
+      val bad = snap.filter(!coalesce(expr(sqlExpr), lit(true))).limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK constraint '$name' to '$table': existing rows " +
+          s"violate ($sqlExpr)")
+      commitMetadata(spark, table, commitKey, baseV, snap.schema,
+        VersionedParquetSink.Constraints.render(existing :+ (name -> sqlExpr)))
+    }
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: removes a named CHECK constraint via a
+    * metadata commit. Throws if the name is unknown. */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "constraint", commitKey) { entries =>
+      val baseV = entries.last.version
+      val existing = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.constraints))
+      require(existing.exists(_._1 == name),
+        s"no constraint '$name' on '$table' " +
+          s"(have: ${existing.map(_._1).mkString(", ")})")
+      commitMetadata(spark, table, commitKey, baseV,
+        readAt(spark, table, baseV).schema,
+        VersionedParquetSink.Constraints.render(
+          existing.filterNot(_._1 == name)))
+    }
+
+  /** A data-free commit carrying a constraint-set change: the dir is an
+    * empty parquet write (so every reader/vacuum invariant holds
+    * unchanged), the marker carries the new set. */
+  private def commitMetadata(spark: SparkSession, table: String,
+      commitKey: Option[String], baseV: Long, schema: StructType,
+      constraints: Option[String]): Long = {
+    val unique = s"d-${UUID.randomUUID()}"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${tableDir(table)}/$unique")
+    commitLoop(spark, table, unique, commitKey,
+      compacts = None, schemaDdl = schema.toDDL,
+      cleanupOnKeyLoss = true, requireBase = Some(baseV),
+      op = Some("constraint"), statsJson = None,
+      newConstraints = Some(constraints))
+      .orElse(commitKey.flatMap(k =>
+        manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+      .getOrElse(throw new IllegalStateException(
+        s"constraint change on $table lost the commit race with no keyed winner"))
+  }
+
+  /** Fuse the table's CHECK constraints into a write as a per-row guard:
+    * a violating row throws (naming the constraint) inside the write's
+    * own pass — zero extra jobs, stays in whole-stage codegen. */
+  private def constraintGuard(df: DataFrame, constraints: Option[String],
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, not, raise_error, when}
+    VersionedParquetSink.Constraints.parse(constraints)
+      .foldLeft(df) { case (d, (name, sql)) =>
+        d.filter(
+          when(not(coalesce(expr(sql), lit(true))),
+            raise_error(concat(
+              lit(s"CHECK constraint '$name' violated writing to " +
+                s"'$table': ($sql) is false"))))
+            .otherwise(lit(true)))
+      }
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE parity): commits
+    * the table's content AND schema as they were at `toVersion` as a new
+    * rewrite version — history is never erased, so the restore itself
+    * can be time-traveled past or restored again. Live deletion vectors
+    * are materialized by the restore's own rewrite. Like Delta, RESTORE
+    * does not re-validate CHECK constraints added after `toVersion`
+    * (constraint metadata keeps its CURRENT set). Serializable like
+    * delete/merge; returns the committed version. */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "restore", commitKey) { entries =>
+      require(entries.exists(_.version <= toVersion),
+        s"no committed versions <= $toVersion for $table")
+      val baseV = entries.last.version
+      val restoredDdl = entries.filter(_.version <= toVersion)
+        .lastOption.flatMap(_.schemaDdl)
+      val out = readAt(spark, table, toVersion)
+      val unique = s"d-${UUID.randomUUID()}"
+      out.write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${tableDir(table)}/$unique")
+      commitLoop(spark, table, unique, commitKey,
+        compacts = Some(baseV),
+        schemaDdl = restoredDdl.getOrElse(out.schema.toDDL),
+        cleanupOnKeyLoss = true, requireBase = Some(baseV),
+        op = Some("restore"),
+        statsJson = Some(FileStats.collect(spark,
+          s"${tableDir(table)}/$unique", out.schema)))
+        .orElse(commitKey.flatMap(k =>
+          manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+        .getOrElse(throw new IllegalStateException(
+          s"restore of $table lost the commit race with no keyed winner"))
+    }
 
   /** Optimistic-retry scaffold shared by compact/delete/merge: re-reads
     * the manifest each attempt, short-circuits keyed replays to the
@@ -998,11 +1156,32 @@ object VersionedParquetSink {
     * per-file min/max JSON (Delta add-action shape) for data skipping. */
   private[engine] final case class Commit(version: Long, dir: String,
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
-      ts: Option[Long], op: Option[String], stats: Option[String], raw: String)
+      ts: Option[Long], op: Option[String], stats: Option[String],
+      constraints: Option[String], raw: String)
 
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */
   private[engine] def isDv(e: Commit): Boolean = e.op.contains("dv")
+
+  /** CHECK-constraint set serialization: a JSON object of name -> SQL
+    * expression, keys sorted so equal sets render byte-identically (the
+    * commit loop compares renderings to detect concurrent changes). */
+  private[engine] object Constraints {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def parse(json: Option[String]): Seq[(String, String)] =
+      json.toSeq.flatMap { j =>
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(j).properties().asScala
+          .map(p => p.getKey -> p.getValue.asText).toSeq
+      }.sortBy(_._1)
+    def render(cs: Seq[(String, String)]): Option[String] =
+      if (cs.isEmpty) None
+      else {
+        val n = mapper.createObjectNode()
+        cs.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+        Some(mapper.writeValueAsString(n))
+      }
+  }
 
   /** Any commit carrying a positional mask: a pure DV delete (whole dir
     * is the mask) or a merge-on-read UPDATE (data dir with the mask in
