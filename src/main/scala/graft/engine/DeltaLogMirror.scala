@@ -113,18 +113,37 @@ object DeltaLogMirror {
       mapper.writeValueAsString(ci)
     }
 
-    if (e.version == 0L) {
+    // CHECK constraints raise the required writer version to 3
+    // (PROTOCOL.md: "CHECK Constraints ... writer version 3"); the
+    // protocol action is (re-)emitted whenever the requirement grows —
+    // at commit 0 and on the first ADD CONSTRAINT. Protocol never
+    // downgrades, so a later DROP CONSTRAINT leaves it at 3.
+    def writerVersion(c: Commit): Int = if (c.constraints.isDefined) 3 else 2
+    val prevWriter = (2 +: prev.map(writerVersion)).max
+    if (e.version == 0L || writerVersion(e) > prevWriter) {
       val p = mapper.createObjectNode()
       val n = p.putObject("protocol")
       n.put("minReaderVersion", 1)
-      n.put("minWriterVersion", 2)
+      n.put("minWriterVersion", math.max(prevWriter, writerVersion(e)))
       lines += mapper.writeValueAsString(p)
     }
 
-    // metaData in commit 0 and whenever the schema changed — the
-    // schemaString is StructType.json, which IS Delta's schema format
+    // metaData in commit 0 and whenever the schema OR the constraint set
+    // changed — the schemaString is StructType.json, which IS Delta's
+    // schema format, and CHECK constraints live in `configuration` as
+    // `delta.constraints.<name>` per the protocol
+    // change detection runs on the nullable-normalized form the mirror
+    // actually emits: marker DDLs flip NOT NULL as writers alternate
+    // between case-class appends and snapshot rewrites, and those flips
+    // are not schema changes
+    def normSchema(ddl: String): String =
+      StructType(StructType.fromDDL(ddl)
+        .fields.map(_.copy(nullable = true))).json
     val prevDdl = prev.lastOption.flatMap(_.schemaDdl)
-    if (e.version == 0L || (e.schemaDdl.isDefined && e.schemaDdl != prevDdl)) {
+    val consChanged = e.constraints != prev.lastOption.flatMap(_.constraints)
+    if (e.version == 0L || consChanged ||
+        (e.schemaDdl.isDefined &&
+          e.schemaDdl.map(normSchema) != prevDdl.map(normSchema))) {
       e.schemaDdl.foreach { ddl =>
         val m = mapper.createObjectNode()
         val n = m.putObject("metaData")
@@ -132,11 +151,15 @@ object DeltaLogMirror {
         val fmt = n.putObject("format")
         fmt.put("provider", "parquet")
         fmt.putObject("options")
-        n.put("schemaString", StructType(StructType.fromDDL(ddl)
-          .fields.map(_.copy(nullable = true))).json)
+        n.put("schemaString", normSchema(ddl))
         n.putArray("partitionColumns")
-        n.putObject("configuration")
-        n.put("createdTime", ts)
+        val conf = n.putObject("configuration")
+        VersionedParquetSink.Constraints.parse(e.constraints).foreach {
+          case (name, sql) => conf.put(s"delta.constraints.$name", sql)
+        }
+        // createdTime is the TABLE's creation time — pinned to commit 0
+        // across re-emissions, as Delta keeps it
+        n.put("createdTime", upTo.head.ts.getOrElse(ts))
         lines += mapper.writeValueAsString(m)
       }
     }

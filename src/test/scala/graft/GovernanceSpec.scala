@@ -130,6 +130,41 @@ class GovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("_delta_log mirrors constraints: writer-v3 upgrade + configuration") {
+    val store = TestSpark.tmpDir("gov9")
+    val sink = new VersionedParquetSink(store)
+    sink.append(Seq((1, 10)).toDF("id", "n"), "t") // v0
+    sink.addConstraint(spark, "t", "n_positive", "n > 0") // v1
+    sink.append(Seq((2, 3)).toDF("id", "n"), "t") // v2
+    sink.dropConstraint(spark, "t", "n_positive") // v3
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def actions(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(s"$store/t/_delta_log", f"$v%020d.json"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+      finally src.close()
+    }
+    // commit 0 predates the constraint: plain writer v2, empty config
+    assert(actions(0).flatMap(a => Option(a.get("protocol")))
+      .head.get("minWriterVersion").asInt == 2)
+    // the ADD CONSTRAINT commit upgrades the protocol and lands the
+    // constraint in metaData.configuration per PROTOCOL.md
+    val v1 = actions(1)
+    assert(v1.flatMap(a => Option(a.get("protocol")))
+      .head.get("minWriterVersion").asInt == 3)
+    val conf1 = v1.flatMap(a => Option(a.get("metaData"))).head
+      .get("configuration")
+    assert(conf1.get("delta.constraints.n_positive").asText == "n > 0")
+    // a plain append in between re-emits NO metaData; the drop re-emits
+    // metaData with an empty configuration and no protocol downgrade
+    assert(actions(2).forall(a => a.get("metaData") == null))
+    val v3 = actions(3)
+    assert(v3.forall(a => a.get("protocol") == null))
+    assert(!v3.flatMap(a => Option(a.get("metaData"))).head
+      .get("configuration").properties().iterator().hasNext)
+  }
+
   test("restore and constraint commits replay idempotently per key") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("gov8"))
     sink.append(Seq((1, 10)).toDF("id", "n"), "t")
