@@ -113,17 +113,21 @@ object DeltaLogMirror {
       mapper.writeValueAsString(ci)
     }
 
-    // CHECK constraints raise the required writer version to 3
-    // (PROTOCOL.md: "CHECK Constraints ... writer version 3"); the
-    // protocol action is (re-)emitted whenever the requirement grows —
-    // at commit 0 and on the first ADD CONSTRAINT. Protocol never
-    // downgrades, so a later DROP CONSTRAINT leaves it at 3.
-    def writerVersion(c: Commit): Int = if (c.constraints.isDefined) 3 else 2
+    // Features raise the required protocol versions (PROTOCOL.md):
+    // CHECK constraints need writer 3; column mapping needs reader 2 +
+    // writer 5. The protocol action is (re-)emitted whenever a
+    // requirement grows — at commit 0, on the first ADD CONSTRAINT, on
+    // the first RENAME/DROP COLUMN. Protocol never downgrades.
+    def writerVersion(c: Commit): Int =
+      if (c.mapping.isDefined) 5 else if (c.constraints.isDefined) 3 else 2
+    def readerVersion(c: Commit): Int = if (c.mapping.isDefined) 2 else 1
     val prevWriter = (2 +: prev.map(writerVersion)).max
-    if (e.version == 0L || writerVersion(e) > prevWriter) {
+    val prevReader = (1 +: prev.map(readerVersion)).max
+    if (e.version == 0L || writerVersion(e) > prevWriter ||
+        readerVersion(e) > prevReader) {
       val p = mapper.createObjectNode()
       val n = p.putObject("protocol")
-      n.put("minReaderVersion", 1)
+      n.put("minReaderVersion", math.max(prevReader, readerVersion(e)))
       n.put("minWriterVersion", math.max(prevWriter, writerVersion(e)))
       lines += mapper.writeValueAsString(p)
     }
@@ -136,12 +140,27 @@ object DeltaLogMirror {
     // actually emits: marker DDLs flip NOT NULL as writers alternate
     // between case-class appends and snapshot rewrites, and those flips
     // are not schema changes
+    // under column mapping, every field carries its physical name and
+    // id as field metadata, exactly as the protocol's `name` mode
+    // spells it
+    val mapping = VersionedParquetSink.ColumnMapping.parse(e.mapping)
     def normSchema(ddl: String): String =
-      StructType(StructType.fromDDL(ddl)
-        .fields.map(_.copy(nullable = true))).json
+      StructType(StructType.fromDDL(ddl).fields.map { f0 =>
+        val f = f0.copy(nullable = true)
+        mapping.find(_._1 == f.name) match {
+          case Some((_, me)) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", me.id.toLong)
+              .putString("delta.columnMapping.physicalName", me.physical)
+              .build())
+          case None => f
+        }
+      }).json
     val prevDdl = prev.lastOption.flatMap(_.schemaDdl)
     val consChanged = e.constraints != prev.lastOption.flatMap(_.constraints)
-    if (e.version == 0L || consChanged ||
+    val mapChanged = e.mapping != prev.lastOption.flatMap(_.mapping)
+    if (e.version == 0L || consChanged || mapChanged ||
         (e.schemaDdl.isDefined &&
           e.schemaDdl.map(normSchema) != prevDdl.map(normSchema))) {
       e.schemaDdl.foreach { ddl =>
@@ -156,6 +175,11 @@ object DeltaLogMirror {
         val conf = n.putObject("configuration")
         VersionedParquetSink.Constraints.parse(e.constraints).foreach {
           case (name, sql) => conf.put(s"delta.constraints.$name", sql)
+        }
+        if (mapping.nonEmpty) {
+          conf.put("delta.columnMapping.mode", "name")
+          conf.put("delta.columnMapping.maxColumnId",
+            mapping.map(_._2.id).max.toLong)
         }
         // createdTime is the TABLE's creation time — pinned to commit 0
         // across re-emissions, as Delta keeps it

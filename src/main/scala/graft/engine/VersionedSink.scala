@@ -93,7 +93,8 @@ final class VersionedParquetSink(basePath: String,
       str("ts").flatMap(t =>
         scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption),
       str("op"), str("statsB64").filter(_.nonEmpty).map(b64),
-      str("constraintsB64").filter(_.nonEmpty).map(b64), body)
+      str("constraintsB64").filter(_.nonEmpty).map(b64),
+      str("mappingB64").filter(_.nonEmpty).map(b64), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -188,16 +189,47 @@ final class VersionedParquetSink(basePath: String,
     // the claim loop aborts if the set changes before we commit
     val cons = entries.lastOption.flatMap(_.constraints)
     val guarded = constraintGuard(df, cons, table)
+    // column mapping: files carry PHYSICAL names; an evolution append on
+    // a mapped table mints fresh physical names/ids for its new columns
+    // (never reusing a dropped column's), and the claim aborts if the
+    // mapping moved under us — our files' physical names bind us to the
+    // mapping we extended
+    val mappingJson = entries.lastOption.flatMap(_.mapping)
+    val mapping = VersionedParquetSink.ColumnMapping.parse(mappingJson)
+    val newCols = if (mappingJson.isDefined)
+      df.schema.fields.toSeq.filterNot(f => mapping.exists(_._1 == f.name))
+    else Seq.empty
+    val extended = if (newCols.isEmpty) mapping else {
+      val maxId = mapping.map(_._2.id).maxOption.getOrElse(0)
+      mapping ++ newCols.zipWithIndex.map { case (f, i) =>
+        f.name -> VersionedParquetSink.ColumnMapping.Entry(
+          s"col-${UUID.randomUUID()}", maxId + 1 + i)
+      }
+    }
     val unique = s"d-${UUID.randomUUID()}"
-    guarded.write.mode(SaveMode.ErrorIfExists)
+    toPhysical(guarded, extended).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
-    val stats = FileStats.collect(spark, s"${tableDir(table)}/$unique", df.schema)
+    val stats = FileStats.collect(spark, s"${tableDir(table)}/$unique",
+      VersionedParquetSink.ColumnMapping.physicalSchema(df.schema, extended))
     commitLoop(spark, table, unique, commitKey, compacts = None,
       schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true,
       snapshot = Some(entries), enforceSchema = true,
       allowEvolution = allowEvolution, statsJson = Some(stats),
-      enforcedConstraints = Some(cons)).isDefined
+      enforcedConstraints = Some(cons),
+      newMapping = if (newCols.isEmpty) None
+        else Some(VersionedParquetSink.ColumnMapping.render(extended)),
+      enforcedMapping = if (newCols.isEmpty) None else Some(mappingJson))
+      .isDefined
   }
+
+  /** Rename a frame's columns logical -> physical for writing (identity
+    * on unmapped tables — physical == logical until the first
+    * rename/drop enables mapping). */
+  private def toPhysical(df: DataFrame,
+      m: Seq[(String, VersionedParquetSink.ColumnMapping.Entry)]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(
+      VersionedParquetSink.ColumnMapping.physicalName(m, c))): _*)
 
   /** Claim the next version for data dir `unique`. Returns the claimed
     * version, or None iff a competing commit with the same idempotency
@@ -233,7 +265,13 @@ final class VersionedParquetSink(basePath: String,
       // when set, abort (cleaning up) if the latest constraint set is not
       // the one the caller validated its rows against — closes the race
       // where an append straddles a concurrent ADD CONSTRAINT
-      enforcedConstraints: Option[Option[String]] = None): Option[Long] = {
+      enforcedConstraints: Option[Option[String]] = None,
+      // None = inherit the latest commit's column mapping; Some(x) = set
+      // it (rename/drop column, mapping-extending evolution append)
+      newMapping: Option[Option[String]] = None,
+      // when set, abort if the latest mapping differs from the one the
+      // caller baked into its data files' physical column names
+      enforcedMapping: Option[Option[String]] = None): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -291,6 +329,12 @@ final class VersionedParquetSink(basePath: String,
             throw new IllegalStateException(
               s"CHECK constraints on '$table' changed while this append " +
                 "was validating against the old set; retry the append")
+          } else if (enforcedMapping.exists(m =>
+              entries.lastOption.flatMap(_.mapping) != m)) {
+            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            throw new IllegalStateException(
+              s"column mapping on '$table' changed while this write baked " +
+                "physical column names from the old mapping; retry")
           } else {
             // Re-check the schema whenever the manifest was re-read: a
             // commit that slipped in since the caller's snapshot may have
@@ -335,10 +379,15 @@ final class VersionedParquetSink(basePath: String,
               .getOrElse(entries.lastOption.flatMap(_.constraints))
             val consField = effConstraints.map(c =>
               s""","constraintsB64":"${b64enc(c)}"""").getOrElse("")
+            // column mapping inherits commit-to-commit like constraints
+            val effMapping: Option[String] = newMapping
+              .getOrElse(entries.lastOption.flatMap(_.mapping))
+            val mapField = effMapping.map(m =>
+              s""","mappingB64":"${b64enc(m)}"""").getOrElse("")
             val out = f.create(tmp, true)
             try {
               out.write(
-                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
+                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
                   .getBytes(StandardCharsets.UTF_8))
             } finally out.close()
             val marker = new Path(s"${commitDir(table)}/$attempt.commit")
@@ -421,10 +470,12 @@ final class VersionedParquetSink(basePath: String,
       entries: Seq[Commit], targetFiles: Option[Int],
       commitKey: Option[String]): Long = {
     val maxV = entries.last.version
+    val mapping = VersionedParquetSink.ColumnMapping.parse(
+      entries.lastOption.flatMap(_.mapping))
     val snap = readAt(spark, table, maxV)
     val out = targetFiles.fold(snap)(n => snap.coalesce(n))
     val unique = s"d-${UUID.randomUUID()}"
-    out.write.mode(SaveMode.ErrorIfExists)
+    toPhysical(out, mapping).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique")
     // `compacts = maxV` records exactly which versions were folded in —
     // an append that commits while the rewrite runs gets a version > maxV
@@ -436,7 +487,9 @@ final class VersionedParquetSink(basePath: String,
       requireBase = Some(maxV), rewriteOnlyConflict = true,
       op = Some("compact"),
       statsJson = Some(FileStats.collect(spark,
-        s"${tableDir(table)}/$unique", snap.schema)))
+        s"${tableDir(table)}/$unique",
+        VersionedParquetSink.ColumnMapping
+          .physicalSchema(snap.schema, mapping))))
       .orElse(commitKey.flatMap(k =>
         manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
@@ -565,12 +618,14 @@ final class VersionedParquetSink(basePath: String,
       val matched = snap.filter(coalesce(condition, lit(false))).cache()
       try {
         val unique = s"d-${UUID.randomUUID()}"
+        val mapping = VersionedParquetSink.ColumnMapping.parse(
+          entries.lastOption.flatMap(_.mapping))
         val updated = set
           .foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
           .select(dataCols.map(col): _*)
         // updated images must still satisfy the CHECK constraints
-        constraintGuard(updated,
-          entries.lastOption.flatMap(_.constraints), table)
+        toPhysical(constraintGuard(updated,
+          entries.lastOption.flatMap(_.constraints), table), mapping)
           .write.mode(SaveMode.ErrorIfExists)
           .parquet(s"${tableDir(table)}/$unique")
         matched
@@ -585,8 +640,9 @@ final class VersionedParquetSink(basePath: String,
           op = Some("update"),
           statsJson = Some(FileStats.collect(spark,
             s"${tableDir(table)}/$unique",
-            StructType(StructType.fromDDL(ddl)
-              .fields.map(_.copy(nullable = true))))))
+            VersionedParquetSink.ColumnMapping.physicalSchema(
+              StructType(StructType.fromDDL(ddl)
+                .fields.map(_.copy(nullable = true))), mapping))))
           .orElse(commitKey.flatMap(k =>
             manifest(spark, table).find(_.key.contains(k)).map(_.version)))
           .getOrElse(throw new IllegalStateException(
@@ -694,7 +750,8 @@ final class VersionedParquetSink(basePath: String,
         s"cannot add CHECK constraint '$name' to '$table': existing rows " +
           s"violate ($sqlExpr)")
       commitMetadata(spark, table, commitKey, baseV, snap.schema,
-        VersionedParquetSink.Constraints.render(existing :+ (name -> sqlExpr)))
+        Some(VersionedParquetSink.Constraints.render(
+          existing :+ (name -> sqlExpr))))
     }
   }
 
@@ -711,30 +768,135 @@ final class VersionedParquetSink(basePath: String,
           s"(have: ${existing.map(_._1).mkString(", ")})")
       commitMetadata(spark, table, commitKey, baseV,
         readAt(spark, table, baseV).schema,
-        VersionedParquetSink.Constraints.render(
-          existing.filterNot(_._1 == name)))
+        Some(VersionedParquetSink.Constraints.render(
+          existing.filterNot(_._1 == name))))
     }
 
-  /** A data-free commit carrying a constraint-set change: the dir is an
-    * empty parquet write (so every reader/vacuum invariant holds
-    * unchanged), the marker carries the new set. */
+  /** The table's column mapping (logical name -> physical name in the
+    * parquet files), empty until the first rename/drop enables it. */
+  def columnMappingOf(spark: SparkSession,
+      table: String): Map[String, String] =
+    VersionedParquetSink.ColumnMapping.parse(
+      manifest(spark, table).lastOption.flatMap(_.mapping))
+      .map { case (l, e) => l -> e.physical }.toMap
+
+  /** ALTER TABLE RENAME COLUMN (Delta column-mapping parity): a
+    * METADATA-ONLY commit — no data file is rewritten, ever. The first
+    * rename enables `name`-mode column mapping: every column's physical
+    * name (what the files carry) is frozen at its current name, and the
+    * logical schema is free to diverge. Renames compose with time
+    * travel (old versions show old names), data skipping (stats key on
+    * physical names, which never change), DVs, CDF, compaction, and
+    * RESTORE (which restores the old names). Rejected if the column is
+    * referenced by a CHECK constraint (same rule as Delta) or the new
+    * name already exists. Serializable; returns the commit's version. */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+      newName: String, commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "rename_column", commitKey) { entries =>
+      val baseV = entries.last.version
+      val schema = StructType.fromDDL(entries.last.schemaDdl.getOrElse(
+        readAt(spark, table, baseV).schema.toDDL))
+      require(schema.fieldNames.contains(oldName),
+        s"no column '$oldName' in '$table' (${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(newName),
+        s"column '$newName' already exists in '$table'")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      requireConstraintsResolve(spark, table, entries, newSchema,
+        s"rename column '$oldName' to '$newName'")
+      val mapping = currentOrIdentityMapping(entries, schema)
+      val renamed = mapping.map { case (l, e) =>
+        (if (l == oldName) newName else l) -> e
+      }
+      commitMetadata(spark, table, commitKey, baseV, newSchema,
+        constraints = None,
+        mapping = Some(VersionedParquetSink.ColumnMapping.render(renamed)),
+        opName = "rename_column")
+    }
+
+  /** ALTER TABLE DROP COLUMN (Delta column-mapping parity): a
+    * METADATA-ONLY commit — the physical column stays in the files but
+    * no reader at or past this version projects it. A later evolution
+    * append re-adding the same logical name gets a FRESH physical name
+    * and id, so the dropped data never resurrects (time travel before
+    * the drop still sees it). Rejected if a CHECK constraint references
+    * the column or it is the table's last column. */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "drop_column", commitKey) { entries =>
+      val baseV = entries.last.version
+      val schema = StructType.fromDDL(entries.last.schemaDdl.getOrElse(
+        readAt(spark, table, baseV).schema.toDDL))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' in '$table' (${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length > 1,
+        s"cannot drop '$name': it is the last column of '$table'")
+      val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      requireConstraintsResolve(spark, table, entries, newSchema,
+        s"drop column '$name'")
+      val mapping = currentOrIdentityMapping(entries, schema)
+      commitMetadata(spark, table, commitKey, baseV, newSchema,
+        constraints = None,
+        mapping = Some(VersionedParquetSink.ColumnMapping.render(
+          mapping.filterNot(_._1 == name))),
+        opName = "drop_column")
+    }
+
+  /** The current mapping, or — at first rename/drop — the identity
+    * mapping that freezes every column's physical name at its current
+    * one (consistent with every file already written). */
+  private def currentOrIdentityMapping(entries: Seq[Commit],
+      schema: StructType):
+      Seq[(String, VersionedParquetSink.ColumnMapping.Entry)] = {
+    val existing = VersionedParquetSink.ColumnMapping.parse(
+      entries.lastOption.flatMap(_.mapping))
+    if (existing.nonEmpty) existing
+    else VersionedParquetSink.ColumnMapping.identity(schema)
+  }
+
+  /** A schema change must leave every CHECK constraint resolvable —
+    * renaming/dropping a column out from under a constraint would make
+    * all future writes fail (Delta rejects the ALTER for the same
+    * reason). Resolution is the real analyzer's, on an empty frame. */
+  private def requireConstraintsResolve(spark: SparkSession, table: String,
+      entries: Seq[Commit], newSchema: StructType, what: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val dummy = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), newSchema)
+    VersionedParquetSink.Constraints.parse(
+      entries.lastOption.flatMap(_.constraints)).foreach { case (n, sql) =>
+      try { dummy.filter(expr(sql)).queryExecution.analyzed; () }
+      catch { case _: Exception =>
+        throw new IllegalArgumentException(
+          s"cannot $what on '$table': CHECK constraint '$n' ($sql) " +
+            "references it — drop the constraint first")
+      }
+    }
+  }
+
+  /** A data-free commit carrying a metadata change (constraint set
+    * and/or column mapping + schema): the dir is an empty parquet write
+    * (so every reader/vacuum invariant holds unchanged), the marker
+    * carries the new metadata. */
   private def commitMetadata(spark: SparkSession, table: String,
       commitKey: Option[String], baseV: Long, schema: StructType,
-      constraints: Option[String]): Long = {
+      constraints: Option[Option[String]],
+      mapping: Option[Option[String]] = None,
+      opName: String = "constraint"): Long = {
     val unique = s"d-${UUID.randomUUID()}"
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.mode(SaveMode.ErrorIfExists)
-      .parquet(s"${tableDir(table)}/$unique")
+    // the commit's data dir exists (every reader/vacuum invariant over
+    // live dirs holds unchanged) but holds NO files — truly metadata-
+    // only: explicit-schema parquet scans skip file-less dirs
+    fs(spark, tableDir(table)).mkdirs(new Path(s"${tableDir(table)}/$unique"))
     commitLoop(spark, table, unique, commitKey,
       compacts = None, schemaDdl = schema.toDDL,
       cleanupOnKeyLoss = true, requireBase = Some(baseV),
-      op = Some("constraint"), statsJson = None,
-      newConstraints = Some(constraints))
+      op = Some(opName), statsJson = None,
+      newConstraints = constraints, newMapping = mapping)
       .orElse(commitKey.flatMap(k =>
         manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
-        s"constraint change on $table lost the commit race with no keyed winner"))
+        s"$opName change on $table lost the commit race with no keyed winner"))
   }
 
   /** Fuse the table's CHECK constraints into a write as a per-row guard:
@@ -768,11 +930,16 @@ final class VersionedParquetSink(basePath: String,
       require(entries.exists(_.version <= toVersion),
         s"no committed versions <= $toVersion for $table")
       val baseV = entries.last.version
-      val restoredDdl = entries.filter(_.version <= toVersion)
-        .lastOption.flatMap(_.schemaDdl)
+      val atTo = entries.filter(_.version <= toVersion)
+      val restoredDdl = atTo.lastOption.flatMap(_.schemaDdl)
+      // RESTORE also restores the column MAPPING as of toVersion: the
+      // restored logical schema's names resolve through that mapping
+      val restoredMapJson = atTo.lastOption.flatMap(_.mapping)
+      val restoredMap =
+        VersionedParquetSink.ColumnMapping.parse(restoredMapJson)
       val out = readAt(spark, table, toVersion)
       val unique = s"d-${UUID.randomUUID()}"
-      out.write.mode(SaveMode.ErrorIfExists)
+      toPhysical(out, restoredMap).write.mode(SaveMode.ErrorIfExists)
         .parquet(s"${tableDir(table)}/$unique")
       commitLoop(spark, table, unique, commitKey,
         compacts = Some(baseV),
@@ -780,7 +947,10 @@ final class VersionedParquetSink(basePath: String,
         cleanupOnKeyLoss = true, requireBase = Some(baseV),
         op = Some("restore"),
         statsJson = Some(FileStats.collect(spark,
-          s"${tableDir(table)}/$unique", out.schema)))
+          s"${tableDir(table)}/$unique",
+          VersionedParquetSink.ColumnMapping
+            .physicalSchema(out.schema, restoredMap))),
+        newMapping = Some(restoredMapJson))
         .orElse(commitKey.flatMap(k =>
           manifest(spark, table).find(_.key.contains(k)).map(_.version)))
         .getOrElse(throw new IllegalStateException(
@@ -821,9 +991,11 @@ final class VersionedParquetSink(basePath: String,
       transform: DataFrame => DataFrame): Long =
     retryingRewrite(spark, table, opName, commitKey) { entries =>
       val baseV = entries.last.version
+      val mapping = VersionedParquetSink.ColumnMapping.parse(
+        entries.lastOption.flatMap(_.mapping))
       val out = transform(readAt(spark, table, baseV))
       val unique = s"d-${UUID.randomUUID()}"
-      out.write.mode(SaveMode.ErrorIfExists)
+      toPhysical(out, mapping).write.mode(SaveMode.ErrorIfExists)
         .parquet(s"${tableDir(table)}/$unique")
       commitLoop(spark, table, unique, commitKey,
         compacts = Some(baseV),
@@ -831,7 +1003,9 @@ final class VersionedParquetSink(basePath: String,
         cleanupOnKeyLoss = true, requireBase = Some(baseV),
         op = Some(opName),
         statsJson = Some(FileStats.collect(spark,
-          s"${tableDir(table)}/$unique", out.schema)))
+          s"${tableDir(table)}/$unique",
+          VersionedParquetSink.ColumnMapping
+            .physicalSchema(out.schema, mapping))))
         // None = a same-key racer committed first; report its version
         .orElse(commitKey.flatMap(k =>
           manifest(spark, table).find(_.key.contains(k)).map(_.version)))
@@ -884,8 +1058,17 @@ final class VersionedParquetSink(basePath: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "insert")
       }
       val dirs = fastRange.map(e => s"${tableDir(table)}/${e.dir}")
+      // mapped tables: scan physical, alias back to logical (as of toV)
+      val mapping = VersionedParquetSink.ColumnMapping.parse(
+        upToTo.lastOption.flatMap(_.mapping))
       val df = toSchema match {
-        case Some(schema) => spark.read.schema(schema).parquet(dirs: _*)
+        case Some(schema) =>
+          val scanned = spark.read.schema(VersionedParquetSink.ColumnMapping
+            .physicalSchema(schema, mapping)).parquet(dirs: _*)
+          if (mapping.isEmpty) scanned
+          else scanned.select(schema.fields.toSeq.map(f =>
+            col(VersionedParquetSink.ColumnMapping
+              .physicalName(mapping, f.name)).as(f.name)): _*)
         case None => spark.read.parquet(dirs: _*)
       }
       withType(df, "insert")
@@ -980,21 +1163,36 @@ final class VersionedParquetSink(basePath: String,
     val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
     val datas = live.filterNot(VersionedParquetSink.isDv)
     val dirs = datas.map(e => s"${tableDir(table)}/${e.dir}")
-    val plain = entries.lastOption.flatMap(_.schemaDdl) match {
-      case Some(ddl) =>
+    // column mapping: files carry physical names — scan with the
+    // PHYSICAL schema (as of v), alias back to logical at the end
+    val mapping = VersionedParquetSink.ColumnMapping.parse(
+      entries.lastOption.flatMap(_.mapping))
+    val logicalSchema = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
+      StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+    val plain = logicalSchema match {
+      case Some(logical) =>
         // nullable-ized: pre-evolution files lack the new columns
-        val schema = StructType(StructType.fromDDL(ddl)
-          .fields.map(_.copy(nullable = true)))
-        spark.read.schema(schema).parquet(dirs: _*)
+        spark.read.schema(VersionedParquetSink.ColumnMapping
+          .physicalSchema(logical, mapping)).parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*) // pre-schema-field markers
     }
-    if (dvs.isEmpty && !keepPos) plain // zero overhead without DVs
+    def logicalize(d: DataFrame): DataFrame =
+      if (mapping.isEmpty) d
+      else {
+        val keep = d.columns.toSeq
+          .filter(c => c == "__dv_path" || c == "__dv_pos")
+        d.select(logicalSchema.get.fields.toSeq.map(f =>
+          col(VersionedParquetSink.ColumnMapping
+            .physicalName(mapping, f.name)).as(f.name)) ++
+          keep.map(col): _*)
+      }
+    if (dvs.isEmpty && !keepPos) logicalize(plain) // zero overhead sans DVs
     else {
       val withPos = withPosCols(spark, table, plain)
       val masked =
         if (dvs.isEmpty) withPos
         else applyDvMask(spark, table, withPos, dvs)
-      if (keepPos) masked else masked.drop("__dv_path", "__dv_pos")
+      logicalize(if (keepPos) masked else masked.drop("__dv_path", "__dv_pos"))
     }
   }
 
@@ -1065,13 +1263,26 @@ final class VersionedParquetSink(basePath: String,
     require(entries.nonEmpty, s"no committed versions <= $v for $table")
     val schema = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
       StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+    // stats are keyed by PHYSICAL column names (stable across renames):
+    // resolve the predicate against the user-facing logical schema, then
+    // rewrite its attribute references into physical names
+    val mapping = VersionedParquetSink.ColumnMapping.parse(
+      entries.lastOption.flatMap(_.mapping))
+    val physSchema = schema.map(
+      VersionedParquetSink.ColumnMapping.physicalSchema(_, mapping))
     val pred = schema.flatMap(FileStats.resolvePredicate(spark, _, condition))
-    val paths = scanPaths(table, entries, pred, schema)
+      .map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if mapping.nonEmpty =>
+          a.withName(
+            VersionedParquetSink.ColumnMapping.physicalName(mapping, a.name))
+      })
+    val paths = scanPaths(table, entries, pred, physSchema)
     val base =
       if (paths.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.getOrElse(readAt(spark, table, v).schema))
-      else schema match {
+        physSchema.getOrElse(readAt(spark, table, v).schema))
+      else physSchema match {
         case Some(s) => spark.read.schema(s).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
@@ -1082,7 +1293,12 @@ final class VersionedParquetSink(basePath: String,
       if (dvs.isEmpty || paths.isEmpty) base
       else applyDvMask(spark, table, withPosCols(spark, table, base), dvs)
         .drop("__dv_path", "__dv_pos")
-    masked.filter(condition)
+    val logical =
+      if (mapping.isEmpty) masked
+      else masked.select(schema.get.fields.toSeq.map(f =>
+        col(VersionedParquetSink.ColumnMapping
+          .physicalName(mapping, f.name)).as(f.name)): _*)
+    logical.filter(condition)
   }
 
   /** The concrete paths a [[readAtWhere]] scan opens: pruned FILE paths
@@ -1109,11 +1325,21 @@ final class VersionedParquetSink(basePath: String,
     val entries = manifest(spark, table)
     val schema = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
       StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+    val mapping = VersionedParquetSink.ColumnMapping.parse(
+      entries.lastOption.flatMap(_.mapping))
+    val physSchema = schema.map(
+      VersionedParquetSink.ColumnMapping.physicalSchema(_, mapping))
     val live = liveEntries(entries).filterNot(VersionedParquetSink.isDv)
     val total = live.map(e =>
       e.stats.map(FileStats.parse(_).size).getOrElse(1)).sum
     val pred = schema.flatMap(FileStats.resolvePredicate(spark, _, condition))
-    val kept = scanPaths(table, entries, pred, schema).size
+      .map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if mapping.nonEmpty =>
+          a.withName(
+            VersionedParquetSink.ColumnMapping.physicalName(mapping, a.name))
+      })
+    val kept = scanPaths(table, entries, pred, physSchema).size
     (kept, total)
   }
 
@@ -1157,7 +1383,7 @@ object VersionedParquetSink {
   private[engine] final case class Commit(version: Long, dir: String,
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
       ts: Option[Long], op: Option[String], stats: Option[String],
-      constraints: Option[String], raw: String)
+      constraints: Option[String], mapping: Option[String], raw: String)
 
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */
@@ -1181,6 +1407,53 @@ object VersionedParquetSink {
         cs.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
         Some(mapper.writeValueAsString(n))
       }
+  }
+
+  /** Column-mapping serialization (Delta column mapping, `name` mode):
+    * a JSON object `{"<logical>": {"p": "<physical>", "id": N}}`, keys
+    * sorted for byte-identical renderings of equal maps. Physical names
+    * are what the parquet FILES carry and are immutable for a column's
+    * lifetime; logical names live in the manifest schema and are what
+    * users see. Absent mapping (every table until its first
+    * rename/drop) means physical == logical. Field ids are stable and
+    * never reused — a dropped-then-readded column gets a fresh id AND a
+    * fresh physical name, so old file data can never resurrect under
+    * the new column. */
+  private[engine] object ColumnMapping {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    final case class Entry(physical: String, id: Int)
+    def parse(json: Option[String]): Seq[(String, Entry)] =
+      json.toSeq.flatMap { j =>
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(j).properties().asScala.map { p =>
+          p.getKey -> Entry(p.getValue.get("p").asText,
+            p.getValue.get("id").asInt)
+        }.toSeq
+      }.sortBy(_._1)
+    def render(m: Seq[(String, Entry)]): Option[String] =
+      if (m.isEmpty) None
+      else {
+        val n = mapper.createObjectNode()
+        m.sortBy(_._1).foreach { case (k, e) =>
+          val o = n.putObject(k); o.put("p", e.physical); o.put("id", e.id)
+        }
+        Some(mapper.writeValueAsString(n))
+      }
+    /** First enablement: every current column keeps its name as its
+      * physical name (matching every already-written file), ids in
+      * schema order. */
+    def identity(schema: org.apache.spark.sql.types.StructType):
+        Seq[(String, Entry)] =
+      schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        f.name -> Entry(f.name, i + 1)
+      }
+    def physicalName(m: Seq[(String, Entry)], logical: String): String =
+      m.find(_._1 == logical).map(_._2.physical).getOrElse(logical)
+    /** The schema as the parquet files spell it. */
+    def physicalSchema(logical: org.apache.spark.sql.types.StructType,
+        m: Seq[(String, Entry)]): org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(
+        logical.fields.map(f => f.copy(name = physicalName(m, f.name))))
   }
 
   /** Any commit carrying a positional mask: a pure DV delete (whole dir
