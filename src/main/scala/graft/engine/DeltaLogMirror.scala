@@ -114,12 +114,15 @@ object DeltaLogMirror {
     }
 
     // Features raise the required protocol versions (PROTOCOL.md):
-    // CHECK constraints need writer 3; column mapping needs reader 2 +
-    // writer 5. The protocol action is (re-)emitted whenever a
-    // requirement grows — at commit 0, on the first ADD CONSTRAINT, on
-    // the first RENAME/DROP COLUMN. Protocol never downgrades.
+    // CHECK constraints need writer 3; generated columns writer 4;
+    // column mapping reader 2 + writer 5. The protocol action is
+    // (re-)emitted whenever a requirement grows — at commit 0, on the
+    // first ADD CONSTRAINT / generated declaration / RENAME-DROP
+    // COLUMN. Protocol never downgrades.
     def writerVersion(c: Commit): Int =
-      if (c.mapping.isDefined) 5 else if (c.constraints.isDefined) 3 else 2
+      if (c.mapping.isDefined) 5
+      else if (c.generated.isDefined) 4
+      else if (c.constraints.isDefined) 3 else 2
     def readerVersion(c: Commit): Int = if (c.mapping.isDefined) 2 else 1
     val prevWriter = (2 +: prev.map(writerVersion)).max
     val prevReader = (1 +: prev.map(readerVersion)).max
@@ -144,23 +147,26 @@ object DeltaLogMirror {
     // id as field metadata, exactly as the protocol's `name` mode
     // spells it
     val mapping = VersionedParquetSink.ColumnMapping.parse(e.mapping)
+    val gens = VersionedParquetSink.Constraints.parse(e.generated)
     def normSchema(ddl: String): String =
       StructType(StructType.fromDDL(ddl).fields.map { f0 =>
         val f = f0.copy(nullable = true)
-        mapping.find(_._1 == f.name) match {
-          case Some((_, me)) => f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong("delta.columnMapping.id", me.id.toLong)
-              .putString("delta.columnMapping.physicalName", me.physical)
-              .build())
-          case None => f
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mapping.find(_._1 == f.name).foreach { case (_, me) =>
+          mb.putLong("delta.columnMapping.id", me.id.toLong)
+          mb.putString("delta.columnMapping.physicalName", me.physical)
         }
+        gens.find(_._1 == f.name).foreach { case (_, sql) =>
+          mb.putString("delta.generationExpression", sql)
+        }
+        f.copy(metadata = mb.build())
       }).json
     val prevDdl = prev.lastOption.flatMap(_.schemaDdl)
     val consChanged = e.constraints != prev.lastOption.flatMap(_.constraints)
     val mapChanged = e.mapping != prev.lastOption.flatMap(_.mapping)
-    if (e.version == 0L || consChanged || mapChanged ||
+    val genChanged = e.generated != prev.lastOption.flatMap(_.generated)
+    if (e.version == 0L || consChanged || mapChanged || genChanged ||
         (e.schemaDdl.isDefined &&
           e.schemaDdl.map(normSchema) != prevDdl.map(normSchema))) {
       e.schemaDdl.foreach { ddl =>

@@ -94,7 +94,8 @@ final class VersionedParquetSink(basePath: String,
         scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption),
       str("op"), str("statsB64").filter(_.nonEmpty).map(b64),
       str("constraintsB64").filter(_.nonEmpty).map(b64),
-      str("mappingB64").filter(_.nonEmpty).map(b64), body)
+      str("mappingB64").filter(_.nonEmpty).map(b64),
+      str("gensB64").filter(_.nonEmpty).map(b64), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -179,16 +180,23 @@ final class VersionedParquetSink(basePath: String,
     val spark = df.sparkSession
     val entries = manifest(spark, table)
     if (commitKey.exists(k => entries.exists(_.key.contains(k)))) return false
+    val tableSchema =
+      entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL)
+    // generated columns: a missing one is COMPUTED inside the write's
+    // own pass; a caller-provided one is VALIDATED to equal its
+    // expression per row (both Delta's rules). Runs before the schema
+    // check so a frame omitting generated columns still schema-matches.
+    val gensJson = entries.lastOption.flatMap(_.generated)
+    val completed = completeGenerated(df, gensJson, tableSchema, table)
     // early check: fail BEFORE the data write on the common path (the
     // claim loop re-checks against a FRESH manifest under the lock —
     // this snapshot can be stale by commit time)
-    SchemaCheck.enforceAppend(table,
-      entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL),
-      df.schema, allowEvolution)
+    SchemaCheck.enforceAppend(table, tableSchema,
+      completed.schema, allowEvolution)
     // CHECK constraints ride the write's own pass as a per-row guard;
     // the claim loop aborts if the set changes before we commit
     val cons = entries.lastOption.flatMap(_.constraints)
-    val guarded = constraintGuard(df, cons, table)
+    val guarded = constraintGuard(completed, cons, table)
     // column mapping: files carry PHYSICAL names; an evolution append on
     // a mapped table mints fresh physical names/ids for its new columns
     // (never reusing a dropped column's), and the claim aborts if the
@@ -197,7 +205,8 @@ final class VersionedParquetSink(basePath: String,
     val mappingJson = entries.lastOption.flatMap(_.mapping)
     val mapping = VersionedParquetSink.ColumnMapping.parse(mappingJson)
     val newCols = if (mappingJson.isDefined)
-      df.schema.fields.toSeq.filterNot(f => mapping.exists(_._1 == f.name))
+      completed.schema.fields.toSeq
+        .filterNot(f => mapping.exists(_._1 == f.name))
     else Seq.empty
     val extended = if (newCols.isEmpty) mapping else {
       val maxId = mapping.map(_._2.id).maxOption.getOrElse(0)
@@ -210,16 +219,58 @@ final class VersionedParquetSink(basePath: String,
     toPhysical(guarded, extended).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
     val stats = FileStats.collect(spark, s"${tableDir(table)}/$unique",
-      VersionedParquetSink.ColumnMapping.physicalSchema(df.schema, extended))
+      VersionedParquetSink.ColumnMapping
+        .physicalSchema(completed.schema, extended))
     commitLoop(spark, table, unique, commitKey, compacts = None,
-      schemaDdl = df.schema.toDDL, cleanupOnKeyLoss = true,
+      schemaDdl = completed.schema.toDDL, cleanupOnKeyLoss = true,
       snapshot = Some(entries), enforceSchema = true,
       allowEvolution = allowEvolution, statsJson = Some(stats),
       enforcedConstraints = Some(cons),
       newMapping = if (newCols.isEmpty) None
         else Some(VersionedParquetSink.ColumnMapping.render(extended)),
-      enforcedMapping = if (newCols.isEmpty) None else Some(mappingJson))
+      enforcedMapping = if (newCols.isEmpty) None else Some(mappingJson),
+      enforcedGenerated = Some(gensJson))
       .isDefined
+  }
+
+  /** Complete and enforce generated columns for a write: absent columns
+    * are computed from their expressions (cast to the table's declared
+    * type, re-ordered to the table schema when that makes the frame
+    * schema-exact); provided columns get a per-row null-safe equality
+    * guard that throws naming the column — Delta's generated-column
+    * write semantics. */
+  private def completeGenerated(df: DataFrame, gensJson: Option[String],
+      tableSchema: Option[StructType], table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, not, raise_error, when}
+    val gens = VersionedParquetSink.Constraints.parse(gensJson)
+    if (gens.isEmpty) return df
+    def declaredType(n: String) =
+      tableSchema.flatMap(_.fields.find(_.name == n)).map(_.dataType)
+    val provided = gens.filter { case (n, _) => df.columns.contains(n) }
+    val missing = gens.filterNot { case (n, _) => df.columns.contains(n) }
+    val withComputed = missing.foldLeft(df) { case (d, (n, sql)) =>
+      d.withColumn(n, declaredType(n)
+        .fold(expr(sql))(t => expr(sql).cast(t)))
+    }
+    // completion restores the table's column order when it can (the
+    // exact-schema check is order-sensitive); an evolution append with
+    // extra new columns keeps them trailing
+    val ordered = tableSchema match {
+      case Some(ts) if ts.fieldNames.forall(withComputed.columns.contains) =>
+        withComputed.select((ts.fieldNames.toSeq ++
+          withComputed.columns.filterNot(ts.fieldNames.contains))
+          .map(col): _*)
+      case _ => withComputed
+    }
+    provided.foldLeft(ordered) { case (d, (n, sql)) =>
+      d.filter(
+        when(not(col(n) <=> (declaredType(n)
+            .fold(expr(sql))(t => expr(sql).cast(t)))),
+          raise_error(concat(
+            lit(s"generated column '$n' of '$table': provided value " +
+              s"does not match its expression ($sql)"))))
+          .otherwise(lit(true)))
+    }
   }
 
   /** Rename a frame's columns logical -> physical for writing (identity
@@ -271,7 +322,11 @@ final class VersionedParquetSink(basePath: String,
       newMapping: Option[Option[String]] = None,
       // when set, abort if the latest mapping differs from the one the
       // caller baked into its data files' physical column names
-      enforcedMapping: Option[Option[String]] = None): Option[Long] = {
+      enforcedMapping: Option[Option[String]] = None,
+      // generated-column expressions: inherit / set / abort-on-change,
+      // same protocol as constraints
+      newGenerated: Option[Option[String]] = None,
+      enforcedGenerated: Option[Option[String]] = None): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -335,6 +390,12 @@ final class VersionedParquetSink(basePath: String,
             throw new IllegalStateException(
               s"column mapping on '$table' changed while this write baked " +
                 "physical column names from the old mapping; retry")
+          } else if (enforcedGenerated.exists(g =>
+              entries.lastOption.flatMap(_.generated) != g)) {
+            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            throw new IllegalStateException(
+              s"generated columns on '$table' changed while this write " +
+                "computed/validated against the old expressions; retry")
           } else {
             // Re-check the schema whenever the manifest was re-read: a
             // commit that slipped in since the caller's snapshot may have
@@ -384,10 +445,14 @@ final class VersionedParquetSink(basePath: String,
               .getOrElse(entries.lastOption.flatMap(_.mapping))
             val mapField = effMapping.map(m =>
               s""","mappingB64":"${b64enc(m)}"""").getOrElse("")
+            val effGenerated: Option[String] = newGenerated
+              .getOrElse(entries.lastOption.flatMap(_.generated))
+            val genField = effGenerated.map(g =>
+              s""","gensB64":"${b64enc(g)}"""").getOrElse("")
             val out = f.create(tmp, true)
             try {
               out.write(
-                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
+                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField$genField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
                   .getBytes(StandardCharsets.UTF_8))
             } finally out.close()
             val marker = new Path(s"${commitDir(table)}/$attempt.commit")
@@ -620,8 +685,23 @@ final class VersionedParquetSink(basePath: String,
         val unique = s"d-${UUID.randomUUID()}"
         val mapping = VersionedParquetSink.ColumnMapping.parse(
           entries.lastOption.flatMap(_.mapping))
-        val updated = set
+        // generated columns: SET may not target one directly; their
+        // values are RECOMPUTED after the update (Delta's rule — the
+        // update may change their source columns)
+        val gens = VersionedParquetSink.Constraints.parse(
+          entries.lastOption.flatMap(_.generated))
+        gens.foreach { case (g, _) => require(!set.contains(g),
+          s"updateVectored: '$g' is a generated column of '$table'; " +
+            "update its source columns instead") }
+        val updated0 = set
           .foldLeft(matched) { case (df, (c, e)) => df.withColumn(c, e) }
+        val schemaTypes = StructType.fromDDL(entries.last.schemaDdl
+          .getOrElse(readAt(spark, table, baseV).schema.toDDL))
+        val updated = gens.foldLeft(updated0) { case (df, (g, sql)) =>
+          df.withColumn(g,
+            org.apache.spark.sql.functions.expr(sql).cast(
+              schemaTypes.fields.find(_.name == g).get.dataType))
+        }
           .select(dataCols.map(col): _*)
         // updated images must still satisfy the CHECK constraints
         toPhysical(constraintGuard(updated,
@@ -703,9 +783,14 @@ final class VersionedParquetSink(basePath: String,
       require(dupKeys == 0,
         s"merge into '$table': updates carry duplicate rows for some " +
           s"(${keyCols.mkString(", ")}) key — ambiguous merge")
-      val cons = manifest(spark, table).lastOption.flatMap(_.constraints)
+      val latest = manifest(spark, table).lastOption
+      val cons = latest.flatMap(_.constraints)
       rewriteWith(spark, table, "merge", commitKey, { snap =>
-        SchemaCheck.enforceAppend(table, Some(snap.schema), upserts.schema)
+        // generated columns: upserts may omit them (computed) or carry
+        // them (validated per row) — same rules as append
+        val completed = completeGenerated(upserts,
+          latest.flatMap(_.generated), Some(snap.schema), table)
+        SchemaCheck.enforceAppend(table, Some(snap.schema), completed.schema)
         val touched = upserts.select(keyCols.map(col): _*)
           .unionByName(deleteKeys.select(keyCols.map(col): _*))
           .distinct()
@@ -713,7 +798,7 @@ final class VersionedParquetSink(basePath: String,
         // incoming upserts need the guard
         snap.join(touched, keyCols, "left_anti")
           .unionByName(constraintGuard(
-            upserts.select(snap.columns.map(col): _*), cons, table))
+            completed.select(snap.columns.map(col): _*), cons, table))
       })
     } finally if (!preCached) { upserts.unpersist(); () }
   }
@@ -772,6 +857,69 @@ final class VersionedParquetSink(basePath: String,
           existing.filterNot(_._1 == name))))
     }
 
+  /** The table's generated columns (name -> SQL expression), empty if
+    * none were ever declared. */
+  def generatedColumnsOf(spark: SparkSession,
+      table: String): Map[String, String] =
+    VersionedParquetSink.Constraints.parse(
+      manifest(spark, table).lastOption.flatMap(_.generated)).toMap
+
+  /** Declare an EXISTING column as generated (Delta generated-column
+    * parity, writer feature v4): every future write either omits the
+    * column (it is computed from `sqlExpr` inside the write's own pass)
+    * or provides values that a per-row null-safe equality guard
+    * validates against the expression — Delta's exact write rules.
+    * Existing rows are validated in one distributed scan before the
+    * metadata commit lands (Delta only allows declaration at CREATE
+    * TABLE; validating the backlog is the equivalent safety). The
+    * expression may reference any non-generated column. Serializable;
+    * a concurrent append that computed/validated against the old
+    * expression set aborts at its claim. */
+  def setGeneratedColumn(spark: SparkSession, table: String, name: String,
+      sqlExpr: String, commitKey: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.expr
+    retryingRewrite(spark, table, "generated", commitKey) { entries =>
+      val baseV = entries.last.version
+      val existing = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.generated))
+      require(!existing.exists(_._1 == name),
+        s"column '$name' of '$table' is already generated")
+      val snap = readAt(spark, table, baseV)
+      require(snap.columns.contains(name),
+        s"no column '$name' in '$table' (${snap.columns.mkString(", ")})")
+      val target = snap.schema.fields.find(_.name == name).get.dataType
+      val bad = snap
+        .filter(!(col(name) <=> expr(sqlExpr).cast(target))).limit(1).count()
+      require(bad == 0,
+        s"cannot declare '$name' generated on '$table': existing rows " +
+          s"differ from ($sqlExpr)")
+      commitMetadata(spark, table, commitKey, baseV, snap.schema,
+        constraints = None,
+        generated = Some(VersionedParquetSink.Constraints.render(
+          existing :+ (name -> sqlExpr))),
+        opName = "generated")
+    }
+  }
+
+  /** Remove a column's generated-column declaration (the column and its
+    * data stay; writes just stop computing/validating it). */
+  def dropGeneratedColumn(spark: SparkSession, table: String, name: String,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "generated", commitKey) { entries =>
+      val baseV = entries.last.version
+      val existing = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.generated))
+      require(existing.exists(_._1 == name),
+        s"column '$name' of '$table' is not generated " +
+          s"(generated: ${existing.map(_._1).mkString(", ")})")
+      commitMetadata(spark, table, commitKey, baseV,
+        readAt(spark, table, baseV).schema,
+        constraints = None,
+        generated = Some(VersionedParquetSink.Constraints.render(
+          existing.filterNot(_._1 == name))),
+        opName = "generated")
+    }
+
   /** The table's column mapping (logical name -> physical name in the
     * parquet files), empty until the first rename/drop enables it. */
   def columnMappingOf(spark: SparkSession,
@@ -802,7 +950,14 @@ final class VersionedParquetSink(basePath: String,
         s"column '$newName' already exists in '$table'")
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
-      requireConstraintsResolve(spark, table, entries, newSchema,
+      // a generated column renames WITH its declaration; an expression
+      // referencing the old name fails the resolution check below
+      val gens = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.generated))
+      val newGens = gens.map { case (n, sql) =>
+        (if (n == oldName) newName else n) -> sql
+      }
+      requireConstraintsResolve(spark, table, entries, newSchema, newGens,
         s"rename column '$oldName' to '$newName'")
       val mapping = currentOrIdentityMapping(entries, schema)
       val renamed = mapping.map { case (l, e) =>
@@ -811,6 +966,8 @@ final class VersionedParquetSink(basePath: String,
       commitMetadata(spark, table, commitKey, baseV, newSchema,
         constraints = None,
         mapping = Some(VersionedParquetSink.ColumnMapping.render(renamed)),
+        generated = if (newGens == gens) None
+          else Some(VersionedParquetSink.Constraints.render(newGens)),
         opName = "rename_column")
     }
 
@@ -832,13 +989,20 @@ final class VersionedParquetSink(basePath: String,
       require(schema.fields.length > 1,
         s"cannot drop '$name': it is the last column of '$table'")
       val newSchema = StructType(schema.fields.filterNot(_.name == name))
-      requireConstraintsResolve(spark, table, entries, newSchema,
+      // dropping a generated column drops its declaration; dropping a
+      // column another declaration REFERENCES fails resolution below
+      val gens = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.generated))
+      val newGens = gens.filterNot(_._1 == name)
+      requireConstraintsResolve(spark, table, entries, newSchema, newGens,
         s"drop column '$name'")
       val mapping = currentOrIdentityMapping(entries, schema)
       commitMetadata(spark, table, commitKey, baseV, newSchema,
         constraints = None,
         mapping = Some(VersionedParquetSink.ColumnMapping.render(
           mapping.filterNot(_._1 == name))),
+        generated = if (newGens == gens) None
+          else Some(VersionedParquetSink.Constraints.render(newGens)),
         opName = "drop_column")
     }
 
@@ -854,24 +1018,33 @@ final class VersionedParquetSink(basePath: String,
     else VersionedParquetSink.ColumnMapping.identity(schema)
   }
 
-  /** A schema change must leave every CHECK constraint resolvable —
-    * renaming/dropping a column out from under a constraint would make
-    * all future writes fail (Delta rejects the ALTER for the same
-    * reason). Resolution is the real analyzer's, on an empty frame. */
+  /** A schema change must leave every CHECK constraint and generated-
+    * column expression resolvable — renaming/dropping a column out from
+    * under one would make all future writes fail (Delta rejects the
+    * ALTER for the same reason). Resolution is the real analyzer's, on
+    * an empty frame. */
   private def requireConstraintsResolve(spark: SparkSession, table: String,
-      entries: Seq[Commit], newSchema: StructType, what: String): Unit = {
+      entries: Seq[Commit], newSchema: StructType,
+      newGens: Seq[(String, String)], what: String): Unit = {
     import org.apache.spark.sql.functions.expr
     val dummy = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), newSchema)
-    VersionedParquetSink.Constraints.parse(
-      entries.lastOption.flatMap(_.constraints)).foreach { case (n, sql) =>
-      try { dummy.filter(expr(sql)).queryExecution.analyzed; () }
+    def check(kind: String, n: String, analyze: => Any): Unit =
+      try { analyze; () }
       catch { case _: Exception =>
         throw new IllegalArgumentException(
-          s"cannot $what on '$table': CHECK constraint '$n' ($sql) " +
-            "references it — drop the constraint first")
+          s"cannot $what on '$table': $kind '$n' references it — " +
+            "drop it first")
       }
-    }
+    VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.constraints))
+      .foreach { case (n, sql) => check("CHECK constraint", n,
+        dummy.filter(expr(sql)).queryExecution.analyzed) }
+    // a generation expression is a value, not a predicate: resolve via
+    // select (it must also still be computable, not just name-resolved)
+    newGens.foreach { case (n, sql) =>
+      check("generated-column expression for", n,
+        dummy.select(expr(sql)).queryExecution.analyzed) }
   }
 
   /** A data-free commit carrying a metadata change (constraint set
@@ -882,6 +1055,7 @@ final class VersionedParquetSink(basePath: String,
       commitKey: Option[String], baseV: Long, schema: StructType,
       constraints: Option[Option[String]],
       mapping: Option[Option[String]] = None,
+      generated: Option[Option[String]] = None,
       opName: String = "constraint"): Long = {
     val unique = s"d-${UUID.randomUUID()}"
     // the commit's data dir exists (every reader/vacuum invariant over
@@ -892,7 +1066,8 @@ final class VersionedParquetSink(basePath: String,
       compacts = None, schemaDdl = schema.toDDL,
       cleanupOnKeyLoss = true, requireBase = Some(baseV),
       op = Some(opName), statsJson = None,
-      newConstraints = constraints, newMapping = mapping)
+      newConstraints = constraints, newMapping = mapping,
+      newGenerated = generated)
       .orElse(commitKey.flatMap(k =>
         manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
@@ -932,8 +1107,10 @@ final class VersionedParquetSink(basePath: String,
       val baseV = entries.last.version
       val atTo = entries.filter(_.version <= toVersion)
       val restoredDdl = atTo.lastOption.flatMap(_.schemaDdl)
-      // RESTORE also restores the column MAPPING as of toVersion: the
-      // restored logical schema's names resolve through that mapping
+      // RESTORE also restores the column MAPPING and generated-column
+      // declarations as of toVersion: both bind to the restored schema's
+      // columns (CURRENT CHECK constraints are kept — they are guards on
+      // future writes, not schema metadata; Delta draws the same line)
       val restoredMapJson = atTo.lastOption.flatMap(_.mapping)
       val restoredMap =
         VersionedParquetSink.ColumnMapping.parse(restoredMapJson)
@@ -950,7 +1127,8 @@ final class VersionedParquetSink(basePath: String,
           s"${tableDir(table)}/$unique",
           VersionedParquetSink.ColumnMapping
             .physicalSchema(out.schema, restoredMap))),
-        newMapping = Some(restoredMapJson))
+        newMapping = Some(restoredMapJson),
+        newGenerated = Some(atTo.lastOption.flatMap(_.generated)))
         .orElse(commitKey.flatMap(k =>
           manifest(spark, table).find(_.key.contains(k)).map(_.version)))
         .getOrElse(throw new IllegalStateException(
@@ -1383,7 +1561,8 @@ object VersionedParquetSink {
   private[engine] final case class Commit(version: Long, dir: String,
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
       ts: Option[Long], op: Option[String], stats: Option[String],
-      constraints: Option[String], mapping: Option[String], raw: String)
+      constraints: Option[String], mapping: Option[String],
+      generated: Option[String], raw: String)
 
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */
