@@ -1547,6 +1547,78 @@ final class VersionedParquetSink(basePath: String,
 
   override def exists(spark: SparkSession, table: String): Boolean =
     versions(spark, table).nonEmpty
+
+  /** DESCRIBE HISTORY parity: one row per commit, newest first —
+    * version, commit timestamp, operation (WRITE for plain appends),
+    * whether it superseded earlier versions (rewrite high-water mark),
+    * and the idempotency key if the writer supplied one. Driver-side
+    * over the manifest (already one listing + one checkpoint read) —
+    * never scans data. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    manifest(spark, table).sortBy(-_.version).map { e =>
+      (e.version,
+        e.ts.map(m => new java.sql.Timestamp(m)).orNull,
+        e.op.map(_.toUpperCase).getOrElse("WRITE"),
+        e.compacts.map(java.lang.Long.valueOf).orNull,
+        e.key.orNull)
+    }.toDF("version", "timestamp", "operation", "supersedes", "commitKey")
+  }
+
+  /** Streaming-source read (Delta streaming-source parity): the rows
+    * appended in `(fromVersion, latest]`, plus the latest version to
+    * feed back as the next cursor. Pure appends are served straight
+    * from their commit dirs — O(new data), never O(table) — and
+    * content-preserving compactions are skipped, so CDC tailing and
+    * OPTIMIZE coexist. A DATA-CHANGING commit in the range
+    * (delete/merge/restore/DV/update) throws, exactly like Delta's
+    * streaming source on a changed file, unless `skipChangeCommits`
+    * (Delta's option of the same name) is set — then those commits are
+    * passed over and only appends are delivered. Metadata-only commits
+    * (constraints, generated columns, renames/drops) are silently
+    * fine; the batch is projected to the LATEST logical schema.
+    *
+    * Exactly-once recipe: process each batch with an idempotency key
+    * derived from the version range (e.g. `"$table:$from-$to"`) via
+    * [[appendOnce]]/applyChanges, persist the returned cursor with the
+    * output, and replays dedup on the key. */
+  def streamSince(spark: SparkSession, table: String, fromVersion: Long,
+      skipChangeCommits: Boolean = false): (Long, DataFrame) = {
+    val entries = manifest(spark, table)
+    require(entries.nonEmpty, s"no committed versions for $table")
+    val latest = entries.last.version
+    val range = entries.filter(_.version > fromVersion)
+    val changing = range.filter(e =>
+      (e.compacts.isDefined && !e.op.contains("compact")) ||
+        VersionedParquetSink.isMergeOnRead(e))
+    if (changing.nonEmpty && !skipChangeCommits)
+      throw new IllegalStateException(
+        s"streamSince($table, $fromVersion): data-changing commit(s) " +
+          s"${changing.map(e => s"v${e.version}(${e.op.getOrElse("rewrite")})")
+            .mkString(", ")} in range — streaming a table that rewrites " +
+          "history needs skipChangeCommits=true (appends-only delivery) " +
+          "or a CDF consumer (changesBetween)")
+    val appendDirs = range
+      .filter(e => e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e))
+      .map(e => s"${tableDir(table)}/${e.dir}")
+    val mapping = VersionedParquetSink.ColumnMapping.parse(
+      entries.lastOption.flatMap(_.mapping))
+    val logical = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
+      StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+      .getOrElse(readAt(spark, table, latest).schema)
+    val df =
+      if (appendDirs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+      else {
+        val scanned = spark.read.schema(VersionedParquetSink.ColumnMapping
+          .physicalSchema(logical, mapping)).parquet(appendDirs: _*)
+        if (mapping.isEmpty) scanned
+        else scanned.select(logical.fields.toSeq.map(f =>
+          col(VersionedParquetSink.ColumnMapping
+            .physicalName(mapping, f.name)).as(f.name)): _*)
+      }
+    (latest, df)
+  }
 }
 
 object VersionedParquetSink {
