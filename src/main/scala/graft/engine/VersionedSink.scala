@@ -1548,6 +1548,27 @@ final class VersionedParquetSink(basePath: String,
   override def exists(spark: SparkSession, table: String): Boolean =
     versions(spark, table).nonEmpty
 
+  /** The `spark.read.format("graft")` relation for `table` (see
+    * [[GraftRelation]]): commit-log stats pruning inside Catalyst's own
+    * scan planning, stock vectorized parquet below. `version` /
+    * `timestamp` give the time-travel forms (at most one). */
+  def baseRelation(spark: SparkSession, table: String,
+      version: Option[Long] = None,
+      timestamp: Option[java.time.Instant] = None):
+      org.apache.spark.sql.sources.BaseRelation = {
+    require(version.isEmpty || timestamp.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    val all = manifest(spark, table)
+    require(all.nonEmpty, s"no committed versions for $table")
+    val v = version.orElse(timestamp.map { ts =>
+      val upTo = ts.toEpochMilli
+      all.filter(_.ts.exists(_ <= upTo)).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no version of $table committed at or before $ts")).version
+    }).getOrElse(Long.MaxValue)
+    GraftRelation(spark, tableDir(table), all.filter(_.version <= v), table)
+  }
+
   /** DESCRIBE HISTORY parity: one row per commit, newest first —
     * version, commit timestamp, operation (WRITE for plain appends),
     * whether it superseded earlier versions (rewrite high-water mark),

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.VersionedParquetSink
+
+/** `format("graft")`: the sink as a first-class Spark data source —
+  * commit-log stats pruning inside the PLANNER's own file listing,
+  * vectorized parquet below, logical schema under column mapping. */
+class GraftDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect() // execute so AQE finalizes and metrics fill
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  test("read/write round trip, time travel options, write modes") {
+    val base = TestSpark.tmpDir("ds1")
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.format("graft").mode("append").save(s"$base/t") // v0
+    Seq((3, "c")).toDF("id", "v")
+      .write.format("graft").mode("append").save(s"$base/t") // v1
+    val df = spark.read.format("graft").load(s"$base/t")
+    assert(df.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // versionAsOf
+    assert(spark.read.format("graft").option("versionAsOf", 0)
+      .load(s"$base/t").count() == 2)
+    // timestampAsOf (all commits are in the past by now)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", java.time.Instant.now.toString)
+      .load(s"$base/t").count() == 3)
+    // ignore no-ops on an existing table; errorifexists throws
+    Seq((9, "z")).toDF("id", "v")
+      .write.format("graft").mode("ignore").save(s"$base/t")
+    assert(spark.read.format("graft").load(s"$base/t").count() == 3)
+    intercept[IllegalStateException] {
+      Seq((9, "z")).toDF("id", "v")
+        .write.format("graft").mode("errorifexists").save(s"$base/t")
+    }
+  }
+
+  test("planner-integrated stats pruning: selective filter opens fewer files") {
+    val base = TestSpark.tmpDir("ds2")
+    val sink = new VersionedParquetSink(base)
+    // three single-file commits with disjoint id ranges
+    Seq.tabulate(3) { k =>
+      sink.append(Seq.tabulate(10)(i => (k * 100 + i, s"r$i"))
+        .toDF("id", "v").coalesce(1), "t")
+    }
+    val all = spark.read.format("graft").load(s"$base/t")
+    val full = scanOf(all)
+    val total = full.metrics("numFiles").value
+    assert(total == 3, s"expected 3 files, scanned $total")
+    val hit = spark.read.format("graft").load(s"$base/t")
+      .filter(col("id") === 105)
+    val scan = scanOf(hit)
+    assert(scan.metrics("numFiles").value == 1,
+      s"stats pruning dead: ${scan.metrics("numFiles").value} of $total files")
+    assert(hit.collect().map(_.getInt(0)).toSeq == Seq(105))
+    // row-group pushdown still reaches parquet (PushedFilters non-empty)
+    assert(scan.metadata("PushedFilters").contains("EqualTo"),
+      scan.metadata("PushedFilters"))
+    // and the scan stays vectorized (batched)
+    assert(scan.supportsColumnar, "scan fell off the vectorized path")
+  }
+
+  test("column mapping: logical schema, filter + prune on renamed column") {
+    val base = TestSpark.tmpDir("ds3")
+    val sink = new VersionedParquetSink(base)
+    Seq.tabulate(3) { k =>
+      sink.append(Seq.tabulate(10)(i => (k * 100 + i, s"r$i"))
+        .toDF("id", "v").coalesce(1), "t")
+    }
+    sink.renameColumn(spark, "t", "id", "doc_id")
+    val df = spark.read.format("graft").load(s"$base/t")
+    assert(df.columns.toSeq == Seq("doc_id", "v"))
+    val hit = df.filter(col("doc_id") === 205)
+    val scan = scanOf(hit)
+    assert(scan.metrics("numFiles").value == 1,
+      "stats pruning dead under column mapping")
+    assert(hit.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq(205 -> "r5"))
+    // writes through the format speak the logical schema too
+    Seq((300, "w")).toDF("doc_id", "v")
+      .write.format("graft").mode("append").save(s"$base/t")
+    assert(spark.read.format("graft").load(s"$base/t")
+      .filter(col("doc_id") === 300).count() == 1)
+  }
+
+  test("governance rides the format write path") {
+    val base = TestSpark.tmpDir("ds4")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, 10, 20)).toDF("id", "n", "n2"), "t")
+    sink.addConstraint(spark, "t", "n_pos", "n > 0")
+    sink.setGeneratedColumn(spark, "t", "n2", "n * 2")
+    // generated column computed on a format write omitting it
+    Seq((2, 4)).toDF("id", "n")
+      .write.format("graft").mode("append").save(s"$base/t")
+    assert(spark.read.format("graft").load(s"$base/t")
+      .filter(col("id") === 2).head().getInt(2) == 8)
+    // CHECK constraint enforced on a format write
+    intercept[Exception] {
+      Seq((3, -1)).toDF("id", "n")
+        .write.format("graft").mode("append").save(s"$base/t")
+    }
+    assert(spark.read.format("graft").load(s"$base/t").count() == 2)
+  }
+
+  test("live deletion vectors are rejected with a pointer to compact()") {
+    val base = TestSpark.tmpDir("ds5")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    sink.deleteVectored(spark, "t", col("id") === 1)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(s"$base/t").collect()
+    }
+    assert(e.getMessage.contains("compact"))
+    sink.compact(spark, "t") // materializes the mask
+    assert(spark.read.format("graft").load(s"$base/t").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("snapshot isolation: a planned frame ignores later commits") {
+    val base = TestSpark.tmpDir("ds6")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    val df = spark.read.format("graft").load(s"$base/t")
+    assert(df.count() == 1)
+    sink.append(Seq((2, "b")).toDF("id", "v"), "t")
+    assert(df.count() == 1, "planned frame must pin its snapshot")
+    assert(spark.read.format("graft").load(s"$base/t").count() == 2)
+  }
+}
