@@ -43,6 +43,16 @@ object GraftRelation {
       s"table '$table' has live deletion vectors / merge-on-read " +
         "updates; compact() to materialize them before reading through " +
         "format(\"graft\"), or read via the sink API")
+    forDirs(spark, tableDir, entries,
+      live.filterNot(VersionedParquetSink.isDv), table)
+  }
+
+  /** Relation over an explicit scan set (schema/mapping still from the
+    * full `entries` snapshot) — the streaming source's per-batch form,
+    * scoped to one version range's append dirs. */
+  def forDirs(spark: SparkSession, tableDir: String, entries: Seq[Commit],
+      scan: Seq[Commit], table: String): BaseRelation = {
+    require(entries.nonEmpty, s"no committed versions for $table")
     val logical = entries.lastOption.flatMap(_.schemaDdl) match {
       case Some(ddl) => StructType(
         StructType.fromDDL(ddl).fields.map(_.copy(nullable = true)))
@@ -51,7 +61,7 @@ object GraftRelation {
     }
     val mapping = ColumnMapping.parse(entries.lastOption.flatMap(_.mapping))
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, tableDir, entries, logical, mapping),
+      location = new GraftFileIndex(spark, tableDir, scan, logical, mapping),
       partitionSchema = StructType(Nil),
       dataSchema = logical,
       bucketSpec = None,
@@ -68,7 +78,7 @@ object GraftRelation {
   * at construction — a DataFrame keeps reading the versions it was
   * planned against, like Delta's snapshot isolation. */
 final class GraftFileIndex(spark: SparkSession, tableDir: String,
-    entries: Seq[Commit], logical: StructType,
+    dataEntries: Seq[Commit], logical: StructType,
     mapping: Seq[(String, ColumnMapping.Entry)]) extends FileIndex {
 
   private val mappingMap: Map[String, String] =
@@ -76,10 +86,6 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
   private val physSchema = ColumnMapping.physicalSchema(logical, mapping)
   private def fs = new Path(tableDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def dataEntries: Seq[Commit] =
-    VersionedParquetSink.liveEntries(entries)
-      .filterNot(VersionedParquetSink.isDv)
 
   private def listDir(e: Commit): Seq[FileStatus] = {
     val p = new Path(s"$tableDir/${e.dir}")

@@ -1569,6 +1569,32 @@ final class VersionedParquetSink(basePath: String,
     GraftRelation(spark, tableDir(table), all.filter(_.version <= v), table)
   }
 
+  /** The [[streamSince]] range as a planner-integrated relation (file
+    * scan over the range's append dirs, schema/mapping from the
+    * `untilVersion` snapshot) — what the `readStream.format("graft")`
+    * source serves per micro-batch. Same data-changing-commit contract
+    * as [[streamSince]]. */
+  private[graft] def streamBatchRelation(spark: SparkSession, table: String,
+      fromVersion: Long, untilVersion: Long, skipChangeCommits: Boolean):
+      org.apache.spark.sql.sources.BaseRelation = {
+    val entries = manifest(spark, table).filter(_.version <= untilVersion)
+    require(entries.nonEmpty,
+      s"no committed versions for $table at or before v$untilVersion")
+    val range = entries.filter(_.version > fromVersion)
+    val changing = range.filter(e =>
+      (e.compacts.isDefined && !e.op.contains("compact")) ||
+        VersionedParquetSink.isMergeOnRead(e))
+    if (changing.nonEmpty && !skipChangeCommits)
+      throw new IllegalStateException(
+        s"stream over '$table': data-changing commit(s) " +
+          s"${changing.map(e => s"v${e.version}").mkString(", ")} in " +
+          "range — set skipChangeCommits=true for appends-only delivery")
+    GraftRelation.forDirs(spark, tableDir(table), entries,
+      range.filter(e =>
+        e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e)),
+      table)
+  }
+
   /** DESCRIBE HISTORY parity: one row per commit, newest first —
     * version, commit timestamp, operation (WRITE for plain appends),
     * whether it superseded earlier versions (rewrite high-water mark),
@@ -1604,9 +1630,12 @@ final class VersionedParquetSink(basePath: String,
     * [[appendOnce]]/applyChanges, persist the returned cursor with the
     * output, and replays dedup on the key. */
   def streamSince(spark: SparkSession, table: String, fromVersion: Long,
-      skipChangeCommits: Boolean = false): (Long, DataFrame) = {
+      skipChangeCommits: Boolean = false,
+      untilVersion: Option[Long] = None): (Long, DataFrame) = {
     val entries = manifest(spark, table)
-    require(entries.nonEmpty, s"no committed versions for $table")
+      .filter(e => untilVersion.forall(e.version <= _))
+    require(entries.nonEmpty, s"no committed versions for $table" +
+      untilVersion.fold("")(u => s" at or before v$u"))
     val latest = entries.last.version
     val range = entries.filter(_.version > fromVersion)
     val changing = range.filter(e =>

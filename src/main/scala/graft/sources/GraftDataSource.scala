@@ -1,7 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 import graft.engine.VersionedParquetSink
 
@@ -26,7 +30,8 @@ import graft.engine.VersionedParquetSink
   * exists, `errorifexists` throws. Registered via
   * `META-INF/services`, so the short name works with zero imports. */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -71,4 +76,116 @@ final class GraftDataSource extends RelationProvider
     }
     sink.baseRelation(spark, table)
   }
+
+  // ---- readStream.format("graft") --------------------------------------
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val (base, table) = split(parameters)
+    (s"graft[$base/$table]", schema.getOrElse(
+      new VersionedParquetSink(base).read(spark, table).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (base, table) = split(parameters)
+    new GraftStreamSource(sqlContext, new VersionedParquetSink(base),
+      table,
+      schema.getOrElse(sourceSchema(sqlContext, schema, providerName,
+        parameters)._2),
+      startingVersion = parameters.get("startingVersion").map(_.toLong)
+        .getOrElse(-1L),
+      skipChangeCommits = parameters.get("skipChangeCommits")
+        .exists(_.toBoolean))
+  }
+
+  // ---- writeStream.format("graft") -------------------------------------
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"format(\"graft\") streaming sink supports Append output only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "format(\"graft\") streaming sink does not partition by columns")
+    val (base, table) = split(parameters)
+    // batch dedup key: scoped by checkpoint (two queries with different
+    // checkpoints never collide), overridable for cross-checkpoint
+    // exactly-once. Caveat shared with every batchId-keyed sink
+    // (Delta's included): after checkpoint LOSS a replayed batch id can
+    // cover different input — content-derived keys (streaming/Rebalance
+    // recipe) are the stronger contract when inputs can re-batch.
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.getOrElse("checkpointLocation", s"graft:$base/$table"))
+    new GraftStreamSink(new VersionedParquetSink(base), table, appId,
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+  }
+}
+
+/** Structured Streaming source over the versioned sink: offsets ARE
+  * commit versions, batches are served straight from append dirs
+  * ([[VersionedParquetSink.streamSince]] — O(new data), compactions
+  * transparent, data-changing commits stop the stream unless
+  * `skipChangeCommits`). The schema is pinned at stream start; a
+  * mid-stream rename/drop fails the projection loudly — restart the
+  * query to adopt the new schema (Delta's contract). */
+private final class GraftStreamSource(sqlContext: SQLContext,
+    sink: VersionedParquetSink, table: String, pinned: StructType,
+    startingVersion: Long, skipChangeCommits: Boolean) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  override def schema: StructType = pinned
+
+  private def ver(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.toLong
+  }
+
+  override def getOffset: Option[V1Offset] =
+    sink.latestVersion(spark, table)
+      .filter(_ > startingVersion).map(LongOffset(_))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val fromV = start.map(ver).getOrElse(startingVersion)
+    val relation = sink.streamBatchRelation(spark, table, fromV, ver(end),
+      skipChangeCommits)
+    // the planner requires a STREAMING leaf for a microbatch plan — the
+    // same LogicalRelation(isStreaming = true) wrap FileStreamSource uses
+    val df = org.apache.spark.sql.graft.SqlBridge.streamingFrame(
+      spark, relation)
+    try df.select(pinned.fieldNames.map(org.apache.spark.sql.functions.col)
+      .toIndexedSeq: _*)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(
+        s"schema of '$table' changed under a running stream " +
+          s"(pinned: ${pinned.simpleString}); restart the query to adopt " +
+          "the new schema", e)
+    }
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Structured Streaming sink into the versioned table: every micro-batch
+  * is ONE ACID keyed append ([[VersionedParquetSink.appendOnce]] on
+  * `(appId, batchId)`), so a crash-replayed batch commits exactly once —
+  * the same txn-version idempotence Delta's streaming sink uses. All
+  * write governance applies per batch (schema check, CHECK constraints,
+  * generated columns). */
+private final class GraftStreamSink(sink: VersionedParquetSink,
+    table: String, appId: String, mergeSchema: Boolean) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // `data` is bound to the streaming plan and cannot be written
+    // directly; rebind its rows as a batch frame (ForeachBatchSink's
+    // recipe, via the SqlBridge seam)
+    val batch = org.apache.spark.sql.graft.SqlBridge.rebindBatch(data)
+    sink.appendOnce(batch, table, s"$appId#$batchId", mergeSchema); ()
+  }
+  override def toString: String = s"GraftSink[$table]"
 }

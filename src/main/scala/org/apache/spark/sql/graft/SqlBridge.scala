@@ -1,0 +1,36 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.sources.BaseRelation
+
+/** Minimal bridge into two `private[sql]` seams every V1 streaming
+  * connector needs (the established third-party-connector pattern —
+  * a tiny object inside the `org.apache.spark.sql` namespace):
+  *
+  *  - a micro-batch SOURCE must hand the planner a DataFrame whose leaf
+  *    is `LogicalRelation(..., isStreaming = true)` (what
+  *    FileStreamSource builds);
+  *  - a micro-batch SINK receives a DataFrame bound to the streaming
+  *    plan and must rebind its rows as a batch frame before writing
+  *    (the `LogicalRDD.fromDataset(isStreaming = false)` recipe
+  *    ForeachBatchSink uses).
+  */
+object SqlBridge {
+
+  /** `relation` wrapped as a STREAMING leaf, for Source.getBatch. */
+  def streamingFrame(spark: SparkSession, relation: BaseRelation): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      LogicalRelation(relation, isStreaming = true))
+
+  /** The micro-batch's rows rebound as a plain batch frame, for
+    * Sink.addBatch. */
+  def rebindBatch(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[_]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = false))
+  }
+}
