@@ -174,6 +174,17 @@ final class GraftParquetFileFormat(mappingMap: Map[String, String])
       case _ => None
     }
 
+  /** A direct file write through the relation (INSERT INTO the catalog
+    * table) would drop parquet into the table dir OUTSIDE the commit
+    * log — files no reader would ever see. Fail loudly instead. */
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String], dataSchema: StructType):
+      org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "INSERT INTO a graft table would bypass its commit log; write with " +
+        "df.write.format(\"graft\").mode(\"append\").save(<path>) instead")
+
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession, dataSchema: StructType,
       partitionSchema: StructType, requiredSchema: StructType,

@@ -132,6 +132,32 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("SQL DDL face: CREATE TABLE ... USING graft") {
+    val base = TestSpark.tmpDir("ds7")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    spark.sql("DROP TABLE IF EXISTS gds_sql")
+    spark.sql(s"CREATE TABLE gds_sql USING graft OPTIONS (path '$base/t')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM gds_sql")
+        .head().getLong(0) == 2L)
+      // plain SQL sees new commits (the catalog re-resolves the relation)
+      sink.append(Seq((3, "c")).toDF("id", "v"), "t")
+      spark.sql("REFRESH TABLE gds_sql")
+      assert(spark.sql("SELECT max(id) AS m FROM gds_sql")
+        .head().getInt(0) == 3)
+      // INSERT INTO would bypass the commit log — it must fail LOUDLY
+      // (not drop invisible files), pointing at the governed write path
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO gds_sql VALUES (4, 'd')")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("commit log")), e)
+      assert(sink.read(spark, "t").count() == 3) // nothing half-written
+    } finally spark.sql("DROP TABLE IF EXISTS gds_sql")
+  }
+
   test("snapshot isolation: a planned frame ignores later commits") {
     val base = TestSpark.tmpDir("ds6")
     val sink = new VersionedParquetSink(base)
