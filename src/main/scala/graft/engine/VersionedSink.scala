@@ -1006,6 +1006,38 @@ final class VersionedParquetSink(basePath: String,
         opName = "drop_column")
     }
 
+  /** ALTER TABLE ADD COLUMN (Delta parity): a METADATA-ONLY commit that
+    * appends a nullable column to the schema — no data file is written
+    * or touched; every existing row reads the column as NULL (exactly
+    * the schema-evolution read semantics appends with `allowEvolution`
+    * already get). On a mapped table the new column is minted a fresh
+    * physical name/id, so it can never collide with a previously
+    * dropped column's bytes. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "add_column", commitKey) { entries =>
+      val baseV = entries.last.version
+      val schema = StructType.fromDDL(entries.last.schemaDdl.getOrElse(
+        readAt(spark, table, baseV).schema.toDDL))
+      require(!schema.fieldNames.contains(name),
+        s"column '$name' already exists in '$table'")
+      val newSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true))
+      val mapping = VersionedParquetSink.ColumnMapping.parse(
+        entries.lastOption.flatMap(_.mapping))
+      val newMapping =
+        if (mapping.isEmpty) None // mapping stays off until rename/drop
+        else Some(VersionedParquetSink.ColumnMapping.render(mapping :+
+          (name -> VersionedParquetSink.ColumnMapping.Entry(
+            s"col-${UUID.randomUUID()}",
+            mapping.map(_._2.id).max + 1))))
+      commitMetadata(spark, table, commitKey, baseV, newSchema,
+        constraints = None, mapping = newMapping,
+        opName = "add_column")
+    }
+
   /** The current mapping, or — at first rename/drop — the identity
     * mapping that freezes every column's physical name at its current
     * one (consistent with every file already written). */

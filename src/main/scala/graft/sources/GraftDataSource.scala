@@ -64,15 +64,26 @@ final class GraftDataSource extends RelationProvider
     val (base, table) = split(parameters)
     val sink = new VersionedParquetSink(base)
     val evolve = parameters.get("mergeSchema").exists(_.toBoolean)
+    // option("zorderBy", "a,b"): cluster the incoming batch on the
+    // Morton value of the two columns before the append, so the commit's
+    // per-file stats become tight on BOTH — the write-side half of data
+    // skipping (files land pre-clustered; reads prune them for free)
+    val df = parameters.get("zorderBy").map(_.split(',').map(_.trim)) match {
+      case Some(Array(a, b)) => graft.engine.ZOrder.zOrdered(data, a, b)
+      case Some(other) => throw new IllegalArgumentException(
+        s"zorderBy wants exactly two comma-separated columns, got " +
+          s"'${other.mkString(",")}'")
+      case None => data
+    }
     mode match {
-      case SaveMode.Append => sink.append(data, table, evolve)
-      case SaveMode.Overwrite => sink.overwrite(data, table)
+      case SaveMode.Append => sink.append(df, table, evolve)
+      case SaveMode.Overwrite => sink.overwrite(df, table)
       case SaveMode.ErrorIfExists =>
         if (sink.exists(spark, table)) throw new IllegalStateException(
           s"table '$table' already exists at $base (mode=errorifexists)")
-        else sink.append(data, table, evolve)
+        else sink.append(df, table, evolve)
       case SaveMode.Ignore =>
-        if (!sink.exists(spark, table)) sink.append(data, table, evolve)
+        if (!sink.exists(spark, table)) sink.append(df, table, evolve)
     }
     sink.baseRelation(spark, table)
   }

@@ -158,6 +158,58 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS gds_sql")
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; old rows read NULL") {
+    val base = TestSpark.tmpDir("ds8")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    val files = new java.io.File(s"$base/t").listFiles
+      .filter(_.getName.startsWith("d-")).flatMap(_.listFiles).length
+    sink.addColumn(spark, "t", "score",
+      org.apache.spark.sql.types.DoubleType)
+    assert(new java.io.File(s"$base/t").listFiles
+      .filter(_.getName.startsWith("d-")).flatMap(_.listFiles).length ==
+      files, "ADD COLUMN touched data files")
+    val df = spark.read.format("graft").load(s"$base/t")
+    assert(df.columns.toSeq == Seq("id", "v", "score"))
+    assert(df.head().isNullAt(2))
+    // appends now carry the column; duplicate add is rejected
+    sink.append(Seq((2, "b", 0.5)).toDF("id", "v", "score"), "t")
+    assert(sink.read(spark, "t").count() == 2)
+    intercept[IllegalArgumentException] {
+      sink.addColumn(spark, "t", "score",
+        org.apache.spark.sql.types.DoubleType)
+    }
+    // on a MAPPED table the new column gets a fresh col-* physical name
+    sink.renameColumn(spark, "t", "v", "label")
+    sink.addColumn(spark, "t", "extra",
+      org.apache.spark.sql.types.LongType)
+    assert(sink.columnMappingOf(spark, "t")("extra").startsWith("col-"))
+    sink.append(Seq((3, "c", 1.0, 7L)).toDF("id", "label", "score", "extra"),
+      "t")
+    assert(sink.read(spark, "t").filter(col("id") === 3)
+      .head().getLong(3) == 7L)
+  }
+
+  test("write-side z-order option composes with read-side skipping") {
+    val base = TestSpark.tmpDir("ds9")
+    // interleaved values on both columns: without clustering, every
+    // file would span the whole range of each
+    val n = 4096
+    val df = spark.range(n).selectExpr("cast(id % 64 as double) AS x",
+      "cast(cast(id / 64 as int) as double) AS y", "id AS payload")
+    df.write.format("graft").option("zorderBy", "x,y")
+      .mode("append").save(s"$base/t")
+    val sink = new VersionedParquetSink(base)
+    val (kx, total) = sink.pruningStats(spark, "t",
+      col("x") === 3.0)
+    val (ky, _) = sink.pruningStats(spark, "t", col("y") === 3.0)
+    assert(total >= 4, s"expected multiple files, got $total")
+    assert(kx <= total / 2 && ky <= total / 2,
+      s"z-order write did not tighten stats: x $kx/$total, y $ky/$total")
+    // and the values survive the clustering byte-for-byte
+    assert(spark.read.format("graft").load(s"$base/t").count() == n)
+  }
+
   test("snapshot isolation: a planned frame ignores later commits") {
     val base = TestSpark.tmpDir("ds6")
     val sink = new VersionedParquetSink(base)
