@@ -133,4 +133,25 @@ object ZOrder {
       bucketed(colB, row.getDouble(2), row.getDouble(3), bits), bits)
     clusterByZ(df, z, numFiles)
   }
+
+  /** [[zOrdered]] for ANY number of columns via [[zValueN]]'s
+    * round-robin interleave: per-column min-max bucketing at
+    * `min(16, 63/n)` bits (the 63-bit Long budget splits across
+    * columns — 2 cols keep 16 bits each, 3 get 16, 4 get 15, ...).
+    * One column degenerates to a plain range cluster on it. */
+  def zOrderedN(df: DataFrame, cols: Seq[String],
+      numFiles: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "zOrderedN requires at least one column")
+    val bits = math.min(16, 63 / cols.size)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"z-order column '$c' is all-null") }
+    val z = zValueN(cols.zipWithIndex.map { case (c, i) =>
+      bucketed(c, row.getDouble(2 * i), row.getDouble(2 * i + 1), bits)
+    }, bits)
+    clusterByZ(df, z, numFiles)
+  }
 }

@@ -64,15 +64,23 @@ final class GraftDataSource extends RelationProvider
     val (base, table) = split(parameters)
     val sink = new VersionedParquetSink(base)
     val evolve = parameters.get("mergeSchema").exists(_.toBoolean)
-    // option("zorderBy", "a,b"): cluster the incoming batch on the
-    // Morton value of the two columns before the append, so the commit's
-    // per-file stats become tight on BOTH — the write-side half of data
-    // skipping (files land pre-clustered; reads prune them for free)
-    val df = parameters.get("zorderBy").map(_.split(',').map(_.trim)) match {
-      case Some(Array(a, b)) => graft.engine.ZOrder.zOrdered(data, a, b)
-      case Some(other) => throw new IllegalArgumentException(
-        s"zorderBy wants exactly two comma-separated columns, got " +
-          s"'${other.mkString(",")}'")
+    // option("zorderBy", "a,b[,c...]"): cluster the incoming batch on
+    // the Morton value of the named columns before the append, so the
+    // commit's per-file stats become tight on ALL of them — the
+    // write-side half of data skipping (files land pre-clustered;
+    // reads prune them for free). The 63-bit interleave budget splits
+    // across columns (2 -> 16 bits each, 4 -> 15, ...).
+    val df = parameters.get("zorderBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(cols) if cols.nonEmpty =>
+        // zorderFiles sizes the clustered file count: more files = more
+        // z-prefix bits = finer per-column pruning (log2(files) bits
+        // split round-robin across the columns)
+        graft.engine.ZOrder.zOrderedN(data, cols,
+          numFiles = parameters.get("zorderFiles").map(_.toInt)
+            .getOrElse(8))
+      case Some(_) => throw new IllegalArgumentException(
+        "zorderBy wants a comma-separated column list")
       case None => data
     }
     mode match {

@@ -208,6 +208,21 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"z-order write did not tighten stats: x $kx/$total, y $ky/$total")
     // and the values survive the clustering byte-for-byte
     assert(spark.read.format("graft").load(s"$base/t").count() == n)
+    // three-column interleave: every column's point predicate prunes
+    val df3 = spark.range(n).selectExpr(
+      "cast(id % 16 as double) AS x",
+      "cast(cast(id / 16 as int) % 16 as double) AS y",
+      "cast(cast(id / 256 as int) as double) AS z", "id AS payload")
+    // 16 files = 4 z-prefix bits over 3 columns: each column holds at
+    // least one high interleave bit, so every point predicate prunes;
+    // the per-column guarantee is necessarily weaker than 2-col
+    df3.write.format("graft").option("zorderBy", "x, y, z")
+      .option("zorderFiles", "16").mode("append").save(s"$base/t3")
+    val s3 = new VersionedParquetSink(base)
+    Seq("x", "y", "z").foreach { c =>
+      val (k, t) = s3.pruningStats(spark, "t3", col(c) === 3.0)
+      assert(t >= 8 && k <= t * 2 / 3, s"3-col z-order: $c kept $k/$t")
+    }
   }
 
   test("snapshot isolation: a planned frame ignores later commits") {
