@@ -528,17 +528,35 @@ final class VersionedParquetSink(basePath: String,
     // snapshot (concurrent APPENDS never abort it — they stay visible
     // past the compaction's high-water mark)
     retryingRewrite(spark, table, "compact", commitKey)(entries =>
-      doCompact(spark, table, entries, targetFiles, commitKey))
+      doCompact(spark, table, entries, commitKey,
+        snap => targetFiles.fold(snap)(n => snap.coalesce(n))))
+  }
+
+  /** OPTIMIZE ... ZORDER BY (Delta parity): a compaction whose folded
+    * output is Morton-clustered on `cols` ([[ZOrder.zOrderedN]]), so
+    * the compacted files carry TIGHT per-file min/max on every named
+    * column and the sink's stats pruning (and any external reader of
+    * the mirrored add-action stats) skips files for predicates on any
+    * of them. Content-preserving like [[compact]] — CDF/streaming
+    * consumers skip it, time travel below it still resolves — with the
+    * same serializable conflict rules and keyed replay. */
+  def optimizeZOrder(spark: SparkSession, table: String,
+      cols: Seq[String], numFiles: Int = 8,
+      commitKey: Option[String] = None): Long = {
+    require(cols.nonEmpty, "optimizeZOrder requires at least one column")
+    retryingRewrite(spark, table, "compact", commitKey)(entries =>
+      doCompact(spark, table, entries, commitKey,
+        snap => ZOrder.zOrderedN(snap, cols, numFiles)))
   }
 
   private def doCompact(spark: SparkSession, table: String,
-      entries: Seq[Commit], targetFiles: Option[Int],
-      commitKey: Option[String]): Long = {
+      entries: Seq[Commit], commitKey: Option[String],
+      layout: DataFrame => DataFrame): Long = {
     val maxV = entries.last.version
     val mapping = VersionedParquetSink.ColumnMapping.parse(
       entries.lastOption.flatMap(_.mapping))
     val snap = readAt(spark, table, maxV)
-    val out = targetFiles.fold(snap)(n => snap.coalesce(n))
+    val out = layout(snap)
     val unique = s"d-${UUID.randomUUID()}"
     toPhysical(out, mapping).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique")

@@ -225,6 +225,33 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE ZORDER: maintenance re-layout tightens stats in place") {
+    val base = TestSpark.tmpDir("ds10")
+    val sink = new VersionedParquetSink(base)
+    // many interleaved appends: every file spans both full ranges
+    val n = 4096
+    (0 until 4).foreach { k =>
+      sink.append(spark.range(k, n, 4).selectExpr(
+        "cast(id % 64 as double) AS x",
+        "cast(cast(id / 64 as int) as double) AS y", "id AS payload"), "t")
+    }
+    val (kBefore, tBefore) = sink.pruningStats(spark, "t", col("x") === 3.0)
+    assert(kBefore == tBefore, "interleaved appends should not prune")
+    val v = sink.optimizeZOrder(spark, "t", Seq("x", "y"), numFiles = 16)
+    // content identical, layout clustered: both columns now prune
+    assert(sink.read(spark, "t").count() == n)
+    Seq("x", "y").foreach { c =>
+      val (k, t) = sink.pruningStats(spark, "t", col(c) === 3.0)
+      assert(t >= 4 && k <= t / 2, s"OPTIMIZE ZORDER dead on $c: $k/$t")
+    }
+    // content-preserving: a streaming tail across it re-delivers nothing
+    val (cursor, batch) = sink.streamSince(spark, "t", v - 1)
+    assert(cursor == v && batch.isEmpty,
+      "OPTIMIZE ZORDER must be invisible to CDC consumers")
+    // time travel below the optimize still resolves
+    assert(sink.readAt(spark, "t", 0).count() == n / 4)
+  }
+
   test("snapshot isolation: a planned frame ignores later commits") {
     val base = TestSpark.tmpDir("ds6")
     val sink = new VersionedParquetSink(base)
