@@ -19,8 +19,9 @@ import graft.engine.VersionedParquetSink
   *   df.write.format("graft").mode("append").save("/data/store/events")
   * }}}
   *
-  * `load(path)` addresses `<basePath>/<table>`; an explicit
-  * `option("table", ...)` overrides the last path segment. Reads plan
+  * `load(path)` addresses `<basePath>/<table>`; with an explicit
+  * `option("table", t)` the path is the sink's BASE directory and `t`
+  * the table under it. Reads plan
   * through [[graft.engine.GraftRelation]] — commit-log stats pruning in
   * `FileIndex.listFiles`, stock vectorized parquet + codegen below, the
   * logical schema under column mapping. Writes commit through the
