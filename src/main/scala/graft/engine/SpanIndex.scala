@@ -98,11 +98,18 @@ object SpanIndex {
         // ORIGINAL spans index (first-in-batch doc attribution): future
         // copies of masked boilerplate must still be detectable
         val newSpans = spans.groupBy("sp").agg(min("doc_id").as("doc_id"))
-        if (!write(cleaned.select("doc_id", "text", "n_tokens", "n_kept"),
-            docsTable))
-          return Result(0L, 0L) // keyed replay: nothing changed
+        val docsLanded =
+          write(cleaned.select("doc_id", "text", "n_tokens", "n_kept"),
+            docsTable)
+        // ALWAYS attempt the span append, even when the docs table
+        // reports a keyed replay: a crash between the two table writes
+        // must heal on replay (each table's keyed append fills in
+        // independently — the DedupIndex.appendDeduped shape). Skipping
+        // it would leave the batch's spans permanently missing from the
+        // index, so future copies of that boilerplate go undetected.
         write(newSpans, spanTable)
-        Result(stats.getLong(0), stats.getLong(1))
+        if (!docsLanded) Result(0L, 0L) // full replay: nothing changed
+        else Result(stats.getLong(0), stats.getLong(1))
       } finally { cleaned.unpersist(); () }
     } finally { toks.unpersist(); () }
   }

@@ -228,7 +228,14 @@ final class VersionedParquetSink(basePath: String,
       enforcedConstraints = Some(cons),
       newMapping = if (newCols.isEmpty) None
         else Some(VersionedParquetSink.ColumnMapping.render(extended)),
-      enforcedMapping = if (newCols.isEmpty) None else Some(mappingJson),
+      // pin the mapping we translated against whenever the table IS
+      // mapped (not only when extending): our files carry its physical
+      // names, so a concurrent rename/drop must abort this append at
+      // the claim — otherwise a drop racing a non-extending
+      // allowEvolution append could re-add the column under the
+      // dropped column's frozen physical name and resurrect old data
+      enforcedMapping = if (mappingJson.isDefined) Some(mappingJson)
+        else None,
       enforcedGenerated = Some(gensJson))
       .isDefined
   }
@@ -1353,10 +1360,59 @@ final class VersionedParquetSink(basePath: String,
     throw new UnsupportedOperationException(
       "VersionedParquetSink versions whole commits; use ParquetTableSink for hive partitioning")
 
+  /** Overwrite as a LOGGED rewrite commit (Delta's
+    * `mode("overwrite")` semantics): the new content lands in a unique
+    * dir and commits with `compacts = <latest version>`, so the swap is
+    * atomic (a concurrent reader sees the old table or the new one,
+    * never a missing table), history stays time-travelable, and the
+    * streaming tail sees it as a data-changing commit. The schema is
+    * REPLACED by the frame's (Delta's `overwriteSchema`); surviving
+    * mapped columns keep their frozen physical names, new ones mint
+    * fresh physicals (dropped physicals are never reused). Write
+    * governance rides the rewrite like any other write: generated
+    * columns computed/validated, CHECK constraints guarded. */
   override def overwrite(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
-    fs(spark, tableDir(table)).delete(new Path(tableDir(table)), true)
-    append(df, table)
+    if (!exists(spark, table)) { append(df, table); return }
+    retryingRewrite(spark, table, "overwrite", None) { entries =>
+      val baseV = entries.last.version
+      val gensJson = entries.lastOption.flatMap(_.generated)
+      val completed = completeGenerated(df, gensJson, None, table)
+      val cons = entries.lastOption.flatMap(_.constraints)
+      val guarded = constraintGuard(completed, cons, table)
+      val mappingJson = entries.lastOption.flatMap(_.mapping)
+      val mapping = VersionedParquetSink.ColumnMapping.parse(mappingJson)
+      val kept = mapping.filter { case (n, _) =>
+        completed.columns.contains(n) }
+      val newCols = if (mappingJson.isDefined)
+        completed.schema.fields.toSeq
+          .filterNot(f => mapping.exists(_._1 == f.name))
+      else Seq.empty
+      val maxId = mapping.map(_._2.id).maxOption.getOrElse(0)
+      val extended = kept ++ newCols.zipWithIndex.map { case (f, i) =>
+        f.name -> VersionedParquetSink.ColumnMapping.Entry(
+          s"col-${UUID.randomUUID()}", maxId + 1 + i)
+      }
+      val unique = s"d-${UUID.randomUUID()}"
+      toPhysical(guarded, extended).write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"${tableDir(table)}/$unique")
+      commitLoop(spark, table, unique, commitKey = None,
+        compacts = Some(baseV),
+        schemaDdl = completed.schema.toDDL, cleanupOnKeyLoss = true,
+        requireBase = Some(baseV), op = Some("overwrite"),
+        statsJson = Some(FileStats.collect(spark,
+          s"${tableDir(table)}/$unique",
+          VersionedParquetSink.ColumnMapping
+            .physicalSchema(completed.schema, extended))),
+        enforcedConstraints = Some(cons),
+        newMapping = if (mappingJson.isDefined)
+          Some(VersionedParquetSink.ColumnMapping.render(extended))
+        else None,
+        enforcedGenerated = Some(gensJson))
+        .getOrElse(throw new IllegalStateException(
+          s"overwrite of $table lost the commit race with no keyed winner"))
+    }
+    ()
   }
 
   /** Snapshot = union of committed versions (orphan dirs are invisible). */

@@ -27,8 +27,10 @@ import graft.engine.VersionedParquetSink
   * logical schema under column mapping. Writes commit through the
   * sink's optimistic log: `append` is an ACID append (schema-checked,
   * CHECK constraints enforced, generated columns computed/validated),
-  * `overwrite` replaces the table, `ignore` no-ops when the table
-  * exists, `errorifexists` throws. Registered via
+  * `overwrite` is an ACID rewrite commit that replaces content and
+  * schema while preserving history (old versions stay travelable; a
+  * concurrent reader sees old or new, never a missing table), `ignore`
+  * no-ops when the table exists, `errorifexists` throws. Registered via
   * `META-INF/services`, so the short name works with zero imports. */
 final class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider

@@ -35,8 +35,13 @@ object Funnel {
     * is bounded by ACTIVE users, not all users ever seen. */
   val DefaultTtl = "90 days"
 
-  /** (stage reached so far, event-time of that stage's completion). */
-  case class FunnelState(stage: Int, lastTs: Long)
+  /** (stage reached so far, event-time of that stage's completion,
+    * max event-time micros EVER seen for this user — the TTL anchor).
+    * `maxTs` (not the batch max) arms the timeout, so a late but
+    * within-watermark batch can never move the eviction point backward
+    * and evict a user who was active within the TTL. */
+  case class FunnelState(stage: Int, lastTs: Long,
+      maxTs: Long = Long.MinValue)
 
   /** One emitted stage completion. `stage` is 1-based (stage 1 = first
     * funnel step done); `ts` is the completing event's epoch micros. */
@@ -52,7 +57,8 @@ object Funnel {
     * by week-since-cohort. A decade-active user costs ~65 bytes and O(1)
     * membership per week — vs the previous Seq[Long] (8 bytes per active
     * week forever plus an O(n) `contains` per batch). */
-  case class RetentionState(cohort: Long, label: String, bits: Array[Byte])
+  case class RetentionState(cohort: Long, label: String, bits: Array[Byte],
+      maxTs: Long = Long.MinValue)
 
   /** Data-quality guard: a week index beyond this (≈1900 years past the
     * cohort) is a corrupt timestamp, not activity — dropped rather than
@@ -93,7 +99,8 @@ object Funnel {
         }
       }
     }
-    (RetentionState(cohort, label, bits), fresh.result())
+    (RetentionState(cohort, label, bits,
+      prev.map(_.maxTs).getOrElse(Long.MinValue)), fresh.result())
   }
 
   /** Day-time TTL string → millis (month-bearing intervals are not a
@@ -108,7 +115,10 @@ object Funnel {
   /** Event-time timeout: strictly after the watermark (Spark rejects a
     * timeout at or before it — a user whose newest event is already
     * older than watermark-minus-ttl times out at the next possible
-    * point). */
+    * point). Callers pass the max event time seen ACROSS ALL batches
+    * (held in state), never just the current batch's max, so the
+    * timeout is monotone and late batches cannot shorten a live user's
+    * TTL. */
   private def armTimeout[S](state: GroupState[S], maxEventMs: Long,
       ttlMs: Long): Unit =
     state.setTimeoutTimestamp(
@@ -150,10 +160,12 @@ object Funnel {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toSeq
-            val (st, fresh) = advanceRetention(state.getOption,
+            val (st0, fresh) = advanceRetention(state.getOption,
               batch.map(r => (r._2, r._3)))
+            val st = st0.copy(maxTs =
+              math.max(st0.maxTs, batch.map(_._4.getTime).max))
             state.update(st)
-            ttlMs.foreach(armTimeout(state, batch.map(_._4.getTime).max, _))
+            ttlMs.foreach(armTimeout(state, st.maxTs, _))
             fresh.iterator.map(k => WeekActive(user, st.label, k))
           }
       }
@@ -194,12 +206,13 @@ object Funnel {
             batch.sortBy(_._3).foreach { case (_, tpe, t, _) =>
               if (st.stage < stages.size && tpe == stages(st.stage) &&
                   t > st.lastTs) {
-                st = FunnelState(st.stage + 1, t)
+                st = FunnelState(st.stage + 1, t, st.maxTs)
                 out += Transition(user, st.stage, t)
               }
             }
+            st = st.copy(maxTs = math.max(st.maxTs, batch.map(_._3).max))
             state.update(st)
-            ttlMs.foreach(armTimeout(state, batch.map(_._3).max / 1000L, _))
+            ttlMs.foreach(armTimeout(state, st.maxTs / 1000L, _))
             out.result().iterator
           }
       }

@@ -56,12 +56,34 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(sink.read(spark, "raw").count() == 1)
   }
 
-  test("overwrite resets history") {
+  test("overwrite is a logged rewrite: content replaced, history kept") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("vstore3"))
     sink.append(Seq((1, "a")).toDF("id", "v"), "t")
     sink.overwrite(Seq((9, "z")).toDF("id", "v"), "t")
-    assert(sink.versions(spark, "t") == Seq(0L))
+    // the overwrite is version 1, superseding version 0 — not a wipe
+    assert(sink.versions(spark, "t") == Seq(0L, 1L))
     assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet == Set(9))
+    // time travel below the overwrite still resolves
+    assert(sink.readAt(spark, "t", 0).collect().map(_.getInt(0)).toSet
+      == Set(1))
+    assert(sink.history(spark, "t").head().getString(2) == "OVERWRITE")
+  }
+
+  test("overwrite replaces the schema and keeps governance") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("vstore3b"))
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    // schema replacement: new column set, old versions keep theirs
+    sink.overwrite(Seq((5L, 2.5)).toDF("k", "x"), "t")
+    assert(sink.read(spark, "t").columns.toSeq == Seq("k", "x"))
+    assert(sink.readAt(spark, "t", 0).columns.toSeq == Seq("id", "v"))
+    // CHECK constraints still guard the overwrite's own write
+    sink.addConstraint(spark, "t", "k_pos", "k > 0")
+    intercept[Exception] {
+      sink.overwrite(Seq((-3L, 1.0)).toDF("k", "x"), "t")
+    }
+    sink.overwrite(Seq((7L, 1.0)).toDF("k", "x"), "t")
+    assert(sink.read(spark, "t").collect().map(_.getLong(0)).toSet
+      == Set(7L))
   }
 
   test("checkpointing: reads stay correct across the checkpoint boundary") {
