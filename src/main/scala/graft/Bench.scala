@@ -118,6 +118,14 @@ object Bench {
     // noise, which made the round-1 report unparseable downstream — so the
     // authoritative copy goes to a file; stdout stays for humans.
     println(json)
+    // The full per-query line above exceeds a 2000-char stdout tail
+    // capture once ~90+ queries report, truncating it mid-JSON. Emit a
+    // compact summary LAST so any tail window still contains one whole
+    // parseable line (same metric/value as the full report).
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
+        s""""n_failed":${failed.size},"sf":"${esc(sfDir)}"}"""
+    println(summary)
     val outPath = sys.env.getOrElse("BENCH_OUT", "/root/repo/bench_result.json")
     try {
       java.nio.file.Files.write(
