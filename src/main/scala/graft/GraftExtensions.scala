@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // over the nanos->timestamp conversion chain, restoring parquet
     // pushdown on events.ts (idempotent, fixed-point safe).
     ext.injectOptimizerRule(_ => graft.plans.NanosRangePushdown)
+    // Catalog-read substitution: reads of GraftCatalog tables plan
+    // through the engine's V1 relation (stats skipping + vectorized
+    // parquet), exactly like format("graft") loads.
+    ext.injectResolutionRule(s => graft.plans.GraftCatalogReads(s))
   }
 }
 

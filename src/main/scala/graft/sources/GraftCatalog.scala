@@ -1,0 +1,392 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.VersionedParquetSink
+
+/** A Spark V2 `TableCatalog` over a [[VersionedParquetSink]] base
+  * directory — the SQL face of the engine's versioned tables. Register
+  * it per session and the whole lifecycle is plain SQL:
+  *
+  * {{{
+  *   spark.sql.catalog.g      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.g.path = /data/store
+  *
+  *   CREATE TABLE g.events (user_id BIGINT, ts TIMESTAMP)
+  *   INSERT INTO g.events VALUES ...
+  *   SELECT * FROM g.events VERSION AS OF 3          -- time travel
+  *   SELECT * FROM g.events TIMESTAMP AS OF '...'
+  *   SELECT * FROM g.events.history                  -- DESCRIBE HISTORY
+  *   ALTER TABLE g.events ADD COLUMN source STRING
+  *   ALTER TABLE g.events RENAME COLUMN source TO src
+  *   CALL g.optimize(table => 'events')              -- OPTIMIZE [ZORDER]
+  *   CALL g.restore(table => 'events', version => 2)
+  * }}}
+  *
+  * Architecture (the Delta integration shape, rebuilt on public API):
+  * the catalog hands the analyzer [[GraftTable]] objects; with
+  * [[graft.GraftExtensions]] installed, a resolution rule swaps each
+  * READ of one for the engine's planner-integrated V1 relation
+  * ([[graft.engine.GraftRelation]] — commit-log stats pruning,
+  * vectorized parquet, codegen), so a catalog-table scan plans
+  * byte-identically to `spark.read.format("graft")`. Without the
+  * extensions the table still works through its built-in
+  * [[V1Scan]]/[[V1Write]] fallbacks (sink-API reads — live deletion
+  * vectors included — and ACID writes), just without scan-plan fusion.
+  *
+  * The catalog is FLAT: tables are the sink's table directories under
+  * `path`; namespaces exist only to address metadata tables
+  * (`g.<tbl>.history`). DROP TABLE deletes the table directory —
+  * history included — matching SQL DROP semantics, not the sink's
+  * logged DML. */
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  private[graft] def sink = new VersionedParquetSink(base)
+  private def spark = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.path=<sink base>"))
+  }
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty,
+      s"graft catalog '$catalogName' is flat; got namespace " +
+        namespace.mkString("."))
+    val dir = new org.apache.hadoop.fs.Path(base)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_commits")))
+      .map(st => Identifier.of(Array.empty, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && sink.exists(spark, ident.name)
+
+  override def loadTable(ident: Identifier): Table = ident.namespace match {
+    case Array() if sink.exists(spark, ident.name) =>
+      new GraftTable(base, ident.name, None, None)
+    case Array(t) if ident.name == "history" && sink.exists(spark, t) =>
+      new GraftHistoryTable(base, t)
+    case _ => throw new NoSuchTableException(ident)
+  }
+
+  /** `VERSION AS OF <v>` (the analyzer hands the literal as a string). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(base, ident.name, Some(version.toLong), None)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (epoch MICROS, per the DSv2 contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(base, ident.name, None,
+      Some(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(timestampMicros, 1000000L),
+        Math.floorMod(timestampMicros, 1000000L) * 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(ident.namespace.isEmpty,
+      s"graft catalog '$catalogName' is flat; cannot create " +
+        ident.toString)
+    require(partitions.isEmpty,
+      "graft tables version whole commits; partition transforms are " +
+        "not supported (use option(\"zorderBy\", ...) on writes for " +
+        "clustered layout)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val s = spark
+    // an empty schema-bearing commit: the sink's marker carries the
+    // schema, so the table is immediately readable (zero rows) and
+    // every later write schema-checks against it
+    sink.append(s.createDataFrame(
+      s.sparkContext.emptyRDD[Row], schema), ident.name)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = ident.name
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft ADD COLUMN supports top-level columns only")
+        require(a.isNullable,
+          "graft ADD COLUMN is metadata-only (existing rows read NULL); " +
+            "the new column must be nullable")
+        require(a.position == null,
+          "graft ADD COLUMN appends at the end; positions are not supported")
+        sink.addColumn(spark, t, a.fieldNames.head, a.dataType)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft RENAME COLUMN supports top-level columns only")
+        sink.renameColumn(spark, t, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft DROP COLUMN supports top-level columns only")
+        sink.dropColumn(spark, t, d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+          s"supported on graft tables")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val p = new org.apache.hadoop.fs.Path(s"$base/${ident.name}")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported on graft tables (the table name is " +
+        "its storage directory)")
+
+  // ---- CALL g.<procedure>(...) ----------------------------------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array.empty, n))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(
+      Array("system")), s"unknown procedure namespace in $ident")
+    GraftProcedures.load(this, ident.name).getOrElse(
+      throw new NoSuchTableException(ident))
+  }
+}
+
+/** A versioned sink table (optionally pinned to a version/timestamp)
+  * as a DSv2 `Table`. Reads and writes fall back to V1: the scan
+  * builds on the sink API (which composes with live deletion vectors
+  * and time travel), the write is the sink's ACID append/overwrite.
+  * With [[graft.GraftExtensions]] installed, reads never reach the
+  * fallback — a resolution rule substitutes the planner-integrated
+  * relation (see [[graft.plans.GraftCatalogReads]]). */
+final class GraftTable(val base: String, val table: String,
+    val versionAsOf: Option[Long],
+    val timestampAsOf: Option[java.time.Instant])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private[graft] def sink = new VersionedParquetSink(base)
+
+  /** The sink-API read honoring the pin — live DVs, mapping and
+    * schema evolution all composed (the fallback scan's source, and
+    * the correctness reference for the planner-integrated path). */
+  private[graft] def readDF(spark: SparkSession): DataFrame =
+    (versionAsOf, timestampAsOf) match {
+      case (Some(v), _) => sink.readAt(spark, table, v)
+      case (_, Some(ts)) => sink.readAsOf(spark, table, ts)
+      case _ => sink.read(spark, table)
+    }
+
+  override def name(): String =
+    table + versionAsOf.map(v => s"@v$v").getOrElse("") +
+      timestampAsOf.map(ts => s"@$ts").getOrElse("")
+
+  override lazy val schema: StructType =
+    readDF(SparkSession.active).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap):
+      ScanBuilder = new GraftFallbackScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+      s"cannot write to the time-traveled snapshot ${name()}")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite) sink.overwrite(data, table)
+              else sink.append(data, table)
+          }
+      }
+    }
+  }
+
+  override def toString: String = s"GraftTable(${name()})"
+}
+
+/** Correctness-first fallback scan (used only without the extensions
+  * rule): column pruning is pushed down; filters stay above the scan
+  * (Spark re-applies them), so results are exact — the planner-
+  * integrated path is where file skipping and parquet pushdown live. */
+private final class GraftFallbackScanBuilder(t: GraftTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = t.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = {
+          val df = t.readDF(context.sparkSession)
+          val pruned =
+            if (required.fieldNames.sameElements(df.columns)) df
+            else df.select(required.fieldNames.toIndexedSeq
+              .map(org.apache.spark.sql.functions.col): _*)
+          pruned.rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+/** `g.<tbl>.history` — DESCRIBE HISTORY as a metadata table (the
+  * public Iceberg pattern): one row per commit, newest first, straight
+  * from [[VersionedParquetSink.history]]. Read-only. */
+private final class GraftHistoryTable(base: String, table: String)
+    extends Table with SupportsRead {
+
+  private def sink = new VersionedParquetSink(base)
+
+  override def name(): String = s"$table.history"
+
+  override val schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType),
+    org.apache.spark.sql.types.StructField("timestamp",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("operation", StringType),
+    org.apache.spark.sql.types.StructField("supersedes", LongType),
+    org.apache.spark.sql.types.StructField("commitKey", StringType)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap):
+      ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = schema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = GraftHistoryTable.this.schema
+        override def buildScan(): RDD[Row] =
+          sink.history(context.sparkSession, table).rdd
+      }.asInstanceOf[T]
+  }
+}
+
+/** Maintenance commands as DSv2 procedures: `CALL g.optimize(...)`,
+  * `CALL g.restore(...)`, `CALL g.vacuum(...)`. Each returns one result
+  * row via a [[org.apache.spark.sql.connector.read.LocalScan]]. */
+private object GraftProcedures {
+
+  val names: Array[String] = Array("optimize", "restore", "vacuum")
+
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "optimize" => Some(proc("optimize",
+        "Compact a table; with zorder_by, cluster on the named columns",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("zorder_by", StringType)
+            .defaultValue("CAST(NULL AS STRING)").build()),
+        { (spark, row) =>
+          val t = row.getUTF8String(0).toString
+          val z = if (row.isNullAt(1)) None
+            else Some(row.getUTF8String(1).toString)
+          val v = z match {
+            case Some(cols) => cat.sink.optimizeZOrder(spark, t,
+              cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            case None => cat.sink.compact(spark, t)
+          }
+          Seq(s"compacted '$t' as version $v" +
+            z.fold("")(c => s" z-ordered on $c"))
+        }))
+      case "restore" => Some(proc("restore",
+        "Restore a table to an earlier version (as a new commit)",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        { (spark, row) =>
+          val t = row.getUTF8String(0).toString
+          val v = cat.sink.restore(spark, t, row.getLong(1))
+          Seq(s"restored '$t' to v${row.getLong(1)} as version $v")
+        }))
+      case "vacuum" => Some(proc("vacuum",
+        "Delete unreferenced data directories older than retain_hours",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("retain_hours", LongType)
+            .defaultValue("1").build()),
+        { (spark, row) =>
+          val t = row.getUTF8String(0).toString
+          val n = cat.sink.vacuum(spark, t,
+            graceMs = row.getLong(1) * 3600000L)
+          Seq(s"vacuumed $n orphan dir(s) from '$t'")
+        }))
+      case _ => None
+    }
+
+  private def proc(procName: String, desc: String,
+      params: Array[ProcedureParameter],
+      body: (SparkSession, InternalRow) => Seq[String]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow):
+              util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            val msgs = body(SparkSession.active, input)
+            val out: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema(): StructType = StructType(Seq(
+                  org.apache.spark.sql.types.StructField("result",
+                    StringType)))
+                override def rows(): Array[InternalRow] = msgs.map(m =>
+                  InternalRow(
+                    org.apache.spark.unsafe.types.UTF8String.fromString(m))
+                ).toArray
+              }
+            util.Arrays.asList(out).iterator()
+          }
+        }
+    }
+}

@@ -25,6 +25,18 @@ object SqlBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
       LogicalRelation(relation, isStreaming = true))
 
+  /** `relation` as a batch leaf REUSING the given output attributes —
+    * the catalog-read substitution ([[graft.plans.GraftCatalogReads]])
+    * must keep the V2 relation's exprIds so references above it stay
+    * bound. */
+  def relationWithOutput(relation: BaseRelation,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    LogicalRelation(relation,
+      output.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+      None, isStreaming = false, stream = None)
+
   /** The micro-batch's rows rebound as a plain batch frame, for
     * Sink.addBatch. */
   def rebindBatch(data: DataFrame): DataFrame = {
