@@ -43,10 +43,19 @@ import graft.engine.VersionedParquetSink.{isMergeOnRead, liveEntries, Commit}
   * remove+add restores the mirror to the true latest snapshot. The one
   * caveat is documented, not silent: TIME TRAVEL into a placeholder
   * version shows the pre-delete rows.
+  *
+  * '''Checkpoints''': every [[CheckpointInterval]] mirrored versions the
+  * mirror also writes a single-file parquet checkpoint plus
+  * `_last_checkpoint` (see [[maybeCheckpoint]]), so an external reader
+  * of a long history replays O(interval) JSON commits past the
+  * checkpoint instead of O(versions) from zero.
   */
 object DeltaLogMirror {
 
   private val mapper = new ObjectMapper()
+
+  /** Delta's own default: a parquet checkpoint every 10 commits. */
+  private[engine] val CheckpointInterval = 10
 
   /** Stable Delta table id, derived from the table path (the protocol
     * wants one id for the table's lifetime; a name-based UUID gives
@@ -85,6 +94,7 @@ object DeltaLogMirror {
           if (!fs.rename(tmp, new Path(logDir, logName(e.version))))
             fs.delete(tmp, false) // a racer mirrored the same version
         }
+      maybeCheckpoint(spark, tableDir, mirrorable)
     } catch {
       case e: Exception =>
         // the sink's OWN log is already durable; the mirror heals on the
@@ -113,17 +123,6 @@ object DeltaLogMirror {
       mapper.writeValueAsString(ci)
     }
 
-    // Features raise the required protocol versions (PROTOCOL.md):
-    // CHECK constraints need writer 3; generated columns writer 4;
-    // column mapping reader 2 + writer 5. The protocol action is
-    // (re-)emitted whenever a requirement grows — at commit 0, on the
-    // first ADD CONSTRAINT / generated declaration / RENAME-DROP
-    // COLUMN. Protocol never downgrades.
-    def writerVersion(c: Commit): Int =
-      if (c.mapping.isDefined) 5
-      else if (c.generated.isDefined) 4
-      else if (c.constraints.isDefined) 3 else 2
-    def readerVersion(c: Commit): Int = if (c.mapping.isDefined) 2 else 1
     val prevWriter = (2 +: prev.map(writerVersion)).max
     val prevReader = (1 +: prev.map(readerVersion)).max
     if (e.version == 0L || writerVersion(e) > prevWriter ||
@@ -146,22 +145,8 @@ object DeltaLogMirror {
     // under column mapping, every field carries its physical name and
     // id as field metadata, exactly as the protocol's `name` mode
     // spells it
-    val mapping = VersionedParquetSink.ColumnMapping.parse(e.mapping)
-    val gens = VersionedParquetSink.Constraints.parse(e.generated)
     def normSchema(ddl: String): String =
-      StructType(StructType.fromDDL(ddl).fields.map { f0 =>
-        val f = f0.copy(nullable = true)
-        val mb = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-        mapping.find(_._1 == f.name).foreach { case (_, me) =>
-          mb.putLong("delta.columnMapping.id", me.id.toLong)
-          mb.putString("delta.columnMapping.physicalName", me.physical)
-        }
-        gens.find(_._1 == f.name).foreach { case (_, sql) =>
-          mb.putString("delta.generationExpression", sql)
-        }
-        f.copy(metadata = mb.build())
-      }).json
+      mirroredSchemaJson(ddl, e.mapping, e.generated)
     val prevDdl = prev.lastOption.flatMap(_.schemaDdl)
     val consChanged = e.constraints != prev.lastOption.flatMap(_.constraints)
     val mapChanged = e.mapping != prev.lastOption.flatMap(_.mapping)
@@ -171,25 +156,8 @@ object DeltaLogMirror {
           e.schemaDdl.map(normSchema) != prevDdl.map(normSchema))) {
       e.schemaDdl.foreach { ddl =>
         val m = mapper.createObjectNode()
-        val n = m.putObject("metaData")
-        n.put("id", tableId(tableDir))
-        val fmt = n.putObject("format")
-        fmt.put("provider", "parquet")
-        fmt.putObject("options")
-        n.put("schemaString", normSchema(ddl))
-        n.putArray("partitionColumns")
-        val conf = n.putObject("configuration")
-        VersionedParquetSink.Constraints.parse(e.constraints).foreach {
-          case (name, sql) => conf.put(s"delta.constraints.$name", sql)
-        }
-        if (mapping.nonEmpty) {
-          conf.put("delta.columnMapping.mode", "name")
-          conf.put("delta.columnMapping.maxColumnId",
-            mapping.map(_._2.id).max.toLong)
-        }
-        // createdTime is the TABLE's creation time — pinned to commit 0
-        // across re-emissions, as Delta keeps it
-        n.put("createdTime", upTo.head.ts.getOrElse(ts))
+        m.set[com.fasterxml.jackson.databind.node.ObjectNode]("metaData",
+          metaDataNode(tableDir, e, ddl, upTo.head.ts.getOrElse(ts)))
         lines += mapper.writeValueAsString(m)
       }
     }
@@ -238,6 +206,205 @@ object DeltaLogMirror {
     }
 
     lines.result().mkString("", "\n", "\n")
+  }
+
+  // Features raise the required protocol versions (PROTOCOL.md):
+  // CHECK constraints need writer 3; generated columns writer 4;
+  // column mapping reader 2 + writer 5. The protocol action is
+  // (re-)emitted whenever a requirement grows — at commit 0, on the
+  // first ADD CONSTRAINT / generated declaration / RENAME-DROP COLUMN.
+  // Protocol never downgrades.
+  private def writerVersion(c: Commit): Int =
+    if (c.mapping.isDefined) 5
+    else if (c.generated.isDefined) 4
+    else if (c.constraints.isDefined) 3 else 2
+  private def readerVersion(c: Commit): Int = if (c.mapping.isDefined) 2 else 1
+
+  /** The schema exactly as the mirror publishes it: nullable-normalized
+    * (marker DDLs flip NOT NULL as writers alternate between case-class
+    * appends and snapshot rewrites; those flips are not schema changes),
+    * with column-mapping physical names/ids and generation expressions
+    * as field metadata, per the protocol's `name` mode. */
+  private def mirroredSchemaJson(ddl: String, mappingJson: Option[String],
+      generatedJson: Option[String]): String = {
+    val mapping = VersionedParquetSink.ColumnMapping.parse(mappingJson)
+    val gens = VersionedParquetSink.Constraints.parse(generatedJson)
+    StructType(StructType.fromDDL(ddl).fields.map { f0 =>
+      val f = f0.copy(nullable = true)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      mapping.find(_._1 == f.name).foreach { case (_, me) =>
+        mb.putLong("delta.columnMapping.id", me.id.toLong)
+        mb.putString("delta.columnMapping.physicalName", me.physical)
+      }
+      gens.find(_._1 == f.name).foreach { case (_, sql) =>
+        mb.putString("delta.generationExpression", sql)
+      }
+      f.copy(metadata = mb.build())
+    }).json
+  }
+
+  /** The `metaData` action body for commit `e` (shared between the JSON
+    * commit files and the parquet checkpoint). */
+  private def metaDataNode(tableDir: String, e: Commit, ddl: String,
+      createdTime: Long): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("id", tableId(tableDir))
+    val fmt = n.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    n.put("schemaString", mirroredSchemaJson(ddl, e.mapping, e.generated))
+    n.putArray("partitionColumns")
+    val conf = n.putObject("configuration")
+    VersionedParquetSink.Constraints.parse(e.constraints).foreach {
+      case (name, sql) => conf.put(s"delta.constraints.$name", sql)
+    }
+    val mapping = VersionedParquetSink.ColumnMapping.parse(e.mapping)
+    if (mapping.nonEmpty) {
+      conf.put("delta.columnMapping.mode", "name")
+      conf.put("delta.columnMapping.maxColumnId",
+        mapping.map(_._2.id).max.toLong)
+    }
+    // createdTime is the TABLE's creation time — pinned to commit 0
+    // across re-emissions, as Delta keeps it
+    n.put("createdTime", createdTime)
+    n
+  }
+
+  /** Write a parquet checkpoint + `_last_checkpoint` once every
+    * [[CheckpointInterval]] mirrored versions, per the protocol's
+    * checkpoint spec: a single `<v>.checkpoint.parquet` holding the
+    * reconstructed state at `v` — one `protocol` row, one `metaData`
+    * row, an `add` row per live data file (dataChange=false, stats
+    * carried), and a `remove` tombstone per superseded file still on
+    * disk (vacuum coordination; vacuumed files need no tombstone) — so
+    * an external Delta reader opens long histories from the checkpoint
+    * + the few JSON commits past it instead of replaying O(versions)
+    * JSON. Idempotent and race-benign like the JSON mirror: an existing
+    * checkpoint file is never rewritten. */
+  private def maybeCheckpoint(spark: SparkSession, tableDir: String,
+      mirrorable: Seq[Commit]): Unit = {
+    val latest = mirrorable.map(_.version).maxOption.getOrElse(return)
+    val due = latest - latest % CheckpointInterval
+    if (due <= 0) return
+    val logDir = new Path(s"$tableDir/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckPath = new Path(logDir, f"$due%020d.checkpoint.parquet")
+    if (fs.exists(ckPath)) return
+    val upTo = mirrorable.filter(_.version <= due)
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val removeType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val txnType = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))
+    val ckSchema = StructType(Seq(
+      StructField("txn", txnType), StructField("add", addType),
+      StructField("remove", removeType), StructField("metaData", metaType),
+      StructField("protocol", protoType)))
+    def row(txn: Row = null, add: Row = null, remove: Row = null,
+        meta: Row = null, proto: Row = null): Row =
+      Row(txn, add, remove, meta, proto)
+
+    val rows = Seq.newBuilder[Row]
+    rows += row(proto = Row((1 +: upTo.map(readerVersion)).max,
+      (2 +: upTo.map(writerVersion)).max))
+
+    // metaData: the state at `due` = latest schema DDL with the latest
+    // commit's constraint/mapping/generated configuration
+    val last = upTo.last
+    val lastDdl = upTo.reverse.flatMap(_.schemaDdl).headOption
+    lastDdl.foreach { ddl =>
+      val confMap = Seq.newBuilder[(String, String)]
+      VersionedParquetSink.Constraints.parse(last.constraints).foreach {
+        case (name, sql) => confMap += s"delta.constraints.$name" -> sql
+      }
+      val mapping = VersionedParquetSink.ColumnMapping.parse(last.mapping)
+      if (mapping.nonEmpty) {
+        confMap += "delta.columnMapping.mode" -> "name"
+        confMap +=
+          "delta.columnMapping.maxColumnId" ->
+            mapping.map(_._2.id).max.toString
+      }
+      rows += row(meta = Row(tableId(tableDir), Row("parquet", Map.empty),
+        mirroredSchemaJson(ddl, last.mapping, last.generated),
+        Seq.empty[String], confMap.result().toMap,
+        upTo.head.ts.getOrElse(last.ts.getOrElse(0L))))
+    }
+
+    val dataEntries = upTo.filterNot(isMergeOnRead)
+    val liveNow = liveEntries(upTo).filterNot(isMergeOnRead)
+    liveNow.foreach { e =>
+      val statsByFile: Map[String, String] = e.stats.map { json =>
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(json).properties().asScala
+          .map(p => p.getKey -> p.getValue.toString).toMap
+      }.getOrElse(Map.empty)
+      parquetFiles(fs, s"$tableDir/${e.dir}").foreach { st =>
+        rows += row(add = Row(s"${e.dir}/${st.getPath.getName}",
+          Map.empty[String, String], st.getLen, st.getModificationTime,
+          false, statsByFile.get(st.getPath.getName).orNull))
+      }
+    }
+    val liveDirs = liveNow.map(_.dir).toSet
+    val removedAt: Map[String, Long] = dataEntries.map(_.dir)
+      .filterNot(liveDirs).distinct.flatMap { dir =>
+        // deletionTimestamp = the first compaction commit that dropped it
+        upTo.find(c => c.compacts.exists(_ >= 0) &&
+          !liveEntries(upTo.filter(_.version <= c.version))
+            .exists(_.dir == dir))
+          .flatMap(_.ts).map(dir -> _)
+      }.toMap
+    dataEntries.map(_.dir).filterNot(liveDirs).distinct.foreach { dir =>
+      parquetFiles(fs, s"$tableDir/$dir").foreach { st =>
+        rows += row(remove = Row(s"$dir/${st.getPath.getName}",
+          removedAt.getOrElse(dir, last.ts.getOrElse(0L)), false))
+      }
+    }
+
+    val built = rows.result()
+    val tmpDir = s"$tableDir/_delta_log/.ck-tmp-${UUID.randomUUID()}"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(built, 1), ckSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val part = fs.listStatus(new Path(tmpDir)).toSeq
+      .find(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part file in checkpoint staging dir $tmpDir"))
+    if (!fs.rename(part.getPath, ckPath)) {
+      fs.delete(new Path(tmpDir), true) // a racer checkpointed first
+      return
+    }
+    fs.delete(new Path(tmpDir), true)
+    // _last_checkpoint is overwritten in place (the Delta recipe: it is
+    // advisory — a torn read just means the reader lists the log)
+    val lc = s"""{"version":$due,"size":${built.length}}"""
+    val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try out.write(lc.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,

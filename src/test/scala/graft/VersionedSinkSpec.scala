@@ -558,4 +558,82 @@ class VersionedSinkSpec extends AnyFunSuite {
     assert(healed.toSeq == (0L to 5L).map(v => f"$v%020d.json"),
       s"gap not healed: ${healed.mkString(", ")}")
   }
+
+  test("_delta_log mirror: parquet checkpoint + _last_checkpoint equal JSON replay") {
+    val store = TestSpark.tmpDir("dlog-ck")
+    val sink = new VersionedParquetSink(store)
+    import spark.implicits._
+    // 13 commits crossing the interval-10 boundary, with a compaction
+    // in the middle so the checkpoint carries remove tombstones too
+    (0 until 6).foreach { i =>
+      sink.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), "t")
+    }
+    sink.compact(spark, "t", targetFiles = Some(1)) // v6
+    (6 until 12).foreach { i =>                     // v7..v12
+      sink.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), "t")
+    }
+
+    val logDir = new java.io.File(s"$store/t/_delta_log")
+    val ck = new java.io.File(logDir, f"${10L}%020d.checkpoint.parquet")
+    assert(ck.isFile, "checkpoint file missing at version 10")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lc = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(logDir, "_last_checkpoint").toPath), "UTF-8"))
+    assert(lc.get("version").asLong == 10L)
+
+    val ckDf = spark.read.parquet(ck.getAbsolutePath)
+    assert(ckDf.count() == lc.get("size").asLong,
+      "_last_checkpoint size must equal the checkpoint's action count")
+
+    // replay the JSON commits 0..10 and diff against the checkpoint
+    def actions(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(logDir, f"$v%020d.json"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+      finally src.close()
+    }
+    val liveJson = scala.collection.mutable.Map[String, String]() // path -> stats
+    var lastMetaSchema: String = null
+    var maxWriter = 0
+    (0L to 10L).foreach { v =>
+      actions(v).foreach { a =>
+        Option(a.get("add")).foreach(n =>
+          liveJson(n.get("path").asText) = n.get("stats").asText)
+        Option(a.get("remove")).foreach(n => liveJson -= n.get("path").asText)
+        Option(a.get("metaData")).foreach(n =>
+          lastMetaSchema = n.get("schemaString").asText)
+        Option(a.get("protocol")).foreach(n =>
+          maxWriter = math.max(maxWriter, n.get("minWriterVersion").asInt))
+      }
+    }
+    val ckAdds = ckDf.filter("add IS NOT NULL")
+      .selectExpr("add.path", "add.stats", "add.dataChange").collect()
+    assert(ckAdds.map(_.getString(0)).toSet == liveJson.keySet,
+      "checkpoint add set != JSON-replay live set at v10")
+    ckAdds.foreach { r =>
+      assert(r.getString(1) == liveJson(r.getString(0)),
+        s"stats drifted for ${r.getString(0)}")
+      assert(!r.getBoolean(2), "checkpoint adds must carry dataChange=false")
+    }
+    val ckMeta = ckDf.filter("metaData IS NOT NULL")
+      .selectExpr("metaData.schemaString", "metaData.id").collect()
+    assert(ckMeta.length == 1)
+    assert(ckMeta.head.getString(0) == lastMetaSchema,
+      "checkpoint metaData schema != last JSON metaData at v10")
+    val ckProto = ckDf.filter("protocol IS NOT NULL")
+      .selectExpr("protocol.minWriterVersion").collect()
+    assert(ckProto.length == 1 && ckProto.head.getInt(0) == maxWriter)
+    // tombstones: the compaction's superseded files are on disk and
+    // present as removes (vacuum coordination)
+    val ckRemoves = ckDf.filter("remove IS NOT NULL")
+      .selectExpr("remove.path").collect().map(_.getString(0))
+    assert(ckRemoves.nonEmpty, "compaction tombstones missing")
+    ckRemoves.foreach(p => assert(new java.io.File(s"$store/t/$p").isFile))
+    assert(ckRemoves.toSet.intersect(ckAdds.map(_.getString(0)).toSet).isEmpty,
+      "a file cannot be both live and tombstoned")
+    // scanning only the checkpoint's live adds reproduces the v10 table
+    val viaCk = spark.read.parquet(
+      ckAdds.map(r => s"$store/t/${r.getString(0)}").toIndexedSeq: _*)
+    assert(viaCk.count() == sink.readAt(spark, "t", 10L).count())
+  }
 }
