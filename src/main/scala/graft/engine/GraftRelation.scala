@@ -31,27 +31,61 @@ import graft.engine.VersionedParquetSink.{ColumnMapping, Commit}
   */
 object GraftRelation {
 
+  /** Masks beyond this total size abort planning (compact first): the
+    * per-file positions ride the serialized scan function to executors,
+    * and a mask this large means a materializing rewrite is overdue
+    * anyway. Delta's own DV descriptors ride the scan the same way. */
+  private[engine] val MaxPlannedMaskBytes: Long = 64L * 1024 * 1024
+
   /** Build the relation for `table` as of `version` (Long.MaxValue =
-    * latest). Throws while unmaterialized deletion vectors are live:
-    * a file-granular relation cannot express a row-positional mask —
-    * compact() materializes them, or use the sink's own read. */
+    * latest). Live deletion vectors / merge-on-read updates COMPOSE:
+    * their (path, row-position) masks are loaded at plan time (bounded
+    * by [[MaxPlannedMaskBytes]]) and applied inside the parquet reader
+    * per file (see [[GraftParquetFileFormat]]) — stats-based file
+    * skipping, column pruning and the full-predicate re-check above the
+    * scan all still engage; only pushed-down parquet filters and
+    * columnar batches are disabled, and only while a mask is live
+    * (row positions must be counted in file order, so masked files
+    * read every row group). */
   def apply(spark: SparkSession, tableDir: String, entries: Seq[Commit],
       table: String): BaseRelation = {
     require(entries.nonEmpty, s"no committed versions for $table")
     val live = VersionedParquetSink.liveEntries(entries)
-    require(!live.exists(VersionedParquetSink.isMergeOnRead),
-      s"table '$table' has live deletion vectors / merge-on-read " +
-        "updates; compact() to materialize them before reading through " +
-        "format(\"graft\"), or read via the sink API")
+    val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
+    val masks: Map[String, Array[Long]] =
+      if (dvs.isEmpty) Map.empty
+      else {
+        val fs = new Path(tableDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dirs = dvs.map(e =>
+          s"$tableDir/${VersionedParquetSink.maskDir(e)}")
+        val bytes = dirs.map { d =>
+          val p = new Path(d)
+          if (fs.exists(p)) fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+          else 0L
+        }.sum
+        require(bytes <= MaxPlannedMaskBytes,
+          s"table '$table' carries $bytes bytes of live deletion-vector " +
+            s"masks (planning bound $MaxPlannedMaskBytes); compact() to " +
+            "materialize them, or read via the sink API")
+        spark.read.schema("path STRING, pos BIGINT").parquet(dirs: _*)
+          .groupBy("path")
+          .agg(org.apache.spark.sql.functions.collect_list("pos").as("ps"))
+          .collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[Long](1).toArray.sorted)
+          .toMap
+      }
     forDirs(spark, tableDir, entries,
-      live.filterNot(VersionedParquetSink.isDv), table)
+      live.filterNot(VersionedParquetSink.isDv), table, masks)
   }
 
   /** Relation over an explicit scan set (schema/mapping still from the
     * full `entries` snapshot) — the streaming source's per-batch form,
     * scoped to one version range's append dirs. */
   def forDirs(spark: SparkSession, tableDir: String, entries: Seq[Commit],
-      scan: Seq[Commit], table: String): BaseRelation = {
+      scan: Seq[Commit], table: String,
+      masks: Map[String, Array[Long]] = Map.empty): BaseRelation = {
     require(entries.nonEmpty, s"no committed versions for $table")
     val logical = entries.lastOption.flatMap(_.schemaDdl) match {
       case Some(ddl) => StructType(
@@ -66,7 +100,7 @@ object GraftRelation {
       dataSchema = logical,
       bucketSpec = None,
       fileFormat = new GraftParquetFileFormat(
-        mapping.map { case (l, e) => l -> e.physical }.toMap),
+        mapping.map { case (l, e) => l -> e.physical }.toMap, masks),
       options = Map.empty)(spark)
   }
 }
@@ -130,8 +164,19 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
   * this translates `dataSchema`/`requiredSchema` and the pushed
   * filters at the reader boundary and lets stock parquet machinery
   * (vectorized reader, row-group pushdown) do everything else. With an
-  * empty mapping it is byte-identical to its parent. */
-final class GraftParquetFileFormat(mappingMap: Map[String, String])
+  * empty mapping it is byte-identical to its parent.
+  *
+  * `maskedFiles` carries any live deletion-vector masks as
+  * table-relative path -> sorted masked row positions (the Delta DV
+  * shape: positions within the immutable file, in row order). While
+  * nonempty, files become non-splittable and parquet filter pushdown
+  * is withheld for MASKED files only — a pushed filter would skip row
+  * groups and break position counting; the scan's own Filter node
+  * still applies the full predicate above — and columnar batch output
+  * is disabled scan-wide (position filtering is per row). Unmasked
+  * files in the same scan keep their pushed filters. */
+final class GraftParquetFileFormat(mappingMap: Map[String, String],
+    maskedFiles: Map[String, Array[Long]] = Map.empty)
     extends ParquetFileFormat {
 
   private def phys(n: String): String = mappingMap.getOrElse(n, n)
@@ -185,16 +230,56 @@ final class GraftParquetFileFormat(mappingMap: Map[String, String])
       "INSERT INTO a graft table would bypass its commit log; write with " +
         "df.write.format(\"graft\").mode(\"append\").save(<path>) instead")
 
+  /** Masked files must map 1:1 to read tasks so row positions can be
+    * counted from zero in file order. */
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String], path: Path): Boolean =
+    maskedFiles.isEmpty && super.isSplitable(sparkSession, options, path)
+
+  /** Columnar batches bypass per-row iteration; while a mask is live
+    * the scan returns rows (the vectorized reader still runs
+    * underneath — only the batch hand-off is disabled). */
+  override def supportBatch(sparkSession: SparkSession,
+      schema: StructType): Boolean =
+    maskedFiles.isEmpty && super.supportBatch(sparkSession, schema)
+
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession, dataSchema: StructType,
       partitionSchema: StructType, requiredSchema: StructType,
       filters: Seq[sources.Filter], options: Map[String, String],
       hadoopConf: org.apache.hadoop.conf.Configuration):
       org.apache.spark.sql.execution.datasources.PartitionedFile =>
-        Iterator[InternalRow] =
-    super.buildReaderWithPartitionValues(sparkSession, trans(dataSchema),
-      partitionSchema, trans(requiredSchema),
+        Iterator[InternalRow] = {
+    val withFilters = super.buildReaderWithPartitionValues(sparkSession,
+      trans(dataSchema), partitionSchema, trans(requiredSchema),
       filters.flatMap(transFilter(_)), options, hadoopConf)
+    if (maskedFiles.isEmpty) withFilters
+    else {
+      // masked files read with NO pushed filters: predicate pushdown
+      // skips row groups, which would desynchronize position counting
+      val noFilters = super.buildReaderWithPartitionValues(sparkSession,
+        trans(dataSchema), partitionSchema, trans(requiredSchema),
+        Nil, options, hadoopConf)
+      val masks = maskedFiles
+      file => {
+        // mask paths are `<commitDir>/<file>.parquet`, relative to the
+        // table dir — recover that suffix from the task's file path
+        val rel = file.urlEncodedPath.split('/').takeRight(2).mkString("/")
+        masks.get(rel) match {
+          case None => withFilters(file)
+          case Some(positions) =>
+            assert(file.start == 0,
+              s"masked graft file $rel arrived as a split; " +
+                "isSplitable must return false while masks are live")
+            val dead = new java.util.HashSet[java.lang.Long](
+              math.max(16, positions.length * 2))
+            positions.foreach(p => dead.add(p))
+            var idx = -1L
+            noFilters(file).filter { _ => idx += 1; !dead.contains(idx) }
+        }
+      }
+    }
+  }
 
   override def toString: String = "GraftParquet"
 }

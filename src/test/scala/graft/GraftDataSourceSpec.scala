@@ -118,18 +118,59 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(s"$base/t").count() == 2)
   }
 
-  test("live deletion vectors are rejected with a pointer to compact()") {
+  test("live deletion vectors compose with format(\"graft\") reads") {
     val base = TestSpark.tmpDir("ds5")
     val sink = new VersionedParquetSink(base)
-    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
-    sink.deleteVectored(spark, "t", col("id") === 1)
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(s"$base/t").collect()
+    sink.append((1 to 10).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1), "t")
+    sink.deleteVectored(spark, "t", col("id") === 3 || col("id") === 7)
+    // the masked read equals the sink API's own merge-on-read result
+    val viaFormat = spark.read.format("graft").load(s"$base/t")
+    assert(viaFormat.collect().map(_.getInt(0)).sorted.toSeq ==
+      sink.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq)
+    assert(viaFormat.count() == 8)
+    // predicates still answer correctly over masked files (the full
+    // filter re-applies above the scan; pushdown is withheld per file)
+    assert(viaFormat.filter(col("id") === 3).count() == 0)
+    assert(viaFormat.filter(col("id") >= 5).count() == 5)
+    // a merge-on-read UPDATE commit (data dir + _dv mask) composes too
+    sink.updateVectored(spark, "t", col("id") === 5,
+      Map("v" -> org.apache.spark.sql.functions.lit("updated")))
+    val afterUpdate = spark.read.format("graft").load(s"$base/t")
+    assert(afterUpdate.count() == 8)
+    assert(afterUpdate.filter(col("id") === 5).head().getString(1)
+      == "updated")
+    sink.compact(spark, "t") // materialized: back to the batched path
+    assert(spark.read.format("graft").load(s"$base/t").count() == 8)
+  }
+
+  test("stats skipping stays engaged while a deletion vector is live") {
+    val base = TestSpark.tmpDir("ds5b")
+    val sink = new VersionedParquetSink(base)
+    // three single-file commits with disjoint id ranges
+    Seq.tabulate(3) { k =>
+      sink.append(Seq.tabulate(10)(i => (k * 100 + i, s"r$i"))
+        .toDF("id", "v").coalesce(1), "t")
     }
-    assert(e.getMessage.contains("compact"))
-    sink.compact(spark, "t") // materializes the mask
-    assert(spark.read.format("graft").load(s"$base/t").collect()
-      .map(_.getInt(0)).toSeq == Seq(2))
+    sink.deleteVectored(spark, "t", col("id") === 105)
+    val df = spark.read.format("graft").load(s"$base/t")
+      .filter(col("id") === 104)
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = unwrap(df.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metrics("numFiles").value == 1,
+      s"stats pruning lost under live DV: ${scan.metrics("numFiles").value}")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(104))
+    // and the masked row stays masked even in the pruned file's commit
+    assert(spark.read.format("graft").load(s"$base/t")
+      .filter(col("id").between(100, 109)).count() == 9)
   }
 
   test("SQL DDL face: CREATE TABLE ... USING graft") {
