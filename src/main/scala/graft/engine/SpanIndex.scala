@@ -80,12 +80,15 @@ object SpanIndex {
         .distinct()
       val tokPos = toks.select(col("doc_id"),
         posexplode(col("ws")).as(Seq("j", "w")))
+      // only SURVIVING tokens enter the aggregation buffer (collect_list
+      // skips the CASE's NULLs) — bounded by the longest single doc's
+      // kept tokens, never the corpus (the q_span_clean shape)
       val cleaned = tokPos
         .join(bad.withColumn("b", lit(1)), Seq("doc_id", "j"), "left")
         .groupBy("doc_id")
         .agg(
-          expr("array_join(transform(filter(array_sort(" +
-            "collect_list(struct(j, w, b))), x -> x.b IS NULL), " +
+          expr("array_join(transform(array_sort(" +
+            "collect_list(CASE WHEN b IS NULL THEN struct(j, w) END)), " +
             "x -> x.w), ' ')").as("text"),
           count(lit(1)).cast("long").as("n_tokens"),
           sum(when(col("b").isNull, 1L).otherwise(0L))

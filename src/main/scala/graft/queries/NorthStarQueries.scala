@@ -1080,13 +1080,20 @@ object NorthStarQueries {
         // final re-scan join is needed
         val tokPos = toks.select(col("doc_id"),
           posexplode(col("ws")).as(Seq("j", "w")))
+        // Buffer bound: collect_list skips NULL inputs, so the CASE
+        // keeps only SURVIVING tokens in the aggregation buffer — no
+        // mask marker, no dead tokens, no post-hoc filter. The buffer
+        // is O(longest single document's kept tokens), never O(corpus):
+        // a pathological 10M-token document concentrates ~tens of MB in
+        // one buffer (an inherent cost of an exact in-order text hash —
+        // md5 needs the bytes in order); every other doc is untouched.
         tokPos.join(bad.withColumn("b", lit(1)), Seq("doc_id", "j"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_tokens"),
             sum(when(col("b").isNull, 1L).otherwise(0L))
               .cast("long").as("n_kept"),
-            md5(expr("array_join(transform(filter(array_sort(" +
-              "collect_list(struct(j, w, b))), x -> x.b IS NULL), " +
+            md5(expr("array_join(transform(array_sort(" +
+              "collect_list(CASE WHEN b IS NULL THEN struct(j, w) END)), " +
               "x -> x.w), ' ')").cast("binary")).as("h_clean"))
           .orderBy("doc_id")
       },
