@@ -46,8 +46,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    require(factor <= 125,
+      "charMap provides 125 distinct substitutions; a larger factor " +
+        "would alias replicas into cross-replica duplicate cliques")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale${factor}x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,13 +106,19 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Per-replica length-preserving character map: 10 distinct
-    * vowel/consonant rotations; replica 0 is the identity (the base
-    * corpus is a subset of the scaled one). */
+  /** Per-replica length-preserving character map: independent rotations
+    * of three disjoint letter groups (5 x 5 x 5 = 125 distinct maps), so
+    * even a 100x corpus gives every replica a unique substitution and
+    * similarity structure stays replica-local (two replicas sharing a
+    * map would be verbatim copies of each other — a cross-replica
+    * duplicate clique that measures the synthesis, not the plan).
+    * Replica 0 is the identity (the base corpus is a subset of the
+    * scaled one). */
   private def charMap(i: Int): (String, String) = {
     def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
-    ("aeioubcdfg",
-      rot("aeiou", i % 5) + (if (i < 5) "bcdfg" else rot("bcdfg", i - 4)))
+    ("aeiou" + "bcdfg" + "hjklm",
+      rot("aeiou", i % 5) + rot("bcdfg", (i / 5) % 5) +
+        rot("hjklm", (i / 25) % 5))
   }
 
   private def generateIfMissing(spark: SparkSession, src: String,
@@ -131,6 +141,10 @@ object ScaleProbe {
         textCol.as("text"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // NOTE: shifts alias at factor > 64 (shift cycles mod dims) — the
+    // embedding-family queries are only probed at the 10x tier; the
+    // >10x tiers probe the document-family queries, whose synthesis
+    // (charMap) stays unique to 125 replicas
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
     val dims = 64
