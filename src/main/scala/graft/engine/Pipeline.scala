@@ -61,12 +61,18 @@ object Pipeline {
             "cast(conv(substr(md5(cast(id as binary)), 1, 15), 16, 10) as decimal(20,0))")))
         .head().getDecimal(0)
       val batchKey = s"ingest-$n-$sig"
-      sink.appendOnce(fresh, "raw", batchKey)
       val curated = Curate(fresh)
-      sink.appendOnce(curated, "curated", batchKey)
       val analyzed = Analyze.withAnalysis(spark, curated, analyzer)
-      sink.appendOnce(Analyze.explodeActors(analyzed), "actors", batchKey)
-      sink.appendOnce(fresh.select("id"), "state", batchKey)
+      // ONE cross-table commit for the whole batch: on the versioned
+      // sink the four tables land all-or-none (a crash between table
+      // writes can no longer leave raw ahead of curated); on the plain
+      // parquet sink this degrades to the per-table at-least-once the
+      // reference itself has (collector.py:113-115)
+      sink.multiAppendOnce(Seq(
+        fresh -> "raw",
+        curated -> "curated",
+        Analyze.explodeActors(analyzed) -> "actors",
+        fresh.select("id") -> "state"), batchKey)
       Result(n, obs.get)
     } finally fresh.unpersist()
   }

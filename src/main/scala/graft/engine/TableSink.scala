@@ -97,6 +97,18 @@ trait TableSink {
     append(df, table)
     true
   }
+
+  /** Append one logical batch to SEVERAL tables under one key. The base
+    * implementation is per-table [[appendOnce]] in order: each table is
+    * individually keyed, so a crash between tables leaves a partial
+    * batch that HEALS table-by-table on replay (eventually-all, never
+    * atomic). [[VersionedParquetSink]] overrides this with a real
+    * cross-table transaction — every table lands or none does. Returns
+    * true iff this call landed data in at least one table. */
+  def multiAppendOnce(writes: Seq[(DataFrame, String)],
+      txnKey: String): Boolean =
+    writes.map { case (df, t) => appendOnce(df, t, txnKey) }
+      .exists(identity)
 }
 
 final class ParquetTableSink(basePath: String) extends TableSink {

@@ -180,6 +180,19 @@ final class VersionedParquetSink(basePath: String,
     val spark = df.sparkSession
     val entries = manifest(spark, table)
     if (commitKey.exists(k => entries.exists(_.key.contains(k)))) return false
+    val staged = stageAppend(df, table, entries, allowEvolution)
+    claimStaged(spark, staged, commitKey, allowEvolution,
+      snapshot = Some(entries), cleanupOnKeyLoss = true).isDefined
+  }
+
+  /** Everything [[doAppend]] does BEFORE the commit claim: governance
+    * completion/guards, schema pre-check, the unique data-dir write,
+    * per-file stats. The staged dir is invisible until a marker claims
+    * it — which is what the multi-table transaction exploits. */
+  private def stageAppend(df: DataFrame, table: String,
+      entries: Seq[Commit], allowEvolution: Boolean):
+      VersionedParquetSink.Staged = {
+    val spark = df.sparkSession
     val tableSchema =
       entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL)
     // generated columns: a missing one is COMPUTED inside the write's
@@ -221,23 +234,137 @@ final class VersionedParquetSink(basePath: String,
     val stats = FileStats.collect(spark, s"${tableDir(table)}/$unique",
       VersionedParquetSink.ColumnMapping
         .physicalSchema(completed.schema, extended))
-    commitLoop(spark, table, unique, commitKey, compacts = None,
-      schemaDdl = completed.schema.toDDL, cleanupOnKeyLoss = true,
-      snapshot = Some(entries), enforceSchema = true,
-      allowEvolution = allowEvolution, statsJson = Some(stats),
-      enforcedConstraints = Some(cons),
-      newMapping = if (newCols.isEmpty) None
-        else Some(VersionedParquetSink.ColumnMapping.render(extended)),
+    VersionedParquetSink.Staged(table, unique, completed.schema.toDDL,
+      stats, cons,
       // pin the mapping we translated against whenever the table IS
       // mapped (not only when extending): our files carry its physical
       // names, so a concurrent rename/drop must abort this append at
       // the claim — otherwise a drop racing a non-extending
       // allowEvolution append could re-add the column under the
       // dropped column's frozen physical name and resurrect old data
-      enforcedMapping = if (mappingJson.isDefined) Some(mappingJson)
-        else None,
-      enforcedGenerated = Some(gensJson))
-      .isDefined
+      mappingJson,
+      if (newCols.isEmpty) None
+      else VersionedParquetSink.ColumnMapping.render(extended),
+      gensJson)
+  }
+
+  /** The commit claim for a [[stageAppend]]-staged dir. */
+  private def claimStaged(spark: SparkSession,
+      s: VersionedParquetSink.Staged, commitKey: Option[String],
+      allowEvolution: Boolean, snapshot: Option[Seq[Commit]],
+      cleanupOnKeyLoss: Boolean): Option[Long] =
+    commitLoop(spark, s.table, s.unique, commitKey, compacts = None,
+      schemaDdl = s.schemaDdl, cleanupOnKeyLoss = cleanupOnKeyLoss,
+      snapshot = snapshot, enforceSchema = true,
+      allowEvolution = allowEvolution, statsJson = Some(s.statsJson),
+      enforcedConstraints = Some(s.constraints),
+      newMapping = s.newMapping.map(m => Some(m)),
+      enforcedMapping = if (s.mapping.isDefined) Some(s.mapping) else None,
+      enforcedGenerated = Some(s.generated))
+
+  private def txnDir: String = s"$basePath/_txn"
+  private def txnFileName(key: String): String =
+    Base64.getUrlEncoder.withoutPadding
+      .encodeToString(key.getBytes(StandardCharsets.UTF_8)) + ".json"
+
+  /** Cross-table TRANSACTIONAL append: one logical batch lands in every
+    * named table or in none of them. Protocol (the classic stage +
+    * intent-log shape, built from the sink's own primitives):
+    *
+    *  1. stage each table's data dir ([[stageAppend]]) — invisible until
+    *     a marker claims it; a crash here orphans unclaimed dirs that
+    *     [[vacuum]] collects, and NO table shows the batch;
+    *  2. atomically rename ONE txn manifest into `_txn/` — the commit
+    *     point. From this instant the batch is durable for ALL tables:
+    *     [[recoverTransactions]] (run at the start of every
+    *     multiAppendOnce, or directly) completes any claims a crash
+    *     interrupted;
+    *  3. claim each table's marker under `txnKey` (idempotent keyed
+    *     commits; a key-loss never deletes the shared staged dir), then
+    *     delete the manifest.
+    *
+    * Readers of a single table may observe the batch in table A
+    * moments before table B while step 3 is in flight — the guarantee
+    * is atomic durability (all-or-none after recovery), not a
+    * cross-table read snapshot. A concurrent call with the SAME txnKey
+    * loses the manifest rename, discards its own staging and completes
+    * the winner's — exactly-once on the key either way. Governance
+    * (constraints, mapping, generated columns) is pinned per table at
+    * stage time; a concurrent governance change aborts the claim loudly
+    * rather than committing unvalidated rows. */
+  override def multiAppendOnce(writes: Seq[(DataFrame, String)],
+      txnKey: String): Boolean = {
+    require(writes.nonEmpty, "multiAppendOnce needs at least one write")
+    require(writes.map(_._2).distinct.size == writes.size,
+      s"one write per table in a transaction; got ${writes.map(_._2)}")
+    val spark = writes.head._1.sparkSession
+    val f = fs(spark, basePath)
+    recoverTransactions(spark) // finish anything a crashed writer left
+    val pending = writes.filterNot { case (_, t) =>
+      manifest(spark, t).exists(_.key.contains(txnKey)) }
+    if (pending.isEmpty) return false // full keyed replay: no-op
+    val staged = pending.map { case (df, t) =>
+      stageAppend(df, t, manifest(spark, t), allowEvolution = false) }
+    f.mkdirs(new Path(txnDir))
+    val tmp = new Path(s"$txnDir/.tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(VersionedParquetSink.Staged.renderTxn(txnKey, staged)
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, new Path(s"$txnDir/${txnFileName(txnKey)}"))) {
+      // a concurrent writer of the SAME logical batch owns the commit
+      // point (or a crashed one left it): discard OUR staging and
+      // complete THEIRS
+      f.delete(tmp, false)
+      staged.foreach(s =>
+        f.delete(new Path(s"${tableDir(s.table)}/${s.unique}"), true))
+      recoverTransactions(spark)
+      return false
+    }
+    staged.foreach { s =>
+      txnClaimHook(s.table) // test seam: a throwing hook = writer death
+      claimStaged(spark, s, Some(txnKey),
+        allowEvolution = false, snapshot = None, cleanupOnKeyLoss = false)
+    }
+    f.delete(new Path(s"$txnDir/${txnFileName(txnKey)}"), false)
+    true
+  }
+
+  /** Test seam for the multi-table transaction's chaos coverage: called
+    * before each per-table claim in step 3; a hook that throws
+    * simulates the writer dying between table writes (after the commit
+    * point). Production value is a no-op. */
+  private[graft] var txnClaimHook: String => Unit = _ => ()
+
+  /** Complete every pending multi-table transaction's claims (step 3 of
+    * [[multiAppendOnce]]) — idempotent, safe to race. Returns the number
+    * of table claims healed. Throws if a txn's staged dir vanished
+    * before its table committed (the one unrecoverable shape — vacuum
+    * run against an in-flight transaction). */
+  def recoverTransactions(spark: SparkSession): Int = {
+    val f = fs(spark, basePath)
+    val dir = new Path(txnDir)
+    if (!f.exists(dir)) return 0
+    var healed = 0
+    f.listStatus(dir).toSeq.filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".json")).foreach { st =>
+      val (key, staged) = VersionedParquetSink.Staged.parseTxn(
+        readSmallFile(spark, st.getPath.toString))
+      staged.foreach { s =>
+        if (!manifest(spark, s.table).exists(_.key.contains(key))) {
+          require(f.exists(new Path(s"${tableDir(s.table)}/${s.unique}")),
+            s"transaction '$key': staged dir ${s.unique} for table " +
+              s"'${s.table}' is gone but never committed — all-or-none " +
+              "cannot be restored (was vacuum run against an in-flight " +
+              "transaction?)")
+          claimStaged(spark, s, Some(key), allowEvolution = false,
+            snapshot = None, cleanupOnKeyLoss = false)
+          healed += 1
+        }
+      }
+      f.delete(st.getPath, false)
+    }
+    healed
   }
 
   /** Complete and enforce generated columns for a write: absent columns
@@ -1795,6 +1922,49 @@ object VersionedParquetSink {
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */
   private[engine] def isDv(e: Commit): Boolean = e.op.contains("dv")
+
+  /** A staged-but-unclaimed append: the written data dir plus everything
+    * the commit claim needs (schema, stats, the governance state the
+    * rows were validated against). Serializable into the `_txn` manifest
+    * so a crashed multi-table transaction can be completed by any later
+    * process. */
+  private[engine] final case class Staged(table: String, unique: String,
+      schemaDdl: String, statsJson: String, constraints: Option[String],
+      mapping: Option[String], newMapping: Option[String],
+      generated: Option[String])
+
+  private[engine] object Staged {
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def renderTxn(key: String, staged: Seq[Staged]): String = {
+      val root = mapper.createObjectNode()
+      root.put("key", key)
+      val arr = root.putArray("tables")
+      staged.foreach { s =>
+        val n = arr.addObject()
+        n.put("table", s.table)
+        n.put("dir", s.unique)
+        n.put("schemaDdl", s.schemaDdl)
+        n.put("stats", s.statsJson)
+        s.constraints.foreach(n.put("constraints", _))
+        s.mapping.foreach(n.put("mapping", _))
+        s.newMapping.foreach(n.put("newMapping", _))
+        s.generated.foreach(n.put("generated", _))
+      }
+      mapper.writeValueAsString(root)
+    }
+    def parseTxn(json: String): (String, Seq[Staged]) = {
+      import scala.jdk.CollectionConverters._
+      val root = mapper.readTree(json)
+      val staged = root.get("tables").elements().asScala.map { n =>
+        def opt(f: String) = Option(n.get(f)).map(_.asText)
+        Staged(n.get("table").asText, n.get("dir").asText,
+          n.get("schemaDdl").asText, n.get("stats").asText,
+          opt("constraints"), opt("mapping"), opt("newMapping"),
+          opt("generated"))
+      }.toSeq
+      (root.get("key").asText, staged)
+    }
+  }
 
   /** CHECK-constraint set serialization: a JSON object of name -> SQL
     * expression, keys sorted so equal sets render byte-identically (the
