@@ -8,11 +8,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,6 +34,7 @@ import graft.engine.VersionedParquetSink
   *   SELECT * FROM g.events VERSION AS OF 3          -- time travel
   *   SELECT * FROM g.events TIMESTAMP AS OF '...'
   *   SELECT * FROM g.events.history                  -- DESCRIBE HISTORY
+  *   DELETE FROM g.events WHERE user_id = 7         -- deletion vector
   *   ALTER TABLE g.events ADD COLUMN source STRING
   *   ALTER TABLE g.events RENAME COLUMN source TO src
   *   CALL g.optimize(table => 'events')              -- OPTIMIZE [ZORDER]
@@ -194,9 +197,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 final class GraftTable(val base: String, val table: String,
     val versionAsOf: Option[Long],
     val timestampAsOf: Option[java.time.Instant])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private[graft] def sink = new VersionedParquetSink(base)
+
+  /** `DELETE FROM g.tbl WHERE ...` — the sink's deletion-vector path:
+    * a metadata-speed positional mask commit, O(masked rows) written,
+    * O(table) untouched; reads (sink API, `format("graft")` and the
+    * catalog substitution alike) compose with the live mask, and the
+    * next compaction materializes it. Predicates outside the
+    * source-filter algebra are rejected at `canDeleteWhere`, surfacing
+    * Spark's standard "cannot delete" analysis error rather than a
+    * silent full-table op. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    versionAsOf.isEmpty && timestampAsOf.isEmpty &&
+      filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+      s"cannot DELETE from the time-traveled snapshot ${name()}")
+    val cond = filters.toSeq.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    sink.deleteVectored(SparkSession.active, table, cond)
+    ()
+  }
 
   /** The sink-API read honoring the pin — live DVs, mapping and
     * schema evolution all composed (the fallback scan's source, and
@@ -240,6 +265,38 @@ final class GraftTable(val base: String, val table: String,
   }
 
   override def toString: String = s"GraftTable(${name()})"
+}
+
+object GraftTable {
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** V1 source filter -> Column, for the SQL DELETE face. `None` for
+    * shapes outside the algebra (caught at canDeleteWhere). */
+  private[sources] def filterToColumn(f: sources.Filter): Option[Column] =
+    f match {
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) => for {
+        lc <- filterToColumn(l); rc <- filterToColumn(r)
+      } yield lc && rc
+      case sources.Or(l, r) => for {
+        lc <- filterToColumn(l); rc <- filterToColumn(r)
+      } yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case _ => None
+    }
 }
 
 /** Correctness-first fallback scan (used only without the extensions

@@ -150,6 +150,32 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcall.t").count() == 20)
   }
 
+  test("SQL DELETE rides the deletion-vector path") {
+    val base = catalog("gdel")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq.tabulate(10)(i => (i, s"r$i")).toDF("id", "v"), "t")
+    spark.sql("DELETE FROM gdel.t WHERE id >= 7 OR v = 'r0'")
+    assert(spark.sql("SELECT count(*) AS n FROM gdel.t").head().getLong(0)
+      == 6)
+    // it was a positional mask commit (metadata-speed), not a rewrite
+    val op = spark.sql(
+      "SELECT operation FROM gdel.t.history ORDER BY version DESC")
+      .head().getString(0)
+    assert(op.toLowerCase.contains("dv"), s"expected a DV commit, got $op")
+    // time travel below the delete still shows every row
+    assert(spark.sql("SELECT * FROM gdel.t VERSION AS OF 0").count() == 10)
+    // catalog reads compose with the live mask through the
+    // substitution rule (format("graft") machinery underneath)
+    assert(spark.sql("SELECT * FROM gdel.t WHERE id < 3").count() == 2)
+    // a predicate outside the source-filter algebra fails the analysis
+    // check loudly instead of silently rewriting the table
+    intercept[Exception] {
+      spark.sql("DELETE FROM gdel.t WHERE length(v) > 100")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM gdel.t").head().getLong(0)
+      == 6)
+  }
+
   test("CTAS and the V1Scan fallback (no extensions rule needed)") {
     catalog("gctas")
     spark.sql("CREATE TABLE gctas.sq AS SELECT id, id * id AS sq " +
