@@ -248,11 +248,15 @@ final class VersionedParquetSink(basePath: String,
       gensJson)
   }
 
-  /** The commit claim for a [[stageAppend]]-staged dir. */
+  /** The commit claim for a [[stageAppend]]-staged dir.
+    * `preserveOnAbort` keeps the staged dir on a governance/schema abort
+    * (multi-table transactions: the dir is named by a `_txn` manifest and
+    * recovery re-validates it — deleting it would poison recovery). */
   private def claimStaged(spark: SparkSession,
       s: VersionedParquetSink.Staged, commitKey: Option[String],
       allowEvolution: Boolean, snapshot: Option[Seq[Commit]],
-      cleanupOnKeyLoss: Boolean): Option[Long] =
+      cleanupOnKeyLoss: Boolean,
+      preserveOnAbort: Boolean = false): Option[Long] =
     commitLoop(spark, s.table, s.unique, commitKey, compacts = None,
       schemaDdl = s.schemaDdl, cleanupOnKeyLoss = cleanupOnKeyLoss,
       snapshot = snapshot, enforceSchema = true,
@@ -260,7 +264,8 @@ final class VersionedParquetSink(basePath: String,
       enforcedConstraints = Some(s.constraints),
       newMapping = s.newMapping.map(m => Some(m)),
       enforcedMapping = if (s.mapping.isDefined) Some(s.mapping) else None,
-      enforcedGenerated = Some(s.generated))
+      enforcedGenerated = Some(s.generated),
+      preserveOnAbort = preserveOnAbort)
 
   private def txnDir: String = s"$basePath/_txn"
   private def txnFileName(key: String): String =
@@ -323,8 +328,12 @@ final class VersionedParquetSink(basePath: String,
     }
     staged.foreach { s =>
       txnClaimHook(s.table) // test seam: a throwing hook = writer death
+      // preserveOnAbort: past the commit point the staged dir belongs to
+      // the manifest — a governance abort here must leave the bytes for
+      // recoverTransactions to re-validate and roll forward
       claimStaged(spark, s, Some(txnKey),
-        allowEvolution = false, snapshot = None, cleanupOnKeyLoss = false)
+        allowEvolution = false, snapshot = None, cleanupOnKeyLoss = false,
+        preserveOnAbort = true)
     }
     f.delete(new Path(s"$txnDir/${txnFileName(txnKey)}"), false)
     true
@@ -338,33 +347,132 @@ final class VersionedParquetSink(basePath: String,
 
   /** Complete every pending multi-table transaction's claims (step 3 of
     * [[multiAppendOnce]]) — idempotent, safe to race. Returns the number
-    * of table claims healed. Throws if a txn's staged dir vanished
-    * before its table committed (the one unrecoverable shape — vacuum
-    * run against an in-flight transaction). */
+    * of table claims healed.
+    *
+    * Recovery never poison-pills the store. A claim that aborts because
+    * governance moved past the commit point (concurrent ADD CONSTRAINT /
+    * generated-column / schema change) is ROLLED FORWARD: the staged rows
+    * are re-validated against the CURRENT governance and committed pinned
+    * to it — the same outcome as if the batch had been staged after the
+    * change. A manifest that genuinely cannot complete (staged dir
+    * vanished before its table committed, or the staged rows violate the
+    * new governance) is QUARANTINED — renamed to `*.json.failed` so later
+    * recovery skips it and later writes proceed — and reported in ONE
+    * loud exception AFTER every other manifest healed, naming which
+    * tables the batch did and did not reach. */
   def recoverTransactions(spark: SparkSession): Int = {
     val f = fs(spark, basePath)
     val dir = new Path(txnDir)
     if (!f.exists(dir)) return 0
     var healed = 0
+    val quarantined = scala.collection.mutable.ListBuffer.empty[String]
     f.listStatus(dir).toSeq.filter(st => st.isFile &&
         st.getPath.getName.endsWith(".json")).foreach { st =>
       val (key, staged) = VersionedParquetSink.Staged.parseTxn(
         readSmallFile(spark, st.getPath.toString))
-      staged.foreach { s =>
-        if (!manifest(spark, s.table).exists(_.key.contains(key))) {
-          require(f.exists(new Path(s"${tableDir(s.table)}/${s.unique}")),
-            s"transaction '$key': staged dir ${s.unique} for table " +
-              s"'${s.table}' is gone but never committed — all-or-none " +
-              "cannot be restored (was vacuum run against an in-flight " +
-              "transaction?)")
-          claimStaged(spark, s, Some(key), allowEvolution = false,
-            snapshot = None, cleanupOnKeyLoss = false)
-          healed += 1
+      // first failure wins; remaining tables stay unclaimed (the
+      // quarantined manifest records them for manual repair)
+      val failure: Option[String] =
+        staged.foldLeft(Option.empty[String]) { (err, s) =>
+          if (err.isDefined) err
+          else if (manifest(spark, s.table).exists(_.key.contains(key))) None
+          else if (!f.exists(new Path(s"${tableDir(s.table)}/${s.unique}")))
+            Some(s"staged dir ${s.unique} for table '${s.table}' is gone " +
+              "but never committed (deleted outside the sink?)")
+          else {
+            try {
+              claimStaged(spark, s, Some(key), allowEvolution = false,
+                snapshot = None, cleanupOnKeyLoss = false,
+                preserveOnAbort = true)
+              healed += 1; None
+            } catch {
+              case _: IllegalStateException =>
+                // governance moved past the commit point: roll forward
+                rollForward(spark, key, s) match {
+                  case None => healed += 1; None
+                  case why => why
+                }
+              case e: IllegalArgumentException =>
+                // schema moved past the commit point (enforceAppend)
+                rollForwardFailure(s, e)
+            }
+          }
         }
+      failure match {
+        case None => f.delete(st.getPath, false)
+        case Some(why) =>
+          val committed = staged.filter(s =>
+            manifest(spark, s.table).exists(_.key.contains(key)))
+            .map(_.table)
+          f.rename(st.getPath, new Path(st.getPath.toString + ".failed"))
+          quarantined += s"transaction '$key': $why; the batch is " +
+            (if (committed.isEmpty) "applied to NO table"
+             else s"PARTIALLY applied (committed to " +
+               s"${committed.mkString(", ")}; missing from " +
+               s"${staged.map(_.table).diff(committed).mkString(", ")})") +
+            s" — manifest quarantined as ${st.getPath.getName}.failed"
       }
-      f.delete(st.getPath, false)
     }
+    if (quarantined.nonEmpty) throw new IllegalStateException(
+      "unrecoverable multi-table transaction(s) quarantined — later " +
+        "writes are NOT blocked, but these batches need manual repair:\n  " +
+        quarantined.mkString("\n  "))
     healed
+  }
+
+  private def rollForwardFailure(s: VersionedParquetSink.Staged,
+      e: Throwable): Option[String] =
+    Some(s"staged rows for '${s.table}' cannot commit under the " +
+      s"governance/schema that changed past the commit point: ${e.getMessage}")
+
+  /** Roll a committed-but-unclaimed staged table forward past a
+    * governance change: re-validate the staged rows against the CURRENT
+    * constraint / generated-column expressions (executing the same
+    * per-row guards a fresh write would run), then claim pinned to them.
+    * Returns None on success, Some(reason) when the staged rows are
+    * invalid under the new governance — the caller quarantines. */
+  private def rollForward(spark: SparkSession, key: String,
+      s: VersionedParquetSink.Staged): Option[String] = {
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val entries = manifest(spark, s.table)
+      val curMapping = entries.lastOption.flatMap(_.mapping)
+      if (curMapping != s.mapping)
+        return Some(s"column mapping on '${s.table}' changed while the " +
+          "transaction was in flight; the staged files bake physical " +
+          "names from the old mapping and cannot be rolled forward")
+      val curCons = entries.lastOption.flatMap(_.constraints)
+      val curGens = entries.lastOption.flatMap(_.generated)
+      try {
+        val schema = StructType.fromDDL(s.schemaDdl)
+        val mapping = VersionedParquetSink.ColumnMapping.parse(s.mapping)
+        val phys = spark.read.schema(VersionedParquetSink.ColumnMapping
+            .physicalSchema(schema, mapping))
+          .parquet(s"${tableDir(s.table)}/${s.unique}")
+        val logical = if (mapping.isEmpty) phys
+          else phys.select(schema.fields.toSeq.map(fl =>
+            col(VersionedParquetSink.ColumnMapping
+              .physicalName(mapping, fl.name)).as(fl.name)): _*)
+        // provided generated columns validate per row against the NEW
+        // expressions, constraints guard likewise — executing the
+        // guarded plan IS the validation (raise_error on violation)
+        constraintGuard(
+          completeGenerated(logical, curGens, Some(schema), s.table),
+          curCons, s.table)
+          .foreach(_ => ())
+        claimStaged(spark,
+          s.copy(constraints = curCons, generated = curGens), Some(key),
+          allowEvolution = false, snapshot = None,
+          cleanupOnKeyLoss = false, preserveOnAbort = true)
+        return None
+      } catch {
+        case _: IllegalStateException => () // moved again mid-recovery; retry
+        case e: Throwable => return rollForwardFailure(s, e)
+      }
+    }
+    Some(s"governance on '${s.table}' kept changing during recovery " +
+      "(3 attempts)")
   }
 
   /** Complete and enforce generated columns for a write: absent columns
@@ -460,7 +568,12 @@ final class VersionedParquetSink(basePath: String,
       // generated-column expressions: inherit / set / abort-on-change,
       // same protocol as constraints
       newGenerated: Option[Option[String]] = None,
-      enforcedGenerated: Option[Option[String]] = None): Option[Long] = {
+      enforcedGenerated: Option[Option[String]] = None,
+      // keep the staged dir when a governance/schema abort throws: a
+      // multi-table transaction's dir is named by its `_txn` manifest,
+      // and recovery needs the BYTES to re-validate and roll forward —
+      // deleting them turns a retryable abort into an unrecoverable txn
+      preserveOnAbort: Boolean = false): Option[Long] = {
     val f = fs(spark, commitDir(table))
     f.mkdirs(new Path(commitDir(table)))
     // key travels base64'd: raw interpolation would corrupt the marker on
@@ -514,19 +627,22 @@ final class VersionedParquetSink(basePath: String,
               entries.lastOption.map(_.version).getOrElse(-1L))
           } else if (enforcedConstraints.exists(c =>
               entries.lastOption.flatMap(_.constraints) != c)) {
-            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            if (!preserveOnAbort)
+              f.delete(new Path(s"${tableDir(table)}/$unique"), true)
             throw new IllegalStateException(
               s"CHECK constraints on '$table' changed while this append " +
                 "was validating against the old set; retry the append")
           } else if (enforcedMapping.exists(m =>
               entries.lastOption.flatMap(_.mapping) != m)) {
-            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            if (!preserveOnAbort)
+              f.delete(new Path(s"${tableDir(table)}/$unique"), true)
             throw new IllegalStateException(
               s"column mapping on '$table' changed while this write baked " +
                 "physical column names from the old mapping; retry")
           } else if (enforcedGenerated.exists(g =>
               entries.lastOption.flatMap(_.generated) != g)) {
-            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            if (!preserveOnAbort)
+              f.delete(new Path(s"${tableDir(table)}/$unique"), true)
             throw new IllegalStateException(
               s"generated columns on '$table' changed while this write " +
                 "computed/validated against the old expressions; retry")
@@ -543,7 +659,8 @@ final class VersionedParquetSink(basePath: String,
                 entries.lastOption.flatMap(_.schemaDdl).map(StructType.fromDDL),
                 StructType.fromDDL(schemaDdl), allowEvolution)
               catch { case e: Throwable =>
-                f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+                if (!preserveOnAbort)
+                  f.delete(new Path(s"${tableDir(table)}/$unique"), true)
                 throw e
               }
             }
@@ -1471,10 +1588,38 @@ final class VersionedParquetSink(basePath: String,
     val td = new Path(tableDir(table))
     if (!f.exists(td)) return 0
     val entries = manifest(spark, table)
-    val keep: Set[String] =
-      if (!includeSuperseded) entries.map(_.dir).toSet
-      else liveEntries(entries).map(_.dir).toSet // = readAt(MaxValue) scan set
+    // Staged dirs named by a pending `_txn` manifest are NOT orphans:
+    // the transaction passed its commit point, so the batch is durable
+    // for every table and recovery WILL claim these dirs — deleting one
+    // would make all-or-none unrestorable. Quarantined (`.failed`)
+    // manifests keep their dirs too, for manual repair; deleting the
+    // quarantined manifest releases them to a later vacuum.
+    val txnStagedDirs: Set[String] = {
+      val fb = fs(spark, basePath)
+      val d = new Path(txnDir)
+      if (!fb.exists(d)) Set.empty
+      else fb.listStatus(d).toSeq.filter(st => st.isFile &&
+          (st.getPath.getName.endsWith(".json") ||
+            st.getPath.getName.endsWith(".json.failed")))
+        .flatMap { st =>
+          VersionedParquetSink.Staged
+            .parseTxn(readSmallFile(spark, st.getPath.toString))._2
+            .filter(_.table == table).map(_.unique)
+        }.toSet
+    }
+    val keep: Set[String] = txnStagedDirs ++
+      (if (!includeSuperseded) entries.map(_.dir).toSet
+       else liveEntries(entries).map(_.dir).toSet) // = readAt(MaxValue) scan set
     val now = System.currentTimeMillis()
+    // `_txn/.tmp-*` files are writers that died BEFORE the manifest
+    // rename (= before the commit point): true orphans after the grace
+    // period, same rule as uncommitted data dirs
+    val fb = fs(spark, basePath)
+    val txnD = new Path(txnDir)
+    if (fb.exists(txnD)) fb.listStatus(txnD).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-"))
+      .filter(st => now - st.getModificationTime >= graceMs)
+      .foreach(st => fb.delete(st.getPath, false))
     f.listStatus(td).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
       .filter(st => !keep.contains(st.getPath.getName))

@@ -97,6 +97,91 @@ class MultiTableTxnSpec extends AnyFunSuite {
       .exists(_.getName.endsWith(".json")))
   }
 
+  test("vacuum(graceMs=0) mid-transaction keeps staged dirs; recovery heals") {
+    val base = TestSpark.tmpDir("txnvac")
+    val sink = new VersionedParquetSink(base)
+    sink.multiAppendOnce(Seq(batch(2) -> "a", batch(2) -> "b"), "seed")
+    sink.txnClaimHook = t =>
+      if (t == "b") throw new RuntimeException("die")
+    intercept[RuntimeException] {
+      sink.multiAppendOnce(Seq(batch(3) -> "a", batch(3) -> "b"), "kv")
+    }
+    sink.txnClaimHook = _ => ()
+    // the hostile vacuum: zero grace, while b's staged dir is unclaimed
+    // but named by the pending _txn manifest — it must NOT be collected
+    assert(sink.vacuum(spark, "b", graceMs = 0L) == 0,
+      "vacuum must keep staged dirs of a committed-but-unclaimed txn")
+    assert(sink.vacuum(spark, "a", graceMs = 0L) == 0)
+    val healed = new VersionedParquetSink(base).recoverTransactions(spark)
+    assert(healed == 1, s"expected 1 healed claim, got $healed")
+    assert(sink.read(spark, "a").count() == 5)
+    assert(sink.read(spark, "b").count() == 5)
+    // once claimed, the dirs are manifest-committed; vacuum still no-ops
+    assert(sink.vacuum(spark, "b", graceMs = 0L) == 0)
+  }
+
+  test("ADD CONSTRAINT racing past the commit point: recovery rolls forward") {
+    val base = TestSpark.tmpDir("txngov")
+    val sink = new VersionedParquetSink(base)
+    sink.multiAppendOnce(Seq(batch(2) -> "a", batch(2) -> "b"), "seed")
+    sink.txnClaimHook = t =>
+      if (t == "b") throw new RuntimeException("die")
+    intercept[RuntimeException] {
+      sink.multiAppendOnce(Seq(batch(3) -> "a", batch(3) -> "b"), "kg")
+    }
+    sink.txnClaimHook = _ => ()
+    // governance changes AFTER the txn's commit point: the staged rows
+    // (id 0..2) SATISFY the new constraint, so recovery must re-validate
+    // and roll forward, not poison-pill
+    sink.addConstraint(spark, "b", "id_nonneg", "id >= 0")
+    val healed = new VersionedParquetSink(base).recoverTransactions(spark)
+    assert(healed == 1, s"expected 1 rolled-forward claim, got $healed")
+    assert(sink.read(spark, "b").count() == 5)
+    // the rolled-forward commit is pinned to the NEW constraint set:
+    // a later violating append still trips it
+    val e = intercept[Exception] {
+      sink.append(Seq((-1L, "bad")).toDF("id", "v"), "b") }
+    assert(e.getMessage != null)
+    assert(sink.multiAppendOnce( // store is healthy, not poisoned
+      Seq(batch(1) -> "a", batch(1) -> "b"), "kg2"))
+  }
+
+  test("unsatisfiable governance race quarantines loudly, never poisons") {
+    val base = TestSpark.tmpDir("txnquar")
+    val sink = new VersionedParquetSink(base)
+    // seed rows satisfy the constraint added later; only the in-flight
+    // staged rows violate it
+    val seed = batch(2).withColumn("id", $"id" + 100L)
+    sink.multiAppendOnce(Seq(seed -> "a", seed -> "b"), "seed")
+    sink.txnClaimHook = t =>
+      if (t == "b") throw new RuntimeException("die")
+    intercept[RuntimeException] {
+      sink.multiAppendOnce(Seq(batch(3) -> "a", batch(3) -> "b"), "kq")
+    }
+    sink.txnClaimHook = _ => ()
+    // the staged rows (id 0..2) VIOLATE the new constraint: roll-forward
+    // is impossible — all-or-none has degraded to partial, permanently
+    sink.addConstraint(spark, "b", "id_big", "id >= 100")
+    val e = intercept[IllegalStateException] {
+      new VersionedParquetSink(base).recoverTransactions(spark) }
+    assert(e.getMessage.contains("quarantined"), e.getMessage)
+    assert(e.getMessage.contains("PARTIALLY applied"), e.getMessage)
+    val txnFiles = new java.io.File(s"$base/_txn").listFiles()
+    assert(txnFiles.exists(_.getName.endsWith(".json.failed")),
+      "manifest must be quarantined as .failed")
+    assert(!txnFiles.exists(_.getName.endsWith(".json")))
+    // the store is NOT poisoned: recovery is clean, new txns proceed
+    assert(sink.recoverTransactions(spark) == 0)
+    assert(sink.multiAppendOnce(
+      Seq(batch(1) -> "a",
+        batch(4).withColumn("id", $"id" + 100L) -> "b"), "kq2"))
+    // quarantined staged dir survives vacuum (manual repair evidence)
+    // until the .failed manifest itself is removed
+    assert(sink.vacuum(spark, "b", graceMs = 0L) == 0)
+    txnFiles.filter(_.getName.endsWith(".failed")).foreach(_.delete())
+    assert(sink.vacuum(spark, "b", graceMs = 0L) == 1)
+  }
+
   test("pipeline batch rides the transaction on the versioned sink") {
     val feeds = TestSpark.tmpDir("txnfeeds")
     java.nio.file.Files.write(java.nio.file.Paths.get(feeds, "b.json"),
