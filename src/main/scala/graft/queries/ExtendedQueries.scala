@@ -375,8 +375,10 @@ object ExtendedQueries {
     // End-to-end dedup materialization: drop every non-canonical member
     // of each near-dup cluster (jaccard >= 0.8 graph, component min is
     // the keeper) — the query that actually SHRINKS the corpus, composing
-    // shingle join + connected components + anti-join. At scale the
-    // anti-join broadcasts the (tiny) victim set.
+    // shingle join + connected components + anti-join. The victim set is
+    // O(corpus x dup-rate) — corpus-proportional, NOT broadcast-safe at
+    // 100 TB — so the anti-join stays an unhinted shuffle join on doc_id;
+    // AQE still broadcasts it at runtime while it is genuinely small.
     Q("q_dedup_keep",
       (s, d) => {
         val edges = NorthStarQueries.scoredPairs(s, d)
@@ -386,7 +388,7 @@ object ExtendedQueries {
           .filter(col("vertex") =!= col("component"))
           .select(col("vertex").as("doc_id"))
         Tables.documents(s, d)
-          .join(broadcast(victims), Seq("doc_id"), "left_anti")
+          .join(victims, Seq("doc_id"), "left_anti")
           .select("doc_id", "source")
           .orderBy("doc_id")
       },
@@ -447,8 +449,11 @@ object ExtendedQueries {
           .groupBy("d1", "d2").agg(r4(max("est")).as("est"))
         // shingled() is distinct-per-doc by construction — no re-distinct
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // cands is O(LSH candidate pairs) — measured linear in corpus
+        // (100x probe exponent 0.94/decade) — so no broadcast hint: a
+        // shuffle join on d1 scales, and AQE broadcasts while small
         val inter = sh.select(col("doc_id").as("d1"), col("s"))
-          .join(broadcast(cands.select("d1", "d2")), "d1")
+          .join(cands.select("d1", "d2"), "d1")
           .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
         cands

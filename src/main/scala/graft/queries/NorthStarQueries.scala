@@ -742,7 +742,9 @@ object NorthStarQueries {
     // tells you WHICH crawl source is spamming near-duplicates — share
     // of each source's docs that are non-canonical members of a near-dup
     // group (vertex != component label). Reuses the shared pair/CC
-    // machinery; one broadcast-sized join onto documents, one groupBy.
+    // machinery; the dup set is O(corpus x dup-rate) so the join onto
+    // documents is an unhinted shuffle join on doc_id (AQE broadcasts
+    // it at runtime while genuinely small), then one groupBy.
     Q("q_dup_rate_source",
       (s, d) => {
         val edges = scoredPairs(s, d)
@@ -752,7 +754,7 @@ object NorthStarQueries {
           .filter(col("vertex") =!= col("component"))
           .select(col("vertex").as("doc_id"), lit(1).as("is_dup"))
         Tables.documents(s, d)
-          .join(broadcast(dups), Seq("doc_id"), "left")
+          .join(dups, Seq("doc_id"), "left")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(coalesce(col("is_dup"), lit(0))).cast("long").as("n_dups"))

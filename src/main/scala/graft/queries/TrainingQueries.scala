@@ -400,7 +400,11 @@ object TrainingQueries {
     // bigram stream builds the model, one more probes it); per-doc
     // means go through 1e-6-floor-rounded DECIMAL terms so the sum is
     // order-independent (ln parity at 4-6 decimals is the q_tfidf
-    // precedent). Bottom-25 by score with doc_id tie-break.
+    // precedent). Bottom-25 by score with doc_id tie-break. The model
+    // tables are vocab-bounded but still grow with corpus breadth, so
+    // the probe joins carry no broadcast hint: they shuffle on the
+    // model key (bigram / w1) and AQE broadcasts while the model is
+    // genuinely under threshold.
     Q("q_lm_score",
       (s, d) => {
         def bigrams = Tables.documents(s, d)
@@ -414,9 +418,9 @@ object TrainingQueries {
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
           .groupBy("w1").agg(sum("cb").as("cu"))
         bigrams
-          .join(broadcast(bc), Seq("bigram"))
+          .join(bc, Seq("bigram"))
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
-          .join(broadcast(uc), Seq("w1"))
+          .join(uc, Seq("w1"))
           .withColumn("l",
             (floor(log(col("cb") / col("cu")) * 1000000 + 0.5) / 1000000)
               .cast("decimal(18,6)"))

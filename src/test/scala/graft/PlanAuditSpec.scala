@@ -86,6 +86,23 @@ class PlanAuditSpec extends AnyFunSuite {
       pe.contains("ShuffledHashJoin"), s"pair join lost its equi key:\n$pe")
   }
 
+  test("no forced broadcast hints on corpus-proportional sides") {
+    // A broadcast() hint on a side that grows with the corpus (dedup
+    // victims, LSH candidate pairs, dup members, the LM model tables)
+    // forces a driver collect that dies on maxResultSize/OOM at 100 TB.
+    // These four queries must carry NO join hint at all — the optimized
+    // logical plan decides from statistics (and AQE re-decides at
+    // runtime), so a genuinely small side still broadcasts at sf0.1
+    // while the same plan degrades gracefully to a shuffle join at scale.
+    for (q <- Seq("q_dedup_keep", "q_minhash_est", "q_dup_rate_source",
+        "q_lm_score")) {
+      val lp = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!lp.toLowerCase.contains("hint"),
+        s"$q still carries a forced join hint:\n$lp")
+    }
+  }
+
   test("multi-probe IVF: candidates join on cell (keyed), top-k window-pruned") {
     val p = plan("q_ivf_probe2")
     // the only unkeyed joins are against the k-row centroid table
