@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through the engine's V1 relation (stats skipping + vectorized
     // parquet), exactly like format("graft") loads.
     ext.injectResolutionRule(s => graft.plans.GraftCatalogReads(s))
+    // SQL UPDATE / MERGE INTO on catalog tables: the resolved logical
+    // DML commands become sink operations (merge-on-read update, keyed
+    // serializable merge) via the Delta-style command substitution.
+    ext.injectResolutionRule(s => graft.plans.GraftDmlRewrite(s))
   }
 }
 

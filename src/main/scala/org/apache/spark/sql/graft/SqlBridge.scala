@@ -45,4 +45,29 @@ object SqlBridge {
       LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
         isStreaming = false))
   }
+
+  /** A resolved logical plan as a DataFrame (the SQL DML commands
+    * execute their captured MERGE source plan this way). */
+  def frameOf(spark: SparkSession, plan:
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A resolved expression as a Column usable on the SAME plan it was
+    * resolved against (exprIds preserved). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.Column = classic.ExpressionUtils.column(e)
+
+  /** A resolved expression as a Column REBOUND BY NAME: every attribute
+    * reference becomes unresolved again, so the column can be applied to
+    * a different scan of the same table (the SQL UPDATE command captures
+    * its WHERE/SET expressions at analysis time but evaluates them
+    * against the sink's own fresh read). */
+  def rebindableColumn(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    })
 }

@@ -176,6 +176,114 @@ class CatalogSpec extends AnyFunSuite {
       == 6)
   }
 
+  test("SQL UPDATE rides the merge-on-read path, composes with DVs") {
+    val base = catalog("gupd")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq.tabulate(10)(i => (i.toLong, s"r$i", 0L))
+      .toDF("id", "v", "hits"), "t")
+    // SET expressions may reference existing columns; WHERE is any
+    // predicate; literals align to the column's declared type
+    spark.sql("UPDATE gupd.t SET hits = hits + 1, v = concat(v, '!') " +
+      "WHERE id >= 7")
+    val rows = spark.sql("SELECT * FROM gupd.t ORDER BY id").collect()
+    assert(rows.length == 10)
+    assert(rows.filter(_.getLong(0) >= 7).forall(r =>
+      r.getLong(2) == 1L && r.getString(1).endsWith("!")))
+    assert(rows.filter(_.getLong(0) < 7).forall(r =>
+      r.getLong(2) == 0L && !r.getString(1).endsWith("!")))
+    // merge-on-read: an update commit (mask + images), not a rewrite
+    val op = spark.sql(
+      "SELECT operation FROM gupd.t.history ORDER BY version DESC")
+      .head().getString(0)
+    assert(op.toLowerCase.contains("update"),
+      s"expected an update commit, got $op")
+    // time travel below the update shows the old images
+    assert(spark.sql(
+      "SELECT sum(hits) AS s FROM gupd.t VERSION AS OF 0")
+      .head().getLong(0) == 0L)
+    // an unfiltered UPDATE touches every row
+    spark.sql("UPDATE gupd.t SET hits = 9")
+    assert(spark.sql("SELECT sum(hits) AS s FROM gupd.t")
+      .head().getLong(0) == 90L)
+    // stacks with a DV delete
+    spark.sql("DELETE FROM gupd.t WHERE id = 0")
+    spark.sql("UPDATE gupd.t SET hits = 0 WHERE id = 1")
+    assert(spark.sql("SELECT sum(hits) AS s FROM gupd.t")
+      .head().getLong(0) == 72L)
+    assert(spark.sql("SELECT count(*) AS n FROM gupd.t")
+      .head().getLong(0) == 9)
+  }
+
+  test("SQL MERGE INTO: upsert, update-only, delete, insert-only arms") {
+    val base = catalog("gmrg")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n"), "t")
+    Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("id", "v", "n")
+      .createOrReplaceTempView("src")
+    // the CDC upsert shape: SET * / INSERT *
+    spark.sql("""MERGE INTO gmrg.t USING src ON t.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT * FROM gmrg.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+    // update-only: unmatched source rows do NOT insert
+    Seq((3L, "C", 300L), (9L, "x", 90L)).toDF("id", "v", "n")
+      .createOrReplaceTempView("src2")
+    spark.sql("""MERGE INTO gmrg.t USING src2 ON t.id = src2.id
+      WHEN MATCHED THEN UPDATE SET *""")
+    val afterUpd = spark.sql("SELECT * FROM gmrg.t ORDER BY id").collect()
+    assert(afterUpd.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(afterUpd(2).getString(1) == "C")
+    // matched-delete + insert of unmatched rows, one commit
+    Seq((4L, "-", 0L), (5L, "e", 50L)).toDF("id", "v", "n")
+      .createOrReplaceTempView("src3")
+    spark.sql("""MERGE INTO gmrg.t USING src3 ON t.id = src3.id
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT * FROM gmrg.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    // insert-only (no matched arm): existing rows untouched
+    Seq((3L, "zz", 0L), (6L, "f", 60L)).toDF("id", "v", "n")
+      .createOrReplaceTempView("src4")
+    spark.sql("""MERGE INTO gmrg.t USING src4 ON t.id = src4.id
+      WHEN NOT MATCHED THEN INSERT *""")
+    val fin = spark.sql("SELECT * FROM gmrg.t ORDER BY id").collect()
+    assert(fin.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L, 6L))
+    assert(fin(2).getString(1) == "C") // 3 not overwritten by insert-only
+    // every verb above is a versioned commit — time travel intact
+    assert(spark.sql("SELECT * FROM gmrg.t VERSION AS OF 0").count() == 3)
+  }
+
+  test("MERGE INTO rejects unsupported arms loudly") {
+    val base = catalog("gmrgx")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1L, "a")).toDF("id", "v"), "t")
+    Seq((1L, "A")).toDF("id", "v").createOrReplaceTempView("msrc")
+    // conditional arms
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO gmrgx.t USING msrc ON t.id = msrc.id
+        WHEN MATCHED AND t.v = 'a' THEN UPDATE SET *""")
+    }
+    assert(e1.getMessage.contains("conditional"), e1.getMessage)
+    // non-equi ON
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO gmrgx.t USING msrc ON t.id > msrc.id
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(e2.getMessage.contains("conjunction"), e2.getMessage)
+    // WHEN NOT MATCHED BY SOURCE
+    val e3 = intercept[Exception] {
+      spark.sql("""MERGE INTO gmrgx.t USING msrc ON t.id = msrc.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e3.getMessage.contains("NOT MATCHED BY SOURCE"), e3.getMessage)
+    // nothing was committed by any rejected statement
+    assert(spark.sql("SELECT v FROM gmrgx.t").head().getString(0) == "a")
+  }
+
   test("CTAS and the V1Scan fallback (no extensions rule needed)") {
     catalog("gctas")
     spark.sql("CREATE TABLE gctas.sq AS SELECT id, id * id AS sq " +
