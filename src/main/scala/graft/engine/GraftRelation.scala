@@ -31,50 +31,44 @@ import graft.engine.VersionedParquetSink.{ColumnMapping, Commit}
   */
 object GraftRelation {
 
-  /** Masks beyond this total size abort planning (compact first): the
-    * per-file positions ride the serialized scan function to executors,
-    * and a mask this large means a materializing rewrite is overdue
-    * anyway. Delta's own DV descriptors ride the scan the same way. */
-  private[engine] val MaxPlannedMaskBytes: Long = 64L * 1024 * 1024
-
   /** Build the relation for `table` as of `version` (Long.MaxValue =
-    * latest). Live deletion vectors / merge-on-read updates COMPOSE:
-    * their (path, row-position) masks are loaded at plan time (bounded
-    * by [[MaxPlannedMaskBytes]]) and applied inside the parquet reader
-    * per file (see [[GraftParquetFileFormat]]) — stats-based file
-    * skipping, column pruning and the full-predicate re-check above the
-    * scan all still engage; only pushed-down parquet filters and
-    * columnar batches are disabled, and only while a mask is live
-    * (row positions must be counted in file order, so masked files
-    * read every row group). */
+    * latest). Live deletion vectors / merge-on-read updates COMPOSE,
+    * Delta-DV style: planning collects only WHICH files carry a mask
+    * (one path string per masked file — never the positions), and each
+    * EXECUTOR resolves its own file's positions from the mask parquet
+    * (see [[GraftMasks.positionsFor]]) — so total mask size is
+    * unbounded at plan time; memory is per-file on the task that reads
+    * that file. Stats-based file skipping, column pruning and the
+    * full-predicate re-check above the scan all still engage; only
+    * pushed-down parquet filters (masked files only) and columnar
+    * batches are disabled while a mask is live (row positions must be
+    * counted in file order, so masked files read every row group). */
   def apply(spark: SparkSession, tableDir: String, entries: Seq[Commit],
       table: String): BaseRelation = {
     require(entries.nonEmpty, s"no committed versions for $table")
     val live = VersionedParquetSink.liveEntries(entries)
     val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
-    val masks: Map[String, Array[Long]] =
-      if (dvs.isEmpty) Map.empty
+    val masks: Option[GraftMasks] =
+      if (dvs.isEmpty) None
       else {
         val fs = new Path(tableDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val dirs = dvs.map(e =>
           s"$tableDir/${VersionedParquetSink.maskDir(e)}")
-        val bytes = dirs.map { d =>
-          val p = new Path(d)
-          if (fs.exists(p)) fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
-          else 0L
-        }.sum
-        require(bytes <= MaxPlannedMaskBytes,
-          s"table '$table' carries $bytes bytes of live deletion-vector " +
-            s"masks (planning bound $MaxPlannedMaskBytes); compact() to " +
-            "materialize them, or read via the sink API")
-        spark.read.schema("path STRING, pos BIGINT").parquet(dirs: _*)
-          .groupBy("path")
-          .agg(org.apache.spark.sql.functions.collect_list("pos").as("ps"))
-          .collect()
-          .map(r => r.getString(0) ->
-            r.getSeq[Long](1).toArray.sorted)
-          .toMap
+          .filter(d => fs.exists(new Path(d)))
+        if (dirs.isEmpty) None
+        else {
+          // one distributed pass for the masked-file SET (small: one
+          // string per masked file, independent of masked-row count)
+          val maskedPaths = spark.read.schema("path STRING, pos BIGINT")
+            .parquet(dirs: _*)
+            .select("path").distinct()
+            .collect().map(_.getString(0)).toSet
+          if (maskedPaths.isEmpty) None
+          else Some(GraftMasks(dirs, maskedPaths,
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sparkContext.hadoopConfiguration)))
+        }
       }
     forDirs(spark, tableDir, entries,
       live.filterNot(VersionedParquetSink.isDv), table, masks)
@@ -85,7 +79,7 @@ object GraftRelation {
     * scoped to one version range's append dirs. */
   def forDirs(spark: SparkSession, tableDir: String, entries: Seq[Commit],
       scan: Seq[Commit], table: String,
-      masks: Map[String, Array[Long]] = Map.empty): BaseRelation = {
+      masks: Option[GraftMasks] = None): BaseRelation = {
     require(entries.nonEmpty, s"no committed versions for $table")
     val logical = entries.lastOption.flatMap(_.schemaDdl) match {
       case Some(ddl) => StructType(
@@ -102,6 +96,54 @@ object GraftRelation {
       fileFormat = new GraftParquetFileFormat(
         mapping.map { case (l, e) => l -> e.physical }.toMap, masks),
       options = Map.empty)(spark)
+  }
+}
+
+/** The executor-resolved deletion-vector descriptor riding a masked
+  * scan (the Delta shape: the PLAN carries pointers, the TASK fetches
+  * its own file's positions). `maskDirs` are the live mask parquet
+  * directories; `maskedPaths` the table-relative paths of files with at
+  * least one masked row. Serializable and small — O(#masked files). */
+final case class GraftMasks(maskDirs: Seq[String],
+    maskedPaths: Set[String],
+    conf: org.apache.spark.util.SerializableConfiguration) {
+
+  /** All masked positions for ONE data file, read ON THE EXECUTOR from
+    * the mask parquet with a `path = <file>` record filter. The sink
+    * writes masks globally sorted by (path, pos), so parquet row-group
+    * statistics skip every block without this file's rows; legacy
+    * unsorted masks still answer correctly, just without skipping. */
+  def positionsFor(rel: String): java.util.HashSet[java.lang.Long] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.io.api.Binary
+    val dead = new java.util.HashSet[java.lang.Long]()
+    val pred = FilterApi.eq(FilterApi.binaryColumn("path"),
+      Binary.fromString(rel))
+    maskDirs.foreach { d =>
+      val dir = new Path(d)
+      val fs = dir.getFileSystem(conf.value)
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet")).foreach { st =>
+          val reader = ParquetReader
+            .builder(new GroupReadSupport(), st.getPath)
+            .withConf(conf.value)
+            .withFilter(FilterCompat.get(pred))
+            .build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              dead.add(g.getLong("pos", 0))
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+      }
+    }
+    dead
   }
 }
 
@@ -166,18 +208,28 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
   * (vectorized reader, row-group pushdown) do everything else. With an
   * empty mapping it is byte-identical to its parent.
   *
-  * `maskedFiles` carries any live deletion-vector masks as
-  * table-relative path -> sorted masked row positions (the Delta DV
-  * shape: positions within the immutable file, in row order). While
-  * nonempty, files become non-splittable and parquet filter pushdown
-  * is withheld for MASKED files only — a pushed filter would skip row
-  * groups and break position counting; the scan's own Filter node
-  * still applies the full predicate above — and columnar batch output
-  * is disabled scan-wide (position filtering is per row). Unmasked
-  * files in the same scan keep their pushed filters. */
+  * `masks` carries any live deletion-vector state as a
+  * [[GraftMasks]] descriptor — the masked-file SET plus pointers to the
+  * mask parquet; each task resolves its own file's positions on the
+  * executor (positions within the immutable file, in row order — the
+  * Delta DV shape). While present, masked files become non-splittable
+  * and parquet filter pushdown is withheld for MASKED files only — a
+  * pushed filter would skip row groups and break position counting;
+  * the scan's own Filter node still applies the full predicate above —
+  * and columnar batch output is disabled scan-wide (position filtering
+  * is per row). Unmasked files in the same scan keep their pushed
+  * filters and splittability. */
 final class GraftParquetFileFormat(mappingMap: Map[String, String],
-    maskedFiles: Map[String, Array[Long]] = Map.empty)
+    masks: Option[GraftMasks] = None)
     extends ParquetFileFormat {
+
+  private def maskedPaths: Set[String] =
+    masks.map(_.maskedPaths).getOrElse(Set.empty)
+
+  /** Table-relative form (`<commitDir>/<file>.parquet`) of a scan path
+    * — the key the mask's `path` column uses. */
+  private def relOf(path: String): String =
+    path.split('/').takeRight(2).mkString("/")
 
   private def phys(n: String): String = mappingMap.getOrElse(n, n)
   private def trans(s: StructType): StructType =
@@ -231,17 +283,18 @@ final class GraftParquetFileFormat(mappingMap: Map[String, String],
         "df.write.format(\"graft\").mode(\"append\").save(<path>) instead")
 
   /** Masked files must map 1:1 to read tasks so row positions can be
-    * counted from zero in file order. */
+    * counted from zero in file order; unmasked files still split. */
   override def isSplitable(sparkSession: SparkSession,
       options: Map[String, String], path: Path): Boolean =
-    maskedFiles.isEmpty && super.isSplitable(sparkSession, options, path)
+    !maskedPaths.contains(relOf(path.toString)) &&
+      super.isSplitable(sparkSession, options, path)
 
   /** Columnar batches bypass per-row iteration; while a mask is live
     * the scan returns rows (the vectorized reader still runs
     * underneath — only the batch hand-off is disabled). */
   override def supportBatch(sparkSession: SparkSession,
       schema: StructType): Boolean =
-    maskedFiles.isEmpty && super.supportBatch(sparkSession, schema)
+    maskedPaths.isEmpty && super.supportBatch(sparkSession, schema)
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession, dataSchema: StructType,
@@ -253,31 +306,31 @@ final class GraftParquetFileFormat(mappingMap: Map[String, String],
     val withFilters = super.buildReaderWithPartitionValues(sparkSession,
       trans(dataSchema), partitionSchema, trans(requiredSchema),
       filters.flatMap(transFilter(_)), options, hadoopConf)
-    if (maskedFiles.isEmpty) withFilters
-    else {
-      // masked files read with NO pushed filters: predicate pushdown
-      // skips row groups, which would desynchronize position counting
-      val noFilters = super.buildReaderWithPartitionValues(sparkSession,
-        trans(dataSchema), partitionSchema, trans(requiredSchema),
-        Nil, options, hadoopConf)
-      val masks = maskedFiles
-      file => {
-        // mask paths are `<commitDir>/<file>.parquet`, relative to the
-        // table dir — recover that suffix from the task's file path
-        val rel = file.urlEncodedPath.split('/').takeRight(2).mkString("/")
-        masks.get(rel) match {
-          case None => withFilters(file)
-          case Some(positions) =>
+    masks match {
+      case None => withFilters
+      case Some(m) =>
+        // masked files read with NO pushed filters: predicate pushdown
+        // skips row groups, which would desynchronize position counting
+        val noFilters = super.buildReaderWithPartitionValues(sparkSession,
+          trans(dataSchema), partitionSchema, trans(requiredSchema),
+          Nil, options, hadoopConf)
+        file => {
+          // mask paths are `<commitDir>/<file>.parquet`, relative to the
+          // table dir — recover that suffix from the task's file path
+          val rel = file.urlEncodedPath.split('/').takeRight(2)
+            .mkString("/")
+          if (!m.maskedPaths.contains(rel)) withFilters(file)
+          else {
             assert(file.start == 0,
               s"masked graft file $rel arrived as a split; " +
-                "isSplitable must return false while masks are live")
-            val dead = new java.util.HashSet[java.lang.Long](
-              math.max(16, positions.length * 2))
-            positions.foreach(p => dead.add(p))
+                "isSplitable must return false for masked files")
+            // EXECUTOR-side position fetch: only this file's mask rows
+            // are read (row-group skipping via the sorted mask layout)
+            val dead = m.positionsFor(rel)
             var idx = -1L
             noFilters(file).filter { _ => idx += 1; !dead.contains(idx) }
+          }
         }
-      }
     }
   }
 

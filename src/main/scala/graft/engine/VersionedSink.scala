@@ -905,7 +905,10 @@ final class VersionedParquetSink(basePath: String,
       val dv = matching(readAtPos(spark, table, baseV, keepPos = true))
         .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
       val unique = s"d-${UUID.randomUUID()}"
-      dv.write.mode(SaveMode.ErrorIfExists)
+      // globally sorted by (path, pos): executor-side mask resolution
+      // (GraftMasks.positionsFor) filters on path, and sortedness turns
+      // that into parquet row-group skipping
+      dv.sort("path", "pos").write.mode(SaveMode.ErrorIfExists)
         .parquet(s"${tableDir(table)}/$unique")
       commitLoop(spark, table, unique, commitKey,
         compacts = None,
@@ -979,6 +982,7 @@ final class VersionedParquetSink(basePath: String,
           .parquet(s"${tableDir(table)}/$unique")
         matched
           .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+          .sort("path", "pos") // row-group-skippable executor mask reads
           .write.mode(SaveMode.ErrorIfExists)
           .parquet(s"${tableDir(table)}/$unique/_dv")
         val ddl = entries.last.schemaDdl.getOrElse(
