@@ -5,15 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver testdata tables (TESTDATA.md).
   *
-  * All tables are plain parquet; `events.ts` is physically
-  * `timestamp[ns]`, which Spark's parquet reader rejects
-  * (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via the
-  * `nanosAsLong` legacy conf and truncate to microseconds — the same
-  * truncation DuckDB's reader applies — so oracle comparisons line up.
+  * All tables are plain parquet. `events.ts` has shipped in two
+  * physical generations: `timestamp[us]` (read natively — as
+  * TIMESTAMP_NTZ under Spark 4's default NTZ inference, which is also
+  * what DuckDB's reader sees) and `timestamp[ns]`, which Spark's
+  * parquet reader rejects (PARQUET_TYPE_ILLEGAL) — that one is read as
+  * raw nanos via the `nanosAsLong` legacy conf and truncated to
+  * microseconds, the same truncation DuckDB applies. The loader
+  * dispatches on the schema it actually finds, so both generations
+  * work unmodified.
   *
   * Scale notes: readers go through the vectorized parquet reader with
   * filter/column pushdown intact (no schema-mangling `.rdd` hops); at
   * cluster scale the same call works on a directory of many files.
+  * Native-timestamp `ts` keeps parquet min/max pruning for bare
+  * comparisons for free; predicates through `to_date`/tz casts are
+  * recovered by [[graft.plans.NanosRangePushdown]].
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -26,25 +33,34 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
-        // timestamp[ns] -> LongType nanos; integer `div` keeps full
-        // precision (a double round-trip would corrupt ~1.7e18 values).
-        // The conf is needed only while the relation is RESOLVED (schema
-        // conversion is eager); restore the caller's value afterwards so
-        // a shared session's later parquet reads aren't silently switched
-        // to raw-long nanos semantics. The set/restore window is
-        // serialized against OTHER Tables.load calls by the JVM lock
-        // below; a caller racing its own unrelated parquet reads against
-        // this load on the SAME session can still observe the flag —
-        // hosts that do that should pre-set the conf session-wide (as
-        // Verify/Bench/TestSpark do) or load tables single-threaded.
-        Tables.nanosConfLock.synchronized {
-          val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          try spark.read.parquet(path(sfDir, name))
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          finally prior match {
-            case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-            case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        // Dispatch on the physical `ts` type actually present:
+        //  - timestamp[us]: read natively (NTZ by default inference) —
+        //    zero conversion, parquet pushdown intact;
+        //  - LongType: a session with `nanosAsLong` pre-set read a
+        //    timestamp[ns] file as raw nanos — integer `div` keeps full
+        //    precision (a double round-trip would corrupt ~1.7e18
+        //    values);
+        //  - a PARQUET_TYPE_ILLEGAL throw: timestamp[ns] WITHOUT the
+        //    legacy conf — retry under a locked set/restore window (the
+        //    conf is only needed while the relation is RESOLVED; restore
+        //    the caller's value so the shared session's later parquet
+        //    reads aren't silently switched to raw-long semantics).
+        def normalize(df: DataFrame): DataFrame =
+          df.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case _ => df
+          }
+        try normalize(spark.read.parquet(path(sfDir, name)))
+        catch { case scala.util.control.NonFatal(_) =>
+          Tables.nanosConfLock.synchronized {
+            val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            try normalize(spark.read.parquet(path(sfDir, name)))
+            finally prior match {
+              case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+              case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            }
           }
         }
       case _ =>

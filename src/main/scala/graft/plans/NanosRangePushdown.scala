@@ -6,16 +6,24 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
-/** Recovers parquet filter pushdown for the `events.ts` nanos column.
+/** Recovers parquet filter pushdown for time predicates that compare a
+  * COMPUTED expression over a scan column instead of the column itself —
+  * without the implied bound the parquet source pushes nothing and every
+  * scan reads all row groups; at 100 TB that turns a day-slice query
+  * into a full-table read. Two chain families are handled:
   *
-  * `events.ts` is physically `timestamp[ns]`, which the engine reads as a
-  * raw `LongType` (`nanosAsLong`) and converts with
-  * `timestamp_micros(ts div 1000)` ([[graft.engine.Tables]]). Any time
-  * predicate then compares a COMPUTED expression, so the parquet source
-  * pushes nothing and every scan reads all row groups — at 100 TB that
-  * turns a day-slice query into a full-table read.
+  *  - the legacy `events.ts` nanos chain: physically `timestamp[ns]`,
+  *    read as a raw `LongType` (`nanosAsLong`) and converted with
+  *    `timestamp_micros(ts div 1000)` ([[graft.engine.Tables]]);
+  *  - casts over NATIVE timestamp columns (`timestamp[us]` testdata,
+  *    read as TIMESTAMP_NTZ): `to_date(ts) BETWEEN d1 AND d2` compares
+  *    `cast(ts as date)`, and comparing against a zoned literal inserts
+  *    `cast(ts as timestamp)` — neither cast shape is translated by the
+  *    V1 source, so both are peeled to an implied bound on the bare
+  *    column (exact at day boundaries for NTZ→date, which has no zone
+  *    dependence; one day of slack for the zone-dependent shapes).
   *
   * This optimizer rule conjoins, to such filters, an IMPLIED range
   * predicate on the underlying long column. A plain `attr cmp literal`
@@ -90,22 +98,30 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
       case _ => Nil
     }
     lowers.flatMap { isLower =>
-      peelDateCast(e, lit, isLower).flatMap { case (inner, bound) =>
-        chainAttr(inner, depth = 0).flatMap { attr =>
+      peelCast(e, lit, isLower).flatMap { case (inner, bound, peeled) =>
+        chainAttr(inner, depth = if (peeled) 1 else 0).flatMap { attr =>
           invert(inner, attr, bound, isLower).map { x =>
-            if (isLower) GreaterThanOrEqual(attr, Literal(x, LongType))
-            else LessThanOrEqual(attr, Literal(x, LongType))
+            if (isLower) GreaterThanOrEqual(attr, Literal(x, attr.dataType))
+            else LessThanOrEqual(attr, Literal(x, attr.dataType))
           }
         }
       }
     }
   }
 
-  /** If `e` is a cast-to-date of a timestamp chain, replace the date
-    * literal with a zone-safe inclusive timestamp bound and return the
-    * chain below the cast; otherwise pass through unchanged. */
-  private def peelDateCast(e: Expression, lit: Literal,
-      isLower: Boolean): Option[(Expression, Literal)] = e match {
+  /** If `e` is a whitelisted cast over a timestamp chain, replace the
+    * literal with an implied bound in the chain's own type and return
+    * the chain below the cast (plus a flag that a peel happened, which
+    * licenses a bare-attribute chain); otherwise pass through
+    * unchanged. Peels:
+    *  - ltz→date: inclusive timestamp bound with a day of slack
+    *    (zone offsets are within ±18 h);
+    *  - ntz→date: EXACT day-boundary bound — NTZ date truncation has no
+    *    zone dependence;
+    *  - ntz→ltz (comparison against a zoned literal): NTZ bound with a
+    *    day of slack over the literal's UTC micros. */
+  private def peelCast(e: Expression, lit: Literal,
+      isLower: Boolean): Option[(Expression, Literal, Boolean)] = e match {
     case c: Cast if c.dataType == DateType &&
         c.child.dataType == TimestampType =>
       lit match {
@@ -113,20 +129,44 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
           val micros =
             if (isLower) days * MicrosPerDay - ZoneSlackMicros
             else (days + 1L) * MicrosPerDay + ZoneSlackMicros
-          Some((c.child, Literal(micros, TimestampType)))
+          Some((c.child, Literal(micros, TimestampType), true))
+        case _ => None
+      }
+    case c: Cast if c.dataType == DateType &&
+        c.child.dataType == TimestampNTZType =>
+      lit match {
+        case Literal(days: Int, DateType) =>
+          val micros =
+            if (isLower) days * MicrosPerDay
+            else (days + 1L) * MicrosPerDay - 1L
+          Some((c.child, Literal(micros, TimestampNTZType), true))
+        case _ => None
+      }
+    case c: Cast if c.dataType == TimestampType &&
+        c.child.dataType == TimestampNTZType =>
+      lit match {
+        case Literal(utcMicros: Long, TimestampType) =>
+          val micros =
+            if (isLower) utcMicros - ZoneSlackMicros
+            else utcMicros + ZoneSlackMicros
+          Some((c.child, Literal(micros, TimestampNTZType), true))
         case _ => None
       }
     case _: Cast => None // other casts: not in the monotone whitelist
-    case _ => Some((e, lit))
+    case _ => Some((e, lit, false))
   }
 
-  /** The single raw long attribute under a monotone arithmetic chain;
-    * `depth > 0` rejects bare `attr cmp lit` conjuncts (nothing to
-    * derive — and the exclusion is what makes the rule idempotent). */
+  /** The single scan-column attribute under a monotone arithmetic
+    * chain. `depth > 0` rejects bare `attr cmp lit` conjuncts (nothing
+    * to derive — and the exclusion is what makes the rule idempotent);
+    * a peeled cast counts as depth, so `cast(ts as date) cmp lit` over
+    * a bare native column still derives. */
   @tailrec
   private def chainAttr(e: Expression, depth: Int): Option[AttributeReference] =
     e match {
-      case a: AttributeReference if a.dataType == LongType && depth > 0 =>
+      case a: AttributeReference if depth > 0 &&
+          (a.dataType == LongType || a.dataType == TimestampType ||
+            a.dataType == TimestampNTZType) =>
         Some(a)
       case MicrosToTimestamp(c) => chainAttr(c, depth + 1)
       case d: IntegralDivide => d.right match {
@@ -145,7 +185,7 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
     val template: Long => Expression = x => {
       val sub = chain.transform {
         case a: AttributeReference if a.exprId == attr.exprId =>
-          Literal(x, LongType)
+          Literal(x, attr.dataType)
       }
       if (isLower) GreaterThanOrEqual(sub, bound)
       else LessThanOrEqual(sub, bound)

@@ -43,8 +43,11 @@ object ExtendedQueries {
     Q("q_sessionize",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val gapUs = unix_micros(col("ts")) -
-          unix_micros(lag(col("ts"), 1).over(w))
+        // cast("timestamp") tolerates both testdata generations (NTZ
+        // native vs micros-converted LTZ); identical under the UTC
+        // session, and unix_micros requires the zoned type
+        val gapUs = unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
         Tables.events(s, d)
           .withColumn("new_s",
             when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0))

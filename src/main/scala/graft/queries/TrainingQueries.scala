@@ -206,7 +206,8 @@ object TrainingQueries {
           .distinct()
         first.join(active, Seq("user_id"))
           .select(date_format(col("w0"), "yyyy-MM-dd").as("cohort"),
-            ((unix_seconds(col("w")) - unix_seconds(col("w0"))) / 604800L)
+            ((unix_seconds(col("w").cast("timestamp")) -
+              unix_seconds(col("w0").cast("timestamp"))) / 604800L)
               .cast("long").as("week_k"))
           .groupBy("cohort", "week_k")
           .agg(count(lit(1)).as("n_users"))

@@ -39,7 +39,18 @@ object Funnel {
     * max event-time micros EVER seen for this user — the TTL anchor).
     * `maxTs` (not the batch max) arms the timeout, so a late but
     * within-watermark batch can never move the eviction point backward
-    * and evict a user who was active within the TTL. */
+    * and evict a user who was active within the TTL.
+    *
+    * STATE-SCHEMA VERSIONING: `maxTs` was added to this encoding (and
+    * to [[RetentionState]]) after the first release; Spark pins the
+    * state encoder schema inside each streaming checkpoint, so a
+    * checkpoint written BEFORE the field existed cannot be restored by
+    * this version — the restore fails loudly at state deserialization
+    * (it cannot silently misread: the row widths differ). Restart such
+    * queries from a fresh checkpoint and replay the source (offsets are
+    * commit versions, so a full replay is exact). Any FUTURE field
+    * must follow the same rule: append-with-default + note here, never
+    * reorder — and breaks old checkpoints the same way. */
   case class FunnelState(stage: Int, lastTs: Long,
       maxTs: Long = Long.MinValue)
 
@@ -143,7 +154,7 @@ object Funnel {
     val src = ttl.fold(events)(d => events.withWatermark("ts", d))
     src
       .select(col("user_id").cast("long"),
-        unix_seconds(date_trunc("week", col("ts"))).as("w"),
+        unix_seconds(date_trunc("week", col("ts")).cast("timestamp")).as("w"),
         // cohort label rendered HERE so it follows the session timezone
         // exactly like the batch q_retention's date_format path
         date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wl"),
@@ -185,7 +196,7 @@ object Funnel {
     val src = ttl.fold(events)(d => events.withWatermark("ts", d))
     src
       .select(col("user_id").cast("long"), col("event_type"),
-        unix_micros(col("ts")).as("t"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
         col("ts")) // raw watermarked column, see weeklyRetention
       .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
         col("t").isNotNull)

@@ -84,6 +84,9 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") == before,
       "load must not leak the legacy conf into the session")
     assert(df.count() > 0)
-    assert(df.schema("ts").dataType.typeName == "timestamp")
+    // nanos-generation data converts to zoned timestamp; native
+    // timestamp[us] reads as NTZ — both are micros-precision wall time
+    assert(Set("timestamp", "timestamp_ntz")
+      .contains(df.schema("ts").dataType.typeName))
   }
 }
