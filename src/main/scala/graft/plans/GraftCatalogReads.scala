@@ -43,7 +43,7 @@ case class GraftCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
       val t = r.table.asInstanceOf[GraftTable]
       org.apache.spark.sql.graft.SqlBridge.relationWithOutput(
         t.sink.baseRelation(spark, t.table, t.versionAsOf, t.timestampAsOf),
-        r.output)
+        r.output, Some(t.catalogDescriptor))
     case other => other.withNewChildren(other.children.map(rewrite))
   }
 }

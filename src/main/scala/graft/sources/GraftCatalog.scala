@@ -94,7 +94,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = ident.namespace match {
     case Array() if sink.exists(spark, ident.name) =>
-      new GraftTable(base, ident.name, None, None)
+      new GraftTable(base, ident.name, None, None, Some(catalogName))
     case Array(t) if ident.name == "history" && sink.exists(spark, t) =>
       new GraftHistoryTable(base, t)
     case _ => throw new NoSuchTableException(ident)
@@ -103,7 +103,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   /** `VERSION AS OF <v>` (the analyzer hands the literal as a string). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(base, ident.name, Some(version.toLong), None)
+    new GraftTable(base, ident.name, Some(version.toLong), None,
+      Some(catalogName))
   }
 
   /** `TIMESTAMP AS OF <ts>` (epoch MICROS, per the DSv2 contract). */
@@ -112,7 +113,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(base, ident.name, None,
       Some(java.time.Instant.ofEpochSecond(
         Math.floorDiv(timestampMicros, 1000000L),
-        Math.floorMod(timestampMicros, 1000000L) * 1000L)))
+        Math.floorMod(timestampMicros, 1000000L) * 1000L)),
+      Some(catalogName))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -196,10 +198,53 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   * relation (see [[graft.plans.GraftCatalogReads]]). */
 final class GraftTable(val base: String, val table: String,
     val versionAsOf: Option[Long],
-    val timestampAsOf: Option[java.time.Instant])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    val timestampAsOf: Option[java.time.Instant],
+    val catalogName: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.graft.V1FallbackTable {
 
   private[graft] def sink = new VersionedParquetSink(base)
+
+  /** The catalog STREAMING face (Delta's own wiring shape): this is
+    * only consulted on streaming paths — `spark.readStream.table` in
+    * the analyzer's streaming relation branch, `writeStream.toTable`
+    * in `DataStreamWriter`'s fallback arm; batch resolution never
+    * looks at it. Both routes re-enter the engine through the V1
+    * `format("graft")` source/sink ([[GraftDataSource]]), so catalog
+    * streams get the exact offsets-are-versions source and the keyed
+    * exactly-once ACID sink the format face is tested on. The write
+    * face requires `.format("graft")` before `.toTable` (Spark
+    * enforces source == provider on the V1 fallback — the same
+    * requirement OSS Delta users hit). */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
+      s"cannot stream the time-traveled snapshot ${name()}; streaming " +
+        "reads follow the live table (use option(\"startingVersion\") " +
+        "on readStream.format(\"graft\") for a historical start point)")
+    catalogDescriptor
+  }
+
+  /** The table as a CatalogTable descriptor (identifier + provider +
+    * location + schema), with no streaming precondition — attached to
+    * substituted batch relations so catalog-management paths
+    * (refreshTable cache invalidation) keep working. */
+  private[graft] def catalogDescriptor:
+      org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      // the identifier must RE-RESOLVE through this catalog: after each
+      // committed micro-batch MicroBatchExecution refreshes the catalog
+      // table by this name (Catalog.refreshTable), so a dangling name
+      // would fail every batch post-commit (UnresolvedCatalogRelation
+      // also asserts a database part)
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        table, Some(catalogName.getOrElse("graft"))),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(locationUri = Some(
+          org.apache.spark.sql.catalyst.catalog.CatalogUtils
+            .stringToURI(s"${base.stripSuffix("/")}/$table"))),
+      schema = schema,
+      provider = Some("graft"))
 
   /** `DELETE FROM g.tbl WHERE ...` — the sink's deletion-vector path:
     * a metadata-speed positional mask commit, O(masked rows) written,

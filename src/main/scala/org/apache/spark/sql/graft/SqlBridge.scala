@@ -30,12 +30,19 @@ object SqlBridge {
     * must keep the V2 relation's exprIds so references above it stay
     * bound. */
   def relationWithOutput(relation: BaseRelation,
-      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]):
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      catalogTable: Option[
+        org.apache.spark.sql.catalyst.catalog.CatalogTable] = None):
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    // the CatalogTable descriptor keeps catalog-management paths alive
+    // on the substituted V1 relation — Catalog.refreshTable's cache
+    // invalidation does `.catalogTable.get` on LogicalRelation, so a
+    // bare substitution breaks every post-batch refresh of a streamed-
+    // into catalog table
     LogicalRelation(relation,
       output.map(_.asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.AttributeReference]),
-      None, isStreaming = false, stream = None)
+      catalogTable, isStreaming = false, stream = None)
 
   /** The micro-batch's rows rebound as a plain batch frame, for
     * Sink.addBatch. */
@@ -71,3 +78,14 @@ object SqlBridge {
           .quoted(a.name)
     })
 }
+
+/** Re-export of the `private[sql]` `V2TableWithV1Fallback` (the seam
+  * Delta's own `DeltaTableV2` rides for catalog streaming): a DSv2
+  * `Table` implementing this gets its `v1Table` substituted on BOTH
+  * streaming faces — the analyzer's streaming-relation branch
+  * (`readStream.table`) and `DataStreamWriter`'s fallback arm
+  * (`writeStream.toTable`) — while batch resolution ignores it
+  * entirely. Public subtrait so code outside `org.apache.spark.sql`
+  * can implement it. */
+trait V1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
