@@ -400,9 +400,24 @@ object DeltaLogMirror {
     }
     fs.delete(new Path(tmpDir), true)
     // _last_checkpoint is overwritten in place (the Delta recipe: it is
-    // advisory — a torn read just means the reader lists the log)
+    // advisory — a torn read just means the reader lists the log). A
+    // racing checkpointer that lost the rename above may still reach
+    // here for an OLDER version; the monotonic guard keeps the pointer
+    // from moving backwards (the residual read-then-write window only
+    // ever replays a pointer both racers just wrote — still forward).
+    val lcPath = new Path(logDir, "_last_checkpoint")
+    val prior: Long =
+      if (!fs.exists(lcPath)) -1L
+      else try {
+        val in = fs.open(lcPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    if (due <= prior) return
     val lc = s"""{"version":$due,"size":${built.length}}"""
-    val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    val out = fs.create(lcPath, true)
     try out.write(lc.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -95,7 +95,8 @@ final class VersionedParquetSink(basePath: String,
       str("op"), str("statsB64").filter(_.nonEmpty).map(b64),
       str("constraintsB64").filter(_.nonEmpty).map(b64),
       str("mappingB64").filter(_.nonEmpty).map(b64),
-      str("gensB64").filter(_.nonEmpty).map(b64), body)
+      str("gensB64").filter(_.nonEmpty).map(b64),
+      str("propsB64").filter(_.nonEmpty).map(b64), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -569,6 +570,11 @@ final class VersionedParquetSink(basePath: String,
       // same protocol as constraints
       newGenerated: Option[Option[String]] = None,
       enforcedGenerated: Option[Option[String]] = None,
+      // table properties (TBLPROPERTIES): inherit commit-to-commit like
+      // constraints; set by SET/UNSET TBLPROPERTIES metadata commits.
+      // Free-form annotations — no enforced variant (nothing validates
+      // against them)
+      newProps: Option[Option[String]] = None,
       // keep the staged dir when a governance/schema abort throws: a
       // multi-table transaction's dir is named by its `_txn` manifest,
       // and recovery needs the BYTES to re-validate and roll forward —
@@ -700,10 +706,14 @@ final class VersionedParquetSink(basePath: String,
               .getOrElse(entries.lastOption.flatMap(_.generated))
             val genField = effGenerated.map(g =>
               s""","gensB64":"${b64enc(g)}"""").getOrElse("")
+            val effProps: Option[String] = newProps
+              .getOrElse(entries.lastOption.flatMap(_.props))
+            val propsField = effProps.map(p =>
+              s""","propsB64":"${b64enc(p)}"""").getOrElse("")
             val out = f.create(tmp, true)
             try {
               out.write(
-                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField$genField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
+                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField$genField$propsField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
                   .getBytes(StandardCharsets.UTF_8))
             } finally out.close()
             val marker = new Path(s"${commitDir(table)}/$attempt.commit")
@@ -1130,6 +1140,46 @@ final class VersionedParquetSink(basePath: String,
           existing.filterNot(_._1 == name))))
     }
 
+  /** The table's TBLPROPERTIES (key -> value), empty if none were ever
+    * set. Properties travel in the commit log like constraints, so they
+    * survive checkpoints, compaction, and restore, and time travel sees
+    * the set as of the pinned version. */
+  def propertiesOf(spark: SparkSession, table: String): Map[String, String] =
+    VersionedParquetSink.Constraints.parse(
+      manifest(spark, table).lastOption.flatMap(_.props)).toMap
+
+  /** ALTER TABLE SET TBLPROPERTIES: merges `props` into the current
+    * set via a metadata-only commit (last writer wins per key).
+    * Returns the commit's version. */
+  def setProperties(spark: SparkSession, table: String,
+      props: Map[String, String],
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "properties", commitKey) { entries =>
+      val baseV = entries.last.version
+      val merged = (VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.props)).toMap ++ props).toSeq
+      commitMetadata(spark, table, commitKey, baseV,
+        readAt(spark, table, baseV).schema, constraints = None,
+        props = Some(VersionedParquetSink.Constraints.render(merged)),
+        opName = "properties")
+    }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES: removes `keys` (missing keys are
+    * ignored, matching Spark's IF EXISTS-less default for V2 tables).
+    * Returns the commit's version. */
+  def unsetProperties(spark: SparkSession, table: String,
+      keys: Seq[String], commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "properties", commitKey) { entries =>
+      val baseV = entries.last.version
+      val remaining = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.props))
+        .filterNot(kv => keys.contains(kv._1))
+      commitMetadata(spark, table, commitKey, baseV,
+        readAt(spark, table, baseV).schema, constraints = None,
+        props = Some(VersionedParquetSink.Constraints.render(remaining)),
+        opName = "properties")
+    }
+
   /** The table's generated columns (name -> SQL expression), empty if
     * none were ever declared. */
   def generatedColumnsOf(spark: SparkSession,
@@ -1361,6 +1411,7 @@ final class VersionedParquetSink(basePath: String,
       constraints: Option[Option[String]],
       mapping: Option[Option[String]] = None,
       generated: Option[Option[String]] = None,
+      props: Option[Option[String]] = None,
       opName: String = "constraint"): Long = {
     val unique = s"d-${UUID.randomUUID()}"
     // the commit's data dir exists (every reader/vacuum invariant over
@@ -1372,7 +1423,7 @@ final class VersionedParquetSink(basePath: String,
       cleanupOnKeyLoss = true, requireBase = Some(baseV),
       op = Some(opName), statsJson = None,
       newConstraints = constraints, newMapping = mapping,
-      newGenerated = generated)
+      newGenerated = generated, newProps = props)
       .orElse(commitKey.flatMap(k =>
         manifest(spark, table).find(_.key.contains(k)).map(_.version)))
       .getOrElse(throw new IllegalStateException(
@@ -1994,6 +2045,43 @@ final class VersionedParquetSink(basePath: String,
     }.toDF("version", "timestamp", "operation", "supersedes", "commitKey")
   }
 
+  /** DESCRIBE DETAIL (Delta parity): one row of table-level metadata —
+    * format, name, location, created/last-modified commit times, live
+    * file count and bytes, TBLPROPERTIES, current version, and the
+    * number of live deletion-vector commits awaiting materialization.
+    * Reads the commit log plus one listing per LIVE data dir (O(live
+    * files), like Delta computing the same from its log — never a data
+    * scan). Partition columns are always empty: graft tables version
+    * whole commits and cluster via Z-ORDER instead. */
+  def describeDetail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val entries = manifest(spark, table)
+    require(entries.nonEmpty, s"no committed versions for $table")
+    val live = liveEntries(entries)
+    val f = fs(spark, tableDir(table))
+    val dataFiles = live.filterNot(VersionedParquetSink.isDv).flatMap { e =>
+      val p = new Path(s"${tableDir(table)}/${e.dir}")
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    Seq((
+      "graft", table, tableDir(table),
+      entries.headOption.flatMap(_.ts)
+        .map(new java.sql.Timestamp(_)).orNull,
+      entries.lastOption.flatMap(_.ts)
+        .map(new java.sql.Timestamp(_)).orNull,
+      Seq.empty[String],
+      dataFiles.size.toLong,
+      dataFiles.map(_.getLen).sum,
+      propertiesOf(spark, table),
+      entries.last.version,
+      live.count(VersionedParquetSink.isDv).toLong))
+      .toDF("format", "name", "location", "createdAt", "lastModified",
+        "partitionColumns", "numFiles", "sizeInBytes", "properties",
+        "version", "numDeletionVectors")
+  }
+
   /** Streaming-source read (Delta streaming-source parity): the rows
     * appended in `(fromVersion, latest]`, plus the latest version to
     * feed back as the next cursor. Pure appends are served straight
@@ -2066,7 +2154,7 @@ object VersionedParquetSink {
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
       ts: Option[Long], op: Option[String], stats: Option[String],
       constraints: Option[String], mapping: Option[String],
-      generated: Option[String], raw: String)
+      generated: Option[String], props: Option[String], raw: String)
 
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */

@@ -34,11 +34,16 @@ import graft.engine.VersionedParquetSink
   *   SELECT * FROM g.events VERSION AS OF 3          -- time travel
   *   SELECT * FROM g.events TIMESTAMP AS OF '...'
   *   SELECT * FROM g.events.history                  -- DESCRIBE HISTORY
+  *   SELECT * FROM g.events.detail                   -- DESCRIBE DETAIL
   *   DELETE FROM g.events WHERE user_id = 7         -- deletion vector
   *   ALTER TABLE g.events ADD COLUMN source STRING
   *   ALTER TABLE g.events RENAME COLUMN source TO src
+  *   ALTER TABLE g.events SET TBLPROPERTIES ('team' = 'data')
   *   CALL g.optimize(table => 'events')              -- OPTIMIZE [ZORDER]
   *   CALL g.restore(table => 'events', version => 2)
+  *
+  *   spark.readStream.table("g.events")              -- streaming tail
+  *   df.writeStream.format("graft").toTable("g.events")
   * }}}
   *
   * Architecture (the Delta integration shape, rebuilt on public API):
@@ -97,6 +102,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       new GraftTable(base, ident.name, None, None, Some(catalogName))
     case Array(t) if ident.name == "history" && sink.exists(spark, t) =>
       new GraftHistoryTable(base, t)
+    case Array(t) if ident.name == "detail" && sink.exists(spark, t) =>
+      new GraftDetailTable(base, t)
     case _ => throw new NoSuchTableException(ident)
   }
 
@@ -134,6 +141,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // every later write schema-checks against it
     sink.append(s.createDataFrame(
       s.sparkContext.emptyRDD[Row], schema), ident.name)
+    // TBLPROPERTIES persist in the commit log (a second, metadata-only
+    // commit; harmless — properties merge). Spark mixes engine-reserved
+    // keys into this map; only user properties are stored.
+    val userProps = properties.asScala.view
+      .filterKeys(!GraftCatalog.ReservedProps.contains(_)).toMap
+    if (userProps.nonEmpty) sink.setProperties(s, ident.name, userProps)
     loadTable(ident)
   }
 
@@ -158,6 +171,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(d.fieldNames.length == 1,
           "graft DROP COLUMN supports top-level columns only")
         sink.dropColumn(spark, t, d.fieldNames.head)
+      case p: TableChange.SetProperty =>
+        sink.setProperties(spark, t, Map(p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        sink.unsetProperties(spark, t, Seq(p.property))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
           s"supported on graft tables")
@@ -309,7 +326,29 @@ final class GraftTable(val base: String, val table: String,
     }
   }
 
+  /** TBLPROPERTIES (current set from the commit log) plus the standard
+    * provider/location pair — the map behind SHOW TBLPROPERTIES and
+    * DESCRIBE EXTENDED. */
+  override def properties(): util.Map[String, String] = {
+    val spark = SparkSession.active
+    val stored =
+      try sink.propertiesOf(spark, table)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+    (stored ++ Map(
+      TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> s"${base.stripSuffix("/")}/$table")).asJava
+  }
+
   override def toString: String = s"GraftTable(${name()})"
+}
+
+object GraftCatalog {
+  /** Keys Spark itself mixes into createTable's property map — engine
+    * metadata, not user TBLPROPERTIES; never persisted. */
+  private[sources] val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION)
 }
 
 object GraftTable {
@@ -406,6 +445,38 @@ private final class GraftHistoryTable(base: String, table: String)
         override def schema: StructType = GraftHistoryTable.this.schema
         override def buildScan(): RDD[Row] =
           sink.history(context.sparkSession, table).rdd
+      }.asInstanceOf[T]
+  }
+}
+
+/** `g.<tbl>.detail` — DESCRIBE DETAIL as a metadata table (same
+  * pattern as `.history`): ONE row of table-level metadata straight
+  * from [[VersionedParquetSink.describeDetail]] — format, location,
+  * created/modified times, live file count/bytes, TBLPROPERTIES,
+  * current version, pending deletion vectors. Read-only. */
+private final class GraftDetailTable(base: String, table: String)
+    extends Table with SupportsRead {
+
+  private def sink = new VersionedParquetSink(base)
+
+  override def name(): String = s"$table.detail"
+
+  override lazy val schema: StructType =
+    sink.describeDetail(SparkSession.active, table).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap):
+      ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = schema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = GraftDetailTable.this.schema
+        override def buildScan(): RDD[Row] =
+          sink.describeDetail(context.sparkSession, table).rdd
       }.asInstanceOf[T]
   }
 }

@@ -95,6 +95,47 @@ class CatalogSpec extends AnyFunSuite {
     assert(h.head.getLong(2) == 1L)
   }
 
+  test("TBLPROPERTIES: CREATE ... TBLPROPERTIES, SET/UNSET, SHOW, survive compaction") {
+    val base = catalog("gp")
+    spark.sql("CREATE TABLE gp.t (id INT, v STRING) " +
+      "TBLPROPERTIES ('team' = 'data', 'pii' = 'false')")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES gp.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team").contains("data"))
+    assert(props().get("pii").contains("false"))
+    spark.sql("ALTER TABLE gp.t SET TBLPROPERTIES ('pii' = 'true', 'tier' = 'gold')")
+    assert(props().get("pii").contains("true"))
+    assert(props().get("tier").contains("gold"))
+    spark.sql("ALTER TABLE gp.t UNSET TBLPROPERTIES ('team')")
+    assert(!props().contains("team"))
+    // properties ride the commit log: compaction inherits them
+    spark.sql("INSERT INTO gp.t VALUES (1, 'a')")
+    new VersionedParquetSink(base).compact(spark, "t")
+    assert(props().get("tier").contains("gold"), "compaction dropped props")
+  }
+
+  test(".detail metadata table = DESCRIBE DETAIL") {
+    val base = catalog("gd")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    sink.append(Seq((3, "c")).toDF("id", "v"), "t")
+    sink.setProperties(spark, "t", Map("tier" -> "gold"))
+    sink.deleteVectored(spark, "t", $"id" === 1)
+    val d = spark.sql("SELECT * FROM gd.t.detail").collect()
+    assert(d.length == 1)
+    val r = d.head
+    assert(r.getAs[String]("format") == "graft")
+    assert(r.getAs[String]("name") == "t")
+    assert(r.getAs[String]("location").endsWith("/t"))
+    assert(r.getAs[Long]("numFiles") > 0)
+    assert(r.getAs[Long]("sizeInBytes") > 0)
+    assert(r.getAs[Map[String, String]]("properties")
+      .get("tier").contains("gold"))
+    assert(r.getAs[Long]("version") == 3L) // 2 appends + props + DV
+    assert(r.getAs[Long]("numDeletionVectors") == 1L)
+  }
+
   test("ALTER TABLE ADD/RENAME/DROP COLUMN are metadata-only commits") {
     val base = catalog("gddl")
     val sink = new VersionedParquetSink(base)
