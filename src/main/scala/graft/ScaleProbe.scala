@@ -162,8 +162,9 @@ object ScaleProbe {
         embCol.as("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // ts read as raw int64 nanos (nanosAsLong is set session-wide here)
-    // and written back as int64 — Tables.events treats both identically
+    // ts passes through in whatever physical generation the source has
+    // (native timestamp[us] today; raw int64 nanos on legacy data via
+    // the session-wide nanosAsLong) — Tables.events dispatches on both
     val ev = spark.read.parquet(s"$src/events.parquet")
     val ids = ev.agg(max("user_id"), max("event_id")).head()
     val (maxUser, maxEvent) = (ids.getLong(0) + 1, ids.getLong(1) + 1)
