@@ -40,7 +40,10 @@ case class GraftCatalogReads(spark: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable => around(u, u.table)
     case m: MergeIntoTable => around(m, m.targetTable)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-      val t = r.table.asInstanceOf[GraftTable]
+      // reader-option time travel (versionAsOf/timestampAsOf) composes
+      // here: the relation's options carry what spark.read.option(...)
+      // set, and the pinned table resolves them SQL-pins-win
+      val t = r.table.asInstanceOf[GraftTable].withOptionPins(r.options)
       org.apache.spark.sql.graft.SqlBridge.relationWithOutput(
         t.sink.baseRelation(spark, t.table, t.versionAsOf, t.timestampAsOf),
         r.output, Some(t.catalogDescriptor))

@@ -307,7 +307,22 @@ final class GraftTable(val base: String, val table: String,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap):
-      ScanBuilder = new GraftFallbackScanBuilder(this)
+      ScanBuilder = new GraftFallbackScanBuilder(withOptionPins(options))
+
+  /** Reader-option time travel (Delta parity):
+    * `spark.read.option("versionAsOf", 3).table("g.tbl")` /
+    * `option("timestampAsOf", ...)` pin the scan like SQL `VERSION AS
+    * OF` — without re-resolving the schema, so a pin across a schema
+    * change surfaces as the projection error naming the missing
+    * column rather than silently reading the wrong shape. SQL pins
+    * (already resolved through loadTable) win over options. */
+  private[graft] def withOptionPins(
+      options: CaseInsensitiveStringMap): GraftTable = {
+    val (v, ts) = GraftTable.optionPins(options)
+    if ((v.isEmpty && ts.isEmpty) ||
+      versionAsOf.isDefined || timestampAsOf.isDefined) this
+    else new GraftTable(base, table, v, ts, catalogName)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
@@ -353,6 +368,26 @@ object GraftCatalog {
 
 object GraftTable {
   import org.apache.spark.sql.functions.{col, lit}
+
+  /** Parse versionAsOf/timestampAsOf reader options (Delta's names).
+    * Timestamps accept ISO-8601 instants and the unzoned
+    * `yyyy-MM-dd HH:mm:ss` form (read as UTC, matching the engine's
+    * UTC-session convention). */
+  private[graft] def optionPins(options: CaseInsensitiveStringMap):
+      (Option[Long], Option[java.time.Instant]) = {
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val ts = Option(options.get("timestampAsOf")).map(parseInstant)
+    require(v.isEmpty || ts.isEmpty,
+      "specify either versionAsOf or timestampAsOf, not both")
+    (v, ts)
+  }
+
+  private def parseInstant(s: String): java.time.Instant =
+    try java.time.Instant.parse(s)
+    catch { case _: java.time.format.DateTimeParseException =>
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+    }
 
   /** V1 source filter -> Column, for the SQL DELETE face. `None` for
     * shapes outside the algebra (caught at canDeleteWhere). */

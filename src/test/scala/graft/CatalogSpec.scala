@@ -95,6 +95,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(h.head.getLong(2) == 1L)
   }
 
+  test("reader-option time travel: versionAsOf / timestampAsOf") {
+    val base = catalog("gv")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t") // v0
+    sink.append(Seq((2, "b")).toDF("id", "v"), "t") // v1
+    assert(spark.read.option("versionAsOf", 0).table("gv.t").count() == 1)
+    assert(spark.read.option("versionAsOf", 1).table("gv.t")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // un-pinned read still sees latest
+    assert(spark.read.table("gv.t").count() == 2)
+    // timestampAsOf at v0's commit instant sees only v0
+    val ts0 = spark.sql("SELECT timestamp FROM gv.t.history WHERE version = 0")
+      .collect().head.getTimestamp(0).toInstant
+    assert(spark.read.option("timestampAsOf", ts0.toString)
+      .table("gv.t").count() == 1)
+    // both pins at once is an error
+    intercept[Exception] {
+      spark.read.option("versionAsOf", 0)
+        .option("timestampAsOf", ts0.toString).table("gv.t").collect()
+    }
+  }
+
   test("TBLPROPERTIES: CREATE ... TBLPROPERTIES, SET/UNSET, SHOW, survive compaction") {
     val base = catalog("gp")
     spark.sql("CREATE TABLE gp.t (id INT, v STRING) " +
