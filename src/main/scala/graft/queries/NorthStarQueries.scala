@@ -940,6 +940,77 @@ object NorthStarQueries {
                      len(string_split(text, ' ')) * 10000 + 0.5::DOUBLE) / 10000 AS distinct_ratio
              FROM documents ORDER BY doc_id""")),
 
+    // per-document word-distribution Shannon entropy: the standard
+    // low-diversity filter (templated/repetitive text scores low). One
+    // explode + two map-side-combinable groupBys — shuffle keyed on
+    // (doc_id, word) then doc_id, both bounded by the corpus's token
+    // count, so the plan is one linear pass at any scale.
+    Q("q_entropy",
+      (s, d) => {
+        val cnt = docs(s, d)
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy("doc_id").agg(sum("c").as("n"))
+        cnt.join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg(r4(-sum((col("c") / col("n")) * log(col("c") / col("n"))))
+            .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+             c AS (SELECT doc_id, w, count(*)::DOUBLE AS c
+                   FROM t GROUP BY 1, 2),
+             n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+             SELECT c.doc_id,
+               floor(-sum((c.c / n.n) * ln(c.c / n.n)) * 10000 + 0.5::DOUBLE) / 10000 AS entropy
+             FROM c JOIN n ON c.doc_id = n.doc_id
+             GROUP BY c.doc_id ORDER BY c.doc_id""")),
+
+    // edit-distance verification of n-gram candidates: the exact-verify
+    // stage a fuzzy dedup pipeline runs AFTER candidate generation —
+    // per-pair cost is O(prefix^2) on the 512-char prefix and the pair
+    // count is bounded by the df-capped shingle join, so verification
+    // stays linear in candidates at any corpus size (never all-pairs).
+    Q("q_fuzzy_verify",
+      (s, d) => {
+        val cand = scoredPairs(s, d).filter(col("jaccard") >= 0.5)
+        val pre = docs(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 512).as("p"))
+        cand
+          .join(pre.select(col("doc_id").as("d1"), col("p").as("p1")), "d1")
+          .join(pre.select(col("doc_id").as("d2"), col("p").as("p2")), "d2")
+          .withColumn("edit_dist", levenshtein(col("p1"), col("p2")))
+          .select(col("d1"), col("d2"), col("jaccard"), col("edit_dist"),
+            r4(lit(1.0) - col("edit_dist") /
+              greatest(length(col("p1")), length(col("p2"))))
+              .as("edit_sim"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH $shingleCte,
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             pairs AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             cand AS (
+               SELECT d1, d2,
+                 floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
+               FROM pairs
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2),
+             pre AS (SELECT doc_id, substr(text, 1, 512) AS p FROM documents)
+             SELECT c.d1, c.d2, c.jaccard,
+               levenshtein(a.p, b.p) AS edit_dist,
+               floor((1.0 - levenshtein(a.p, b.p)::DOUBLE /
+                 greatest(length(a.p), length(b.p))) * 10000 + 0.5::DOUBLE) / 10000 AS edit_sim
+             FROM cand c
+             JOIN pre a ON a.doc_id = c.d1
+             JOIN pre b ON b.doc_id = c.d2
+             WHERE c.jaccard >= 0.5
+             ORDER BY c.d1, c.d2""")),
+
     // language-ID heuristic: English stopword density
     Q("q_lang_id",
       (s, d) => docs(s, d)
