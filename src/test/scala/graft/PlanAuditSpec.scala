@@ -107,6 +107,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("entropy is two keyed shuffles, no window, no cartesian") {
+    // (doc_id, word) counts then doc_id totals — both map-side
+    // combinable HashAggregates; a window or cartesian here would make
+    // the linear pass super-linear at scale
+    val p = finalPlan("q_entropy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("fuzzy verify: equi-keyed joins only, no hint, no cartesian") {
+    // candidates come from the df-capped shingle equi-join; the two
+    // prefix lookups join on doc_id. Any cartesian or forced hint means
+    // the verify stage stopped being O(candidates).
+    val p = finalPlan("q_fuzzy_verify")
+    assert(!p.contains("CartesianProduct"), p)
+    val lp = SparkEntry.queries("q_fuzzy_verify")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.toLowerCase.contains("hint"), lp)
+  }
+
   test("multi-probe IVF: candidates join on cell (keyed), top-k window-pruned") {
     val p = plan("q_ivf_probe2")
     // the only unkeyed joins are against the k-row centroid table
