@@ -1638,7 +1638,7 @@ final class VersionedParquetSink(basePath: String,
     * gone), exactly as it truncates time travel — Delta's VACUUM has the
     * same effect on its CDF retention. */
   def vacuum(spark: SparkSession, table: String, graceMs: Long = 3600000L,
-      includeSuperseded: Boolean = false): Int = {
+      includeSuperseded: Boolean = false, dryRun: Boolean = false): Int = {
     val f = fs(spark, tableDir(table))
     val td = new Path(tableDir(table))
     if (!f.exists(td)) return 0
@@ -1674,12 +1674,14 @@ final class VersionedParquetSink(basePath: String,
     if (fb.exists(txnD)) fb.listStatus(txnD).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-"))
       .filter(st => now - st.getModificationTime >= graceMs)
-      .foreach(st => fb.delete(st.getPath, false))
+      .foreach(st => if (!dryRun) fb.delete(st.getPath, false))
+    // dryRun (Delta's VACUUM ... DRY RUN): report what WOULD be deleted,
+    // touch nothing
     f.listStatus(td).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
       .filter(st => !keep.contains(st.getPath.getName))
       .filter(st => now - st.getModificationTime >= graceMs)
-      .map { st => f.delete(st.getPath, true); 1 }.sum
+      .map { st => if (!dryRun) f.delete(st.getPath, true); 1 }.sum
   }
 
   override def appendPartitioned(df: DataFrame, table: String,

@@ -554,16 +554,22 @@ private object GraftProcedures {
           Seq(s"restored '$t' to v${row.getLong(1)} as version $v")
         }))
       case "vacuum" => Some(proc("vacuum",
-        "Delete unreferenced data directories older than retain_hours",
+        "Delete unreferenced data directories older than retain_hours " +
+          "(dry_run => true reports without deleting)",
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("retain_hours", LongType)
-            .defaultValue("1").build()),
+            .defaultValue("1").build(),
+          ProcedureParameter.in("dry_run",
+            org.apache.spark.sql.types.BooleanType)
+            .defaultValue("false").build()),
         { (spark, row) =>
           val t = row.getUTF8String(0).toString
+          val dry = !row.isNullAt(2) && row.getBoolean(2)
           val n = cat.sink.vacuum(spark, t,
-            graceMs = row.getLong(1) * 3600000L)
-          Seq(s"vacuumed $n orphan dir(s) from '$t'")
+            graceMs = row.getLong(1) * 3600000L, dryRun = dry)
+          Seq(if (dry) s"dry run: $n orphan dir(s) eligible in '$t'"
+            else s"vacuumed $n orphan dir(s) from '$t'")
         }))
       case _ => None
     }

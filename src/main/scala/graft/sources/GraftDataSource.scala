@@ -55,7 +55,30 @@ final class GraftDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val (base, table) = split(parameters)
     val sink = new VersionedParquetSink(base)
-    sink.baseRelation(spark, table,
+    // CDF reads (Delta's reader-option shape):
+    //   spark.read.format("graft").option("readChangeFeed", "true")
+    //     .option("startingVersion", 3)[.option("endingVersion", 7)]
+    // serves the _change_type row feed from changesBetween —
+    // startingVersion INCLUSIVE, endingVersion defaulting to latest,
+    // both Delta's semantics. Distributed end-to-end: append-only
+    // ranges stream straight from their commit dirs, rewrite-bearing
+    // ranges fall back to the snapshot diff.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "readChangeFeed needs option(\"startingVersion\", <v>)"))
+      val to = parameters.get("endingVersion").map(_.toLong)
+        .orElse(sink.latestVersion(spark, table))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed versions in '$table' to read changes from"))
+      val df = sink.changesBetween(spark, table, from - 1, to)
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = spark.sqlContext
+        override val schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.Row] = df.rdd
+      }
+    } else sink.baseRelation(spark, table,
       version = parameters.get("versionAsOf").map(_.toLong),
       timestamp = parameters.get("timestampAsOf")
         .map(java.time.Instant.parse))

@@ -208,7 +208,19 @@ class CatalogSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(r.contains("restored 't' to v0"))
     assert(spark.sql("SELECT * FROM gcall.t").count() == 20)
-    // vacuum with 0-hour retention removes dirs the restore superseded
+    // dry run (sink API with includeSuperseded so something IS
+    // eligible): counts candidates, touches nothing — history below
+    // the restore stays travelable
+    val eligible = sink.vacuum(spark, "t", graceMs = 0L,
+      includeSuperseded = true, dryRun = true)
+    assert(eligible > 0, "restore left no superseded dirs to report")
+    assert(spark.sql("SELECT * FROM gcall.t VERSION AS OF 0").count() == 20,
+      "dry run must not delete anything")
+    val dry = spark.sql(
+      "CALL gcall.vacuum(table => 't', retain_hours => 0, dry_run => true)")
+      .collect().head.getString(0)
+    assert(dry.contains("dry run"), dry)
+    // the real vacuum keeps every manifest-referenced dir by default
     spark.sql("CALL gcall.vacuum(table => 't', retain_hours => 0)")
     assert(spark.sql("SELECT * FROM gcall.t").count() == 20)
   }

@@ -51,6 +51,35 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("readChangeFeed options serve the CDF rows (Delta's reader shape)") {
+    val base = TestSpark.tmpDir("gds-cdf")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t") // v0
+    sink.append(Seq((3, "c")).toDF("id", "v"), "t")           // v1
+    sink.delete(spark, "t", col("id") === 1)                  // v2 rewrite
+    // startingVersion is INCLUSIVE; endingVersion defaults to latest
+    val all = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(s"$base/t")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(all == Seq((1, "delete"), (3, "insert")),
+      s"changes v1..latest wrong: $all")
+    // bounded range: only v1's append
+    val v1 = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 1)
+      .load(s"$base/t")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(v1 == Seq((3, "insert")), s"changes v1..v1 wrong: $v1")
+    // missing startingVersion fails loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(s"$base/t")
+    }
+  }
+
   test("planner-integrated stats pruning: selective filter opens fewer files") {
     val base = TestSpark.tmpDir("ds2")
     val sink = new VersionedParquetSink(base)
