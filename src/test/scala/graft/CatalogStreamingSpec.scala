@@ -73,6 +73,35 @@ class CatalogStreamingSpec extends AnyFunSuite {
     assert(sink.read(spark, "out").count() == 3)
   }
 
+  test("catalog streaming writes enforce table governance per batch") {
+    // the V1-fallback route was chosen precisely so streaming writes
+    // ride the sink's governed append — a CHECK constraint must fail
+    // the violating micro-batch exactly like a batch INSERT
+    val base = catalog("gsg")
+    spark.sql("CREATE TABLE gsg.gov (id INT, v STRING)")
+    new VersionedParquetSink(base)
+      .addConstraint(spark, "gov", "pos_id", "id > 0")
+    val mem = MemoryStream[(Int, String)](spark)
+    val q = mem.toDF().toDF("id", "v").writeStream.format("graft")
+      .option("checkpointLocation", TestSpark.tmpDir("cstr-gc"))
+      .toTable("gsg.gov")
+    try {
+      mem.addData((1, "ok"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM gsg.gov").count() == 1)
+      mem.addData((-5, "bad"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("pos_id") ||
+        Option(e.getCause).exists(_.getMessage.contains("pos_id")) ||
+        e.toString.contains("pos_id"),
+        s"constraint name missing from failure: $e")
+    } finally q.stop()
+    // the violating batch landed nowhere
+    assert(spark.sql("SELECT * FROM gsg.gov").count() == 1)
+  }
+
   test("streaming a time-traveled snapshot fails loudly; batch unaffected") {
     catalog("gst")
     spark.sql("CREATE TABLE gst.t (id INT)")
