@@ -143,8 +143,9 @@ object CoreQueries {
       (s, d) => {
         val o = Tables.orders(s, d)
         val c = Tables.customer(s, d)
-        // customer is the small dimension: broadcast it explicitly.
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        // customer grows with scale factor: no forced broadcast hint — AQE
+        // broadcasts while it measures small and falls back to shuffle at scale.
+        o.join(c, o("o_custkey") === c("c_custkey"), "left")
           .select(col("o_orderkey"), col("o_totalprice"),
             col("c_name"), col("c_mktsegment"))
           .orderBy("o_orderkey")
@@ -158,7 +159,9 @@ object CoreQueries {
         val o = Tables.orders(s, d)
         val c = Tables.customer(s, d)
         val n = Tables.nation(s, d)
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // customer is sf-proportional (no hint; AQE decides); nation is a
+        // fixed 25-row table, safe to pin broadcast at any scale.
+        o.join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(dsum(col("o_totalprice")).as("revenue"),
@@ -464,7 +467,7 @@ object CoreQueries {
         val o = Tables.orders(s, d)
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+          .join(c, o("o_custkey") === c("c_custkey"), "left_semi")
           .groupBy(col("l_orderkey"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))

@@ -414,11 +414,19 @@ object TrainingQueries {
             expr("filter(zip_with(ws, slice(ws, 2, size(ws)), " +
               "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
           .select(col("doc_id"), explode(col("bg")).as("bigram"))
-        val bc = bigrams.groupBy("bigram").agg(count(lit(1)).as("cb"))
+        // Pre-aggregate the probe stream to (doc_id, bigram, c) BEFORE the
+        // model joins: both joins then carry distinct bigrams per doc, not
+        // raw occurrences — shrinking each shuffle by the intra-doc
+        // repetition factor. The per-doc mean over occurrences is recovered
+        // exactly as sum(l*c)/sum(c) (l is DECIMAL, c integral, so the
+        // weighted sum equals the occurrence sum term-for-term).
+        val docBg = bigrams.groupBy("doc_id", "bigram")
+          .agg(count(lit(1)).as("c"))
+        val bc = docBg.groupBy("bigram").agg(sum("c").as("cb"))
         val uc = bc
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
           .groupBy("w1").agg(sum("cb").as("cu"))
-        bigrams
+        docBg
           .join(bc, Seq("bigram"))
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
           .join(uc, Seq("w1"))
@@ -426,7 +434,8 @@ object TrainingQueries {
             (floor(log(col("cb") / col("cu")) * 1000000 + 0.5) / 1000000)
               .cast("decimal(18,6)"))
           .groupBy("doc_id")
-          .agg(r4(sum("l").cast("double") / count(lit(1))).as("lm_score"))
+          .agg(r4(sum(col("l") * col("c")).cast("double") / sum("c"))
+            .as("lm_score"))
           .orderBy("lm_score", "doc_id")
           .limit(25)
       },

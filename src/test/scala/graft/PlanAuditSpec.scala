@@ -98,13 +98,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // logical plan decides from statistics (and AQE re-decides at
     // runtime), so a genuinely small side still broadcasts at sf0.1
     // while the same plan degrades gracefully to a shuffle join at scale.
+    // q_left_join/q_inner_join/q_join_topn: customer is sf-proportional
+    // (15k rows at sf0.1 -> 1.5M at 10x) — same rule applies to the
+    // TPC-H core joins, with AQE still free to broadcast at test scale
+    // (asserted above in "dimension joins broadcast").
     for (q <- Seq("q_dedup_keep", "q_minhash_est", "q_dup_rate_source",
-        "q_lm_score")) {
+        "q_lm_score", "q_left_join", "q_join_topn")) {
       val lp = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString
       assert(!lp.toLowerCase.contains("hint"),
         s"$q still carries a forced join hint:\n$lp")
     }
+    // q_inner_join keeps exactly one hint — the fixed 25-row nation
+    // table (scale-invariant, safe); the customer side must be unhinted.
+    val ij = SparkEntry.queries("q_inner_join")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert("hint".r.findAllIn(ij.toLowerCase).length <= 1,
+      s"q_inner_join hints more than the nation side:\n$ij")
   }
 
   test("entropy is two keyed shuffles, no window, no cartesian") {
