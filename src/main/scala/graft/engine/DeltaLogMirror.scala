@@ -402,9 +402,13 @@ object DeltaLogMirror {
     // _last_checkpoint is overwritten in place (the Delta recipe: it is
     // advisory — a torn read just means the reader lists the log). A
     // racing checkpointer that lost the rename above may still reach
-    // here for an OLDER version; the monotonic guard keeps the pointer
-    // from moving backwards (the residual read-then-write window only
-    // ever replays a pointer both racers just wrote — still forward).
+    // here for an OLDER version; the monotonic guard below filters the
+    // common case, but the read-then-write is not atomic, so two racers
+    // (v6 and v7, both reading prior=5) can still interleave such that
+    // the pointer transiently regresses one racer's version. Harmless:
+    // both checkpoint FILES exist, and readers treat the pointer as a
+    // hint — a stale pointer only costs them listing a few extra log
+    // entries past it.
     val lcPath = new Path(logDir, "_last_checkpoint")
     val prior: Long =
       if (!fs.exists(lcPath)) -1L

@@ -51,8 +51,25 @@ object Tables {
               df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
             case _ => df
           }
+        // Retry ONLY the illegal-parquet-type rejection — any other read
+        // failure (missing path, corrupt footer) must surface as-is, not
+        // masked by a redundant second read whose error replaces the
+        // original.
+        def isNanosRejection(t: Throwable): Boolean =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+            .exists { e =>
+              val cond = e match {
+                case st: org.apache.spark.SparkThrowable =>
+                  Option(st.getCondition).getOrElse("")
+                case _ => ""
+              }
+              cond.contains("PARQUET_TYPE_ILLEGAL") ||
+                Option(e.getMessage).exists(m =>
+                  m.contains("PARQUET_TYPE_ILLEGAL") ||
+                    m.contains("Illegal Parquet type"))
+            }
         try normalize(spark.read.parquet(path(sfDir, name)))
-        catch { case scala.util.control.NonFatal(_) =>
+        catch { case scala.util.control.NonFatal(e) if isNanosRejection(e) =>
           Tables.nanosConfLock.synchronized {
             val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

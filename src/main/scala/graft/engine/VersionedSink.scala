@@ -177,14 +177,25 @@ final class VersionedParquetSink(basePath: String,
     doAppend(df, table, Some(commitKey), allowEvolution = allowEvolution)
 
   private def doAppend(df: DataFrame, table: String,
-      commitKey: Option[String], allowEvolution: Boolean = false): Boolean = {
+      commitKey: Option[String], allowEvolution: Boolean = false,
+      initialProps: Option[Map[String, String]] = None): Boolean = {
     val spark = df.sparkSession
     val entries = manifest(spark, table)
     if (commitKey.exists(k => entries.exists(_.key.contains(k)))) return false
     val staged = stageAppend(df, table, entries, allowEvolution)
     claimStaged(spark, staged, commitKey, allowEvolution,
-      snapshot = Some(entries), cleanupOnKeyLoss = true).isDefined
+      snapshot = Some(entries), cleanupOnKeyLoss = true,
+      initialProps = initialProps).isDefined
   }
+
+  /** CREATE TABLE with TBLPROPERTIES as ONE atomic commit: the creating
+    * append carries the property set in its own marker, so there is no
+    * window where the table is visible without its properties, and the
+    * created table's version numbering matches a property-less CREATE. */
+  def createWithProperties(df: DataFrame, table: String,
+      props: Map[String, String]): Unit =
+    doAppend(df, table, commitKey = None,
+      initialProps = if (props.isEmpty) None else Some(props))
 
   /** Everything [[doAppend]] does BEFORE the commit claim: governance
     * completion/guards, schema pre-check, the unique data-dir write,
@@ -257,7 +268,8 @@ final class VersionedParquetSink(basePath: String,
       s: VersionedParquetSink.Staged, commitKey: Option[String],
       allowEvolution: Boolean, snapshot: Option[Seq[Commit]],
       cleanupOnKeyLoss: Boolean,
-      preserveOnAbort: Boolean = false): Option[Long] =
+      preserveOnAbort: Boolean = false,
+      initialProps: Option[Map[String, String]] = None): Option[Long] =
     commitLoop(spark, s.table, s.unique, commitKey, compacts = None,
       schemaDdl = s.schemaDdl, cleanupOnKeyLoss = cleanupOnKeyLoss,
       snapshot = snapshot, enforceSchema = true,
@@ -266,6 +278,8 @@ final class VersionedParquetSink(basePath: String,
       newMapping = s.newMapping.map(m => Some(m)),
       enforcedMapping = if (s.mapping.isDefined) Some(s.mapping) else None,
       enforcedGenerated = Some(s.generated),
+      newProps = initialProps.map(p =>
+        VersionedParquetSink.Constraints.render(p.toSeq)),
       preserveOnAbort = preserveOnAbort)
 
   private def txnDir: String = s"$basePath/_txn"

@@ -136,17 +136,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "clustered layout)")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val s = spark
-    // an empty schema-bearing commit: the sink's marker carries the
-    // schema, so the table is immediately readable (zero rows) and
-    // every later write schema-checks against it
-    sink.append(s.createDataFrame(
-      s.sparkContext.emptyRDD[Row], schema), ident.name)
-    // TBLPROPERTIES persist in the commit log (a second, metadata-only
-    // commit; harmless — properties merge). Spark mixes engine-reserved
-    // keys into this map; only user properties are stored.
+    // Spark mixes engine-reserved keys into this map; only user
+    // properties are stored.
     val userProps = properties.asScala.view
       .filterKeys(!GraftCatalog.ReservedProps.contains(_)).toMap
-    if (userProps.nonEmpty) sink.setProperties(s, ident.name, userProps)
+    // ONE atomic commit: an empty schema-bearing append whose marker
+    // carries both the schema and the TBLPROPERTIES — the table is
+    // immediately readable (zero rows), every later write schema-checks
+    // against it, and there is no window where it exists without its
+    // properties (nor a version-numbering difference vs a bare CREATE).
+    sink.createWithProperties(s.createDataFrame(
+      s.sparkContext.emptyRDD[Row], schema), ident.name, userProps)
     loadTable(ident)
   }
 
@@ -172,8 +172,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "graft DROP COLUMN supports top-level columns only")
         sink.dropColumn(spark, t, d.fieldNames.head)
       case p: TableChange.SetProperty =>
+        // ALTER TABLE ... SET LOCATION/provider/owner arrives as a
+        // SetProperty on a reserved key; persisting it as an inert user
+        // TBLPROPERTY would "succeed" without relocating anything.
+        if (GraftCatalog.ReservedProps.contains(p.property))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ... SET '${p.property}' is not supported on " +
+              "graft tables (the table's location/provider/owner are " +
+              "fixed by its storage directory)")
         sink.setProperties(spark, t, Map(p.property -> p.value))
       case p: TableChange.RemoveProperty =>
+        if (GraftCatalog.ReservedProps.contains(p.property))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ... UNSET '${p.property}' is not supported on " +
+              "graft tables")
         sink.unsetProperties(spark, t, Seq(p.property))
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +

@@ -64,6 +64,13 @@ final class GraftDataSource extends RelationProvider
     // ranges stream straight from their commit dirs, rewrite-bearing
     // ranges fall back to the snapshot diff.
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // Delta rejects the combination too: a change feed is a version
+      // RANGE, a time-travel pin is a point — silently preferring one
+      // would return rows the caller did not ask for.
+      require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+        "readChangeFeed cannot be combined with versionAsOf/timestampAsOf" +
+          " — use startingVersion/endingVersion to bound the feed")
       val from = parameters.get("startingVersion").map(_.toLong).getOrElse(
         throw new IllegalArgumentException(
           "readChangeFeed needs option(\"startingVersion\", <v>)"))

@@ -89,4 +89,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Set("timestamp", "timestamp_ntz")
       .contains(df.schema("ts").dataType.typeName))
   }
+
+  test("Tables.events surfaces unrelated read failures as-is (retry only on the parquet-type rejection)") {
+    // a missing path must throw ITS error, not a second read's under the
+    // legacy conf masking the original cause
+    val e = intercept[Exception] {
+      graft.engine.Tables.events(spark, "/root/testdata/no-such-sf").collect()
+    }
+    val m = Option(e.getMessage).getOrElse("")
+    assert(m.contains("PATH_NOT_FOUND") ||
+      m.toLowerCase.contains("path does not exist"), m)
+  }
 }

@@ -126,6 +126,18 @@ class CatalogSpec extends AnyFunSuite {
         .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props().get("team").contains("data"))
     assert(props().get("pii").contains("false"))
+    // CREATE ... TBLPROPERTIES is ONE atomic commit: version 0 already
+    // carries the properties (no props-less window, and the created
+    // table's version numbering matches a bare CREATE)
+    assert(spark.sql("SELECT version FROM gp.t.history").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L),
+      "CREATE with TBLPROPERTIES should be a single commit")
+    // reserved keys (SET LOCATION arrives as SetProperty("location"))
+    // must be rejected, not persisted as inert user properties
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gp.t SET TBLPROPERTIES ('location' = '/elsewhere')")
+    }
+    assert(!props().contains("location"))
     spark.sql("ALTER TABLE gp.t SET TBLPROPERTIES ('pii' = 'true', 'tier' = 'gold')")
     assert(props().get("pii").contains("true"))
     assert(props().get("tier").contains("gold"))

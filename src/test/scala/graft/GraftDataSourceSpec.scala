@@ -78,6 +78,19 @@ class GraftDataSourceSpec extends AnyFunSuite {
       spark.read.format("graft").option("readChangeFeed", "true")
         .load(s"$base/t")
     }
+    // combining the feed with a time-travel pin is a conflict (Delta
+    // rejects it too) — not a silent preference for one of them
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("versionAsOf", 1)
+        .load(s"$base/t")
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("timestampAsOf", "2026-01-01T00:00:00Z")
+        .load(s"$base/t")
+    }
   }
 
   test("planner-integrated stats pruning: selective filter opens fewer files") {
