@@ -197,6 +197,58 @@ final class VersionedParquetSink(basePath: String,
     doAppend(df, table, commitKey = None,
       initialProps = if (props.isEmpty) None else Some(props))
 
+  /** Claim a streaming epoch's executor-written staged dir into the
+    * commit log (the driver half of the DSv2 StreamingWrite): the dir
+    * under `tableDir/<unique>` was produced by executor DataWriters and
+    * is invisible until this claim. Exactly-once rides the keyed-marker
+    * protocol — a replayed epoch (same key) discards its dir and
+    * no-ops.
+    *
+    * Governance: a plain table (no constraints / column mapping /
+    * generated columns) claims the dir DIRECTLY — zero extra data
+    * movement, per-file stats collected in one distributed pass, and
+    * the claim pins "no governance" so a concurrent ADD CONSTRAINT /
+    * rename aborts it (the epoch retries and takes the governed path).
+    * A governed table re-stages the rows through the full append
+    * machinery (constraint guard, generated-column completion,
+    * physical-name mapping) — one extra write, only when governance
+    * features are actually in play. */
+  def commitStreamEpoch(spark: SparkSession, table: String, unique: String,
+      querySchema: StructType, commitKey: String): Boolean = {
+    val f = fs(spark, tableDir(table))
+    val dirPath = new Path(s"${tableDir(table)}/$unique")
+    val entries = manifest(spark, table)
+    if (entries.exists(_.key.contains(commitKey))) {
+      f.delete(dirPath, true)
+      return false
+    }
+    val last = entries.lastOption
+    val governed = last.exists(e => e.mapping.isDefined ||
+      e.generated.isDefined || e.constraints.isDefined)
+    if (governed) {
+      val df = spark.read.schema(querySchema)
+        .parquet(s"${tableDir(table)}/$unique")
+      val ok = appendOnce(df, table, commitKey)
+      f.delete(dirPath, true)
+      ok
+    } else {
+      // fail fast (and clean up) on drift before the stats pass; the
+      // claim re-checks under the lock against a fresh manifest
+      try SchemaCheck.enforceAppend(table,
+        last.flatMap(_.schemaDdl).map(StructType.fromDDL), querySchema)
+      catch { case e: Throwable => f.delete(dirPath, true); throw e }
+      val stats = FileStats.collect(spark,
+        s"${tableDir(table)}/$unique", querySchema)
+      commitLoop(spark, table, unique, Some(commitKey), compacts = None,
+        schemaDdl = querySchema.toDDL, cleanupOnKeyLoss = true,
+        snapshot = Some(entries), enforceSchema = true,
+        statsJson = Some(stats),
+        enforcedConstraints = Some(None),
+        enforcedMapping = Some(None),
+        enforcedGenerated = Some(None)).isDefined
+    }
+  }
+
   /** Everything [[doAppend]] does BEFORE the commit claim: governance
     * completion/guards, schema pre-check, the unique data-dir write,
     * per-file stats. The staged dir is invisible until a marker claims

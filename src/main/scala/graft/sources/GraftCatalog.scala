@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -316,7 +317,7 @@ final class GraftTable(val base: String, val table: String,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap):
       ScanBuilder = new GraftFallbackScanBuilder(withOptionPins(options))
@@ -349,6 +350,22 @@ final class GraftTable(val base: String, val table: String,
               if (replace || overwrite) sink.overwrite(data, table)
               else sink.append(data, table)
           }
+        /** The STREAMING_WRITE face: `writeStream.toTable("g.tbl")`
+          * with no `.format("graft")` — executor DataWriters + one
+          * keyed ACID claim per epoch (see [[GraftStreamingWrite]]).
+          * Same `(appId, batchId)` key shape as the V1 format sink, so
+          * a query upgraded mid-checkpoint keeps its exactly-once
+          * history. */
+        override def toStreaming: streaming.StreamingWrite = {
+          require(!replace,
+            s"streaming into graft table '$table' supports Append output " +
+              "only (complete/truncate modes are not supported)")
+          val opts = info.options
+          val appId = Option(opts.get("txnAppId"))
+            .orElse(Option(opts.get("checkpointLocation")))
+            .getOrElse(s"graft:${base.stripSuffix("/")}/$table")
+          new GraftStreamingWrite(base, table, info.schema, appId)
+        }
       }
     }
   }
