@@ -105,6 +105,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       new GraftHistoryTable(base, t)
     case Array(t) if ident.name == "detail" && sink.exists(spark, t) =>
       new GraftDetailTable(base, t)
+    case Array(t) if ident.name == "changes" && sink.exists(spark, t) =>
+      new GraftChangesTable(base, t)
     case _ => throw new NoSuchTableException(ident)
   }
 
@@ -542,6 +544,71 @@ private final class GraftDetailTable(base: String, table: String)
         override def buildScan(): RDD[Row] =
           sink.describeDetail(context.sparkSession, table).rdd
       }.asInstanceOf[T]
+  }
+}
+
+/** `g.<tbl>.changes` — the change data feed as a metadata table (the
+  * Iceberg `<tbl>.changes` pattern; Delta spells it `table_changes(...)`,
+  * a TVF needing parser support). Rows come from
+  * [[VersionedParquetSink.changesBetween]] tagged `_change_type`
+  * (`insert`/`delete`), bounded by reader options:
+  *
+  * {{{
+  *   spark.read.option("startingVersion", 3)       // inclusive; default 0
+  *     .option("endingVersion", 7)                 // default latest
+  *     .table("g.tbl.changes")
+  *   spark.sql("SELECT * FROM g.tbl.changes")      // full history as CDF
+  * }}}
+  *
+  * Append-only ranges are served straight from their commit dirs —
+  * O(new data), the same fast path as the format-side `readChangeFeed`.
+  * Bounded reads across a schema evolution project to the CURRENT
+  * logical schema (pre-evolution changes read the new columns as null),
+  * matching how every other read of old versions presents rows. */
+private final class GraftChangesTable(base: String, table: String)
+    extends Table with SupportsRead {
+
+  private def sink = new VersionedParquetSink(base)
+
+  override def name(): String = s"$table.changes"
+
+  override lazy val schema: StructType =
+    sink.read(SparkSession.active, table).schema
+      .add("_change_type", StringType)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap):
+      ScanBuilder = {
+    val from = Option(options.get("startingVersion")).map(_.toLong)
+      .getOrElse(0L)
+    val to = Option(options.get("endingVersion")).map(_.toLong)
+    () => new V1Scan {
+      override def readSchema(): StructType = schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = GraftChangesTable.this.schema
+          override def buildScan(): RDD[Row] = {
+            val spark = context.sparkSession
+            val toV = to.orElse(sink.latestVersion(spark, table))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no committed versions in '$table' to read changes from"))
+            val df = sink.changesBetween(spark, table, from - 1, toV)
+            // align to the declared (current) schema: a bounded range
+            // ending before an evolution lacks the later columns
+            val have = df.columns.toSet
+            df.select(GraftChangesTable.this.schema.fields.toSeq.map { f =>
+              if (have.contains(f.name))
+                org.apache.spark.sql.functions.col(f.name)
+              else org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+            }: _*).rdd
+          }
+        }.asInstanceOf[T]
+    }
   }
 }
 

@@ -149,6 +149,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(props().get("tier").contains("gold"), "compaction dropped props")
   }
 
+  test(".changes metadata table = readChangeFeed on the format path") {
+    val base = catalog("gc")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t") // v0
+    sink.append(Seq((3, "c")).toDF("id", "v"), "t")           // v1
+    sink.delete(spark, "t", $"id" === 1)                      // v2 rewrite
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    // full-feed default (from before v0): the NET diff — the sink's
+    // documented changesBetween semantics, identical to the format
+    // path's feed over the same range — i.e. the live rows as inserts
+    val full = canon(spark.sql(
+      "SELECT id, v, _change_type FROM gc.t.changes").collect())
+    assert(full == Seq((2, "b", "insert"), (3, "c", "insert")).sorted,
+      s"full feed: $full")
+    // bounded range via reader options == format-path readChangeFeed
+    val viaTable = canon(spark.read
+      .option("startingVersion", 1).option("endingVersion", 2)
+      .table("gc.t.changes")
+      .select("id", "v", "_change_type").collect())
+    val viaFormat = canon(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 2)
+      .load(s"$base/t")
+      .select("id", "v", "_change_type").collect())
+    assert(viaTable == viaFormat,
+      s"catalog CDF $viaTable != format CDF $viaFormat")
+    assert(viaTable == Seq((1, "a", "delete"), (3, "c", "insert")).sorted)
+  }
+
   test(".detail metadata table = DESCRIBE DETAIL") {
     val base = catalog("gd")
     val sink = new VersionedParquetSink(base)
