@@ -76,15 +76,19 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           val cached = batch.cache()
           try {
-            // keyed by batchId: on a VersionedParquetSink a replayed
-            // micro-batch (crash between append and checkpoint commit)
-            // is a no-op per table -> exactly-once fan-out; on the plain
-            // parquet sink appendOnce degrades to at-least-once
-            sink.appendOnce(cached, "raw", s"batch-$batchId")
+            // ONE cross-table transaction per micro-batch, keyed by
+            // batchId: on a VersionedParquetSink the three tables land
+            // all-or-none (a crash can no longer leave raw ahead of
+            // curated — the batch-path guarantee, Pipeline.scala), and a
+            // replayed micro-batch is a keyed no-op -> exactly-once
+            // fan-out. On the plain parquet sink this degrades to
+            // per-table at-least-once, the reference's own contract.
             val curated = Curate(cached)
-            sink.appendOnce(curated, "curated", s"batch-$batchId")
             val analyzed = Analyze.withAnalysis(cached.sparkSession, curated, analyzer)
-            sink.appendOnce(Analyze.explodeActors(analyzed), "actors",
+            sink.multiAppendOnce(Seq(
+              cached -> "raw",
+              curated -> "curated",
+              Analyze.explodeActors(analyzed) -> "actors"),
               s"batch-$batchId")
             // periodic OPTIMIZE: only meaningful on the versioned sink
             // (the plain parquet sink appends files, not directories);
