@@ -122,7 +122,7 @@ object ScaleProbe {
         rot("hjklm", (i / 25) % 5))
   }
 
-  private def generateIfMissing(spark: SparkSession, src: String,
+  private[graft] def generateIfMissing(spark: SparkSession, src: String,
       out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
