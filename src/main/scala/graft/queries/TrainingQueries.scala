@@ -491,6 +491,84 @@ object TrainingQueries {
              x AS (SELECT value, unnest([tb, tb - INTERVAL 30 MINUTE]) AS w_start FROM e)
              SELECT w_start, count(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-             FROM x GROUP BY 1 ORDER BY 1"""))
+             FROM x GROUP BY 1 ORDER BY 1""")),
+
+    // Corpus-novelty scoring: the fraction of each document's distinct
+    // 3-gram shingles that occur in NO other document — the complement
+    // of the dedup signals (q_repetition is INTRA-doc repetition; this
+    // is INTER-doc originality: boilerplate and templated text score
+    // near 0, genuinely novel text near 1 — a standard keep/downweight
+    // signal when curating training mixes). Shares the cached shingle
+    // stream with the dedup family; the df table is one map-side-
+    // combinable groupBy on the content-derived shingle key and joins
+    // back on the same key — two keyed shuffles, linear at any scale
+    // (never a pair join: novelty needs only each shingle's document
+    // frequency, not who shares it).
+    Q("q_novelty",
+      (s, d) => {
+        val sh = NorthStarQueries.hashedShingles(s, d).select("doc_id", "s")
+        val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        sh.join(freq, Seq("s"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty",
+            r4(col("n_unique").cast("double") / col("n_shingles")))
+          .select("doc_id", "n_shingles", "n_unique", "novelty")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${NorthStarQueries.shingleCteUncapped},
+             freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+             SELECT sh.doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               floor(sum(CASE WHEN freq.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*) * 10000 + 0.5::DOUBLE) / 10000 AS novelty
+             FROM sh JOIN freq ON sh.s = freq.s
+             GROUP BY sh.doc_id ORDER BY doc_id""")),
+
+    // Per-document nearest near-duplicate: each doc's best candidate
+    // match by jaccard (ties -> lowest neighbor id) — the triage report
+    // a dedup reviewer reads ("what is this doc's closest sibling?").
+    // Rides the SAME df-capped candidate pair table as the dedup
+    // family (cached; O(candidates), never all-pairs); the per-doc
+    // argmax is a WindowGroupLimit top-1 over the symmetrized pair
+    // stream — one shuffle on doc_id.
+    Q("q_nearest_dup",
+      (s, d) => {
+        val p = NorthStarQueries.scoredPairs(s, d)
+        val sym = p.select(col("d1").as("doc_id"), col("d2").as("nbr"),
+            col("jaccard"))
+          .unionByName(p.select(col("d2").as("doc_id"),
+            col("d1").as("nbr"), col("jaccard")))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("jaccard"), asc("nbr"))
+        sym.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "nbr", "jaccard")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${NorthStarQueries.shingleCte},
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             pairs AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             scored AS (
+               SELECT d1, d2,
+                 floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
+               FROM pairs
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2),
+             sym AS (
+               SELECT d1 AS doc_id, d2 AS nbr, jaccard FROM scored
+               UNION ALL
+               SELECT d2 AS doc_id, d1 AS nbr, jaccard FROM scored),
+             best AS (
+               SELECT doc_id, nbr, jaccard,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY jaccard DESC, nbr) AS rn
+               FROM sym)
+             SELECT doc_id, nbr, jaccard FROM best WHERE rn = 1
+             ORDER BY doc_id"""))
   )
 }

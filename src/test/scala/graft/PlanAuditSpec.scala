@@ -117,6 +117,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_inner_join hints more than the nation side:\n$ij")
   }
 
+  test("novelty: keyed shuffles only — no pair join, no window, no cartesian") {
+    // novelty needs each shingle's document frequency, never who shares
+    // it: a refactor through the pair table would turn the linear pass
+    // into O(candidates)
+    val p = plan("q_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("nearest-dup: top-1 is WindowGroupLimit-pruned over the candidate stream") {
+    val p = plan("q_nearest_dup")
+    assert(p.contains("WindowGroupLimit"), s"argmax not pruned:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("entropy is two keyed shuffles, no window, no cartesian") {
     // (doc_id, word) counts then doc_id totals — both map-side
     // combinable HashAggregates; a window or cartesian here would make
