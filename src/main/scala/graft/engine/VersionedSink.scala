@@ -214,13 +214,26 @@ final class VersionedParquetSink(basePath: String,
     * physical-name mapping) — one extra write, only when governance
     * features are actually in play. */
   def commitStreamEpoch(spark: SparkSession, table: String, unique: String,
-      querySchema: StructType, commitKey: String): Boolean = {
+      querySchema: StructType, commitKey: String,
+      replace: Boolean = false): Boolean = {
     val f = fs(spark, tableDir(table))
     val dirPath = new Path(s"${tableDir(table)}/$unique")
     val entries = manifest(spark, table)
     if (entries.exists(_.key.contains(commitKey))) {
       f.delete(dirPath, true)
       return false
+    }
+    if (replace) {
+      // complete-mode epoch: the staged rows REPLACE the table — a keyed
+      // logged rewrite (atomic swap, time-travelable history, CDF sees a
+      // data change). Epoch outputs are aggregate-sized, so re-staging
+      // through the governed overwrite path costs one small extra write
+      // and buys uniform schema-replace/governance semantics.
+      val df = spark.read.schema(querySchema)
+        .parquet(s"${tableDir(table)}/$unique")
+      overwrite(df, table, Some(commitKey))
+      f.delete(dirPath, true)
+      return true
     }
     val last = entries.lastOption
     val governed = last.exists(e => e.mapping.isDefined ||
@@ -1766,10 +1779,18 @@ final class VersionedParquetSink(basePath: String,
     * fresh physicals (dropped physicals are never reused). Write
     * governance rides the rewrite like any other write: generated
     * columns computed/validated, CHECK constraints guarded. */
-  override def overwrite(df: DataFrame, table: String): Unit = {
+  override def overwrite(df: DataFrame, table: String): Unit =
+    overwrite(df, table, commitKey = None)
+
+  /** Keyed overwrite — the exactly-once form streaming complete-mode
+    * epochs ride: a marker already carrying `commitKey` makes the whole
+    * rewrite a no-op (retryingRewrite's keyed short-circuit), so a
+    * crash-replayed epoch truncates/rewrites exactly once. */
+  def overwrite(df: DataFrame, table: String,
+      commitKey: Option[String]): Unit = {
     val spark = df.sparkSession
-    if (!exists(spark, table)) { append(df, table); return }
-    retryingRewrite(spark, table, "overwrite", None) { entries =>
+    if (!exists(spark, table)) { doAppend(df, table, commitKey); return }
+    retryingRewrite(spark, table, "overwrite", commitKey) { entries =>
       val baseV = entries.last.version
       val gensJson = entries.lastOption.flatMap(_.generated)
       val completed = completeGenerated(df, gensJson, None, table)
@@ -1791,7 +1812,7 @@ final class VersionedParquetSink(basePath: String,
       val unique = s"d-${UUID.randomUUID()}"
       toPhysical(guarded, extended).write.mode(SaveMode.ErrorIfExists)
         .parquet(s"${tableDir(table)}/$unique")
-      commitLoop(spark, table, unique, commitKey = None,
+      commitLoop(spark, table, unique, commitKey = commitKey,
         compacts = Some(baseV),
         schemaDdl = completed.schema.toDDL, cleanupOnKeyLoss = true,
         requireBase = Some(baseV), op = Some("overwrite"),
@@ -1804,6 +1825,10 @@ final class VersionedParquetSink(basePath: String,
           Some(VersionedParquetSink.ColumnMapping.render(extended))
         else None,
         enforcedGenerated = Some(gensJson))
+        // a mid-claim key race (same-key writer won between snapshot and
+        // claim) is a successful replay, not a failure — restore's recipe
+        .orElse(commitKey.flatMap(k =>
+          manifest(spark, table).find(_.key.contains(k)).map(_.version)))
         .getOrElse(throw new IllegalStateException(
           s"overwrite of $table lost the commit race with no keyed winner"))
     }

@@ -357,16 +357,18 @@ final class GraftTable(val base: String, val table: String,
           * keyed ACID claim per epoch (see [[GraftStreamingWrite]]).
           * Same `(appId, batchId)` key shape as the V1 format sink, so
           * a query upgraded mid-checkpoint keeps its exactly-once
-          * history. */
+          * history. Complete output mode (Spark calls truncate())
+          * turns each epoch into a keyed logged REWRITE: the epoch's
+          * rows atomically replace the table — Delta's streaming-
+          * aggregation-into-a-table shape, still time-travelable and
+          * exactly-once on replay. */
         override def toStreaming: streaming.StreamingWrite = {
-          require(!replace,
-            s"streaming into graft table '$table' supports Append output " +
-              "only (complete/truncate modes are not supported)")
           val opts = info.options
           val appId = Option(opts.get("txnAppId"))
             .orElse(Option(opts.get("checkpointLocation")))
             .getOrElse(s"graft:${base.stripSuffix("/")}/$table")
-          new GraftStreamingWrite(base, table, info.schema, appId)
+          new GraftStreamingWrite(base, table, info.schema, appId,
+            replace = replace)
         }
       }
     }

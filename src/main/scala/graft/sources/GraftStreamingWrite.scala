@@ -43,7 +43,8 @@ import graft.engine.VersionedParquetSink
   * distributed stats pass.
   */
 final class GraftStreamingWrite(base: String, table: String,
-    schema: StructType, appId: String) extends StreamingWrite {
+    schema: StructType, appId: String,
+    replace: Boolean = false) extends StreamingWrite {
 
   // Unique per query RUN: a restarted (or competing) driver gets a fresh
   // StreamingWrite and therefore fresh staged-dir names — a crash-
@@ -93,7 +94,7 @@ final class GraftStreamingWrite(base: String, table: String,
         f.delete(st.getPath, false)
     }
     new VersionedParquetSink(base).commitStreamEpoch(spark, table,
-      stagedName(epochId), schema, s"$appId#$epochId")
+      stagedName(epochId), schema, s"$appId#$epochId", replace = replace)
     ()
   }
 

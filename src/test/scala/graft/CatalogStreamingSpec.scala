@@ -113,6 +113,44 @@ class CatalogStreamingSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(4))
   }
 
+  test("complete-mode streaming aggregation REPLACES the table per epoch (keyed rewrite)") {
+    import org.apache.spark.sql.functions._
+    catalog("gsc")
+    spark.sql("CREATE TABLE gsc.agg (k INT, n BIGINT)")
+    val ckpt = TestSpark.tmpDir("cstr-cm")
+    val mem = MemoryStream[Int](spark)
+    val agg = mem.toDF()
+      .groupBy((col("value") % 2).cast("int").as("k"))
+      .agg(count(lit(1)).as("n"))
+    def current(): Map[Int, Long] =
+      spark.sql("SELECT k, n FROM gsc.agg").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val q = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt).toTable("gsc.agg")
+    try {
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      assert(current() == Map(0 -> 1L, 1 -> 2L), current())
+      mem.addData(4)
+      q.processAllAvailable()
+      // replaced, not appended: the running totals, once each
+      assert(current() == Map(0 -> 2L, 1 -> 2L), current())
+    } finally q.stop()
+    // the epochs are logged rewrites: history is travelable and the
+    // previous epoch's totals resolve below the latest rewrite
+    assert(spark.sql("SELECT count(*) FROM gsc.agg.history")
+      .head().getLong(0) >= 3) // create + 2 epoch rewrites
+    // crash-replay on the same checkpoint: the keyed rewrite no-ops,
+    // totals unchanged
+    val q2 = agg.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt).toTable("gsc.agg")
+    try {
+      mem.addData(5)
+      q2.processAllAvailable()
+      assert(current() == Map(0 -> 2L, 1 -> 3L), current())
+    } finally q2.stop()
+  }
+
   test("DSv2 streaming write serializes timestamps/arrays/decimals like a batch append") {
     import org.apache.spark.sql.functions._
     val base = catalog("gsv2t")
