@@ -237,17 +237,15 @@ final class GraftTable(val base: String, val table: String,
 
   private[graft] def sink = new VersionedParquetSink(base)
 
-  /** The catalog STREAMING face (Delta's own wiring shape): this is
-    * only consulted on streaming paths — `spark.readStream.table` in
-    * the analyzer's streaming relation branch, `writeStream.toTable`
-    * in `DataStreamWriter`'s fallback arm; batch resolution never
-    * looks at it. Both routes re-enter the engine through the V1
-    * `format("graft")` source/sink ([[GraftDataSource]]), so catalog
-    * streams get the exact offsets-are-versions source and the keyed
-    * exactly-once ACID sink the format face is tested on. The write
-    * face requires `.format("graft")` before `.toTable` (Spark
-    * enforces source == provider on the V1 fallback — the same
-    * requirement OSS Delta users hit). */
+  /** The catalog STREAMING READ face (Delta's own wiring shape):
+    * consulted by `spark.readStream.table` in the analyzer's streaming
+    * relation branch — it re-enters the engine through the V1
+    * `format("graft")` source ([[GraftDataSource]]), so catalog
+    * streams get the exact offsets-are-versions source the format face
+    * is tested on. (Writes no longer come through here:
+    * `writeStream.toTable` uses the real DSv2 [[GraftStreamingWrite]]
+    * via the STREAMING_WRITE capability — no `.format("graft")`
+    * needed.) */
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     require(versionAsOf.isEmpty && timestampAsOf.isEmpty,
       s"cannot stream the time-traveled snapshot ${name()}; streaming " +

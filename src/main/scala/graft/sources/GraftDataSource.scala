@@ -159,8 +159,10 @@ final class GraftDataSource extends RelationProvider
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append(),
-      s"format(\"graft\") streaming sink supports Append output only, got $outputMode")
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      s"format(\"graft\") streaming sink supports Append or Complete " +
+        s"output, got $outputMode")
     require(partitionColumns.isEmpty,
       "format(\"graft\") streaming sink does not partition by columns")
     val (base, table) = split(parameters)
@@ -173,7 +175,8 @@ final class GraftDataSource extends RelationProvider
     val appId = parameters.getOrElse("txnAppId",
       parameters.getOrElse("checkpointLocation", s"graft:$base/$table"))
     new GraftStreamSink(new VersionedParquetSink(base), table, appId,
-      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      replace = outputMode == OutputMode.Complete())
   }
 }
 
@@ -229,15 +232,20 @@ private final class GraftStreamSource(sqlContext: SQLContext,
   * `(appId, batchId)`), so a crash-replayed batch commits exactly once —
   * the same txn-version idempotence Delta's streaming sink uses. All
   * write governance applies per batch (schema check, CHECK constraints,
-  * generated columns). */
+  * generated columns). Complete output mode (`replace`) turns each
+  * batch into a keyed logged REWRITE instead: the epoch's rows
+  * atomically replace the table (streaming aggregations into a table),
+  * still exactly-once on replay. */
 private final class GraftStreamSink(sink: VersionedParquetSink,
-    table: String, appId: String, mergeSchema: Boolean) extends Sink {
+    table: String, appId: String, mergeSchema: Boolean,
+    replace: Boolean = false) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // `data` is bound to the streaming plan and cannot be written
     // directly; rebind its rows as a batch frame (ForeachBatchSink's
     // recipe, via the SqlBridge seam)
     val batch = org.apache.spark.sql.graft.SqlBridge.rebindBatch(data)
-    sink.appendOnce(batch, table, s"$appId#$batchId", mergeSchema); ()
+    if (replace) sink.overwrite(batch, table, Some(s"$appId#$batchId"))
+    else { sink.appendOnce(batch, table, s"$appId#$batchId", mergeSchema); () }
   }
   override def toString: String = s"GraftSink[$table]"
 }

@@ -113,6 +113,25 @@ class CatalogStreamingSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(4))
   }
 
+  test("toTable CREATES a missing catalog table from the stream's schema") {
+    catalog("gnew")
+    val mem = MemoryStream[(Int, String)](spark)
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", TestSpark.tmpDir("cstr-new"))
+      .toTable("gnew.fresh")
+    try {
+      mem.addData((1, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT id, v FROM gnew.fresh").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a")))
+    // the auto-created table is a full citizen: history + later batch SQL
+    assert(spark.sql("SELECT count(*) FROM gnew.fresh.history")
+      .head().getLong(0) >= 1)
+    spark.sql("INSERT INTO gnew.fresh VALUES (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM gnew.fresh").head().getLong(0) == 2)
+  }
+
   test("complete-mode streaming aggregation REPLACES the table per epoch (keyed rewrite)") {
     import org.apache.spark.sql.functions._
     catalog("gsc")

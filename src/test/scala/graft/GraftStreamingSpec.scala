@@ -39,6 +39,30 @@ class GraftStreamingSpec extends AnyFunSuite {
       Seq(1, 2, 3, 4), "replay duplicated or lost rows")
   }
 
+  test("complete output mode on the format sink: keyed rewrite per batch") {
+    import org.apache.spark.sql.functions._
+    val base = TestSpark.tmpDir("gst-cm")
+    val ckpt = TestSpark.tmpDir("gst-cmc")
+    val mem = MemoryStream[Int](spark)
+    val agg = mem.toDF()
+      .groupBy((col("value") % 2).cast("int").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val sink = new VersionedParquetSink(base)
+    def current(): Map[Int, Long] =
+      sink.read(spark, "agg").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val q = agg.writeStream.format("graft").outputMode("complete")
+      .option("checkpointLocation", ckpt).start(s"$base/agg")
+    try {
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      assert(current() == Map(0 -> 1L, 1 -> 2L), current())
+      mem.addData(4)
+      q.processAllAvailable()
+      assert(current() == Map(0 -> 2L, 1 -> 2L), current())
+    } finally q.stop()
+  }
+
   test("readStream tails commits; compaction transparent; DV stops it") {
     val base = TestSpark.tmpDir("gst2")
     val sink = new VersionedParquetSink(base)
