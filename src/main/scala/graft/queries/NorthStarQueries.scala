@@ -190,7 +190,7 @@ object NorthStarQueries {
   /** embeddings widened to double with the L2 norm precomputed once per
     * vector (never per pair). `graft_dot` is the codegen'd expression
     * registered by GraftExtensions. */
-  private def emb(s: SparkSession, d: String): DataFrame = {
+  private[queries] def emb(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.ensureRegistered(s) // vanilla-session safety
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
@@ -201,7 +201,7 @@ object NorthStarQueries {
   /** Oracle-side mirror of `emb`: vectors as DOUBLE[] with norms
     * precomputed, so both engines evaluate dot/(nrm_a*nrm_b) with an
     * identical double-arithmetic structure. */
-  private val embCte =
+  private[queries] val embCte =
     """n AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -210,7 +210,7 @@ object NorthStarQueries {
   /** Oracle-side mirror of [[trainedCentroids]]: the same deterministic
     * k-means unrolled as CTEs, yielding c(cell, ce, cn). dim=64 matches
     * the synthetic embeddings table. */
-  private lazy val kmeansCte = graft.engine.KMeans.oracleCte(IvfK, IvfIters, 64)
+  private[queries] lazy val kmeansCte = graft.engine.KMeans.oracleCte(IvfK, IvfIters, 64)
 
   // ---- SimHash: 16-bit signature from the first 4 hex chars of
   // md5(token), generated as portable SQL arithmetic (instr/substr/div)

@@ -569,6 +569,81 @@ object TrainingQueries {
                    ORDER BY jaccard DESC, nbr) AS rn
                FROM sym)
              SELECT doc_id, nbr, jaccard FROM best WHERE rn = 1
-             ORDER BY doc_id"""))
+             ORDER BY doc_id""")),
+
+    // IVF recall audit: per query vector, recall@5 of the multi-probe
+    // IVF search (probes=2, q_ivf_probe2's configuration) against the
+    // brute-force exact top-5 — the index-quality readout an ANN
+    // operator tracks to tune nprobe/k (recall drops => retrain or
+    // probe deeper). The exact side runs only for the FIXED query set
+    // (broadcast of |Q| rows vs the corpus — the audit's honest cost,
+    // linear in N); the approx side reads probes/k of the corpus via
+    // the cell-keyed join. Recall is a small-rational ratio -> r4
+    // floor-rounding on both engines.
+    Q("q_ivf_recall",
+      (s, d) => {
+        val assigned = NorthStarQueries.ivfAssigned(s, d)
+        val qFilter = col("vec_id") >= 100 && col("vec_id") < 105
+        val approx = graft.engine.Ivf.search(s, assigned,
+            NorthStarQueries.trainedCentroids(s, d), qFilter,
+            probes = 2, k = 5)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        val e = NorthStarQueries.emb(s, d)
+        val q = e.filter(qFilter).select(col("vec_id").as("q_id"),
+          col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("sim",
+            round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("q_id", "vec_id")
+        exact.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            r4(col("n_hit").cast("double") / col("k")))
+          .select("q_id", "n_hit", "recall")
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${NorthStarQueries.embCte},
+             ${NorthStarQueries.kmeansCte},
+             scored AS (
+               SELECT n.vec_id, n.e, n.nrm, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS csim
+               FROM n CROSS JOIN c),
+             assigned AS (
+               SELECT vec_id, e, nrm, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+                 FROM scored) WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn
+                   FROM assigned WHERE vec_id >= 100 AND vec_id < 105),
+             probe AS (
+               SELECT q_id, qe, qn, cell FROM (
+                 SELECT q.q_id, q.qe, q.qn, c.cell,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     round(list_dot_product(qe, ce) / (qn * cn), 4) DESC, c.cell) AS pr
+                 FROM q CROSS JOIN c) WHERE pr <= 2),
+             cand AS (
+               SELECT q_id, a.vec_id,
+                 round(list_dot_product(qe, a.e) / (qn * a.nrm), 4) AS sim
+               FROM probe p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+             approx AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+                 FROM cand) WHERE rn <= 5),
+             ex AS (
+               SELECT q.q_id, n.vec_id,
+                 round(list_dot_product(qe, n.e) / (qn * n.nrm), 4) AS sim
+               FROM q JOIN n ON n.vec_id <> q.q_id),
+             exact AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+                 FROM ex) WHERE rn <= 5)
+             SELECT e.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+               floor(count(a.vec_id)::DOUBLE / count(*) * 10000 + 0.5::DOUBLE) / 10000 AS recall
+             FROM exact e LEFT JOIN approx a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY e.q_id ORDER BY e.q_id"""))
   )
 }

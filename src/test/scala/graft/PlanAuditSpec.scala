@@ -133,6 +133,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivf recall audit: no cartesian; both top-5 sides window-pruned") {
+    // the only unkeyed joins are the |Q|-row broadcast query set and
+    // the k-row centroid table (the IVF contract); candidates join on
+    // cell, and both rankings prune through WindowGroupLimit
+    val p = plan("q_ivf_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), s"top-5 not pruned:\n$p")
+  }
+
   test("entropy is two keyed shuffles, no window, no cartesian") {
     // (doc_id, word) counts then doc_id totals — both map-side
     // combinable HashAggregates; a window or cartesian here would make
