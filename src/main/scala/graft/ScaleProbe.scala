@@ -43,7 +43,7 @@ object ScaleProbe {
     "q_dup_rate_source", "q_split_groups", "q_lm_score", "q_cosine_topk",
     "q_ann_bucket", "q_srp_ann", "q_tfidf", "q_repetition",
     "q_sessionize", "q_zscore", "q_span_clean", "q_entropy",
-    "q_fuzzy_verify")
+    "q_fuzzy_verify", "q_novelty", "q_nearest_dup")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -136,18 +136,35 @@ final class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     val spark = sqlContext.sparkSession
     val (base, table) = split(parameters)
-    (s"graft[$base/$table]", schema.getOrElse(
-      new VersionedParquetSink(base).read(spark, table).schema))
+    val tableSchema = new VersionedParquetSink(base).read(spark, table).schema
+    val s = schema.getOrElse(
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        tableSchema.add("_change_type",
+          org.apache.spark.sql.types.StringType)
+      else tableSchema)
+    (s"graft[$base/$table]", s)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val (base, table) = split(parameters)
-    new GraftStreamSource(sqlContext, new VersionedParquetSink(base),
-      table,
-      schema.getOrElse(sourceSchema(sqlContext, schema, providerName,
-        parameters)._2),
+    val pinned = schema.getOrElse(sourceSchema(sqlContext, schema,
+      providerName, parameters)._2)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // streaming CDF (Delta's readChangeFeed on readStream): each batch
+      // is the change feed of its version range — deletes/updates arrive
+      // as tagged rows instead of stopping the stream. startingVersion is
+      // INCLUSIVE like the batch CDF reader (default 0 = full history).
+      require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+        "readChangeFeed cannot be combined with versionAsOf/timestampAsOf")
+      new GraftChangeFeedSource(sqlContext, new VersionedParquetSink(base),
+        table, pinned,
+        startingVersion = parameters.get("startingVersion").map(_.toLong)
+          .getOrElse(0L))
+    } else new GraftStreamSource(sqlContext, new VersionedParquetSink(base),
+      table, pinned,
       startingVersion = parameters.get("startingVersion").map(_.toLong)
         .getOrElse(-1L),
       skipChangeCommits = parameters.get("skipChangeCommits")
@@ -221,6 +238,51 @@ private final class GraftStreamSource(sqlContext: SQLContext,
           s"(pinned: ${pinned.simpleString}); restart the query to adopt " +
           "the new schema", e)
     }
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Streaming change-data-feed source (Delta's `readChangeFeed` on
+  * `readStream`): offsets are commit versions like the plain source,
+  * but each batch serves [[VersionedParquetSink.changesBetween]] over
+  * its version range — appends arrive as `insert` rows straight from
+  * their commit dirs (O(new data)), and data-changing commits
+  * (delete/merge/update/restore) arrive as tagged `delete`/`insert`
+  * rows instead of stopping the stream, which is the whole point of a
+  * CDC consumer. Ranges across a schema evolution project to the
+  * pinned (stream-start) schema. */
+private final class GraftChangeFeedSource(sqlContext: SQLContext,
+    sink: VersionedParquetSink, table: String, pinned: StructType,
+    startingVersion: Long) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  override def schema: StructType = pinned
+
+  private def ver(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json.toLong
+  }
+
+  override def getOffset: Option[V1Offset] =
+    sink.latestVersion(spark, table)
+      .filter(_ >= startingVersion).map(LongOffset(_))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fromV = start.map(ver).getOrElse(startingVersion - 1)
+    val df = sink.changesBetween(spark, table, fromV, ver(end))
+    val have = df.columns.toSet
+    val aligned = df.select(pinned.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    // the diff is a derived plan, not a relation — rebind its rows as a
+    // streaming frame for the micro-batch planner
+    org.apache.spark.sql.graft.SqlBridge.streamingRebind(aligned)
   }
 
   override def commit(end: V1Offset): Unit = ()

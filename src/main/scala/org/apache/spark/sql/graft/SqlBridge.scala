@@ -44,6 +44,17 @@ object SqlBridge {
         org.apache.spark.sql.catalyst.expressions.AttributeReference]),
       catalogTable, isStreaming = false, stream = None)
 
+  /** An arbitrary batch frame's rows rebound as a STREAMING frame, for
+    * Source.getBatch when the batch is a DERIVED plan (e.g. a change-
+    * feed diff) rather than a single relation — the dual of
+    * [[rebindBatch]]. */
+  def streamingRebind(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[_]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = true))
+  }
+
   /** The micro-batch's rows rebound as a plain batch frame, for
     * Sink.addBatch. */
   def rebindBatch(data: DataFrame): DataFrame = {

@@ -113,6 +113,21 @@ class CatalogStreamingSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(4))
   }
 
+  test("readStream reader options (startingVersion) reach the catalog source") {
+    val base = catalog("gro")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t") // v0
+    sink.append(Seq((2, "b")).toDF("id", "v"), "t") // v1
+    // startingVersion is EXCLUSIVE of the named version's predecessor
+    // range: versions > 0 stream, so only v1's row arrives
+    val q = spark.readStream.option("startingVersion", 0).table("gro.t")
+      .writeStream.format("memory").queryName("gro_out")
+      .option("checkpointLocation", TestSpark.tmpDir("cstr-ro")).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("gro_out").collect().map(_.getInt(0)).toSeq == Seq(2),
+      "startingVersion reader option was dropped on the catalog path")
+  }
+
   test("toTable CREATES a missing catalog table from the stream's schema") {
     catalog("gnew")
     val mem = MemoryStream[(Int, String)](spark)

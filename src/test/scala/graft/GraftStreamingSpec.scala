@@ -63,6 +63,37 @@ class GraftStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming change feed: deletes arrive as tagged rows, stream keeps going") {
+    val base = TestSpark.tmpDir("gst-cdf")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t") // v0
+    val stream = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(s"$base/t")
+    assert(stream.schema.fieldNames.contains("_change_type"))
+    val q = stream.writeStream.format("memory").queryName("gstcdf_out")
+      .option("checkpointLocation", TestSpark.tmpDir("gst-cdfc"))
+      .start()
+    def rows(): Seq[(Int, String, String)] =
+      spark.table("gstcdf_out").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    try {
+      q.processAllAvailable()
+      assert(rows() == Seq((1, "a", "insert"), (2, "b", "insert")),
+        s"initial feed: ${rows()}")
+      sink.append(Seq((3, "c")).toDF("id", "v"), "t") // v1
+      q.processAllAvailable()
+      assert(rows().contains((3, "c", "insert")))
+      // a DELETE stops the plain source; the CDF stream serves it as a
+      // tagged row and keeps going
+      sink.delete(spark, "t", col("id") === 1) // v2 rewrite
+      q.processAllAvailable()
+      assert(rows().contains((1, "a", "delete")), s"delete row: ${rows()}")
+      sink.append(Seq((4, "d")).toDF("id", "v"), "t") // v3
+      q.processAllAvailable()
+      assert(rows().contains((4, "d", "insert")))
+    } finally q.stop()
+  }
+
   test("readStream tails commits; compaction transparent; DV stops it") {
     val base = TestSpark.tmpDir("gst2")
     val sink = new VersionedParquetSink(base)
