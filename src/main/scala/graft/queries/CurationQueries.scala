@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Fifth query wave: corpus-curation policy operators — the decision
+  * layer a training-data pipeline runs on top of the measurement
+  * operators (quality/dedup/ANN families). Each one turns per-document
+  * or per-source statistics into a keep/weight/remove decision:
+  *
+  *  - q_gopher: the Gopher rule-based document filter (Rae et al. 2021,
+  *    public) — row-local flags, zero shuffles.
+  *  - q_mix_weights: temperature-based source mixing (the GPT-3/Pile
+  *    alpha-sampling shape) — weights from per-source token mass.
+  *  - q_dsir: hashed n-gram importance-resampling score (Xie et al.
+  *    2023, public) — log-likelihood ratio of a target slice vs the raw
+  *    corpus over hashed unigram buckets.
+  *  - q_mad_outlier: robust (median/MAD) outlier screening on the event
+  *    stream — the numeric-field analogue of the text quality filters.
+  *  - q_semdedup: SemDeDup (Abbas et al. 2023, public) — within-cluster
+  *    semantic dedup keeping the centroid-nearest representative, on the
+  *    shared trained-IVF assignment.
+  *
+  * Same determinism contract as every other group (Helpers.scala + the
+  * BASELINE.md audits): total ORDER BY, rational scores through r4
+  * floor-rounding, order-independent sums through DECIMAL, deterministic
+  * tie-breaks.
+  *
+  * Scale notes inline; the common shape is row-local work + one or two
+  * shuffles on a natural bounded key (source, bucket, event_type, IVF
+  * cell). The only pair-generating path (q_semdedup) is blocked on the
+  * trained cell key — SemDeDup's own design: cluster count grows with
+  * the corpus, cell size stays bounded.
+  */
+object CurationQueries {
+
+  private def r4(c: Column): Column = Helpers.r4(c)
+
+  /** Gopher-rule thresholds (document-level heuristics; the published
+    * rules use 50..100k words, mean word length 3..10, >=80% words with
+    * an alphabetic char, >=2 stopwords — the word floor is lowered to 30
+    * so both outcomes occur on the synthetic corpus). */
+  private val GopherMinWords = 30
+  private val GopherMaxWords = 100000
+  private val GopherMinMwl = 3.0
+  private val GopherMaxMwl = 10.0
+  private val GopherMinAlpha = 0.8
+  private val GopherMinStop = 2
+
+  /** DSIR hashed-feature bucket count (importance features are hashed
+    * unigrams; 256 buckets keep the model table broadcast-trivial at any
+    * corpus size — the model is O(buckets), never O(vocab)). */
+  private val DsirBuckets = 256
+
+  /** SemDeDup cosine threshold: pairs at or above it inside one cell are
+    * semantic duplicates; the member farther from the cell centroid is
+    * removed (tie -> higher vec_id removed). */
+  private val SemDedupTau = 0.35
+
+  val all: Seq[Q] = Seq(
+
+    // Gopher rule-based quality filter: per-document flags from the
+    // published heuristic set — word count in range, mean word length in
+    // range, fraction of words containing an alphabetic char, stopword
+    // floor — and the combined keep decision. Entirely ROW-LOCAL (array
+    // ops over the split text, no explode), so it scales with zero
+    // shuffles at any corpus size; comparisons run on the r4-rounded
+    // rationals so both engines decide flags on identical values.
+    Q("q_gopher",
+      (s, d) => {
+        val ws = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("sum_len",
+            aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)))
+          .withColumn("n_alpha",
+            size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("ws"),
+              w => w.isin("the", "a", "of", "to", "in", "and"))).cast("long"))
+          .withColumn("mean_word_len",
+            r4(col("sum_len").cast("double") / col("n_words")))
+          .withColumn("alpha_frac",
+            r4(col("n_alpha").cast("double") / col("n_words")))
+        ws.withColumn("keep",
+            col("n_words") >= GopherMinWords &&
+              col("n_words") <= GopherMaxWords &&
+              col("mean_word_len") >= GopherMinMwl &&
+              col("mean_word_len") <= GopherMaxMwl &&
+              col("alpha_frac") >= GopherMinAlpha &&
+              col("n_stop") >= GopherMinStop)
+          .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+            "n_stop", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+             f AS (SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_len,
+                     CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(ws, x -> list_contains(['the','a','of','to','in','and'], x))) AS BIGINT) AS n_stop
+                   FROM w),
+             g AS (SELECT doc_id, n_words, n_stop,
+                     floor(sum_len::DOUBLE / n_words * 10000 + 0.5::DOUBLE) / 10000 AS mean_word_len,
+                     floor(n_alpha::DOUBLE / n_words * 10000 + 0.5::DOUBLE) / 10000 AS alpha_frac
+                   FROM f)
+             SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+               (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+                AND mean_word_len >= $GopherMinMwl AND mean_word_len <= $GopherMaxMwl
+                AND alpha_frac >= $GopherMinAlpha AND n_stop >= $GopherMinStop) AS keep
+             FROM g ORDER BY doc_id""")),
+
+    // Temperature-based source mixing weights: per-source sampling share
+    // proportional to (token mass)^0.5 — the alpha-sampling scheme used
+    // for multi-source/multi-lingual training mixes (downweights huge
+    // sources, upweights small ones), plus the implied epochs-per-source
+    // at a one-total-token-budget. Token counting is row-local; ONE
+    // map-side-combinable shuffle on source; the weight normalization
+    // runs on the ~|sources| aggregate (a global window over the tiny
+    // aggregate table, never over rows — the q_ntile precedent). sqrt's
+    // irrational output is floor-rounded at 1e-6 into DECIMAL so the
+    // normalizing sum is order-independent on both engines.
+    Q("q_mix_weights",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .withColumn("w6",
+            (floor(sqrt(col("n_tokens").cast("double")) * 1000000 + 0.5) / 1000000)
+              .cast("decimal(18,6)"))
+        // normalizer as a global window over the ~|sources| AGGREGATE
+        // (the q_ntile pattern: the single-partition exchange sits above
+        // an aggregate, never over rows) — one corpus scan total, where a
+        // one-row-aggregate cross join would duplicate the subtree and
+        // scan the corpus twice
+        val all = Window.partitionBy()
+        bySrc
+          .withColumn("sw", sum(col("w6")).over(all).cast("double"))
+          .withColumn("tt", sum(col("n_tokens")).over(all))
+          .withColumn("share", r4(col("w6").cast("double") / col("sw")))
+          .withColumn("epochs",
+            r4(col("share") * col("tt") / col("n_tokens")))
+          .select("source", "n_docs", "n_tokens", "share", "epochs")
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+             w AS (SELECT *,
+               CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000 + 0.5::DOUBLE) / 1000000
+                 AS DECIMAL(18,6)) AS w6 FROM t),
+             g AS (SELECT CAST(SUM(w6) AS DOUBLE) AS sw,
+                          CAST(SUM(n_tokens) AS BIGINT) AS tt FROM w),
+             sh AS (SELECT source, n_docs, n_tokens,
+               floor(CAST(w6 AS DOUBLE) / sw * 10000 + 0.5::DOUBLE) / 10000 AS share, tt
+               FROM w CROSS JOIN g)
+             SELECT source, n_docs, n_tokens, share,
+               floor(share * tt / n_tokens * 10000 + 0.5::DOUBLE) / 10000 AS epochs
+             FROM sh ORDER BY source""")),
+
+    // DSIR importance-resampling score: rank raw documents by how much
+    // they look like a target slice (lang='en' here) under a hashed
+    // unigram bag-of-words model — per-bucket log-likelihood ratio
+    // ln(p_target/p_raw) with add-one smoothing, summed per document
+    // weighted by the document's bucket counts, normalized by length.
+    // The model is O(buckets)=256 rows regardless of corpus size (AQE
+    // broadcasts it); doc-side work is one shuffle on (doc_id, bucket)
+    // and one on doc_id. Per-bucket LLRs are floor-rounded at 1e-6 into
+    // DECIMAL so the per-doc weighted sum is order-independent.
+    Q("q_dsir",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .withColumn("b", Helpers.hash16(col("w")) % DsirBuckets)
+        val db = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        val nd = db.groupBy("doc_id").agg(sum("c").as("n_tok"))
+        val rb = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+        val tb = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        // corpus totals as a global window over the 256-row MODEL table
+        // (single-partition exchange above an aggregate, the q_ntile
+        // pattern) — a one-row-aggregate cross join would duplicate the
+        // whole token-scan subtree and read the corpus twice
+        val all = Window.partitionBy()
+        val model = rb.join(tb, Seq("b"), "left")
+          .withColumn("ct", coalesce(col("ct"), lit(0L)))
+          .withColumn("rt", sum(col("cr")).over(all))
+          .withColumn("tt", sum(col("ct")).over(all))
+          .withColumn("llr",
+            (floor(log(((col("ct") + 1).cast("double") * (col("rt") + DsirBuckets).cast("double")) /
+              ((col("cr") + 1).cast("double") * (col("tt") + DsirBuckets).cast("double"))) * 1000000 + 0.5) / 1000000)
+              .cast("decimal(18,6)"))
+          .select("b", "llr")
+        db.join(model, "b")
+          .groupBy("doc_id")
+          .agg(sum(col("llr") * col("c")).cast("double").as("sc"))
+          .join(nd, "doc_id")
+          .withColumn("dsir_score", r4(col("sc") / col("n_tok")))
+          .select("doc_id", "n_tok", "dsir_score")
+          .orderBy(desc("dsir_score"), asc("doc_id"))
+          .limit(25)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+               FROM documents),
+             tb0 AS (SELECT doc_id, lang, ${Helpers.hex4("md5(w)")} % $DsirBuckets AS b
+               FROM toks),
+             db AS (SELECT doc_id, b, count(*) AS c FROM tb0 GROUP BY 1, 2),
+             nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok FROM db GROUP BY 1),
+             rb AS (SELECT b, count(*) AS cr FROM tb0 GROUP BY 1),
+             tcb AS (SELECT b, count(*) AS ct FROM tb0 WHERE lang = 'en' GROUP BY 1),
+             j AS (SELECT rb.b, cr, coalesce(ct, 0) AS ct
+                   FROM rb LEFT JOIN tcb ON rb.b = tcb.b),
+             g AS (SELECT CAST(sum(cr) AS BIGINT) AS rt,
+                          CAST(sum(ct) AS BIGINT) AS tt FROM j),
+             l AS (SELECT b,
+               CAST(floor(ln(((ct + 1)::DOUBLE * (rt + $DsirBuckets)::DOUBLE) /
+                 ((cr + 1)::DOUBLE * (tt + $DsirBuckets)::DOUBLE)) * 1000000 + 0.5::DOUBLE) / 1000000
+                 AS DECIMAL(18,6)) AS llr
+               FROM j CROSS JOIN g),
+             sc AS (SELECT db.doc_id, CAST(sum(llr * c) AS DOUBLE) AS s
+                    FROM db JOIN l ON db.b = l.b GROUP BY 1)
+             SELECT sc.doc_id, n_tok,
+               floor(s / n_tok * 10000 + 0.5::DOUBLE) / 10000 AS dsir_score
+             FROM sc JOIN nd ON sc.doc_id = nd.doc_id
+             ORDER BY dsir_score DESC, sc.doc_id LIMIT 25""")),
+
+    // Robust outlier screening on the event stream: per event type,
+    // median and MAD (median absolute deviation), then the count of
+    // events whose robust z-score 0.6745*(v-med)/mad exceeds 3.5 — the
+    // standard Iglewicz-Hoaglin rule, immune to the outliers it hunts
+    // (unlike the q_zscore mean/stddev screen). Three keyed shuffles on
+    // event_type (exact percentile buffers merge map-side); comparisons
+    // run on full-precision medians (identical interpolation inputs on
+    // both engines), outputs r4-rounded.
+    Q("q_mad_outlier",
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_type", "value")
+        val med = e.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = e.join(med, "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val stats = dev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+            expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(stats.select("event_type", "mad"), "event_type")
+          .withColumn("robz",
+            lit(0.6745) * (col("value") - col("med")) / col("mad"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("m"), max(col("mad")).as("md"),
+            sum(when(abs(col("robz")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+            max(col("robz")).as("mz"))
+          .select(col("event_type"), col("n"), r4(col("m")).as("med"),
+            r4(col("md")).as("mad"), col("n_outliers"),
+            r4(col("mz")).as("max_robz"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM events GROUP BY 1),
+             dev AS (SELECT e.event_type, e.value, med.med,
+                       abs(e.value - med.med) AS adev
+                     FROM events e JOIN med ON e.event_type = med.event_type),
+             st AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                    FROM dev GROUP BY 1),
+             z AS (SELECT dev.event_type, dev.med, st.mad,
+                     0.6745 * (dev.value - dev.med) / st.mad AS robz
+                   FROM dev JOIN st ON dev.event_type = st.event_type)
+             SELECT event_type, count(*) AS n,
+               floor(max(med) * 10000 + 0.5::DOUBLE) / 10000 AS med,
+               floor(max(mad) * 10000 + 0.5::DOUBLE) / 10000 AS mad,
+               CAST(sum(CASE WHEN abs(robz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               floor(max(robz) * 10000 + 0.5::DOUBLE) / 10000 AS max_robz
+             FROM z GROUP BY event_type ORDER BY event_type""")),
+
+    // SemDeDup: semantic dedup within each trained IVF cell — pairs at
+    // cosine >= tau are semantic duplicates and the member FARTHER from
+    // the cell centroid is removed (tie -> higher vec_id), keeping the
+    // most prototypical representative. Reports per-cell corpus size,
+    // removals, and keep rate. Rides the SHARED trained-IVF assignment
+    // (memoized with the rest of the ANN family); the pair join is
+    // blocked on the cell key — SemDeDup's own scaling argument: cluster
+    // count grows with the corpus, per-cell membership stays bounded, so
+    // the quadratic term never sees N.
+    Q("q_semdedup",
+      (s, d) => {
+        val cents = NorthStarQueries.trainedCentroids(s, d)
+          .select(col("cell"), col("c_emb"), col("c_nrm"))
+        val a = NorthStarQueries.ivfAssigned(s, d)
+          .join(broadcast(cents), "cell")
+          .withColumn("csim",
+            round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
+          .select("vec_id", "emb", "nrm", "cell", "csim")
+        val l = a.select(col("cell"), col("vec_id").as("d1"),
+          col("emb").as("e1"), col("nrm").as("n1"), col("csim").as("c1"))
+        val r = a.select(col("cell"), col("vec_id").as("d2"),
+          col("emb").as("e2"), col("nrm").as("n2"), col("csim").as("c2"))
+        val removed = l.join(r, Seq("cell"))
+          .filter(col("d1") < col("d2"))
+          .withColumn("sim",
+            round(expr("graft_dot(e1, e2)") / (col("n1") * col("n2")), 4))
+          .filter(col("sim") >= SemDedupTau)
+          .select(col("cell"),
+            when(col("c1") < col("c2"), col("d1"))
+              .when(col("c1") > col("c2"), col("d2"))
+              .otherwise(greatest(col("d1"), col("d2"))).as("rm"))
+          .distinct()
+          .groupBy("cell").agg(count(lit(1)).as("n_removed"))
+        a.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+          .join(removed, Seq("cell"), "left")
+          .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+          .withColumn("keep_rate",
+            r4((col("n_vectors") - col("n_removed")).cast("double") / col("n_vectors")))
+          .select("cell", "n_vectors", "n_removed", "keep_rate")
+          .orderBy("cell")
+      },
+      Some(s"""WITH ${NorthStarQueries.embCte},
+             ${NorthStarQueries.kmeansCte},
+             scored AS (
+               SELECT n.vec_id, n.e, n.nrm, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS csim
+               FROM n CROSS JOIN c),
+             asn AS (
+               SELECT vec_id, e, nrm, cell, csim FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cell) AS rn FROM scored)
+               WHERE rn = 1),
+             rm0 AS (
+               SELECT a.cell,
+                 CASE WHEN a.csim < b.csim THEN a.vec_id
+                      WHEN a.csim > b.csim THEN b.vec_id
+                      ELSE greatest(a.vec_id, b.vec_id) END AS rm
+               FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+               WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= $SemDedupTau),
+             rmc AS (SELECT cell, count(*) AS n_removed
+                     FROM (SELECT DISTINCT cell, rm FROM rm0) GROUP BY cell),
+             nv AS (SELECT cell, count(*) AS n_vectors FROM asn GROUP BY cell)
+             SELECT nv.cell, n_vectors,
+               CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+               floor((n_vectors - coalesce(n_removed, 0))::DOUBLE / n_vectors
+                 * 10000 + 0.5::DOUBLE) / 10000 AS keep_rate
+             FROM nv LEFT JOIN rmc ON nv.cell = rmc.cell ORDER BY nv.cell"""))
+  )
+}

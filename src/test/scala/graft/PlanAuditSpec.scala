@@ -268,6 +268,76 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher filter is row-local: no hash exchange before the output sort") {
+    // every flag derives from the split-token array in place; the only
+    // exchange is the deterministic output orderBy (rangepartitioning)
+    val p = plan("q_gopher")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gopher rules should not shuffle data:\n$p")
+    assert(!p.contains("Generate"), s"gopher should not explode tokens:\n$p")
+  }
+
+  /** The q_ntile invariant: any single-partition exchange must sit above
+    * an aggregate (bounded rows), never above corpus-sized data. */
+  private def singlePartitionsOnlyAboveAggregates(name: String): Unit = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = SparkEntry.queries(name)(spark, sf)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }.foreach { e =>
+      assert(e.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        s"$name: single-partition exchange over unaggregated data:\n$p")
+    }
+  }
+
+  test("mix weights: one corpus scan, one keyed shuffle; normalizer windows the aggregate") {
+    // token counting is row-local, ONE groupBy(source) shuffle; the
+    // normalizing totals come from a global window over the ~|sources|
+    // AGGREGATE (the q_ntile pattern) — a cross-joined one-row aggregate
+    // would duplicate the subtree and scan the corpus twice
+    val p = plan("q_mix_weights")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once:\n$p")
+    singlePartitionsOnlyAboveAggregates("q_mix_weights")
+  }
+
+  test("dsir: keyed shuffles only; model joins on bucket; no cartesian; one token scan per side") {
+    // the model is O(buckets) rows — its join to the doc-bucket counts
+    // must stay equi-keyed on b; totals window the 256-row model table
+    val p = plan("q_dsir")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"model join lost its equi key:\n$p")
+    singlePartitionsOnlyAboveAggregates("q_dsir")
+  }
+
+  test("mad outlier: every join equi-keyed on event_type; no cartesian") {
+    val p = plan("q_mad_outlier")
+    assert(!p.contains("CartesianProduct"), s"mad outlier went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"stat joins lost their event_type key:\n$p")
+  }
+
+  test("semdedup pair join stays blocked on the IVF cell key") {
+    // the only unkeyed join is the k-row broadcast centroid table (the
+    // IVF contract); the corpus-sized pair join must be equi-keyed on
+    // cell — a cartesian here is the all-pairs blow-up SemDeDup's
+    // clustering exists to avoid
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), s"semdedup went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"pair join lost its cell key:\n$p")
+  }
+
   test("sessionize plans ONE data shuffle shared by both windows and the agg") {
     val p = plan("q_sessionize")
     // one hashpartitioning(user_id) feeds lag-window, sum-window AND the
