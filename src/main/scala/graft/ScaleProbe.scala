@@ -43,7 +43,15 @@ object ScaleProbe {
     "q_dup_rate_source", "q_split_groups", "q_lm_score", "q_cosine_topk",
     "q_ann_bucket", "q_srp_ann", "q_tfidf", "q_repetition",
     "q_sessionize", "q_zscore", "q_span_clean", "q_entropy",
-    "q_fuzzy_verify", "q_novelty", "q_nearest_dup")
+    "q_fuzzy_verify", "q_novelty", "q_nearest_dup",
+    // round-8 curation wave (q_semdedup is deliberately absent: its
+    // pair join is N²/k and the ORACLE query's k is necessarily a
+    // corpus-independent literal, so a fixed-k 10x run measures the
+    // quantizer-too-coarse artifact, not the plan — the scale path is
+    // engine/SemDedup.semdedup with k = ceil(N/targetCellSize),
+    // cell-boundedness asserted in SemDedupSpec; the probed
+    // q_dedup_embed covers the same join-on-cell topology)
+    "q_gopher", "q_mix_weights", "q_dsir", "q_mad_outlier", "q_ivf_recall")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
