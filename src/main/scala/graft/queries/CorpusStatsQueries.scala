@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Sixth query wave: corpus-statistics operators — the measurement layer
+  * a tokenizer/data team runs before committing to a training mix. Where
+  * the curation wave (CurationQueries) DECIDES keep/weight/remove, this
+  * wave CHARACTERIZES the corpus:
+  *
+  *  - q_ttr: per-document type-token ratio (lexical diversity) — the
+  *    cheapest repetition screen, fully row-local.
+  *  - q_oov_rate: per-document out-of-vocabulary rate against the
+  *    corpus top-K vocabulary — the tokenizer-coverage audit run before
+  *    freezing a vocab.
+  *  - q_zipf: per-source Zipf slope (least-squares fit of ln freq vs
+  *    ln rank) — corpora that deviate far from ~-1 are boilerplate-heavy
+  *    or templated; the classic distributional health check.
+  *  - q_source_overlap: pairwise vocabulary Jaccard between sources —
+  *    finds mirror/syndicated sources before mixing weights are set.
+  *
+  * Same determinism contract as every other group (Helpers.scala + the
+  * BASELINE.md audits): total ORDER BY, rational scores through r4
+  * floor-rounding, ln through 1e-6 floor into DECIMAL before any sum
+  * (the q_dsir precedent), deterministic rank tie-breaks.
+  *
+  * Scale notes inline. The common shape: token-keyed map-side-combinable
+  * shuffles; every post-aggregate window runs over a vocab- or
+  * source-bounded table, never over corpus rows; the one pair-generating
+  * path (q_source_overlap) is keyed on the token with per-token fan-out
+  * bounded by |sources|² — sources are a bounded dimension (20 here,
+  * O(100s) in production), not corpus-proportional.
+  */
+object CorpusStatsQueries {
+
+  private def r4(c: Column): Column = Helpers.r4(c)
+
+  /** Vocabulary size for the OOV audit: top-K corpus tokens by frequency
+    * (tie -> lexicographically first). Fixed K keeps the vocab side a
+    * constant-size broadcast at any corpus scale. */
+  private val OovVocabK = 30
+
+  val all: Seq[Q] = Seq(
+
+    // Type-token ratio: distinct-token count over token count per
+    // document — the cheapest lexical-diversity / repetition screen
+    // (templated text scores low). Entirely ROW-LOCAL array ops (split,
+    // array_distinct), zero shuffles at any corpus size; the ratio is
+    // rational so it goes through r4 floor-rounding.
+    Q("q_ttr",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")).cast("long"))
+        .withColumn("n_types", size(array_distinct(col("ws"))).cast("long"))
+        .withColumn("ttr", r4(col("n_types").cast("double") / col("n_tok")))
+        .select("doc_id", "n_tok", "n_types", "ttr")
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+             SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+               floor(len(list_distinct(ws))::DOUBLE / len(ws)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS ttr
+             FROM w ORDER BY doc_id""")),
+
+    // Out-of-vocabulary rate: fraction of each document's tokens not in
+    // the corpus top-K vocabulary — the tokenizer-coverage audit run
+    // before freezing a vocab (high-OOV docs either get transliteration
+    // fixes or drag fertility down). One (doc_id, token) keyed shuffle
+    // builds per-doc counts ONCE; the vocab is re-aggregated from that
+    // table (map-side combinable, token-keyed) and truncated to a FIXED
+    // K, so the join side is a constant-size broadcast at any corpus
+    // scale — the q_topk_semi pattern, never a corpus-proportional hint.
+    Q("q_oov_rate",
+      (s, d) => {
+        val db = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val vocab = db.groupBy("w").agg(sum("c").as("cw"))
+          .orderBy(desc("cw"), asc("w")).limit(OovVocabK)
+          .select(col("w"), lit(true).as("in_vocab"))
+        db.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tok"),
+            sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+              .as("n_oov"))
+          .withColumn("oov_rate",
+            r4(col("n_oov").cast("double") / col("n_tok")))
+          .select("doc_id", "n_tok", "n_oov", "oov_rate")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+               FROM documents),
+             db AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+             vocab AS (SELECT w FROM (
+               SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM db GROUP BY 1
+               ORDER BY cw DESC, w LIMIT $OovVocabK)),
+             j AS (SELECT db.doc_id, db.c,
+                     (vocab.w IS NOT NULL) AS in_vocab
+                   FROM db LEFT JOIN vocab ON db.w = vocab.w)
+             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               CAST(sum(CASE WHEN in_vocab THEN 0 ELSE c END) AS BIGINT) AS n_oov,
+               floor(sum(CASE WHEN in_vocab THEN 0 ELSE c END)::DOUBLE
+                 / sum(c) * 10000 + 0.5::DOUBLE) / 10000 AS oov_rate
+             FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Zipf slope per source: least-squares slope of ln(freq) on ln(rank)
+    // over the source's token-frequency table — healthy natural text sits
+    // near -1; templated/boilerplate corpora flatten toward 0. Token
+    // counting is ONE (source, token) keyed map-side-combinable shuffle;
+    // the rank window and the fit both run over the per-source VOCAB
+    // table (sub-linear in corpus size, the q_ntile
+    // window-over-aggregate pattern), never over corpus rows. Both ln
+    // terms are 1e-6-floored into DECIMAL before any product or sum (the
+    // q_dsir/k-means precedent) so Σx, Σy, Σxy, Σx² are exact and
+    // order-independent; the slope ratio of those exact sums is rational
+    // and goes through r4.
+    Q("q_zipf",
+      (s, d) => {
+        def f6(c: Column): Column =
+          (floor(c * 1000000 + 0.5) / 1000000).cast("decimal(18,6)")
+        val freq = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val ranked = freq
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("source").orderBy(desc("c"), asc("w"))))
+          .withColumn("x", f6(log(col("rnk").cast("double"))))
+          .withColumn("y", f6(log(col("c").cast("double"))))
+        ranked.groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x") * col("y")).cast("double").as("sxy"),
+            sum(col("x") * col("x")).cast("double").as("sxx"))
+          .withColumn("slope",
+            r4((col("n_types") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_types") * col("sxx") - col("sx") * col("sx"))))
+          .select("source", "n_types", "slope")
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS w
+               FROM documents),
+             freq AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+             rk AS (SELECT source, c,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY c DESC, w) AS rnk
+                    FROM freq),
+             xy AS (SELECT source,
+                      CAST(floor(ln(rnk::DOUBLE) * 1000000 + 0.5::DOUBLE) / 1000000
+                        AS DECIMAL(18,6)) AS x,
+                      CAST(floor(ln(c::DOUBLE) * 1000000 + 0.5::DOUBLE) / 1000000
+                        AS DECIMAL(18,6)) AS y
+                    FROM rk),
+             ag AS (SELECT source, count(*) AS n_types,
+                      CAST(sum(x) AS DOUBLE) AS sx,
+                      CAST(sum(y) AS DOUBLE) AS sy,
+                      CAST(sum(x * y) AS DOUBLE) AS sxy,
+                      CAST(sum(x * x) AS DOUBLE) AS sxx
+                    FROM xy GROUP BY source)
+             SELECT source, CAST(n_types AS BIGINT) AS n_types,
+               floor((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS slope
+             FROM ag ORDER BY source""")),
+
+    // Pairwise vocabulary Jaccard between sources: |vocab(a) ∩ vocab(b)|
+    // over |vocab(a) ∪ vocab(b)| — mirror/syndicated-source detection
+    // run before source-mixing weights are set (two sources sharing
+    // ~all vocabulary are one source for sampling purposes). The pair
+    // join is keyed on the TOKEN: per-token fan-out is C(|sources with
+    // that token|, 2) ≤ |sources|², and sources are a bounded dimension
+    // (not corpus-proportional), so total pair volume is vocab-bounded —
+    // never an all-docs cross join. Jaccard is rational -> r4.
+    Q("q_source_overlap",
+      (s, d) => {
+        val sv = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        val l = sv.select(col("source").as("s1"), col("w"))
+        val r = sv.select(col("source").as("s2"), col("w"))
+        val inter = l.join(r, "w").filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("n_inter"))
+        val vs = sv.groupBy("source").agg(count(lit(1)).as("nv"))
+        inter
+          .join(vs.select(col("source").as("s1"), col("nv").as("v1")), "s1")
+          .join(vs.select(col("source").as("s2"), col("nv").as("v2")), "s2")
+          .withColumn("jaccard", r4(col("n_inter").cast("double") /
+            (col("v1") + col("v2") - col("n_inter"))))
+          .select("s1", "s2", "v1", "v2", "n_inter", "jaccard")
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH sv AS (SELECT DISTINCT source, w FROM (
+               SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)),
+             inter AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+                       FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+                       GROUP BY 1, 2),
+             vs AS (SELECT source, count(*) AS nv FROM sv GROUP BY 1)
+             SELECT s1, s2,
+               CAST(va.nv AS BIGINT) AS v1, CAST(vb.nv AS BIGINT) AS v2,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               floor(n_inter::DOUBLE / (va.nv + vb.nv - n_inter)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
+             FROM inter JOIN vs va ON s1 = va.source
+                        JOIN vs vb ON s2 = vb.source
+             ORDER BY s1, s2"""))
+  )
+}

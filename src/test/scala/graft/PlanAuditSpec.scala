@@ -346,4 +346,40 @@ class PlanAuditSpec extends AnyFunSuite {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
+
+  test("ttr is row-local: no hash exchange, no token explode") {
+    // distinct-token counting runs on the split array in place
+    // (array_distinct), so the only exchange is the output orderBy
+    val p = plan("q_ttr")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"ttr should not shuffle data:\n$p")
+    assert(!p.contains("Generate"), s"ttr should not explode tokens:\n$p")
+  }
+
+  test("oov rate: fixed-K vocab broadcasts; doc counts aggregated once") {
+    // the vocab side is LIMITed to a constant K before the join — a
+    // fixed-size broadcast at any corpus scale (the q_topk_semi shape);
+    // the per-doc side must join it broadcast, never shuffle on w twice
+    val p = finalPlan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join lost broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("zipf: keyed shuffles only; fit windows the per-source vocab aggregate") {
+    // rank + least-squares both run over the (source, token) AGGREGATE
+    // (sub-linear in corpus size); no single-partition exchange may sit
+    // over unaggregated rows, and nothing goes all-pairs
+    val p = plan("q_zipf")
+    assert(!p.contains("CartesianProduct"), p)
+    singlePartitionsOnlyAboveAggregates("q_zipf")
+  }
+
+  test("source overlap: pair join stays equi-keyed on the token") {
+    // per-token fan-out is bounded by |sources|^2 (a bounded dimension);
+    // losing the w key would cross-join source vocabularies
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct"), s"source overlap went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join lost its token key:\n$p")
+  }
 }
