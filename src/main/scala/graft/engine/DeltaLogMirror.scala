@@ -170,10 +170,11 @@ object DeltaLogMirror {
       val before = liveEntries(prev).filterNot(isMergeOnRead).map(_.dir).toSet
       val after = liveEntries(upTo).filterNot(isMergeOnRead).map(_.dir).toSet
       (before -- after).toSeq.sorted.foreach { dir =>
-        parquetFiles(fs, s"$tableDir/$dir").foreach { st =>
+        parquetFiles(fs, VersionedParquetSink.resolveDir(tableDir, dir))
+            .foreach { st =>
           val r = mapper.createObjectNode()
           val n = r.putObject("remove")
-          n.put("path", s"$dir/${st.getPath.getName}")
+          n.put("path", actionPath(fs, dir, st))
           n.put("deletionTimestamp", ts)
           n.put("dataChange", true)
           lines += mapper.writeValueAsString(r)
@@ -192,10 +193,11 @@ object DeltaLogMirror {
         mapper.readTree(json).properties().asScala
           .map(p => p.getKey -> p.getValue.toString).toMap
       }.getOrElse(Map.empty)
-      parquetFiles(fs, s"$tableDir/${e.dir}").foreach { st =>
+      parquetFiles(fs, VersionedParquetSink.resolveDir(tableDir, e.dir))
+          .foreach { st =>
         val a = mapper.createObjectNode()
         val n = a.putObject("add")
-        n.put("path", s"${e.dir}/${st.getPath.getName}")
+        n.put("path", actionPath(fs, e.dir, st))
         n.putObject("partitionValues")
         n.put("size", st.getLen)
         n.put("modificationTime", st.getModificationTime)
@@ -362,8 +364,9 @@ object DeltaLogMirror {
         mapper.readTree(json).properties().asScala
           .map(p => p.getKey -> p.getValue.toString).toMap
       }.getOrElse(Map.empty)
-      parquetFiles(fs, s"$tableDir/${e.dir}").foreach { st =>
-        rows += row(add = Row(s"${e.dir}/${st.getPath.getName}",
+      parquetFiles(fs, VersionedParquetSink.resolveDir(tableDir, e.dir))
+          .foreach { st =>
+        rows += row(add = Row(actionPath(fs, e.dir, st),
           Map.empty[String, String], st.getLen, st.getModificationTime,
           false, statsByFile.get(st.getPath.getName).orNull))
       }
@@ -378,8 +381,9 @@ object DeltaLogMirror {
           .flatMap(_.ts).map(dir -> _)
       }.toMap
     dataEntries.map(_.dir).filterNot(liveDirs).distinct.foreach { dir =>
-      parquetFiles(fs, s"$tableDir/$dir").foreach { st =>
-        rows += row(remove = Row(s"$dir/${st.getPath.getName}",
+      parquetFiles(fs, VersionedParquetSink.resolveDir(tableDir, dir))
+          .foreach { st =>
+        rows += row(remove = Row(actionPath(fs, dir, st),
           removedAt.getOrElse(dir, last.ts.getOrElse(0L)), false))
       }
     }
@@ -425,6 +429,16 @@ object DeltaLogMirror {
     try out.write(lc.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Delta add/remove `path` for a file of commit dir `dir`: the
+    * relative `<dir>/<file>` for table-local dirs; an absolute
+    * qualified URI for `../`-escaping (shallow-clone) dirs — the Delta
+    * spec allows absolute paths in actions, and Delta's own shallow
+    * clones emit them for exactly this cross-table reference. */
+  private def actionPath(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      st: org.apache.hadoop.fs.FileStatus): String =
+    if (!dir.startsWith("../")) s"$dir/${st.getPath.getName}"
+    else fs.makeQualified(st.getPath).toUri.toString
 
   private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {

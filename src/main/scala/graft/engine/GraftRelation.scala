@@ -53,8 +53,8 @@ object GraftRelation {
       else {
         val fs = new Path(tableDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val dirs = dvs.map(e =>
-          s"$tableDir/${VersionedParquetSink.maskDir(e)}")
+        val dirs = dvs.map(e => VersionedParquetSink.resolveDir(
+          tableDir, VersionedParquetSink.maskDir(e)))
           .filter(d => fs.exists(new Path(d)))
         if (dirs.isEmpty) None
         else {
@@ -164,7 +164,7 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def listDir(e: Commit): Seq[FileStatus] = {
-    val p = new Path(s"$tableDir/${e.dir}")
+    val p = new Path(VersionedParquetSink.resolveDir(tableDir, e.dir))
     if (!fs.exists(p)) Seq.empty // metadata-only commits have no files
     else fs.listStatus(p).toSeq.filter(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -1670,7 +1670,8 @@ final class VersionedParquetSink(basePath: String,
         return withType(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "insert")
       }
-      val dirs = fastRange.map(e => s"${tableDir(table)}/${e.dir}")
+      val dirs = fastRange.map(e =>
+        VersionedParquetSink.resolveDir(tableDir(table), e.dir))
       // mapped tables: scan physical, alias back to logical (as of toV)
       val mapping = VersionedParquetSink.ColumnMapping.parse(
         upToTo.lastOption.flatMap(_.mapping))
@@ -1699,6 +1700,64 @@ final class VersionedParquetSink(basePath: String,
       withType(b.exceptAll(a), "insert")
         .unionByName(withType(a.exceptAll(b), "delete"))
     }
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE t SHALLOW CLONE s` parity):
+    * creates `target` as a METADATA-ONLY copy of `source` — every commit
+    * marker replays byte-identical except its data dir, re-pointed at
+    * the source table's directory (`../<source>/<dir>`, resolved by
+    * [[VersionedParquetSink.resolveDir]] on every read). No data files
+    * are copied: cloning a 100 TB table is an O(versions) marker write.
+    * The clone then lives its own life — appends, deletes (masks over
+    * source-owned files key on the prefix-independent last-two-segment
+    * relative path, so they compose), compactions and vacuum land in
+    * the CLONE's directory and never touch the source, and vice versa.
+    * Because the whole manifest is cloned, time travel and CDF below
+    * the clone point keep working on the clone (beyond Delta, whose
+    * clones flatten history to one commit). Schema, CHECK constraints,
+    * column mapping, generated columns, TBLPROPERTIES and idempotency
+    * keys all carry over — keys intentionally, Delta's clones preserve
+    * streaming txn ids for the same reason: a writer redirected to the
+    * clone must not double-append its last batch.
+    *
+    * The Delta-documented hazard applies identically: VACUUM
+    * (`includeSuperseded=true`) or data-removing maintenance on the
+    * SOURCE deletes files the clone references — the source's manifest
+    * doesn't know about clones. Vacuum on the CLONE is always safe: it
+    * only ever deletes directories under the clone's own table dir. */
+  def cloneShallow(spark: SparkSession, source: String,
+      target: String): Long = {
+    require(source != target, s"cannot clone '$source' onto itself")
+    val entries = manifest(spark, source)
+    require(entries.nonEmpty, s"no committed versions for $source")
+    require(manifest(spark, target).isEmpty,
+      s"clone target '$target' already exists")
+    val f = fs(spark, commitDir(target))
+    f.mkdirs(new Path(commitDir(target)))
+    entries.foreach { e =>
+      // flatten chained clones: an ALREADY-escaping dir re-pointed at
+      // this source would stack ../ hops — resolve to the owning table
+      // first so every clone references the original data directly
+      val abs = VersionedParquetSink.resolveDir(tableDir(source), e.dir)
+      val newDir = "../" + abs.stripPrefix(s"$basePath/")
+      val body = e.raw.replace(s""""dir":"${e.dir}"""",
+        s""""dir":"$newDir"""")
+      val tmp = new Path(s"${commitDir(target)}/.tmp-${UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val marker = new Path(s"${commitDir(target)}/${e.version}.commit")
+      if (f.exists(marker) || !f.rename(tmp, marker)) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(s"clone target '$target' gained " +
+          s"commits concurrently (marker v${e.version})")
+      }
+    }
+    // external interop: mirror the cloned manifest into the clone's own
+    // _delta_log (add actions carry absolute URIs for the cross-table
+    // files, the Delta-spec form its own shallow clones use)
+    DeltaLogMirror.sync(spark, tableDir(target), manifest(spark, target))
+    entries.last.version
   }
 
   /** VACUUM: delete data directories no reader can see — orphans left by
@@ -1866,7 +1925,8 @@ final class VersionedParquetSink(basePath: String,
     // an update commit is BOTH: its dir scans as data, its _dv/ masks
     val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
     val datas = live.filterNot(VersionedParquetSink.isDv)
-    val dirs = datas.map(e => s"${tableDir(table)}/${e.dir}")
+    val dirs = datas.map(e =>
+      VersionedParquetSink.resolveDir(tableDir(table), e.dir))
     // column mapping: files carry physical names — scan with the
     // PHYSICAL schema (as of v), alias back to logical at the end
     val mapping = VersionedParquetSink.ColumnMapping.parse(
@@ -1903,19 +1963,19 @@ final class VersionedParquetSink(basePath: String,
   /** Attach the (file-relative path, row position) identity of every
     * scanned row, from the parquet source's `_metadata` columns — exact
     * and stable for immutable files, which is what deletion vectors key
-    * on. Paths are stored RELATIVE to the table dir so a relocated table
-    * keeps its masks (Delta stores relative paths for the same reason). */
+    * on. The relative form is the file's LAST TWO path segments
+    * (`<commit-dir>/<file>.parquet`) — equal to "relative to the owning
+    * table dir" for local data, and prefix-independent so a relocated
+    * table keeps its masks (Delta stores relative paths for the same
+    * reason) and a SHALLOW CLONE's masks key identically whether a row
+    * was scanned through the source table or through the clone's
+    * re-pointed dirs. Same convention as GraftParquetFileFormat's
+    * executor-side mask. */
   private def withPosCols(spark: SparkSession, table: String,
-      df: DataFrame): DataFrame = {
-    val prefix = qualifiedTableDir(spark, table)
+      df: DataFrame): DataFrame =
     df.withColumn("__dv_path", org.apache.spark.sql.functions.expr(
-        s"substring(_metadata.file_path, ${prefix.length + 2})"))
+        "array_join(slice(split(_metadata.file_path, '/'), -2, 2), '/')"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-  }
-
-  private def qualifiedTableDir(spark: SparkSession, table: String): String =
-    fs(spark, tableDir(table))
-      .makeQualified(new Path(tableDir(table))).toString
 
   /** Anti-join the union of live deletion vectors: each masked
     * (path, pos) row disappears from the scan. The mask is broadcast
@@ -1927,7 +1987,8 @@ final class VersionedParquetSink(basePath: String,
       dfWithPos: DataFrame, dvs: Seq[Commit]): DataFrame = {
     val f = fs(spark, tableDir(table))
     val dirs = dvs.map(e =>
-      s"${tableDir(table)}/${VersionedParquetSink.maskDir(e)}")
+      VersionedParquetSink.resolveDir(tableDir(table),
+        VersionedParquetSink.maskDir(e)))
     // explicit schema: an all-rows-kept DV write may produce no part
     // files, and schema inference on an empty dir would throw
     val mask0 = spark.read.schema("path STRING, pos BIGINT")
@@ -2012,7 +2073,7 @@ final class VersionedParquetSink(basePath: String,
       pred: Option[org.apache.spark.sql.catalyst.expressions.Expression],
       schema: Option[StructType]): Seq[String] =
     liveEntries(entries).filterNot(VersionedParquetSink.isDv).flatMap { e =>
-      val dirPath = s"${tableDir(table)}/${e.dir}"
+      val dirPath = VersionedParquetSink.resolveDir(tableDir(table), e.dir)
       (e.stats, pred, schema) match {
         case (Some(json), Some(p), Some(sc)) =>
           FileStats.parse(json).collect {
@@ -2153,7 +2214,8 @@ final class VersionedParquetSink(basePath: String,
     val live = liveEntries(entries)
     val f = fs(spark, tableDir(table))
     val dataFiles = live.filterNot(VersionedParquetSink.isDv).flatMap { e =>
-      val p = new Path(s"${tableDir(table)}/${e.dir}")
+      val p = new Path(
+        VersionedParquetSink.resolveDir(tableDir(table), e.dir))
       if (!f.exists(p)) Nil
       else f.listStatus(p).toSeq.filter(st =>
         st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -2213,7 +2275,7 @@ final class VersionedParquetSink(basePath: String,
           "or a CDF consumer (changesBetween)")
     val appendDirs = range
       .filter(e => e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e))
-      .map(e => s"${tableDir(table)}/${e.dir}")
+      .map(e => VersionedParquetSink.resolveDir(tableDir(table), e.dir))
     val mapping = VersionedParquetSink.ColumnMapping.parse(
       entries.lastOption.flatMap(_.mapping))
     val logical = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
@@ -2237,6 +2299,20 @@ final class VersionedParquetSink(basePath: String,
 object VersionedParquetSink {
   /** Serializes marker claims within one JVM (see commitLoop). */
   private[engine] val localClaimLock = new Object
+
+  /** Resolve a commit's data dir against its table dir. A plain dir is
+    * the fast-path concatenation; a `../`-escaping dir (written by
+    * SHALLOW CLONE markers, which re-point at the source table's data)
+    * is resolved TEXTUALLY to a clean absolute path — `..` components
+    * must never reach a FileSystem (HDFS rejects them; local FS would
+    * resolve but list back unnormalized paths). */
+  private[graft] def resolveDir(tableBase: String, dir: String): String =
+    if (!dir.startsWith("../")) s"$tableBase/$dir"
+    else (tableBase.split('/').toVector ++ dir.split('/'))
+      .foldLeft(Vector.empty[String]) {
+        case (acc, "..") if acc.nonEmpty && acc.last != ".." => acc.dropRight(1)
+        case (acc, s) => acc :+ s
+      }.mkString("/")
 
   /** One committed version: the raw marker body plus its parsed fields.
     * `compacts` marks a compaction commit that supersedes every version

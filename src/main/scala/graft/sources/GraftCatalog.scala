@@ -617,7 +617,7 @@ private final class GraftChangesTable(base: String, table: String)
   * row via a [[org.apache.spark.sql.connector.read.LocalScan]]. */
 private object GraftProcedures {
 
-  val names: Array[String] = Array("optimize", "restore", "vacuum")
+  val names: Array[String] = Array("optimize", "restore", "vacuum", "clone")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -648,6 +648,19 @@ private object GraftProcedures {
           val t = row.getUTF8String(0).toString
           val v = cat.sink.restore(spark, t, row.getLong(1))
           Seq(s"restored '$t' to v${row.getLong(1)} as version $v")
+        }))
+      case "clone" => Some(proc("clone",
+        "Shallow-clone a table: metadata-only copy whose commits " +
+          "reference the source's data files (no data copied)",
+        Array(
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build()),
+        { (spark, row) =>
+          val src = row.getUTF8String(0).toString
+          val dst = row.getUTF8String(1).toString
+          val v = cat.sink.cloneShallow(spark, src, dst)
+          Seq(s"cloned '$src' to '$dst' at version $v (metadata-only; " +
+            "vacuum on the source invalidates the clone)")
         }))
       case "vacuum" => Some(proc("vacuum",
         "Delete unreferenced data directories older than retain_hours " +

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.VersionedParquetSink
+
+/** Shallow clone ([[VersionedParquetSink.cloneShallow]]): a table copy
+  * that writes ONLY commit markers — the clone's commits reference the
+  * source table's data directories, so cloning a 100 TB table moves no
+  * data. Covers: metadata-only creation, content equality incl. time
+  * travel, full isolation of post-clone writes in both directions,
+  * deletion-vector composition across the table boundary, governance
+  * carry-over, chained-clone flattening, vacuum safety, stats-pruned and
+  * format("graft") reads, and the `CALL g.clone(...)` procedure. */
+class CloneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parquetFilesUnder(dir: String): Seq[String] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles.toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    walk(new java.io.File(dir)).map(_.getAbsolutePath)
+      .filter(_.endsWith(".parquet"))
+  }
+
+  test("clone is metadata-only; contents, history and time travel match") {
+    val base = TestSpark.tmpDir("clone1")
+    val sink = new VersionedParquetSink(base)
+    sink.append((1 to 50).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.append((51 to 80).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+
+    val v = sink.cloneShallow(spark, "t", "c")
+    assert(v == 1L)
+    // no data files were copied — the clone dir holds markers only
+    assert(parquetFilesUnder(s"$base/c").isEmpty,
+      "shallow clone copied data files")
+    assert(sink.read(spark, "c").collect().map(_.getInt(0)).toSet ==
+      (1 to 80).toSet)
+    // the full manifest came over: time travel below the clone point
+    assert(sink.readAt(spark, "c", 0).count() == 50)
+    assert(sink.history(spark, "c").count() == sink.history(spark, "t").count())
+  }
+
+  test("post-clone writes are isolated in BOTH directions") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("clone2"))
+    sink.append((1 to 20).map(i => (i, i.toLong)).toDF("id", "n"), "t")
+    sink.cloneShallow(spark, "t", "c")
+
+    sink.append(Seq((100, 100L)).toDF("id", "n"), "c") // clone gains a row
+    sink.append(Seq((200, 200L)).toDF("id", "n"), "t") // source gains another
+    assert(sink.read(spark, "c").collect().map(_.getInt(0)).toSet ==
+      (1 to 20).toSet + 100)
+    assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet ==
+      (1 to 20).toSet + 200)
+  }
+
+  test("deletion vectors compose across the clone boundary") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("clone3"))
+    sink.append((1 to 30).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.deleteVectored(spark, "t", col("id") <= 5) // pre-clone mask
+    sink.cloneShallow(spark, "t", "c")
+    // the source's mask came over with the manifest
+    assert(sink.read(spark, "c").collect().map(_.getInt(0)).toSet ==
+      (6 to 30).toSet)
+    // a DV on the CLONE masks rows living in SOURCE-owned files ...
+    sink.deleteVectored(spark, "c", col("id") > 25)
+    assert(sink.read(spark, "c").collect().map(_.getInt(0)).toSet ==
+      (6 to 25).toSet)
+    // ... without affecting the source; and a post-clone source delete
+    // stays invisible to the clone (its manifest is frozen at clone time)
+    sink.deleteVectored(spark, "t", col("id") === 10)
+    assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSet ==
+      (6 to 30).toSet - 10)
+    assert(sink.read(spark, "c").collect().map(_.getInt(0)).toSet ==
+      (6 to 25).toSet)
+  }
+
+  test("governance (CHECK constraints) carries over to the clone") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("clone4"))
+    sink.append(Seq((1, 10L)).toDF("id", "n"), "t")
+    sink.addConstraint(spark, "t", "pos_n", "n > 0")
+    sink.cloneShallow(spark, "t", "c")
+    intercept[Exception] {
+      sink.append(Seq((2, -1L)).toDF("id", "n"), "c")
+    }
+    sink.append(Seq((3, 3L)).toDF("id", "n"), "c")
+    assert(sink.read(spark, "c").count() == 2)
+  }
+
+  test("chained clones flatten: a clone of a clone references the original") {
+    val base = TestSpark.tmpDir("clone5")
+    val sink = new VersionedParquetSink(base)
+    sink.append((1 to 10).map(i => (i, i)).toDF("id", "n"), "t")
+    sink.cloneShallow(spark, "t", "c1")
+    sink.cloneShallow(spark, "c1", "c2")
+    assert(sink.read(spark, "c2").count() == 10)
+    // marker bodies point straight at ../t/..., never stack ../c1/../t
+    val markers = new java.io.File(s"$base/c2/_commits").listFiles.toSeq
+      .filter(_.getName.endsWith(".commit"))
+      .map(f => scala.io.Source.fromFile(f).mkString)
+    assert(markers.nonEmpty)
+    markers.foreach { body =>
+      assert(body.contains("\"dir\":\"../t/"), body)
+      assert(!body.contains("c1"), s"chained clone did not flatten: $body")
+    }
+  }
+
+  test("vacuum on the clone never deletes source data") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("clone6"))
+    sink.append((1 to 40).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.cloneShallow(spark, "t", "c")
+    // make the cloned dirs superseded IN THE CLONE, then vacuum hard
+    sink.compact(spark, "c")
+    sink.vacuum(spark, "c", graceMs = 0L, includeSuperseded = true)
+    // the source is untouched — vacuum only lists the clone's own dir
+    assert(sink.read(spark, "t").count() == 40)
+    assert(sink.read(spark, "c").count() == 40)
+  }
+
+  test("stats-pruned and format(\"graft\") reads work on the clone") {
+    val base = TestSpark.tmpDir("clone7")
+    val sink = new VersionedParquetSink(base)
+    // three appends -> three dirs with disjoint id ranges (prunable)
+    sink.append((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.append((101 to 200).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.append((201 to 300).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.deleteVectored(spark, "t", col("id") === 250)
+    sink.cloneShallow(spark, "t", "c")
+    assert(sink.readWhere(spark, "c", col("id") between (150, 160))
+      .count() == 11)
+    // the planner-integrated path (format reader over the clone dir):
+    // file listing, stats skipping and the live DV mask all resolve
+    // through the re-pointed dirs
+    val df = spark.read.format("graft").load(s"$base/c")
+    assert(df.count() == 299)
+    assert(df.filter(col("id") === 250).count() == 0)
+  }
+
+  test("CALL g.clone(...) procedure clones through the catalog") {
+    val name = "gclone"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.path",
+      TestSpark.tmpDir(s"cat-$name"))
+    spark.sql(s"CREATE TABLE $name.src (id INT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $name.src VALUES (1, 'a'), (2, 'b')")
+    val msg = spark.sql(
+      s"CALL $name.clone(source => 'src', target => 'dst')")
+      .collect().head.getString(0)
+    assert(msg.contains("cloned 'src' to 'dst'"))
+    assert(spark.sql(s"SELECT * FROM $name.dst").count() == 2)
+    spark.sql(s"INSERT INTO $name.dst VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT * FROM $name.dst").count() == 3)
+    assert(spark.sql(s"SELECT * FROM $name.src").count() == 2)
+    // re-cloning onto an existing table fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $name.clone(source => 'src', target => 'dst')")
+        .collect()
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+}
