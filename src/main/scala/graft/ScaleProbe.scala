@@ -51,7 +51,11 @@ object ScaleProbe {
     // engine/SemDedup.semdedup with k = ceil(N/targetCellSize),
     // cell-boundedness asserted in SemDedupSpec; the probed
     // q_dedup_embed covers the same join-on-cell topology)
-    "q_gopher", "q_mix_weights", "q_dsir", "q_mad_outlier", "q_ivf_recall")
+    "q_gopher", "q_mix_weights", "q_dsir", "q_mad_outlier", "q_ivf_recall",
+    // corpus-statistics wave: vocab grows with the replica substitutions
+    // (each replica's tokens are distinct), so these probe the
+    // vocab-aggregate topologies under real vocabulary growth
+    "q_ttr", "q_oov_rate", "q_zipf", "q_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -89,36 +89,39 @@ object KMeans {
   }
 
   /** The oracle-side mirror: the SAME algorithm unrolled as DuckDB CTEs,
-    * producing `c(cell, ce, cn)`. Expects an `n(vec_id, e, nrm)` CTE in
-    * scope (the repo's standard embedding CTE). `dim` is the embedding
-    * width (list indexing is 1-based in DuckDB). */
-  def oracleCte(k: Int, iters: Int, dim: Int): String = {
+    * producing `<out>(cell, ce, cn)`. Expects a `<src>(vec_id, e, nrm)`
+    * CTE in scope (the repo's standard embedding CTE). `dim` is the
+    * embedding width (list indexing is 1-based in DuckDB). `pfx` names
+    * the intermediate CTEs so several quantizers can coexist in one
+    * oracle (product quantization trains one per subspace). */
+  def oracleCte(k: Int, iters: Int, dim: Int, src: String = "n",
+      out: String = "c", pfx: String = "km"): String = {
     val init =
-      s"""km_init AS (SELECT md5(vec_id::VARCHAR) AS hk, e FROM n ORDER BY hk LIMIT $k),
-         |km_c0 AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS cell, e AS ce FROM km_init)""".stripMargin
+      s"""${pfx}_init AS (SELECT md5(vec_id::VARCHAR) AS hk, e FROM $src ORDER BY hk LIMIT $k),
+         |${pfx}_c0 AS (SELECT row_number() OVER (ORDER BY hk) - 1 AS cell, e AS ce FROM ${pfx}_init)""".stripMargin
     val steps = (1 to iters).map { i =>
-      val prev = s"km_c${i - 1}"
-      s"""km_a$i AS (
+      val prev = s"${pfx}_c${i - 1}"
+      s"""${pfx}_a$i AS (
          |  SELECT cell, e FROM (
-         |    SELECT n.vec_id, n.e, c.cell,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        round(list_dot_product(n.e, c.ce) / (n.nrm * sqrt(list_dot_product(c.ce, c.ce))), 4) DESC,
+         |    SELECT $src.vec_id, $src.e, c.cell,
+         |      row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+         |        round(list_dot_product($src.e, c.ce) / ($src.nrm * sqrt(list_dot_product(c.ce, c.ce))), 4) DESC,
          |        c.cell) AS rn
-         |    FROM n CROSS JOIN $prev c) WHERE rn = 1),
-         |km_m$i AS (
+         |    FROM $src CROSS JOIN $prev c) WHERE rn = 1),
+         |${pfx}_m$i AS (
          |  SELECT cell, j,
          |    CAST(SUM(CAST(floor(e[j] * 1000000 + 0.5::DOUBLE) / 1000000 AS DECIMAL(18,6))) AS DOUBLE)
          |      / count(*) AS m
-         |  FROM km_a$i CROSS JOIN range(1, ${dim + 1}) t(j) GROUP BY cell, j),
-         |km_p$i AS (
+         |  FROM ${pfx}_a$i CROSS JOIN range(1, ${dim + 1}) t(j) GROUP BY cell, j),
+         |${pfx}_p$i AS (
          |  SELECT cell, list(floor(m * 1000000 + 0.5::DOUBLE) / 1000000 ORDER BY j) AS ce
-         |  FROM km_m$i GROUP BY cell),
-         |km_c$i AS (
+         |  FROM ${pfx}_m$i GROUP BY cell),
+         |${pfx}_c$i AS (
          |  SELECT p.cell, COALESCE(u.ce, p.ce) AS ce
-         |  FROM $prev p LEFT JOIN km_p$i u ON p.cell = u.cell)""".stripMargin
+         |  FROM $prev p LEFT JOIN ${pfx}_p$i u ON p.cell = u.cell)""".stripMargin
     }
     (Seq(init) ++ steps ++ Seq(
-      s"c AS (SELECT cell, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM km_c$iters)"))
+      s"$out AS (SELECT cell, ce, sqrt(list_dot_product(ce, ce)) AS cn FROM ${pfx}_c$iters)"))
       .mkString(",\n")
   }
 }

@@ -62,7 +62,7 @@ object NorthStarQueries {
     * The (re-)cache at the end covers a host's clearCache() between
     * queries (Bench/Verify do this), which drops blocks but not memo
     * entries. */
-  private def memoize(
+  private[queries] def memoize(
       cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
       s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)

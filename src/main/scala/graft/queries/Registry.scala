@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   private def groups: Seq[Q] =
     CoreQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
-      TrainingQueries.all ++ CurationQueries.all ++ CorpusStatsQueries.all
+      TrainingQueries.all ++ CurationQueries.all ++ CorpusStatsQueries.all ++
+      PqQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.impl).toMap

@@ -374,6 +374,24 @@ class PlanAuditSpec extends AnyFunSuite {
     singlePartitionsOnlyAboveAggregates("q_zipf")
   }
 
+  test("pq encode: codebook joins broadcast; nothing goes cartesian") {
+    // the only unkeyed joins are the SubK-row broadcast codebooks (the
+    // quantizer contract, same as the IVF centroid family); the
+    // reconstruction join is equi-keyed on vec_id
+    val p = plan("q_pq_encode")
+    assert(!p.contains("CartesianProduct"), s"pq encode went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vec_id join lost its key:\n$p")
+  }
+
+  test("pq ann: candidates join the LUTs on their CODE; top-k window-pruned") {
+    // the ADC shape: per-candidate cost is the two broadcast-hash LUT
+    // lookups (Q x SubK rows), never a raw-vector scan or cross join
+    val p = finalPlan("q_pq_ann")
+    assert(!p.contains("CartesianProduct"), s"pq ann went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LUT join lost its code key:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not window-pruned:\n$p")
+  }
+
   test("source overlap: pair join stays equi-keyed on the token") {
     // per-token fan-out is bounded by |sources|^2 (a bounded dimension);
     // losing the w key would cross-join source vocabularies
