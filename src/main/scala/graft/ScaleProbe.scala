@@ -55,7 +55,9 @@ object ScaleProbe {
     // corpus-statistics wave: vocab grows with the replica substitutions
     // (each replica's tokens are distinct), so these probe the
     // vocab-aggregate topologies under real vocabulary growth
-    "q_ttr", "q_oov_rate", "q_zipf", "q_source_overlap")
+    "q_ttr", "q_oov_rate", "q_zipf", "q_source_overlap",
+    // product quantization: assignment passes + code-keyed LUT joins
+    "q_pq_encode", "q_pq_ann")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
