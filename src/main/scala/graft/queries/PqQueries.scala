@@ -125,6 +125,60 @@ object PqQueries {
     ).mkString(",\n")
   }
 
+  /** ADC top-5 per query (q_id, vec_id, sim) — shared by q_pq_ann (the
+    * search itself) and q_pq_recall (its quality audit). */
+  private def adcTop5(s: SparkSession, d: String): DataFrame = {
+    val q = emb(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        slice(col("emb"), 1, HalfDim).as("q1"),
+        slice(col("emb"), HalfDim + 1, HalfDim).as("q2"),
+        col("nrm").as("qn"))
+    val lut1 = q.crossJoin(codebook1(s, d))
+      .withColumn("dp1", expr("graft_dot(q1, c_emb)"))
+      .select(col("q_id"), col("qn"), col("cell").as("code1"),
+        col("dp1"), col("c_nrm").as("cn1"))
+    val lut2 = q.crossJoin(codebook2(s, d))
+      .withColumn("dp2", expr("graft_dot(q2, c_emb)"))
+      .select(col("q_id").as("q_id2"), col("cell").as("code2b"),
+        col("dp2"), col("c_nrm").as("cn2"))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    encoded(s, d).select("vec_id", "code1", "code2")
+      .join(broadcast(lut1), Seq("code1"))
+      .join(broadcast(lut2),
+        col("q_id") === col("q_id2") && col("code2") === col("code2b"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round((col("dp1") + col("dp2")) /
+        (col("qn") * sqrt(col("cn1") * col("cn1") + col("cn2") * col("cn2"))), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id", "sim")
+  }
+
+  /** Oracle mirror of [[adcTop5]]: CTE chain producing
+    * `adc(q_id, vec_id, sim)`. Expects `n` + [[pqCtes]] in scope. */
+  private val adcCtes: String =
+    s"""q AS (SELECT vec_id AS q_id, e[1:$HalfDim] AS q1,
+       |        e[${HalfDim + 1}:${2 * HalfDim}] AS q2, nrm AS qn
+       |      FROM n WHERE vec_id < 5),
+       |lut1 AS (SELECT q_id, qn, cell AS code1,
+       |           list_dot_product(q1, ce) AS dp1, cn AS cn1
+       |         FROM q CROSS JOIN cb1),
+       |lut2 AS (SELECT q_id, cell AS code2,
+       |           list_dot_product(q2, ce) AS dp2, cn AS cn2
+       |         FROM q CROSS JOIN cb2),
+       |cand AS (
+       |  SELECT l1.q_id, enc.vec_id,
+       |    round((l1.dp1 + l2.dp2) /
+       |      (l1.qn * sqrt(l1.cn1 * l1.cn1 + l2.cn2 * l2.cn2)), 4) AS sim
+       |  FROM enc
+       |  JOIN lut1 l1 ON enc.code1 = l1.code1
+       |  JOIN lut2 l2 ON l2.q_id = l1.q_id AND enc.code2 = l2.code2
+       |  WHERE enc.vec_id <> l1.q_id),
+       |adc AS (
+       |  SELECT q_id, vec_id, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rn FROM cand) WHERE rn <= 5)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // PQ training + encoding + reconstruction fidelity: every vector's
@@ -160,56 +214,56 @@ object PqQueries {
     // search shape. LUTs are Q x SubK rows (broadcast at any corpus
     // size); the candidate side never touches raw vectors.
     Q("q_pq_ann",
+      (s, d) => adcTop5(s, d).orderBy(col("q_id"), desc("sim"), col("vec_id")),
+      Some(s"""WITH $embCte,
+             $pqCtes,
+             $adcCtes
+             SELECT q_id, vec_id, sim FROM adc
+             ORDER BY q_id, sim DESC, vec_id""")),
+
+    // PQ recall audit (the q_ivf_recall pattern for the compression
+    // side): per query, recall@5 of the ADC search against brute-force
+    // exact top-5 — the readout that decides whether M=2/SubK=8 ranks
+    // faithfully enough or the codebooks need more codewords. The exact
+    // side runs only for the FIXED query set (broadcast of |Q| rows);
+    // recall is a small-rational ratio -> r4 floor-rounding.
+    Q("q_pq_recall",
       (s, d) => {
-        val q = emb(s, d).filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"),
-            slice(col("emb"), 1, HalfDim).as("q1"),
-            slice(col("emb"), HalfDim + 1, HalfDim).as("q2"),
-            col("nrm").as("qn"))
-        val lut1 = q.crossJoin(codebook1(s, d))
-          .withColumn("dp1", expr("graft_dot(q1, c_emb)"))
-          .select(col("q_id"), col("qn"), col("cell").as("code1"),
-            col("dp1"), col("c_nrm").as("cn1"))
-        val lut2 = q.crossJoin(codebook2(s, d))
-          .withColumn("dp2", expr("graft_dot(q2, c_emb)"))
-          .select(col("q_id").as("q_id2"), col("cell").as("code2b"),
-            col("dp2"), col("c_nrm").as("cn2"))
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+            col("nrm").as("q_nrm"))
         val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
-        encoded(s, d).select("vec_id", "code1", "code2")
-          .join(broadcast(lut1), Seq("code1"))
-          .join(broadcast(lut2),
-            col("q_id") === col("q_id2") && col("code2") === col("code2b"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("sim", round((col("dp1") + col("dp2")) /
-            (col("qn") * sqrt(col("cn1") * col("cn1") + col("cn2") * col("cn2"))), 4))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("sim",
+            round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
-          .select("q_id", "vec_id", "sim")
-          .orderBy(col("q_id"), desc("sim"), col("vec_id"))
+          .select("q_id", "vec_id")
+        val approx = adcTop5(s, d)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hit"))
+          .withColumn("recall", Helpers.r4(col("n_hit").cast("double") / col("k")))
+          .select("q_id", "n_hit", "recall")
+          .orderBy("q_id")
       },
       Some(s"""WITH $embCte,
              $pqCtes,
-             q AS (SELECT vec_id AS q_id, e[1:$HalfDim] AS q1,
-                     e[${HalfDim + 1}:${2 * HalfDim}] AS q2, nrm AS qn
-                   FROM n WHERE vec_id < 5),
-             lut1 AS (SELECT q_id, qn, cell AS code1,
-                        list_dot_product(q1, ce) AS dp1, cn AS cn1
-                      FROM q CROSS JOIN cb1),
-             lut2 AS (SELECT q_id, cell AS code2,
-                        list_dot_product(q2, ce) AS dp2, cn AS cn2
-                      FROM q CROSS JOIN cb2),
-             cand AS (
-               SELECT l1.q_id, enc.vec_id,
-                 round((l1.dp1 + l2.dp2) /
-                   (l1.qn * sqrt(l1.cn1 * l1.cn1 + l2.cn2 * l2.cn2)), 4) AS sim
-               FROM enc
-               JOIN lut1 l1 ON enc.code1 = l1.code1
-               JOIN lut2 l2 ON l2.q_id = l1.q_id AND enc.code2 = l2.code2
-               WHERE enc.vec_id <> l1.q_id),
-             ranked AS (
-               SELECT *, row_number() OVER (PARTITION BY q_id
-                 ORDER BY sim DESC, vec_id) AS rn FROM cand)
-             SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
-             ORDER BY q_id, sim DESC, vec_id"""))
+             $adcCtes,
+             ex AS (
+               SELECT q.q_id, n.vec_id,
+                 round(list_dot_product(q1 || q2, n.e) / (qn * n.nrm), 4) AS sim
+               FROM q JOIN n ON n.vec_id <> q.q_id),
+             exact AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id) AS rn FROM ex) WHERE rn <= 5)
+             SELECT e.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+               floor(count(a.vec_id)::DOUBLE / count(*) * 10000 + 0.5::DOUBLE) / 10000 AS recall
+             FROM exact e LEFT JOIN adc a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY e.q_id ORDER BY e.q_id"""))
   )
 }
