@@ -1734,6 +1734,27 @@ final class VersionedParquetSink(basePath: String,
       s"clone target '$target' already exists")
     val f = fs(spark, commitDir(target))
     f.mkdirs(new Path(commitDir(target)))
+    // Register the clone FIRST with every table whose data it will
+    // reference (the flattened owner — normally `source`, the original
+    // for re-clones): a `_clones/<target>` breadcrumb that [[vacuum]]
+    // consults so a source vacuum KEEPS directories live clones still
+    // read. This closes Delta's documented shallow-clone hazard (vacuum
+    // on the source silently breaks every clone). Breadcrumb before
+    // markers: a vacuum racing the clone must already see the hold (it
+    // tolerates a not-yet-committed clone within its grace period); the
+    // breadcrumb is dropped once the clone's commit log disappears
+    // (DROP TABLE) or never materializes.
+    entries.map(e => VersionedParquetSink
+        .resolveDir(tableDir(source), e.dir).stripPrefix(s"$basePath/")
+        .takeWhile(_ != '/'))
+      .distinct.foreach { owner =>
+      val bc = new Path(s"${tableDir(owner)}/_clones/$target")
+      val bf = fs(spark, tableDir(owner))
+      bf.mkdirs(bc.getParent)
+      val out = bf.create(bc, true)
+      try out.write(target.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     entries.foreach { e =>
       // flatten chained clones: an ALREADY-escaping dir re-pointed at
       // this source would stack ../ hops — resolve to the owning table
@@ -1800,10 +1821,33 @@ final class VersionedParquetSink(basePath: String,
             .filter(_.table == table).map(_.unique)
         }.toSet
     }
-    val keep: Set[String] = txnStagedDirs ++
+    val now = System.currentTimeMillis()
+    // Clone holds: every registered clone (a `_clones/<name>` breadcrumb
+    // written by [[cloneShallow]] BEFORE its markers) pins the local
+    // dirs its manifest still references — a source vacuum must never
+    // break a live clone (the Delta hazard this protocol closes). A
+    // breadcrumb whose clone has no commit log is stale (dropped table
+    // or crashed clone) and is garbage-collected here — but only past
+    // the grace period, since a racing cloneShallow writes the
+    // breadcrumb before its first marker.
+    val cloneHeld: Set[String] = {
+      val cd = new Path(s"${tableDir(table)}/_clones")
+      if (!f.exists(cd)) Set.empty
+      else f.listStatus(cd).toSeq.filter(_.isFile).flatMap { st =>
+        val cloneName = st.getPath.getName
+        val cloneEntries = manifest(spark, cloneName)
+        if (cloneEntries.isEmpty) {
+          if (now - st.getModificationTime >= graceMs && !dryRun)
+            f.delete(st.getPath, false)
+          Seq.empty
+        } else cloneEntries.map(_.dir)
+          .filter(_.startsWith(s"../$table/"))
+          .map(_.stripPrefix(s"../$table/").takeWhile(_ != '/'))
+      }.toSet
+    }
+    val keep: Set[String] = txnStagedDirs ++ cloneHeld ++
       (if (!includeSuperseded) entries.map(_.dir).toSet
        else liveEntries(entries).map(_.dir).toSet) // = readAt(MaxValue) scan set
-    val now = System.currentTimeMillis()
     // `_txn/.tmp-*` files are writers that died BEFORE the manifest
     // rename (= before the commit point): true orphans after the grace
     // period, same rule as uncommitted data dirs

@@ -119,6 +119,35 @@ class CloneSpec extends AnyFunSuite {
     assert(sink.read(spark, "c").count() == 40)
   }
 
+  test("clone-aware vacuum: source vacuum keeps dirs a live clone reads") {
+    // the Delta hazard this protocol closes: compact + hard-vacuum the
+    // SOURCE — without the _clones breadcrumb the superseded original
+    // dirs (the clone's entire content) would be deleted
+    val base = TestSpark.tmpDir("clone8")
+    val sink = new VersionedParquetSink(base)
+    sink.append((1 to 40).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.cloneShallow(spark, "t", "c")
+    sink.compact(spark, "t")
+    val deleted = sink.vacuum(spark, "t", graceMs = 0L,
+      includeSuperseded = true)
+    assert(deleted == 0, s"vacuum deleted $deleted clone-held dir(s)")
+    assert(sink.read(spark, "c").count() == 40) // clone still whole
+    assert(sink.read(spark, "t").count() == 40)
+
+    // dropping the clone releases the hold: the stale breadcrumb is
+    // collected and the superseded dirs become vacuumable
+    def rm(fl: java.io.File): Unit = {
+      Option(fl.listFiles).foreach(_.foreach(rm)); fl.delete(); ()
+    }
+    rm(new java.io.File(s"$base/c"))
+    val freed = sink.vacuum(spark, "t", graceMs = 0L,
+      includeSuperseded = true)
+    assert(freed > 0, "dropping the clone should release its dirs")
+    assert(sink.read(spark, "t").count() == 40)
+    assert(!new java.io.File(s"$base/t/_clones/c").exists,
+      "stale breadcrumb not collected")
+  }
+
   test("stats-pruned and format(\"graft\") reads work on the clone") {
     val base = TestSpark.tmpDir("clone7")
     val sink = new VersionedParquetSink(base)
