@@ -1726,10 +1726,19 @@ final class VersionedParquetSink(basePath: String,
     * doesn't know about clones. Vacuum on the CLONE is always safe: it
     * only ever deletes directories under the clone's own table dir. */
   def cloneShallow(spark: SparkSession, source: String,
-      target: String): Long = {
+      target: String, versionAsOf: Option[Long] = None): Long = {
     require(source != target, s"cannot clone '$source' onto itself")
-    val entries = manifest(spark, source)
-    require(entries.nonEmpty, s"no committed versions for $source")
+    val entries = versionAsOf match {
+      // CLONE ... VERSION AS OF: the clone is the source AS OF v — its
+      // manifest stops there, so later source commits are invisible to
+      // it (and time travel below v still works on the clone)
+      case Some(v) => manifest(spark, source).filter(_.version <= v)
+      case None => manifest(spark, source)
+    }
+    require(entries.nonEmpty, versionAsOf match {
+      case Some(v) => s"no committed versions <= $v for $source"
+      case None => s"no committed versions for $source"
+    })
     require(manifest(spark, target).isEmpty,
       s"clone target '$target' already exists")
     val f = fs(spark, commitDir(target))
@@ -2157,12 +2166,19 @@ final class VersionedParquetSink(basePath: String,
     * from the marker `ts` field every commit writes. Throws if the first
     * commit is younger than `ts`. */
   def readAsOf(spark: SparkSession, table: String,
-      ts: java.time.Instant): DataFrame = {
+      ts: java.time.Instant): DataFrame =
+    readAt(spark, table, versionAsOfTimestamp(spark, table, ts))
+
+  /** The timestamp-resolution rule shared by every `timestampAsOf`
+    * face (reads, RESTORE): the LAST version committed at or before
+    * `ts`. Throws if the first timestamped commit is younger. */
+  def versionAsOfTimestamp(spark: SparkSession, table: String,
+      ts: java.time.Instant): Long = {
     val upTo = ts.toEpochMilli
     val entries = manifest(spark, table)
     require(entries.nonEmpty, s"no committed versions for $table")
     val noTs = entries.count(_.ts.isEmpty)
-    val v = entries.filter(_.ts.exists(_ <= upTo)).lastOption.getOrElse(
+    entries.filter(_.ts.exists(_ <= upTo)).lastOption.getOrElse(
       throw new IllegalArgumentException {
         val earliest = entries.flatMap(_.ts).headOption
           .map(java.time.Instant.ofEpochMilli(_).toString)
@@ -2173,7 +2189,6 @@ final class VersionedParquetSink(basePath: String,
             "not reachable by timestamp — use readAt(version)" else "") + ")"
       })
       .version
-    readAt(spark, table, v)
   }
 
   override def exists(spark: SparkSession, table: String): Boolean =

@@ -640,27 +640,42 @@ private object GraftProcedures {
             z.fold("")(c => s" z-ordered on $c"))
         }))
       case "restore" => Some(proc("restore",
-        "Restore a table to an earlier version (as a new commit)",
+        "Restore a table to an earlier version or timestamp " +
+          "(as a new commit)",
         Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("version", LongType).build()),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build(),
+          ProcedureParameter.in("timestamp", StringType)
+            .defaultValue("CAST(NULL AS STRING)").build()),
         { (spark, row) =>
           val t = row.getUTF8String(0).toString
-          val v = cat.sink.restore(spark, t, row.getLong(1))
-          Seq(s"restored '$t' to v${row.getLong(1)} as version $v")
+          val toV = (row.isNullAt(1), row.isNullAt(2)) match {
+            case (false, true) => row.getLong(1)
+            case (true, false) => cat.sink.versionAsOfTimestamp(spark, t,
+              java.time.Instant.parse(row.getUTF8String(2).toString))
+            case _ => throw new IllegalArgumentException(
+              "restore takes exactly one of version / timestamp")
+          }
+          val v = cat.sink.restore(spark, t, toV)
+          Seq(s"restored '$t' to v$toV as version $v")
         }))
       case "clone" => Some(proc("clone",
         "Shallow-clone a table: metadata-only copy whose commits " +
-          "reference the source's data files (no data copied)",
+          "reference the source's data files (no data copied); " +
+          "version clones the source AS OF that version",
         Array(
           ProcedureParameter.in("source", StringType).build(),
-          ProcedureParameter.in("target", StringType).build()),
+          ProcedureParameter.in("target", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
         { (spark, row) =>
           val src = row.getUTF8String(0).toString
           val dst = row.getUTF8String(1).toString
-          val v = cat.sink.cloneShallow(spark, src, dst)
+          val ver = if (row.isNullAt(2)) None else Some(row.getLong(2))
+          val v = cat.sink.cloneShallow(spark, src, dst, ver)
           Seq(s"cloned '$src' to '$dst' at version $v (metadata-only; " +
-            "vacuum on the source invalidates the clone)")
+            "source vacuum honors the clone's holds)")
         }))
       case "vacuum" => Some(proc("vacuum",
         "Delete unreferenced data directories older than retain_hours " +

@@ -103,7 +103,8 @@ class CloneSpec extends AnyFunSuite {
     assert(markers.nonEmpty)
     markers.foreach { body =>
       assert(body.contains("\"dir\":\"../t/"), body)
-      assert(!body.contains("c1"), s"chained clone did not flatten: $body")
+      // base64 payloads can contain "c1" by chance — check the dir FIELD
+      assert(!body.contains("../c1"), s"chained clone did not flatten: $body")
     }
   }
 
@@ -165,6 +166,43 @@ class CloneSpec extends AnyFunSuite {
     val df = spark.read.format("graft").load(s"$base/c")
     assert(df.count() == 299)
     assert(df.filter(col("id") === 250).count() == 0)
+  }
+
+  test("clone at a version: the clone is the source AS OF v") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("clone9"))
+    sink.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.append((11 to 20).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    val v = sink.cloneShallow(spark, "t", "c", versionAsOf = Some(0L))
+    assert(v == 0L)
+    assert(sink.read(spark, "c").collect().map(_.getInt(0)).toSet ==
+      (1 to 10).toSet)
+    // the source's v1 append never leaks into the clone
+    assert(sink.read(spark, "t").count() == 20)
+    // readAt's inclusive-<= rule applies; below the first version throws
+    intercept[IllegalArgumentException] {
+      sink.cloneShallow(spark, "t", "c2", versionAsOf = Some(-1L))
+    }
+  }
+
+  test("CALL g.restore(timestamp => ...) resolves like timestampAsOf") {
+    val name = "grt"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.path",
+      TestSpark.tmpDir(s"cat-$name"))
+    spark.sql(s"CREATE TABLE $name.t (id INT) USING graft")
+    spark.sql(s"INSERT INTO $name.t VALUES (1)")
+    Thread.sleep(1100) // marker timestamps have second granularity headroom
+    val cut = java.time.Instant.now
+    Thread.sleep(1100)
+    spark.sql(s"INSERT INTO $name.t VALUES (2)")
+    spark.sql(s"CALL $name.restore(table => 't', timestamp => '$cut')")
+    assert(spark.sql(s"SELECT * FROM $name.t").collect()
+      .map(_.getInt(0)).toSet == Set(1))
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $name.restore(table => 't')").collect()
+    }
+    assert(e.getMessage.contains("exactly one of"), e.getMessage)
   }
 
   test("CALL g.clone(...) procedure clones through the catalog") {
