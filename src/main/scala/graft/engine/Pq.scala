@@ -70,6 +70,77 @@ object Pq {
         array((0 until model.m).map(i => col(s"code$i")): _*).as("codes"))
   }
 
+  /** Coarse-cell assignment over FULL vectors (the IVF half of IVF-PQ):
+    * (id, cell) by the q_ivf_assign rule — rounded cosine to the
+    * broadcast centroid table, cell-id tie-break. `coarse` is a
+    * [[KMeans.train]] result over the full-width vectors. */
+  def assignCells(spark: SparkSession, vectors: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = vectors.select(col("id").as("vec_id"),
+        col("vec").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
+    e.join(broadcast(coarse))
+      .withColumn("sim",
+        round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("id"), col("cell"))
+  }
+
+  /** IVF-PQ search (the FAISS `IndexIVFPQ` shape — the architecture a
+    * 100 TB ANN deployment actually runs): probe each query's `probes`
+    * nearest coarse cells, then ADC-score ONLY the candidates in those
+    * cells from their codes. Cost per query = probes/k_coarse of the
+    * corpus × O(m) lookups — both levers corpus-independent. `encoded`
+    * must carry (id, codes, cell) — [[encode]] joined with
+    * [[assignCells]]. */
+  def searchIvf(spark: SparkSession, encoded: DataFrame,
+      coarse: DataFrame, model: Model, queries: DataFrame,
+      probes: Int, k: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val q = queries.select(col("id").as("q_id"),
+        col("vec").cast("array<double>").as("q_vec"))
+      .withColumn("qn", sqrt(expr("graft_dot(q_vec, q_vec)")))
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("csim"), asc("cell"))
+    val probed = q.join(broadcast(coarse))
+      .withColumn("csim",
+        round(expr("graft_dot(q_vec, c_emb)") / (col("qn") * col("c_nrm")), 4))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= probes)
+      .select(col("q_id").as("pq_id"), col("cell"))
+    val scoped = encoded.join(broadcast(probed), Seq("cell"))
+      .select(col("id"), col("codes"), col("pq_id"))
+    // ADC over the scoped candidates: reuse [[search]]'s LUT machinery
+    // by scoring only rows whose probe-query matches the LUT's query
+    val luts = (0 until model.m).map { i =>
+      q.withColumn("qh", slice(col("q_vec"), i * model.subDim + 1, model.subDim))
+        .crossJoin(model.codebooks(i))
+        .withColumn(s"dp$i", expr("graft_dot(qh, c_emb)"))
+        .select(col("q_id").as(s"q$i"), col("qn").as(s"qn$i"),
+          col("cell").as(s"c$i"), col(s"dp$i"), col("c_nrm").as(s"cn$i"))
+    }
+    val base = scoped.select(col("id") +: col("pq_id") +:
+      (0 until model.m).map(i =>
+        element_at(col("codes"), i + 1).as(s"code$i")): _*)
+    val joined = (0 until model.m).foldLeft(base) { (acc, i) =>
+      acc.join(broadcast(luts(i)),
+        col(s"code$i") === col(s"c$i") && col("pq_id") === col(s"q$i"))
+    }
+    val num = (0 until model.m).map(i => col(s"dp$i")).reduce(_ + _)
+    val den = col("qn0") * sqrt(
+      (0 until model.m).map(i => col(s"cn$i") * col(s"cn$i")).reduce(_ + _))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("id"))
+    joined
+      .withColumn("q_id", col("pq_id"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("sim", round(num / den, 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "id", "sim")
+  }
+
   /** ADC top-`k` neighbors of each query row over a PQ-`encoded` corpus
     * (id, codes): per query and subspace, a subK-row lookup table of
     * query-half-to-codeword dots; candidates join the tables ON THEIR

@@ -80,6 +80,39 @@ class PqSpec extends AnyFunSuite {
     assert(recallAt(vecs, m = 2, subK = 40, k = 3) == 1.0)
   }
 
+  test("IVF-PQ: full probe equals plain ADC; recall grows with probes") {
+    import graft.engine.KMeans
+    val vecs = vectors(80, 16)
+    val kCoarse = 6
+    val model = Pq.train(spark, vecs, 16, m = 2, subK = 32)
+    val coarse = KMeans.train(spark,
+      vecs.select(col("id").as("vec_id"),
+          col("vec").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
+      kCoarse, iters = 2)
+    val enc = Pq.encode(spark, vecs, model)
+      .join(Pq.assignCells(spark, vecs, coarse), "id")
+    val queries = vecs.filter(col("id") < 3)
+
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing EVERY cell = no pruning: identical to the flat ADC search
+    val full = Pq.searchIvf(spark, enc, coarse, model, queries,
+      probes = kCoarse, k = 5)
+    val flat = Pq.search(spark, enc.drop("cell"), model, queries, k = 5)
+    assert(key(full) == key(flat))
+    // probe-1 scans one cell per query: results are a (possibly lossy)
+    // subset of candidates — recall vs the flat search can only be
+    // recovered by probing deeper, never exceeded
+    val p1 = Pq.searchIvf(spark, enc, coarse, model, queries,
+      probes = 1, k = 5)
+    val hits1 = key(p1).intersect(key(flat)).size
+    val hitsAll = key(full).intersect(key(flat)).size
+    assert(hits1 <= hitsAll)
+    assert(hitsAll == key(flat).size)
+  }
+
   test("recall improves as codebooks grow (the SubK quality lever)") {
     val vecs = vectors(60, 8)
     val coarse = recallAt(vecs, m = 2, subK = 2, k = 5)
