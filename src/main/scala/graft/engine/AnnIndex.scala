@@ -1,0 +1,126 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental ANN index — the production shape of similarity search at
+  * 100 TB, composing the repo's storage and ANN layers: the IVF-PQ
+  * index PERSISTS on a [[TableSink]] (quantizers + encoded corpus as
+  * versioned tables), new vectors encode against the FROZEN quantizers
+  * in O(new batch), and search never touches raw vectors — the same
+  * maintenance recipe as [[DedupIndex]]/[[SpanIndex]], applied to the
+  * vector side.
+  *
+  * Index tables (on any [[TableSink]]):
+  *  - `<prefix>_centroids`: (cell, c_emb, c_nrm) — the coarse quantizer
+  *  - `<prefix>_codebooks`: (sub, cell, c_emb, c_nrm) — PQ sub-codebooks
+  *  - `<prefix>_vectors`:   (id, cell, codes) — the encoded corpus
+  *
+  * [[build]] lands all three in ONE cross-table transaction (a reader
+  * can never observe quantizers without their corpus or vice versa);
+  * [[append]] is keyed per batch, so a crash-replayed micro-batch
+  * encodes exactly once; [[retrain]] re-fits on the current corpus and
+  * swaps the index as logged rewrites — time travel below the retrain
+  * still resolves the old index. [[cellHealth]] is the retrain trigger
+  * readout (cells drifting oversized = quantizer stale).
+  *
+  * Freezing the quantizers between retrains is what makes increments
+  * O(batch): codes are comparable only under ONE codebook generation,
+  * exactly how FAISS/SCANN deployments roll their indexes. */
+object AnnIndex {
+
+  private def tbl(prefix: String, part: String) = s"${prefix}_$part"
+
+  private def loadModel(spark: SparkSession, sink: TableSink,
+      prefix: String): (Pq.Model, DataFrame) = {
+    val coarse = sink.read(spark, tbl(prefix, "centroids"))
+    val books0 = sink.read(spark, tbl(prefix, "codebooks"))
+    val m = books0.agg(max("sub")).head.getInt(0) + 1
+    val subDim = books0.select(size(col("c_emb"))).head.getInt(0)
+    val books = (0 until m).map(i => books0.filter(col("sub") === i)
+      .select("cell", "c_emb", "c_nrm"))
+    (Pq.Model(m, subDim, books), coarse)
+  }
+
+  /** Train quantizers on the seed corpus, encode it, and publish the
+    * whole index as ONE cross-table transaction. `vectors` carries
+    * (id, vec) with `dim`-wide vectors. */
+  def build(spark: SparkSession, sink: TableSink, prefix: String,
+      vectors: DataFrame, dim: Int, kCoarse: Int, m: Int, subK: Int,
+      iters: Int = 2): Unit = {
+    val model = Pq.train(spark, vectors, dim, m, subK, iters)
+    val coarse = KMeans.train(spark,
+      vectors.select(col("id").as("vec_id"),
+          col("vec").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
+      kCoarse, iters)
+    val encoded = Pq.encode(spark, vectors, model)
+      .join(Pq.assignCells(spark, vectors, coarse), "id")
+      .select("id", "cell", "codes")
+    val books = model.codebooks.zipWithIndex.map { case (cb, i) =>
+      cb.select(lit(i).as("sub"), col("cell"), col("c_emb"), col("c_nrm"))
+    }.reduce(_.unionByName(_))
+    require(sink.multiAppendOnce(Seq(
+      coarse.select("cell", "c_emb", "c_nrm") -> tbl(prefix, "centroids"),
+      books -> tbl(prefix, "codebooks"),
+      encoded -> tbl(prefix, "vectors")),
+      txnKey = s"$prefix-build"), s"index '$prefix' already built")
+  }
+
+  /** Encode a NEW batch against the persisted (frozen) quantizers and
+    * append it — O(batch) work, keyed for exactly-once replay. Returns
+    * false when `batchKey` already landed (the replay no-op). */
+  def append(spark: SparkSession, sink: TableSink, prefix: String,
+      newVectors: DataFrame, batchKey: String): Boolean = {
+    val (model, coarse) = loadModel(spark, sink, prefix)
+    val encoded = Pq.encode(spark, newVectors, model)
+      .join(Pq.assignCells(spark, newVectors, coarse), "id")
+      .select("id", "cell", "codes")
+    sink.appendOnce(encoded, tbl(prefix, "vectors"),
+      s"$prefix-append-$batchKey")
+  }
+
+  /** IVF-PQ search over the PERSISTED index: probe `probes` coarse
+    * cells per query, ADC-score their members from codes. */
+  def search(spark: SparkSession, sink: TableSink, prefix: String,
+      queries: DataFrame, probes: Int, k: Int): DataFrame = {
+    val (model, coarse) = loadModel(spark, sink, prefix)
+    Pq.searchIvf(spark, sink.read(spark, tbl(prefix, "vectors")),
+      coarse, model, queries, probes, k)
+  }
+
+  /** Per-cell population (cell, n_vectors) plus the skew readout the
+    * retrain decision watches: a cell drifting far above the mean means
+    * the frozen quantizer no longer fits the data distribution. */
+  def cellHealth(spark: SparkSession, sink: TableSink,
+      prefix: String): DataFrame =
+    sink.read(spark, tbl(prefix, "vectors"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+
+  /** Re-fit quantizers on the CURRENT corpus vectors and swap the index
+    * — each table a logged rewrite, so readers atomically move
+    * generations and time travel below the retrain resolves the old
+    * index. `vectors` must be the full current corpus (the caller owns
+    * the raw vectors; the index stores only codes). */
+  def retrain(spark: SparkSession, sink: TableSink, prefix: String,
+      vectors: DataFrame, dim: Int, kCoarse: Int, m: Int, subK: Int,
+      iters: Int = 2): Unit = {
+    val model = Pq.train(spark, vectors, dim, m, subK, iters)
+    val coarse = KMeans.train(spark,
+      vectors.select(col("id").as("vec_id"),
+          col("vec").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
+      kCoarse, iters)
+    val encoded = Pq.encode(spark, vectors, model)
+      .join(Pq.assignCells(spark, vectors, coarse), "id")
+      .select("id", "cell", "codes")
+    val books = model.codebooks.zipWithIndex.map { case (cb, i) =>
+      cb.select(lit(i).as("sub"), col("cell"), col("c_emb"), col("c_nrm"))
+    }.reduce(_.unionByName(_))
+    sink.overwrite(coarse.select("cell", "c_emb", "c_nrm"),
+      tbl(prefix, "centroids"))
+    sink.overwrite(books, tbl(prefix, "codebooks"))
+    sink.overwrite(encoded, tbl(prefix, "vectors"))
+  }
+}
