@@ -80,6 +80,45 @@ object AnnIndex {
       s"$prefix-append-$batchKey")
   }
 
+  /** Continuous ingestion: stream vector files (JSON lines with
+    * id/vec) and [[append]] every micro-batch against the frozen
+    * quantizers. The key is CONTENT-derived, not batchId (the
+    * DedupIndex chaos-test recipe): after checkpoint loss a re-formed
+    * batch may merge committed files with new ones — a content key
+    * makes an identical replay a no-op while any re-batched superset
+    * proceeds, keeping ingestion exactly-once under ANY re-batching.
+    * One file per trigger keeps batch composition deterministic. */
+  def streamAppend(spark: SparkSession, vecsDir: String, sink: TableSink,
+      prefix: String, dim: Int, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(vecsDir)
+      .writeStream
+      .queryName(s"graft-ann-ingest-$prefix")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sig = batch.agg(count(lit(1)),
+          sum(crc32(concat_ws("", col("id"),
+            col("vec").cast("string"))))).head()
+        if (sig.getLong(0) > 0) {
+          append(batch.sparkSession, sink, prefix, batch,
+            batchKey = s"${sig.getLong(0)}-${sig.getLong(1)}")
+          ()
+        }
+      }
+      .start()
+  }
+
   /** IVF-PQ search over the PERSISTED index: probe `probes` coarse
     * cells per query, ADC-score their members from codes. */
   def search(spark: SparkSession, sink: TableSink, prefix: String,

@@ -69,6 +69,46 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(health.map(_.getLong(1)).sum == 90)
   }
 
+  test("streaming ingestion: files append exactly-once, replay-safe") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("annidx3"))
+    AnnIndex.build(spark, sink, "ann", vectors(0 until 30, 8),
+      dim = 8, kCoarse = 3, m = 2, subK = 8)
+
+    val dir = TestSpark.tmpDir("annvecs")
+    def writeFile(name: String, ids: Range): Unit = {
+      val lines = ids.map { i =>
+        val v = vectors(i to i, 8).head.getSeq[Double](1)
+        s"""{"id":$i,"vec":[${v.mkString(",")}]}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    writeFile("a", 30 until 40)
+    writeFile("b", 40 until 50)
+    val cp = TestSpark.tmpDir("anncp")
+    AnnIndex.streamAppend(spark, dir, sink, "ann", dim = 8,
+      checkpoint = cp).awaitTermination()
+    assert(sink.read(spark, "ann_vectors").count() == 50)
+
+    // checkpoint loss + replay over the SAME files: content keys no-op
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(cp))
+    AnnIndex.streamAppend(spark, dir, sink, "ann", dim = 8,
+      checkpoint = TestSpark.tmpDir("anncp2")).awaitTermination()
+    assert(sink.read(spark, "ann_vectors").count() == 50)
+
+    // a new file after the loss still lands
+    writeFile("c", 50 until 55)
+    AnnIndex.streamAppend(spark, dir, sink, "ann", dim = 8,
+      checkpoint = TestSpark.tmpDir("anncp3")).awaitTermination()
+    assert(sink.read(spark, "ann_vectors").count() == 55)
+    assert(sink.read(spark, "ann_vectors").select("id").distinct()
+      .count() == 55)
+  }
+
   test("retrain swaps generations atomically per table; history survives") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("annidx2"))
     AnnIndex.build(spark, sink, "ann", vectors(0 until 40, 8),
