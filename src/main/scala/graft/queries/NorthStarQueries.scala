@@ -41,6 +41,12 @@ object NorthStarQueries {
     * cost. Mirrored verbatim in the DuckDB oracles. */
   private val MaxShingleDf = 5
 
+  /** q_hamming_pairs bucket cap: a (band, byte) bucket hotter than this
+    * is a degenerate collision class (templated content) and is dropped
+    * — the MaxShingleDf treatment keeping banded-simhash pair volume
+    * bounded at any corpus size. */
+  private val HammingBucketCap = 50
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
@@ -364,6 +370,72 @@ object NorthStarQueries {
                FROM hashed GROUP BY doc_id)
              SELECT doc_id, $simhashCombine AS simhash
              FROM bits ORDER BY doc_id""")),
+
+    // SimHash near-dup PAIRS (Manku et al. 2007, public): the banded
+    // form — split the 16-bit signature into two 8-bit bands, candidates
+    // collide on (band, byte), verify by hamming distance bit_count(xor)
+    // <= 3. Buckets are capped (the MaxShingleDf treatment: a byte value
+    // hot across the corpus is a degenerate bucket — templated content —
+    // and is dropped) so pair volume stays bounded; at production scale
+    // the signature widens (64-bit, 16-bit bands) so the bucket space
+    // grows with corpus diversity — same plan, wider key.
+    Q("q_hamming_pairs",
+      (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"),
+          explode(Text.tokenSet(col("text"))).as("s"))
+          .withColumn("v",
+            conv(substring(md5(col("s").cast("binary")), 1, 4), 16, 10)
+              .cast("int"))
+        val sums = (0 until 16).map { k =>
+          val bitPos = 4 * (3 - k / 4) + (3 - k % 4)
+          sum(when(shiftright(col("v"), bitPos) % 2 === 1, 1).otherwise(-1))
+            .as(s"b$k")
+        }
+        val sigs = toks.groupBy("doc_id")
+          .agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"), expr(simhashCombine).as("sig"))
+        val banded = sigs.select(col("doc_id"), col("sig"),
+            explode(array(
+              struct(lit(0).as("band"), (col("sig") % 256).as("bv")),
+              struct(lit(1).as("band"), (col("sig") / 256).cast("int").as("bv"))
+            )).as("b"))
+          .select(col("doc_id"), col("sig"),
+            col("b.band").as("band"), col("b.bv").as("bv"))
+        val sized = banded.withColumn("bn",
+            count(lit(1)).over(Window.partitionBy("band", "bv")))
+          .filter(col("bn") <= HammingBucketCap)
+        val l = sized.select(col("band"), col("bv"),
+          col("doc_id").as("d1"), col("sig").as("s1"))
+        val r = sized.select(col("band"), col("bv"),
+          col("doc_id").as("d2"), col("sig").as("s2"))
+        l.join(r, Seq("band", "bv")).filter(col("d1") < col("d2"))
+          .withColumn("hamming", bit_count(expr("s1 ^ s2")).cast("int"))
+          .filter(col("hamming") <= 3)
+          .select("d1", "d2", "hamming").distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH toks AS (
+               SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+               FROM documents),
+             hashed AS (SELECT doc_id, md5(s) AS h FROM toks),
+             bits AS (
+               SELECT doc_id, ${simhashBitSums("//").mkString(", ")}
+               FROM hashed GROUP BY doc_id),
+             sigs AS (SELECT doc_id, $simhashCombine AS sig FROM bits),
+             banded AS (
+               SELECT doc_id, sig, 0 AS band, sig % 256 AS bv FROM sigs
+               UNION ALL
+               SELECT doc_id, sig, 1 AS band, sig // 256 AS bv FROM sigs),
+             sized AS (
+               SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn
+                              FROM banded) WHERE bn <= $HammingBucketCap),
+             pairs AS (
+               SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+               FROM sized a JOIN sized b
+                 ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+             SELECT d1, d2, hamming FROM pairs ORDER BY d1, d2""")),
 
     // embedding-cosine near-dup with (label, IVF-cell) blocking:
     // candidates only within the same label AND trained IVF cell, exact

@@ -392,6 +392,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"top-k not window-pruned:\n$p")
   }
 
+  test("hamming pairs: candidate join keyed on (band, byte); no cartesian") {
+    // banded simhash: losing the bucket key turns the capped candidate
+    // join into all-pairs — the exact blow-up the banding exists to avoid
+    val p = plan("q_hamming_pairs")
+    assert(!p.contains("CartesianProduct"), s"hamming pairs went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join lost its (band, bv) key:\n$p")
+  }
+
   test("source overlap: pair join stays equi-keyed on the token") {
     // per-token fan-out is bounded by |sources|^2 (a bounded dimension);
     // losing the w key would cross-join source vocabularies
