@@ -57,7 +57,9 @@ object ScaleProbe {
     // vocab-aggregate topologies under real vocabulary growth
     "q_ttr", "q_oov_rate", "q_zipf", "q_source_overlap",
     // product quantization: assignment passes + code-keyed LUT joins
-    "q_pq_encode", "q_pq_ann")
+    "q_pq_encode", "q_pq_ann",
+    // banded simhash: capped (band, byte) buckets + hamming verify
+    "q_hamming_pairs")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
