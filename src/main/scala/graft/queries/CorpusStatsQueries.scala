@@ -165,6 +165,66 @@ object CorpusStatsQueries {
                  * 10000 + 0.5::DOUBLE) / 10000 AS slope
              FROM ag ORDER BY source""")),
 
+    // Percentile length trim: keep documents inside the per-language
+    // [p05, p95] character-length band — the length-outlier screen run
+    // per language because length distributions differ by script (a CJK
+    // p95 is not a Latin p95). Exact interpolated percentiles over ONE
+    // keyed shuffle on lang (percentile buffers merge map-side — the
+    // q_mad_outlier shape); the per-language stats table is
+    // |langs|-sized, broadcast at any corpus scale; comparisons run on
+    // identical interpolation inputs in both engines.
+    Q("q_len_trim",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bands = docs.groupBy("lang")
+          .agg(expr("percentile(n_chars, 0.05)").as("p05"),
+            expr("percentile(n_chars, 0.95)").as("p95"))
+        docs.join(broadcast(bands), "lang")
+          .withColumn("keep",
+            col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            r4(col("p05")).as("p05"), r4(col("p95")).as("p95"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bands AS (
+               SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+                 quantile_cont(n_chars, 0.95) AS p95
+               FROM documents GROUP BY lang)
+             SELECT doc_id, d.lang, n_chars,
+               floor(p05 * 10000 + 0.5::DOUBLE) / 10000 AS p05,
+               floor(p95 * 10000 + 0.5::DOUBLE) / 10000 AS p95,
+               (n_chars >= p05 AND n_chars <= p95) AS keep
+             FROM documents d JOIN bands ON d.lang = bands.lang
+             ORDER BY doc_id""")),
+
+    // Tokenizer fertility by language: characters per whitespace token —
+    // the readout a tokenizer team tracks per language (a language whose
+    // fertility drifts high is paying more compute per unit text).
+    // Row-local token counting + ONE map-side-combinable shuffle on
+    // lang; ratios of exact long sums -> r4.
+    Q("q_fertility",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("chars_per_token",
+          r4(col("n_chars").cast("double") / col("n_tokens")))
+        .withColumn("tokens_per_doc",
+          r4(col("n_tokens").cast("double") / col("n_docs")))
+        .select("lang", "n_docs", "n_tokens", "n_chars",
+          "chars_per_token", "tokens_per_doc")
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(len(text)) AS BIGINT) AS n_chars,
+               floor(sum(len(text))::DOUBLE / sum(len(str_split(text, ' ')))
+                 * 10000 + 0.5::DOUBLE) / 10000 AS chars_per_token,
+               floor(sum(len(str_split(text, ' ')))::DOUBLE / count(*)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS tokens_per_doc
+             FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Pairwise vocabulary Jaccard between sources: |vocab(a) ∩ vocab(b)|
     // over |vocab(a) ∪ vocab(b)| — mirror/syndicated-source detection
     // run before source-mixing weights are set (two sources sharing

@@ -401,6 +401,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair join lost its (band, bv) key:\n$p")
   }
 
+  test("len trim: band table broadcasts back; no cartesian") {
+    // the |langs|-row percentile table must join the corpus broadcast,
+    // never shuffle the corpus on lang twice
+    val p = finalPlan("q_len_trim")
+    assert(p.contains("BroadcastHashJoin"), s"band join lost broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("source overlap: pair join stays equi-keyed on the token") {
     // per-token fan-out is bounded by |sources|^2 (a bounded dimension);
     // losing the w key would cross-join source vocabularies
