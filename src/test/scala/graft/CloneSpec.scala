@@ -168,6 +168,46 @@ class CloneSpec extends AnyFunSuite {
     assert(df.filter(col("id") === 250).count() == 0)
   }
 
+  test("clone composes with column mapping: renamed schema + stats pruning") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("clone10"))
+    sink.append((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.append((101 to 200).map(i => (i, s"v$i")).toDF("id", "v"), "t")
+    sink.renameColumn(spark, "t", "id", "doc_id") // freezes physical names
+    sink.cloneShallow(spark, "t", "c")
+    // the clone reads under the RENAMED logical schema (mapping carried)
+    val c = sink.read(spark, "c")
+    assert(c.columns.toSeq == Seq("doc_id", "v"))
+    assert(c.count() == 200)
+    // stats skipping resolves through the mapping on re-pointed dirs
+    assert(sink.readWhere(spark, "c", col("doc_id") between (50, 60))
+      .count() == 11)
+    // appends to the clone translate through the carried mapping and
+    // stay isolated from the source
+    sink.append(Seq((201, "x")).toDF("doc_id", "v"), "c")
+    assert(sink.read(spark, "c").count() == 201)
+    assert(sink.read(spark, "t").count() == 200)
+  }
+
+  test("breadcrumb grace window: a just-registered clone survives vacuum") {
+    // cloneShallow writes the breadcrumb BEFORE its markers; a vacuum
+    // racing that window must not collect the young breadcrumb (default
+    // grace), while a stale one past the grace IS collected
+    val base = TestSpark.tmpDir("clone11")
+    val sink = new VersionedParquetSink(base)
+    sink.append((1 to 10).map(i => (i, i)).toDF("id", "n"), "t")
+    // simulate the mid-clone state: breadcrumb present, no clone commits
+    val bc = new java.io.File(s"$base/t/_clones")
+    bc.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/t/_clones/pending"),
+      "pending".getBytes("UTF-8"))
+    sink.vacuum(spark, "t") // default grace: the young breadcrumb stays
+    assert(new java.io.File(s"$base/t/_clones/pending").exists,
+      "vacuum collected a breadcrumb inside the grace window")
+    sink.vacuum(spark, "t", graceMs = 0L) // past grace: collected
+    assert(!new java.io.File(s"$base/t/_clones/pending").exists)
+  }
+
   test("clone at a version: the clone is the source AS OF v") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("clone9"))
     sink.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "t")
