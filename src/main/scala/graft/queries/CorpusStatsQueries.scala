@@ -225,6 +225,68 @@ object CorpusStatsQueries {
                  * 10000 + 0.5::DOUBLE) / 10000 AS tokens_per_doc
              FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // The corpus-build composite: quality filter → exact dedup →
+    // contamination-safe split → sequence packing, reported as per-split
+    // publish stats — the END-TO-END curated-corpus readout as ONE
+    // oracle-checked query (TrainingPipelineSpec asserts the same
+    // pipeline's invariants through the transactional sink; this puts
+    // the numbers under the DuckDB gate). Shapes: row-local quality
+    // flags, one fingerprint-keyed shuffle for dedup, the split hash
+    // keys on the CONTENT fingerprint (a residual duplicate pair can
+    // never straddle the split), packing's running sum windows each
+    // split's kept docs (two bounded partitions).
+    Q("q_corpus_build",
+      (s, d) => {
+        val quality = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("n_tok", size(col("ws")).cast("long"))
+          .withColumn("ttr", r4(size(array_distinct(col("ws")))
+            .cast("double") / col("n_tok")))
+          .filter(col("n_tok") >= 10 && col("ttr") >= 0.05)
+          .withColumn("fp", md5(col("text").cast("binary")))
+        val keep = quality.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val curated = quality.join(keep, Seq("doc_id", "fp"), "left_semi")
+          .withColumn("split",
+            // fp is ALREADY an md5 hex digest: parse its first 4 hex
+            // chars directly (Helpers.hash16 would md5 it AGAIN and
+            // diverge from the oracle's hex4-on-fp)
+            when(conv(substring(col("fp"), 1, 4), 16, 10).cast("int")
+              % 10 < 8, "train").otherwise("val"))
+        val w = Window.partitionBy("split").orderBy("doc_id")
+        curated
+          .withColumn("seq_id",
+            floor((sum("n_tok").over(w) - 1) / 128))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            countDistinct("seq_id").as("n_seqs"))
+          .orderBy("split")
+      },
+      Some(s"""WITH q AS (
+               SELECT doc_id, text,
+                 CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+                 floor(len(list_distinct(str_split(text, ' ')))::DOUBLE /
+                   len(str_split(text, ' ')) * 10000 + 0.5::DOUBLE) / 10000 AS ttr
+               FROM documents),
+             qk AS (SELECT doc_id, md5(text) AS fp, n_tok FROM q
+                    WHERE n_tok >= 10 AND ttr >= 0.05),
+             keep AS (SELECT fp, min(doc_id) AS doc_id FROM qk GROUP BY fp),
+             cur AS (
+               SELECT qk.doc_id, qk.n_tok,
+                 CASE WHEN ${Helpers.hex4("qk.fp")} % 10 < 8
+                   THEN 'train' ELSE 'val' END AS split
+               FROM qk JOIN keep ON qk.doc_id = keep.doc_id AND qk.fp = keep.fp),
+             packed AS (
+               SELECT split, n_tok,
+                 CAST(floor((sum(n_tok) OVER (PARTITION BY split
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 128)
+                   AS BIGINT) AS seq_id
+               FROM cur)
+             SELECT split, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs
+             FROM packed GROUP BY split ORDER BY split""")),
+
     // Pairwise vocabulary Jaccard between sources: |vocab(a) ∩ vocab(b)|
     // over |vocab(a) ∪ vocab(b)| — mirror/syndicated-source detection
     // run before source-mixing weights are set (two sources sharing
