@@ -163,8 +163,10 @@ object DeltaLogMirror {
     }
 
     // remove: files a rewrite supersedes = dirs live before this commit
-    // but not after it (appends supersede nothing)
-    if (e.compacts.isDefined) {
+    // but not after it (appends supersede nothing). A selective fold
+    // (OPTIMIZE WHERE, replaces.nonEmpty) supersedes exactly its
+    // replaced dirs — the same before/after diff covers it.
+    if (e.compacts.isDefined || e.replaces.nonEmpty) {
       // DV dirs hold mask positions, never mirrored as data — they must
       // not appear as removes (they were never adds)
       val before = liveEntries(prev).filterNot(isMergeOnRead).map(_.dir).toSet
@@ -374,8 +376,9 @@ object DeltaLogMirror {
     val liveDirs = liveNow.map(_.dir).toSet
     val removedAt: Map[String, Long] = dataEntries.map(_.dir)
       .filterNot(liveDirs).distinct.flatMap { dir =>
-        // deletionTimestamp = the first compaction commit that dropped it
-        upTo.find(c => c.compacts.exists(_ >= 0) &&
+        // deletionTimestamp = the first rewrite (full compaction or
+        // selective fold) that dropped it
+        upTo.find(c => (c.compacts.exists(_ >= 0) || c.replaces.nonEmpty) &&
           !liveEntries(upTo.filter(_.version <= c.version))
             .exists(_.dir == dir))
           .flatMap(_.ts).map(dir -> _)

@@ -96,7 +96,13 @@ final class VersionedParquetSink(basePath: String,
       str("constraintsB64").filter(_.nonEmpty).map(b64),
       str("mappingB64").filter(_.nonEmpty).map(b64),
       str("gensB64").filter(_.nonEmpty).map(b64),
-      str("propsB64").filter(_.nonEmpty).map(b64), body)
+      str("propsB64").filter(_.nonEmpty).map(b64),
+      // dir-granular selective rewrite (OPTIMIZE WHERE): the BASE NAMES
+      // of the dirs this commit's folded copy supersedes — base names,
+      // not full dirs, so a clone's re-pointed `../src/<dir>` spelling
+      // still matches (same prefix-independence as DV mask paths)
+      str("replacesB64").map(b64).toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -632,6 +638,10 @@ final class VersionedParquetSink(basePath: String,
       rewriteOnlyConflict: Boolean = false,
       op: Option[String] = None,
       statsJson: Option[String] = None,
+      // dir-granular selective rewrite (OPTIMIZE WHERE): base names of
+      // the live dirs whose content this commit's dir now carries —
+      // liveEntries drops them once this commit lands
+      replaces: Seq[String] = Nil,
       // None = inherit the latest commit's constraint set (every normal
       // commit); Some(x) = set it to x (add/dropConstraint)
       newConstraints: Option[Option[String]] = None,
@@ -673,7 +683,10 @@ final class VersionedParquetSink(basePath: String,
       // otherwise defeat the marker's flat field regexes
       statsJson.map(st => s""","statsB64":"${
         Base64.getEncoder.encodeToString(st.getBytes(StandardCharsets.UTF_8))}"""")
-        .getOrElse("")
+        .getOrElse("") +
+      (if (replaces.isEmpty) "" else s""","replacesB64":"${
+        Base64.getEncoder.encodeToString(
+          replaces.mkString(",").getBytes(StandardCharsets.UTF_8))}"""")
     def b64enc(s: String): String =
       Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     var reuse = snapshot // first attempt only; retries re-read under the lock
@@ -700,9 +713,13 @@ final class VersionedParquetSink(basePath: String,
               //    VECTOR conflicts the same way: the compaction's new
               //    file paths would orphan the DV's (path, pos) refs and
               //    silently resurrect the masked rows.
+              // a selective rewrite (replaces.nonEmpty) conflicts like a
+              // full one: committing a fold derived from a snapshot that
+              // predates another fold of the SAME dirs would duplicate
+              // every overlapping row (both folded copies stay live)
               if (rewriteOnlyConflict)
                 entries.exists(e => e.version > b &&
-                  (e.compacts.isDefined ||
+                  (e.compacts.isDefined || e.replaces.nonEmpty ||
                     VersionedParquetSink.isMergeOnRead(e)))
               else entries.lastOption.map(_.version).getOrElse(-1L) != b
             }) {
@@ -888,6 +905,104 @@ final class VersionedParquetSink(basePath: String,
       doCompact(spark, table, entries, commitKey,
         snap => ZOrder.zOrderedN(snap, cols, numFiles)))
   }
+
+  /** OPTIMIZE ... WHERE (Delta's selective OPTIMIZE): fold ONLY the live
+    * data directories whose per-file min/max stats say they MAY hold
+    * rows matching `condition` — at 100 TB the difference between
+    * rewriting the whole table and rewriting yesterday's micro-batch
+    * dirs. Content-preserving like [[compact]] (compacting a stats
+    * superset is always safe), same serializable conflict rules and
+    * keyed replay; time travel below it still resolves, CDF/streaming
+    * consumers skip it.
+    *
+    * Mechanics: the commit carries a `replaces` list (the folded dirs'
+    * base names) instead of a `compacts` watermark, so NON-matching
+    * dirs stay live untouched — [[VersionedParquetSink.liveEntries]]
+    * drops exactly the replaced dirs. Live DV masks over the folded
+    * dirs are materialized into the fold (masks over untouched dirs
+    * stay live and keep applying); merge-on-read commits are never
+    * folded (their `_dv/` masks must keep applying to OTHER dirs).
+    * A dir without stats conservatively matches. Selecting fewer than
+    * two dirs commits nothing (there is nothing to fold) and returns
+    * the current version.
+    *
+    * `zorderBy` non-empty gives Delta's `OPTIMIZE ... WHERE ... ZORDER
+    * BY`: the folded output is Morton-clustered so the new files carry
+    * tight per-column ranges for the sink's stats pruning. */
+  def compactWhere(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      targetFiles: Option[Int] = None,
+      zorderBy: Seq[String] = Nil,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "compact", commitKey) { entries =>
+      val baseV = entries.last.version
+      val live = liveEntries(entries)
+      // foldable = plain data commits (appends and earlier selective
+      // folds). The newest FULL compaction keeps its watermark role;
+      // merge-on-read dirs carry masks that must keep applying.
+      val foldable = live.filter(e =>
+        e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e))
+      val logical = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
+        StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+      val mapping = VersionedParquetSink.ColumnMapping.parse(
+        entries.lastOption.flatMap(_.mapping))
+      val physSchema = logical.map(
+        VersionedParquetSink.ColumnMapping.physicalSchema(_, mapping))
+      val pred = logical.flatMap(
+          FileStats.resolvePredicate(spark, _, condition))
+        .map(_.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if mapping.nonEmpty =>
+            a.withName(VersionedParquetSink.ColumnMapping
+              .physicalName(mapping, a.name))
+        })
+      val selected = foldable.filter { e =>
+        (e.stats, pred, physSchema) match {
+          case (Some(json), Some(p), Some(sc)) =>
+            FileStats.parse(json).exists {
+              case (_, pf) => FileStats.mayMatch(p, sc, pf) }
+          case _ => true // no stats / unresolvable predicate: may match
+        }
+      }
+      if (selected.size < 2) baseV // nothing to fold; no commit
+      else {
+        val dirs = selected.map(e =>
+          VersionedParquetSink.resolveDir(tableDir(table), e.dir))
+        // scan PHYSICAL (write stays physical — no mapping round-trip);
+        // pre-evolution files read the later columns as null
+        val plain = physSchema match {
+          case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+          case None => spark.read.parquet(dirs: _*)
+        }
+        val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
+        val content =
+          if (dvs.isEmpty) plain
+          else applyDvMask(spark, table, withPosCols(spark, table, plain),
+            dvs).drop("__dv_path", "__dv_pos")
+        val out =
+          if (zorderBy.nonEmpty)
+            ZOrder.zOrderedN(content, zorderBy, targetFiles.getOrElse(8))
+          else targetFiles.fold(content)(n => content.coalesce(n))
+        val unique = s"d-${UUID.randomUUID()}"
+        out.write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"${tableDir(table)}/$unique")
+        commitLoop(spark, table, unique, commitKey, compacts = None,
+          schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
+            .getOrElse(out.schema.toDDL),
+          cleanupOnKeyLoss = true,
+          requireBase = Some(baseV), rewriteOnlyConflict = true,
+          op = Some("compact"),
+          statsJson = Some(FileStats.collect(spark,
+            s"${tableDir(table)}/$unique",
+            physSchema.getOrElse(out.schema))),
+          replaces = selected.map(_.dir.split('/').last))
+          .orElse(commitKey.flatMap(k =>
+            manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+          .getOrElse(throw new IllegalStateException(
+            s"selective compaction of $table lost the commit race with " +
+              "no keyed winner"))
+      }
+    }
 
   private def doCompact(spark: SparkSession, table: String,
       entries: Seq[Commit], commitKey: Option[String],
@@ -1657,8 +1772,12 @@ final class VersionedParquetSink(basePath: String,
     // data without being a rewrite marker: any such commit in range
     // forces the snapshot-diff path (which reads masked snapshots and
     // reports masked rows as deletes, updated rows as delete+insert)
+    // a selective fold (replaces.nonEmpty) is content-preserving like a
+    // full compaction: excluded from the insert dirs (its rows are the
+    // replaced dirs' rows, already delivered), allowed in the fast path
     val fastRange = range.filter(e =>
-      e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e))
+      e.compacts.isEmpty && e.replaces.isEmpty &&
+        !VersionedParquetSink.isMergeOnRead(e))
     if (range.forall(e =>
         (e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e)) ||
           e.op.contains("compact"))) {
@@ -2237,7 +2356,8 @@ final class VersionedParquetSink(basePath: String,
           "range — set skipChangeCommits=true for appends-only delivery")
     GraftRelation.forDirs(spark, tableDir(table), entries,
       range.filter(e =>
-        e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e)),
+        e.compacts.isEmpty && e.replaces.isEmpty &&
+          !VersionedParquetSink.isMergeOnRead(e)),
       table)
   }
 
@@ -2333,7 +2453,8 @@ final class VersionedParquetSink(basePath: String,
           "history needs skipChangeCommits=true (appends-only delivery) " +
           "or a CDF consumer (changesBetween)")
     val appendDirs = range
-      .filter(e => e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e))
+      .filter(e => e.compacts.isEmpty && e.replaces.isEmpty &&
+        !VersionedParquetSink.isMergeOnRead(e))
       .map(e => VersionedParquetSink.resolveDir(tableDir(table), e.dir))
     val mapping = VersionedParquetSink.ColumnMapping.parse(
       entries.lastOption.flatMap(_.mapping))
@@ -2382,7 +2503,8 @@ object VersionedParquetSink {
       key: Option[String], compacts: Option[Long], schemaDdl: Option[String],
       ts: Option[Long], op: Option[String], stats: Option[String],
       constraints: Option[String], mapping: Option[String],
-      generated: Option[String], props: Option[String], raw: String)
+      generated: Option[String], props: Option[String],
+      replaces: Seq[String], raw: String)
 
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */
@@ -2518,12 +2640,19 @@ object VersionedParquetSink {
   private[engine] def liveEntries(entries: Seq[Commit]): Seq[Commit] = {
     val comp = entries.filter(_.compacts.isDefined)
       .sortBy(_.version).lastOption
-    comp match {
+    val base = comp match {
       case None => entries
       case Some(c) =>
         c +: entries.filter(e =>
           e.version > c.compacts.get && e.compacts.isEmpty)
     }
+    // dir-granular selective rewrites (OPTIMIZE WHERE): a dir whose base
+    // name appears in a commit's `replaces` list is superseded by that
+    // commit's folded copy. Base-name matching so a clone's re-pointed
+    // `../src/<dir>` spelling of the same UUID-unique dir still matches.
+    val replaced = base.iterator.flatMap(_.replaces).toSet
+    if (replaced.isEmpty) base
+    else base.filter(e => !replaced.contains(e.dir.split('/').last))
   }
 
   /** A delete/merge found a commit newer than the snapshot it rewrote —

@@ -622,21 +622,37 @@ private object GraftProcedures {
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "optimize" => Some(proc("optimize",
-        "Compact a table; with zorder_by, cluster on the named columns",
+        "Compact a table; with zorder_by, cluster on the named columns; " +
+          "with predicate, fold only the dirs whose stats may match " +
+          "(selective OPTIMIZE ... WHERE)",
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("zorder_by", StringType)
-            .defaultValue("CAST(NULL AS STRING)").build()),
+            .defaultValue("CAST(NULL AS STRING)").build(),
+          ProcedureParameter.in("predicate", StringType)
+            .defaultValue("CAST(NULL AS STRING)").build(),
+          ProcedureParameter.in("target_files", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
         { (spark, row) =>
           val t = row.getUTF8String(0).toString
           val z = if (row.isNullAt(1)) None
             else Some(row.getUTF8String(1).toString)
-          val v = z match {
-            case Some(cols) => cat.sink.optimizeZOrder(spark, t,
-              cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-            case None => cat.sink.compact(spark, t)
+          val zCols = z.toSeq.flatMap(
+            _.split(',').map(_.trim).filter(_.nonEmpty))
+          val w = if (row.isNullAt(2)) None
+            else Some(row.getUTF8String(2).toString)
+          val tf = if (row.isNullAt(3)) None else Some(row.getLong(3).toInt)
+          val v = w match {
+            case Some(cond) => cat.sink.compactWhere(spark, t,
+              org.apache.spark.sql.functions.expr(cond), tf, zCols)
+            case None => z match {
+              case Some(_) => cat.sink.optimizeZOrder(spark, t, zCols,
+                tf.getOrElse(8))
+              case None => cat.sink.compact(spark, t, tf)
+            }
           }
           Seq(s"compacted '$t' as version $v" +
+            w.fold("")(c => s" where $c") +
             z.fold("")(c => s" z-ordered on $c"))
         }))
       case "restore" => Some(proc("restore",
