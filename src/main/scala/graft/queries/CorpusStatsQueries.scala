@@ -326,6 +326,163 @@ object CorpusStatsQueries {
                  * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
              FROM inter JOIN vs va ON s1 = va.source
                         JOIN vs vb ON s2 = vb.source
-             ORDER BY s1, s2"""))
+             ORDER BY s1, s2""")),
+
+    // Bigram conditional entropy per language: H(w2|w1) =
+    // -Σ p(w1,w2) ln p(w2|w1) — the sequence-level predictability
+    // readout (templated/repetitive corpora score LOW because the next
+    // word is predictable; healthy natural text sits high). Three
+    // map-side-combinable shuffles, each keyed finer->coarser
+    // ((lang,w1,w2) -> (lang,w1) -> lang), all bounded by the corpus
+    // bigram count — one linear pass at any scale. Determinism: each
+    // ln term is 1e-6-floored into DECIMAL and multiplied by the exact
+    // INTEGER bigram count before the sum (exact, order-independent —
+    // the q_zipf precedent); the final normalize-and-negate is one
+    // rational op on the exact sum -> r4. Identical operation trees in
+    // both engines.
+    Q("q_bigram_entropy",
+      (s, d) => {
+        def f6(c: Column): Column =
+          (floor(c * 1000000 + 0.5) / 1000000).cast("decimal(18,6)")
+        // zip_with bigram generation (the q_bigram idiom — per-row
+        // constant references to ws; the one-longer zip pads with null
+        // and the filter drops it)
+        val bg = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("bg", expr(
+            "filter(zip_with(ws, slice(ws, 2, size(ws)), " +
+              "(x, y) -> struct(x AS w1, y AS w2)), e -> e.w2 IS NOT NULL)"))
+          .select(col("lang"), explode(col("bg")).as("b"))
+          .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy("lang", "w1").agg(sum("c12").as("c1"))
+        c12.join(c1, Seq("lang", "w1"))
+          .withColumn("term",
+            col("c12") * f6(log(col("c12").cast("double") / col("c1"))))
+          .groupBy("lang")
+          .agg(sum("c12").as("n_bigrams"),
+            sum("term").as("t"))
+          .withColumn("cond_entropy",
+            r4(-col("t").cast("double") / col("n_bigrams")))
+          .select("lang", "n_bigrams", "cond_entropy")
+          .orderBy("lang")
+      },
+      Some("""WITH ws AS (SELECT lang, str_split(text, ' ') AS w,
+               len(str_split(text, ' ')) AS nw FROM documents),
+             bg AS (SELECT lang, w[t.i] AS w1, w[t.i + 1] AS w2
+                    FROM ws CROSS JOIN range(1, 4096) t(i)
+                    WHERE t.i <= nw - 1),
+             c12 AS (SELECT lang, w1, w2, count(*) AS c12
+                     FROM bg GROUP BY 1, 2, 3),
+             c1 AS (SELECT lang, w1, sum(c12) AS c1 FROM c12 GROUP BY 1, 2),
+             t AS (SELECT c12.lang, c12.c12,
+                     c12.c12 * CAST(floor(ln(c12.c12::DOUBLE / c1.c1)
+                       * 1000000 + 0.5::DOUBLE) / 1000000
+                       AS DECIMAL(18,6)) AS term
+                   FROM c12 JOIN c1
+                     ON c12.lang = c1.lang AND c12.w1 = c1.w1)
+             SELECT lang, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+               floor(-CAST(sum(term) AS DOUBLE) / sum(c12)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS cond_entropy
+             FROM t GROUP BY lang ORDER BY lang""")),
+
+    // Per-source KL divergence from the corpus unigram distribution:
+    // KL(P_src || P_corpus) = Σ p_s(w) ln(p_s(w)/q(w)) — the
+    // distribution-shift readout behind mixing decisions (a source far
+    // from the corpus center is either valuable diversity or junk; the
+    // number says WHICH sources to inspect). No smoothing needed:
+    // every source token exists in the corpus by construction. Shapes:
+    // (source,w) and (w) counts are map-side-combinable token-keyed
+    // shuffles; the join is keyed on the token; totals are
+    // |sources|-/1-row broadcasts. Same exact-sum determinism as
+    // q_bigram_entropy: integer count x 1e-6-floored DECIMAL ln term.
+    Q("q_kl_source",
+      (s, d) => {
+        def f6(c: Column): Column =
+          (floor(c * 1000000 + 0.5) / 1000000).cast("decimal(18,6)")
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val sw = toks.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+        val cw = sw.groupBy("w").agg(sum("csw").as("cw"))
+        val ns = sw.groupBy("source").agg(sum("csw").as("ns"))
+        val n = cw.agg(sum("cw").as("n"))
+        sw.join(cw, "w")
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("term", col("csw") * f6(log(
+            (col("csw").cast("double") * col("n")) /
+              (col("ns").cast("double") * col("cw")))))
+          .groupBy("source")
+          .agg(max(col("ns")).as("n_tokens"), sum("term").as("t"))
+          .withColumn("kl",
+            r4(col("t").cast("double") / col("n_tokens")))
+          .select("source", "n_tokens", "kl")
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS w
+               FROM documents),
+             sw AS (SELECT source, w, count(*) AS csw FROM toks GROUP BY 1, 2),
+             cw AS (SELECT w, sum(csw) AS cw FROM sw GROUP BY 1),
+             ns AS (SELECT source, sum(csw) AS ns FROM sw GROUP BY 1),
+             n AS (SELECT sum(cw) AS n FROM cw),
+             t AS (SELECT sw.source, ns.ns,
+                     sw.csw * CAST(floor(ln((sw.csw::DOUBLE * n.n) /
+                         (ns.ns::DOUBLE * cw.cw))
+                       * 1000000 + 0.5::DOUBLE) / 1000000
+                       AS DECIMAL(18,6)) AS term
+                   FROM sw JOIN cw ON sw.w = cw.w
+                           JOIN ns ON sw.source = ns.source, n)
+             SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+               floor(CAST(sum(term) AS DOUBLE) / max(ns)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS kl
+             FROM t GROUP BY source ORDER BY source""")),
+
+    // Word burstiness (Church & Gale): variance-to-mean ratio of a
+    // word's per-document counts across the WHOLE corpus (zeros
+    // included via N = total docs). Function words sit near Poisson
+    // (VMR ~ 1); topical words burst (VMR >> 1) — the readout that
+    // separates the two before stopword-list or tf-idf decisions. Run
+    // over the FIXED top-K corpus words, so the output is K rows and
+    // the per-word sums ride the same token-keyed shuffle as the vocab
+    // build. All sums are exact integers; VMR is computed from them in
+    // ONE identical rational expression tree in both engines -> r4.
+    Q("q_burstiness",
+      (s, d) => {
+        val docsDf = Tables.documents(s, d)
+        val nDocs = docsDf.count() // driver-side scalar: one count, exact
+        val dw = docsDf
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        val top = dw.groupBy("w").agg(sum("c").as("cw"))
+          .orderBy(desc("cw"), asc("w")).limit(OovVocabK)
+        dw.join(broadcast(top.select("w")), "w")
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_docs_with"),
+            sum("c").as("sc"),
+            sum(col("c") * col("c")).as("sc2"))
+          .withColumn("vmr", r4(
+            (col("sc2").cast("double") / nDocs -
+              (col("sc").cast("double") / nDocs) *
+                (col("sc").cast("double") / nDocs)) /
+              (col("sc").cast("double") / nDocs)))
+          .select("w", "n_docs_with", "sc", "vmr")
+          .orderBy("w")
+      },
+      Some(s"""WITH dw AS (SELECT doc_id, w, count(*) AS c FROM (
+               SELECT doc_id, unnest(str_split(text, ' ')) AS w
+               FROM documents) GROUP BY 1, 2),
+             top AS (SELECT w FROM (
+               SELECT w, sum(c) AS cw FROM dw GROUP BY 1
+               ORDER BY cw DESC, w LIMIT $OovVocabK)),
+             nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+             ag AS (SELECT dw.w, count(*) AS n_docs_with,
+                      sum(c) AS sc, sum(c * c) AS sc2
+                    FROM dw JOIN top ON dw.w = top.w GROUP BY 1)
+             SELECT w, CAST(n_docs_with AS BIGINT) AS n_docs_with,
+               CAST(sc AS BIGINT) AS sc,
+               floor((sc2::DOUBLE / n - (sc::DOUBLE / n) * (sc::DOUBLE / n))
+                   / (sc::DOUBLE / n)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS vmr
+             FROM ag, nd ORDER BY w"""))
   )
 }
