@@ -965,44 +965,126 @@ final class VersionedParquetSink(basePath: String,
         }
       }
       if (selected.size < 2) baseV // nothing to fold; no commit
+      else foldSelected(spark, table, entries, selected, Nil,
+        targetFiles, zorderBy, commitKey)
+    }
+
+  /** REORG TABLE ... APPLY (PURGE) (Delta parity): materialize every
+    * live deletion-vector mask by folding ONLY the data dirs the masks
+    * target (plus merge-on-read update dirs, whose `_dv/` masks ride
+    * their data), and RETIRE every mask-carrying commit via the fold's
+    * `replaces` list — after the purge no reader pays the mask
+    * anti-join, and the `_delta_log` mirror's unmaterialized-DV lag
+    * clears. Cost ∝ masked data, never table size (the point of REORG
+    * vs full OPTIMIZE). No live masks: no commit, returns the current
+    * version. Content-preserving; same conflict/replay rules as
+    * [[compactWhere]]. */
+  def reorgPurge(spark: SparkSession, table: String,
+      targetFiles: Option[Int] = None,
+      commitKey: Option[String] = None): Long =
+    retryingRewrite(spark, table, "compact", commitKey) { entries =>
+      val baseV = entries.last.version
+      val live = liveEntries(entries)
+      val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
+      if (dvs.isEmpty) baseV
       else {
-        val dirs = selected.map(e =>
-          VersionedParquetSink.resolveDir(tableDir(table), e.dir))
-        // scan PHYSICAL (write stays physical — no mapping round-trip);
-        // pre-evolution files read the later columns as null
-        val plain = physSchema match {
-          case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
-          case None => spark.read.parquet(dirs: _*)
+        // dirs targeted by any live mask (bounded: masks are position
+        // lists; the distinct-dir projection is tiny)
+        val maskDirs = dvs.map(e => VersionedParquetSink.resolveDir(
+          tableDir(table), VersionedParquetSink.maskDir(e)))
+        val targeted: Set[String] = spark.read
+          .schema("path STRING, pos BIGINT").parquet(maskDirs: _*)
+          .select(org.apache.spark.sql.functions
+            .expr("split_part(path, '/', 1)").as("d"))
+          .distinct().collect().map(_.getString(0)).toSet
+        // fold: data-bearing live dirs the masks target (the newest
+        // full compaction included — its watermark role survives the
+        // dir replacement) + every update commit's own data dir
+        val folded = live.filter(e =>
+          !VersionedParquetSink.isDv(e) &&
+            (targeted.contains(e.dir.split('/').last) ||
+              e.op.contains("update")))
+        val pureDvDirs = dvs.filter(VersionedParquetSink.isDv)
+          .map(_.dir.split('/').last)
+        if (folded.nonEmpty)
+          // retire ALL mask commits: every mask's targets are in the fold
+          foldSelected(spark, table, entries, folded, pureDvDirs,
+            targetFiles, Nil, commitKey)
+        else {
+          // every live mask targets only already-replaced dirs (stale
+          // no-op masks): nothing to rewrite — commit an EMPTY data dir
+          // whose replaces list retires the mask commits, so readers
+          // stop paying the anti-join
+          val unique = s"d-${UUID.randomUUID()}"
+          fs(spark, tableDir(table))
+            .mkdirs(new Path(s"${tableDir(table)}/$unique"))
+          commitLoop(spark, table, unique, commitKey, compacts = None,
+            schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
+              .getOrElse(readAt(spark, table, baseV).schema.toDDL),
+            cleanupOnKeyLoss = true,
+            requireBase = Some(baseV), rewriteOnlyConflict = true,
+            op = Some("compact"), statsJson = None,
+            replaces = pureDvDirs)
+            .orElse(commitKey.flatMap(k =>
+              manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+            .getOrElse(throw new IllegalStateException(
+              s"reorg purge of $table lost the commit race with no " +
+                "keyed winner"))
         }
-        val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
-        val content =
-          if (dvs.isEmpty) plain
-          else applyDvMask(spark, table, withPosCols(spark, table, plain),
-            dvs).drop("__dv_path", "__dv_pos")
-        val out =
-          if (zorderBy.nonEmpty)
-            ZOrder.zOrderedN(content, zorderBy, targetFiles.getOrElse(8))
-          else targetFiles.fold(content)(n => content.coalesce(n))
-        val unique = s"d-${UUID.randomUUID()}"
-        out.write.mode(SaveMode.ErrorIfExists)
-          .parquet(s"${tableDir(table)}/$unique")
-        commitLoop(spark, table, unique, commitKey, compacts = None,
-          schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
-            .getOrElse(out.schema.toDDL),
-          cleanupOnKeyLoss = true,
-          requireBase = Some(baseV), rewriteOnlyConflict = true,
-          op = Some("compact"),
-          statsJson = Some(FileStats.collect(spark,
-            s"${tableDir(table)}/$unique",
-            physSchema.getOrElse(out.schema))),
-          replaces = selected.map(_.dir.split('/').last))
-          .orElse(commitKey.flatMap(k =>
-            manifest(spark, table).find(_.key.contains(k)).map(_.version)))
-          .getOrElse(throw new IllegalStateException(
-            s"selective compaction of $table lost the commit race with " +
-              "no keyed winner"))
       }
     }
+
+  /** Shared selective-fold body: scan `folded`'s dirs physically, apply
+    * every live mask, lay out, and commit with
+    * `replaces = folded ++ alsoReplaces`. */
+  private def foldSelected(spark: SparkSession, table: String,
+      entries: Seq[Commit], folded: Seq[Commit],
+      alsoReplaces: Seq[String], targetFiles: Option[Int],
+      zorderBy: Seq[String], commitKey: Option[String]): Long = {
+    val baseV = entries.last.version
+    val live = liveEntries(entries)
+    val logical = entries.lastOption.flatMap(_.schemaDdl).map(ddl =>
+      StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true))))
+    val mapping = VersionedParquetSink.ColumnMapping.parse(
+      entries.lastOption.flatMap(_.mapping))
+    val physSchema = logical.map(
+      VersionedParquetSink.ColumnMapping.physicalSchema(_, mapping))
+    val dirs = folded.map(e =>
+      VersionedParquetSink.resolveDir(tableDir(table), e.dir))
+    // scan PHYSICAL (write stays physical — no mapping round-trip);
+    // pre-evolution files read the later columns as null
+    val plain = physSchema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
+    val dvs = live.filter(VersionedParquetSink.isMergeOnRead)
+    val content =
+      if (dvs.isEmpty) plain
+      else applyDvMask(spark, table, withPosCols(spark, table, plain),
+        dvs).drop("__dv_path", "__dv_pos")
+    val out =
+      if (zorderBy.nonEmpty)
+        ZOrder.zOrderedN(content, zorderBy, targetFiles.getOrElse(8))
+      else targetFiles.fold(content)(n => content.coalesce(n))
+    val unique = s"d-${UUID.randomUUID()}"
+    out.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${tableDir(table)}/$unique")
+    commitLoop(spark, table, unique, commitKey, compacts = None,
+      schemaDdl = entries.lastOption.flatMap(_.schemaDdl)
+        .getOrElse(out.schema.toDDL),
+      cleanupOnKeyLoss = true,
+      requireBase = Some(baseV), rewriteOnlyConflict = true,
+      op = Some("compact"),
+      statsJson = Some(FileStats.collect(spark,
+        s"${tableDir(table)}/$unique",
+        physSchema.getOrElse(out.schema))),
+      replaces = folded.map(_.dir.split('/').last) ++ alsoReplaces)
+      .orElse(commitKey.flatMap(k =>
+        manifest(spark, table).find(_.key.contains(k)).map(_.version)))
+      .getOrElse(throw new IllegalStateException(
+        s"selective compaction of $table lost the commit race with " +
+          "no keyed winner"))
+  }
 
   private def doCompact(spark: SparkSession, table: String,
       entries: Seq[Commit], commitKey: Option[String],

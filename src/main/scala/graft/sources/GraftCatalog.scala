@@ -617,7 +617,8 @@ private final class GraftChangesTable(base: String, table: String)
   * row via a [[org.apache.spark.sql.connector.read.LocalScan]]. */
 private object GraftProcedures {
 
-  val names: Array[String] = Array("optimize", "restore", "vacuum", "clone")
+  val names: Array[String] =
+    Array("optimize", "restore", "vacuum", "clone", "reorg")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -654,6 +655,19 @@ private object GraftProcedures {
           Seq(s"compacted '$t' as version $v" +
             w.fold("")(c => s" where $c") +
             z.fold("")(c => s" z-ordered on $c"))
+        }))
+      case "reorg" => Some(proc("reorg",
+        "REORG ... APPLY (PURGE): materialize every live deletion-vector " +
+          "mask by rewriting only the masked dirs, retiring the masks",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_files", LongType)
+            .defaultValue("CAST(NULL AS BIGINT)").build()),
+        { (spark, row) =>
+          val t = row.getUTF8String(0).toString
+          val tf = if (row.isNullAt(1)) None else Some(row.getLong(1).toInt)
+          val v = cat.sink.reorgPurge(spark, t, tf)
+          Seq(s"purged deletion vectors of '$t' as version $v")
         }))
       case "restore" => Some(proc("restore",
         "Restore a table to an earlier version or timestamp " +

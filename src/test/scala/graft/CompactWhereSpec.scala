@@ -167,6 +167,52 @@ class CompactWhereSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").count() == 110)
   }
 
+  test("REORG PURGE materializes masks folding only masked dirs") {
+    val base = TestSpark.tmpDir("cwA")
+    val sink = mixedTable(base)
+    sink.deleteVectored(spark, "t", col("id") === 5L)  // masks dir 1 only
+    sink.updateVectored(spark, "t", col("id") === 65L,
+      Map("text" -> org.apache.spark.sql.functions.lit("edited")))
+    val expected = sink.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(!expected.exists(_._1 == 5L) && expected.contains((65L, "edited")))
+
+    val v = sink.reorgPurge(spark, "t", Some(1))
+    assert(sink.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet == expected)
+    // all masks retired: DESCRIBE DETAIL reports zero live DVs
+    val detail = sink.describeDetail(spark, "t").collect()(0)
+    assert(detail.getAs[Long]("numDeletionVectors") == 0L)
+    // cost ∝ masked data: at least one untouched data dir survives the
+    // superseded vacuum (only masked/update dirs + dv dirs were retired)
+    val before = dataDirs(base, "t").size
+    sink.vacuum(spark, "t", graceMs = 0L, includeSuperseded = true)
+    assert(dataDirs(base, "t").size >= 2,
+      "purge rewrote dirs the masks never touched")
+    assert(sink.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet == expected)
+    assert(before >= dataDirs(base, "t").size)
+    assert(v == sink.latestVersion(spark, "t").get)
+    // no live masks -> purge again is a no-op
+    assert(sink.reorgPurge(spark, "t") == v)
+  }
+
+  test("CALL g.reorg — the SQL face") {
+    val base = TestSpark.tmpDir("cwB")
+    val sink = mixedTable(base)
+    sink.deleteVectored(spark, "t", col("id") <= 3L)
+    spark.conf.set("spark.sql.catalog.gor",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gor.path", base)
+    val msg = spark.sql("CALL gor.reorg(table => 't', target_files => 1)")
+      .collect()(0).getString(0)
+    assert(msg.contains("purged"))
+    assert(spark.sql("SELECT count(*) FROM gor.t").collect()(0).getLong(0)
+      == 107L)
+    assert(sink.describeDetail(spark, "t").collect()(0)
+      .getAs[Long]("numDeletionVectors") == 0L)
+  }
+
   test("the _delta_log mirror emits remove+add for the fold version") {
     val base = TestSpark.tmpDir("cw9")
     val sink = mixedTable(base)
