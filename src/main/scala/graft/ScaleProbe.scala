@@ -59,7 +59,14 @@ object ScaleProbe {
     // product quantization: assignment passes + code-keyed LUT joins
     "q_pq_encode", "q_pq_ann",
     // banded simhash: capped (band, byte) buckets + hamming verify
-    "q_hamming_pairs")
+    "q_hamming_pairs",
+    // round-8 tail: length-band/fertility (lang-keyed aggregates), the
+    // corpus-build composite (q_pack's running-sum window precedent),
+    // and the information-theoretic wave (bigram/token-keyed shuffles
+    // with exact DECIMAL ln sums — vocab grows under the replica
+    // substitutions, so these probe real key-space growth)
+    "q_len_trim", "q_fertility", "q_corpus_build",
+    "q_bigram_entropy", "q_kl_source", "q_burstiness")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

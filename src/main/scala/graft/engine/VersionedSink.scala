@@ -189,10 +189,57 @@ final class VersionedParquetSink(basePath: String,
     val entries = manifest(spark, table)
     if (commitKey.exists(k => entries.exists(_.key.contains(k)))) return false
     val staged = stageAppend(df, table, entries, allowEvolution)
-    claimStaged(spark, staged, commitKey, allowEvolution,
+    val committed = claimStaged(spark, staged, commitKey, allowEvolution,
       snapshot = Some(entries), cleanupOnKeyLoss = true,
       initialProps = initialProps).isDefined
+    // TBLPROPERTIES from the caller's snapshot: autoCompact is a
+    // steady-state behavior, one commit of enablement lag is fine and
+    // saves re-reading the manifest on every append
+    if (committed) maybeAutoCompact(spark, table,
+      VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.props)
+          .orElse(initialProps.flatMap(p =>
+            VersionedParquetSink.Constraints.render(p.toSeq)))).toMap)
+    committed
   }
+
+  /** Auto-compaction (Delta's `autoOptimize.autoCompact` parity): when
+    * `graft.autoCompact.minDirs` is set in TBLPROPERTIES, every
+    * successful append checks the live dir population and folds the
+    * SMALL dirs (total bytes under `graft.autoCompact.targetBytes`,
+    * default 128 MiB) once at least `minDirs` of them accumulate — the
+    * LSM-style amortization that keeps a micro-batch-appended table's
+    * dir count bounded without any scheduled OPTIMIZE. Only small dirs
+    * fold (an output that crossed the size target is never rewritten
+    * again), so steady-state write amplification is logarithmic, never
+    * O(table) per trigger. Best-effort: a lost conflict race or any
+    * failure skips silently — the next append retries. */
+  private def maybeAutoCompact(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit =
+    try props.get("graft.autoCompact.minDirs").map(_.toInt).foreach { minDirs =>
+      val target = props.get("graft.autoCompact.targetBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val entries = manifest(spark, table)
+      val f = fs(spark, tableDir(table))
+      val small = liveEntries(entries).filter(e =>
+        e.compacts.isEmpty && !VersionedParquetSink.isMergeOnRead(e))
+        .filter { e =>
+          val p = new Path(
+            VersionedParquetSink.resolveDir(tableDir(table), e.dir))
+          f.exists(p) &&
+            f.listStatus(p).filter(_.isFile).map(_.getLen).sum < target
+        }
+      if (small.size >= minDirs) {
+        foldSelected(spark, table, entries, small, Nil,
+          targetFiles = Some(1), zorderBy = Nil,
+          commitKey = Some(s"autocompact-${entries.last.version}"))
+        ()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[auto-compact] $table skipped: ${e.getMessage}")
+    }
 
   /** CREATE TABLE with TBLPROPERTIES as ONE atomic commit: the creating
     * append carries the property set in its own marker, so there is no
@@ -258,13 +305,20 @@ final class VersionedParquetSink(basePath: String,
       catch { case e: Throwable => f.delete(dirPath, true); throw e }
       val stats = FileStats.collect(spark,
         s"${tableDir(table)}/$unique", querySchema)
-      commitLoop(spark, table, unique, Some(commitKey), compacts = None,
+      val ok = commitLoop(spark, table, unique, Some(commitKey),
+        compacts = None,
         schemaDdl = querySchema.toDDL, cleanupOnKeyLoss = true,
         snapshot = Some(entries), enforceSchema = true,
         statsJson = Some(stats),
         enforcedConstraints = Some(None),
         enforcedMapping = Some(None),
         enforcedGenerated = Some(None)).isDefined
+      // micro-batch streaming is auto-compaction's prime customer: a
+      // dir per epoch is exactly the population it bounds
+      if (ok) maybeAutoCompact(spark, table,
+        VersionedParquetSink.Constraints.parse(
+          entries.lastOption.flatMap(_.props)).toMap)
+      ok
     }
   }
 
