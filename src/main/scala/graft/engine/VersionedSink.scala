@@ -2470,6 +2470,41 @@ final class VersionedParquetSink(basePath: String,
     GraftRelation(spark, tableDir(table), all.filter(_.version <= v), table)
   }
 
+  /** Per-commit admission sizes for streaming rate limits
+    * (`maxFilesPerTrigger`/`maxBytesPerTrigger`): every commit with
+    * version > `fromV`, ascending, with the data-file count and bytes a
+    * stream batch over that single version would serve. For the plain
+    * append stream (`cdf = false`) only pure-append commits cost
+    * anything (compactions/rewrites/DVs are never served, metadata-only
+    * commits are free); for the change feed (`cdf = true`) every commit
+    * with a dir is costed by its dir, a conservative proxy for the size
+    * of its change rows. LAZY: callers stop consuming at their cap, so
+    * a deep backlog costs one dir listing per ADMITTED commit per
+    * trigger, not per backlog commit — the property that makes catching
+    * up on a months-old checkpoint O(admitted) driver work per batch. */
+  private[graft] def admissionSizes(spark: SparkSession, table: String,
+      fromV: Long, cdf: Boolean = false): Iterator[(Long, Int, Long)] = {
+    val f = fs(spark, tableDir(table))
+    manifest(spark, table).filter(_.version > fromV).sortBy(_.version)
+      .iterator.map { e =>
+        val serves =
+          if (cdf) true
+          else e.compacts.isEmpty && e.replaces.isEmpty &&
+            !VersionedParquetSink.isMergeOnRead(e) &&
+            !VersionedParquetSink.isDv(e)
+        if (!serves) (e.version, 0, 0L)
+        else {
+          val p = new Path(
+            VersionedParquetSink.resolveDir(tableDir(table), e.dir))
+          val files =
+            if (!f.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+            else f.listStatus(p).filter(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+          (e.version, files.length, files.map(_.getLen).sum)
+        }
+      }
+  }
+
   /** The [[streamSince]] range as a planner-integrated relation (file
     * scan over the range's append dirs, schema/mapping from the
     * `untilVersion` snapshot) — what the `readStream.format("graft")`

@@ -162,13 +162,15 @@ final class GraftDataSource extends RelationProvider
       new GraftChangeFeedSource(sqlContext, new VersionedParquetSink(base),
         table, pinned,
         startingVersion = parameters.get("startingVersion").map(_.toLong)
-          .getOrElse(0L))
+          .getOrElse(0L),
+        limits = AdmissionLimits(parameters), metadataPath = metadataPath)
     } else new GraftStreamSource(sqlContext, new VersionedParquetSink(base),
       table, pinned,
       startingVersion = parameters.get("startingVersion").map(_.toLong)
         .getOrElse(-1L),
       skipChangeCommits = parameters.get("skipChangeCommits")
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      limits = AdmissionLimits(parameters), metadataPath = metadataPath)
   }
 
   // ---- writeStream.format("graft") -------------------------------------
@@ -197,18 +199,117 @@ final class GraftDataSource extends RelationProvider
   }
 }
 
+/** Streaming admission control (Delta's reader rate limits): how many
+  * files/bytes of backlog one micro-batch may admit.
+  *
+  *   - `maxFilesPerTrigger`  — cap on data files per batch (≥ 1)
+  *   - `maxBytesPerTrigger`  — soft cap on data bytes per batch
+  *     (byte strings like "64m" accepted)
+  *
+  * Both are SOFT in Delta's sense: a batch always admits at least one
+  * data-bearing commit, even if that single commit exceeds the cap —
+  * progress is guaranteed, the cap bounds everything after. Without
+  * limits a stream whose checkpoint lags a 100 TB table by a month
+  * would try to serve the whole backlog as micro-batch #1; with them
+  * catch-up is a bounded sequence of right-sized batches. */
+private[graft] final case class AdmissionLimits(maxFiles: Option[Int],
+    maxBytes: Option[Long]) {
+  require(maxFiles.forall(_ > 0), "maxFilesPerTrigger must be positive")
+  require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
+
+  def defined: Boolean = maxFiles.isDefined || maxBytes.isDefined
+
+  /** Walk per-commit `(version, files, bytes)` costs ascending from the
+    * floor and return the last admissible version. Zero-cost commits
+    * (metadata-only, and anything the stream never serves) ride along
+    * free; the walk stops as soon as a cap is reached, so the lazy
+    * sizes iterator is only forced for admitted commits. */
+  def admit(sizes: Iterator[(Long, Int, Long)], latest: Long): Long = {
+    var files = 0L; var bytes = 0L
+    var end = -1L; var admittedData = false
+    while (sizes.hasNext) {
+      val (v, nf, nb) = sizes.next()
+      if (nf == 0 && nb == 0L) end = v
+      else {
+        val wouldExceed = maxFiles.exists(m => files + nf > m) ||
+          maxBytes.exists(m => bytes + nb > m)
+        if (wouldExceed && admittedData) return end
+        files += nf; bytes += nb; admittedData = true; end = v
+        if (maxFiles.exists(files >= _) || maxBytes.exists(bytes >= _))
+          return end
+      }
+    }
+    if (end < 0) latest else math.max(end, latest)
+  }
+}
+
+private[graft] object AdmissionLimits {
+  def apply(parameters: Map[String, String]): AdmissionLimits =
+    AdmissionLimits(
+      parameters.get("maxFilesPerTrigger").map(_.trim.toInt),
+      parameters.get("maxBytesPerTrigger").map(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
+}
+
+/** The highest version this source has handed to the engine, persisted
+  * under the source's checkpoint `metadataPath` (FileStreamSource keeps
+  * its seen-files log in the same place). Rate-limited `getOffset` needs
+  * the floor to cap FROM; the V1 Source API never passes the current
+  * position to `getOffset`, so the source must remember it across
+  * restarts itself. Written on every `getBatch` — which the engine calls
+  * AFTER logging the batch's offsets, so the persisted floor never runs
+  * ahead of the engine's offset log (an uncommitted crash window is
+  * replayed by the engine with ITS logged offsets, ratcheting us
+  * forward before the next `getOffset`). */
+private final class AdmittedFloor(sqlContext: SQLContext,
+    metadataPath: String, init: Long) {
+  private val path = new org.apache.hadoop.fs.Path(metadataPath,
+    "graft-admitted")
+  private val fs = path.getFileSystem(
+    sqlContext.sparkSession.sessionState.newHadoopConf())
+  private var v: Long = try {
+    if (!fs.exists(path)) init
+    else {
+      val in = fs.open(path)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      math.max(init, body.trim.toLong)
+    }
+  } catch { case scala.util.control.NonFatal(_) => init }
+
+  def get: Long = v
+
+  def ratchet(nv: Long): Unit = if (nv > v) {
+    v = nv
+    // best-effort: a torn/lost write only weakens the NEXT restart's cap
+    // by one batch (the engine's own offset log still bounds redelivery)
+    try {
+      val out = fs.create(path, true)
+      try out.write(nv.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+}
+
 /** Structured Streaming source over the versioned sink: offsets ARE
   * commit versions, batches are served straight from append dirs
   * ([[VersionedParquetSink.streamSince]] — O(new data), compactions
   * transparent, data-changing commits stop the stream unless
   * `skipChangeCommits`). The schema is pinned at stream start; a
   * mid-stream rename/drop fails the projection loudly — restart the
-  * query to adopt the new schema (Delta's contract). */
+  * query to adopt the new schema (Delta's contract). With
+  * [[AdmissionLimits]] set, `getOffset` advances at most
+  * maxFiles/maxBytes of backlog per trigger instead of jumping to
+  * latest. */
 private final class GraftStreamSource(sqlContext: SQLContext,
     sink: VersionedParquetSink, table: String, pinned: StructType,
-    startingVersion: Long, skipChangeCommits: Boolean) extends Source {
+    startingVersion: Long, skipChangeCommits: Boolean,
+    limits: AdmissionLimits, metadataPath: String) extends Source {
 
   private val spark = sqlContext.sparkSession
+  private lazy val floor =
+    new AdmittedFloor(sqlContext, metadataPath, startingVersion)
 
   override def schema: StructType = pinned
 
@@ -219,10 +320,14 @@ private final class GraftStreamSource(sqlContext: SQLContext,
   }
 
   override def getOffset: Option[V1Offset] =
-    sink.latestVersion(spark, table)
-      .filter(_ > startingVersion).map(LongOffset(_))
+    sink.latestVersion(spark, table).filter(_ > startingVersion).map { l =>
+      if (!limits.defined || l <= floor.get) LongOffset(l)
+      else LongOffset(
+        limits.admit(sink.admissionSizes(spark, table, floor.get), l))
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    if (limits.defined) floor.ratchet(ver(end))
     val fromV = start.map(ver).getOrElse(startingVersion)
     val relation = sink.streamBatchRelation(spark, table, fromV, ver(end),
       skipChangeCommits)
@@ -255,9 +360,12 @@ private final class GraftStreamSource(sqlContext: SQLContext,
   * pinned (stream-start) schema. */
 private final class GraftChangeFeedSource(sqlContext: SQLContext,
     sink: VersionedParquetSink, table: String, pinned: StructType,
-    startingVersion: Long) extends Source {
+    startingVersion: Long, limits: AdmissionLimits,
+    metadataPath: String) extends Source {
 
   private val spark = sqlContext.sparkSession
+  private lazy val floor =
+    new AdmittedFloor(sqlContext, metadataPath, startingVersion - 1)
 
   override def schema: StructType = pinned
 
@@ -268,11 +376,15 @@ private final class GraftChangeFeedSource(sqlContext: SQLContext,
   }
 
   override def getOffset: Option[V1Offset] =
-    sink.latestVersion(spark, table)
-      .filter(_ >= startingVersion).map(LongOffset(_))
+    sink.latestVersion(spark, table).filter(_ >= startingVersion).map { l =>
+      if (!limits.defined || l <= floor.get) LongOffset(l)
+      else LongOffset(limits.admit(
+        sink.admissionSizes(spark, table, floor.get, cdf = true), l))
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    if (limits.defined) floor.ratchet(ver(end))
     val fromV = start.map(ver).getOrElse(startingVersion - 1)
     val df = sink.changesBetween(spark, table, fromV, ver(end))
     val have = df.columns.toSet
