@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources
@@ -88,8 +88,19 @@ object GraftRelation {
         s"table '$table' predates schema-bearing markers")
     }
     val mapping = ColumnMapping.parse(entries.lastOption.flatMap(_.mapping))
+    // Bloom-index config for equality file skipping: configured logical
+    // columns resolved to their stable physical names (sidecars key on
+    // physical names, so pre-rename dirs keep pruning after a rename)
+    val bloom: Map[String, org.apache.spark.sql.types.DataType] =
+      BloomIndex.configured(VersionedParquetSink.Constraints.parse(
+          entries.lastOption.flatMap(_.props)).toMap)
+        .flatMap(lc => logical.fields.find(_.name == lc))
+        .filter(f => BloomIndex.supported(f.dataType))
+        .map(f => ColumnMapping.physicalName(mapping, f.name) -> f.dataType)
+        .toMap
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, tableDir, scan, logical, mapping),
+      location = new GraftFileIndex(spark, tableDir, scan, logical, mapping,
+        bloom),
       partitionSchema = StructType(Nil),
       dataSchema = logical,
       bucketSpec = None,
@@ -155,13 +166,70 @@ final case class GraftMasks(maskDirs: Seq[String],
   * planned against, like Delta's snapshot isolation. */
 final class GraftFileIndex(spark: SparkSession, tableDir: String,
     dataEntries: Seq[Commit], logical: StructType,
-    mapping: Seq[(String, ColumnMapping.Entry)]) extends FileIndex {
+    mapping: Seq[(String, ColumnMapping.Entry)],
+    bloom: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+    extends FileIndex {
 
   private val mappingMap: Map[String, String] =
     mapping.map { case (l, e) => l -> e.physical }.toMap
   private val physSchema = ColumnMapping.physicalSchema(logical, mapping)
   private def fs = new Path(tableDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Per-sidecar driver cache, pinned with the snapshot (commit dirs are
+    * immutable, so an entry never invalidates). Loaded lazily and only
+    * for files that already survived min/max pruning under an equality
+    * predicate on an indexed column. */
+  private val bloomCache = scala.collection.mutable.Map.empty[
+    (String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  /** Top-level equality conjuncts on bloom-indexed physical columns:
+    * `(physCol, candidate values)` — a file is droppable when NO
+    * candidate might be contained. */
+  private def bloomTargets(p: Expression): Seq[(String, Seq[Any])] = {
+    def external(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(p).flatMap {
+      case EqualTo(
+          a: AttributeReference, l: Literal)
+          if bloom.contains(a.name) && l.value != null =>
+        Some(a.name -> Seq(external(l.value)))
+      case EqualTo(
+          l: Literal, a: AttributeReference)
+          if bloom.contains(a.name) && l.value != null =>
+        Some(a.name -> Seq(external(l.value)))
+      case EqualNullSafe(
+          a: AttributeReference, l: Literal)
+          if bloom.contains(a.name) && l.value != null =>
+        Some(a.name -> Seq(external(l.value)))
+      case In(
+          a: AttributeReference, vs)
+          if bloom.contains(a.name) && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        Some(a.name -> vs.collect {
+          case Literal(v, _) if v != null => external(v) })
+      case _ => None
+    }.filter(_._2.nonEmpty)
+  }
+
+  private def bloomKeeps(file: FileStatus,
+      targets: Seq[(String, Seq[Any])]): Boolean =
+    targets.forall { case (col, values) =>
+      val dir = file.getPath.getParent.toString
+      val name = file.getPath.getName
+      bloomCache.getOrElseUpdate((s"$dir/$name", col),
+        BloomIndex.load(fs, dir, name, col)) match {
+        case Some(bf) =>
+          values.exists(v => BloomIndex.mightContain(bf, bloom(col), v))
+        case None => true // unindexed file: keep
+      }
+    }
 
   private def listDir(e: Commit): Seq[FileStatus] = {
     val p = new Path(VersionedParquetSink.resolveDir(tableDir, e.dir))
@@ -191,7 +259,16 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
         case _ => files
       }
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    // Bloom pass AFTER min/max pruning: point predicates on indexed
+    // columns drop files whose filters rule the value out (sidecars
+    // load lazily, survivors only; a missing sidecar keeps its file)
+    val bloomed = physPred match {
+      case Some(p) if bloom.nonEmpty =>
+        val targets = bloomTargets(p)
+        if (targets.isEmpty) kept else kept.filter(bloomKeeps(_, targets))
+      case _ => kept
+    }
+    Seq(PartitionDirectory(InternalRow.empty, bloomed.toArray))
   }
 
   override def inputFiles: Array[String] =

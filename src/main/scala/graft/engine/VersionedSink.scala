@@ -195,12 +195,69 @@ final class VersionedParquetSink(basePath: String,
     // TBLPROPERTIES from the caller's snapshot: autoCompact is a
     // steady-state behavior, one commit of enablement lag is fine and
     // saves re-reading the manifest on every append
-    if (committed) maybeAutoCompact(spark, table,
-      VersionedParquetSink.Constraints.parse(
+    if (committed) {
+      val props = VersionedParquetSink.Constraints.parse(
         entries.lastOption.flatMap(_.props)
           .orElse(initialProps.flatMap(p =>
-            VersionedParquetSink.Constraints.render(p.toSeq)))).toMap)
+            VersionedParquetSink.Constraints.render(p.toSeq)))).toMap
+      maybeAutoCompact(spark, table, props)
+      maybeBloom(spark, table, props)
+    }
     committed
+  }
+
+  /** Best-effort [[ensureBloomIndex]] after a successful write — same
+    * contract as [[maybeAutoCompact]]: any failure skips silently (the
+    * index is advisory; the next write retries). */
+  private def maybeBloom(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit =
+    if (BloomIndex.configured(props).nonEmpty) {
+      try ensureBloomIndex(spark, table)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bloom] $table skipped: ${e.getMessage}")
+      }
+    }
+
+  /** Builds missing Bloom-filter sidecars ([[BloomIndex]]) for every
+    * live data dir of a table whose TBLPROPERTIES opt in
+    * (`graft.bloom.columns`). Steady-state cost is one existence probe
+    * per live dir (`_bloom/_SUCCESS` marks indexed dirs; commit dirs
+    * are immutable so a stamped dir never re-checks); unindexed dirs
+    * each get one distributed build pass. Runs automatically after
+    * appends and stream epochs; call directly after OPTIMIZE/MERGE or
+    * after first enabling the property on an existing table. */
+  def ensureBloomIndex(spark: SparkSession, table: String): Unit = {
+    val entries = manifest(spark, table)
+    val props = VersionedParquetSink.Constraints.parse(
+      entries.lastOption.flatMap(_.props)).toMap
+    val logicalCols = BloomIndex.configured(props)
+    if (logicalCols.isEmpty) return
+    val fppValue = BloomIndex.fpp(props)
+    val f = fs(spark, tableDir(table))
+    liveEntries(entries).filterNot(VersionedParquetSink.isDv).foreach { e =>
+      val dir = VersionedParquetSink.resolveDir(tableDir(table), e.dir)
+      if (f.exists(new Path(dir)) && !BloomIndex.isIndexed(f, dir)) {
+        // the dir's files spell the schema/mapping AS OF ITS COMMIT —
+        // configured columns missing back then are skipped for that dir
+        val logical = e.schemaDdl.map(StructType.fromDDL)
+          .getOrElse(StructType(Nil))
+        val mapping = VersionedParquetSink.ColumnMapping.parse(e.mapping)
+        val physSchema =
+          VersionedParquetSink.ColumnMapping.physicalSchema(logical, mapping)
+        val physNames = logicalCols
+          .filter(lc => logical.fieldNames.contains(lc))
+          .map(lc =>
+            VersionedParquetSink.ColumnMapping.physicalName(mapping, lc))
+          .toSet
+        val physCols = physSchema.fields.toSeq
+          .filter(sf => physNames.contains(sf.name))
+        val counts = e.stats.map(FileStats.parse).getOrElse(Map.empty)
+          .map { case (file, pf) => file -> pf.numRecords }
+        BloomIndex.buildDir(spark, dir, physSchema, physCols, counts,
+          fppValue)
+      }
+    }
   }
 
   /** Auto-compaction (Delta's `autoOptimize.autoCompact` parity): when
@@ -315,9 +372,12 @@ final class VersionedParquetSink(basePath: String,
         enforcedGenerated = Some(None)).isDefined
       // micro-batch streaming is auto-compaction's prime customer: a
       // dir per epoch is exactly the population it bounds
-      if (ok) maybeAutoCompact(spark, table,
-        VersionedParquetSink.Constraints.parse(
-          entries.lastOption.flatMap(_.props)).toMap)
+      if (ok) {
+        val props = VersionedParquetSink.Constraints.parse(
+          entries.lastOption.flatMap(_.props)).toMap
+        maybeAutoCompact(spark, table, props)
+        maybeBloom(spark, table, props)
+      }
       ok
     }
   }
@@ -1616,11 +1676,24 @@ final class VersionedParquetSink(basePath: String,
       val renamed = mapping.map { case (l, e) =>
         (if (l == oldName) newName else l) -> e
       }
+      // column-name-bearing TBLPROPERTIES follow the rename in the SAME
+      // commit (the bloom index keys sidecars on stable PHYSICAL names,
+      // so existing sidecars keep pruning under the new logical name)
+      val props = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.props))
+      val newProps = props.map {
+        case (k @ BloomIndex.ColsProp, v) =>
+          k -> v.split(',').map(_.trim)
+            .map(c => if (c == oldName) newName else c).mkString(",")
+        case other => other
+      }
       commitMetadata(spark, table, commitKey, baseV, newSchema,
         constraints = None,
         mapping = Some(VersionedParquetSink.ColumnMapping.render(renamed)),
         generated = if (newGens == gens) None
           else Some(VersionedParquetSink.Constraints.render(newGens)),
+        props = if (newProps == props) None
+          else Some(VersionedParquetSink.Constraints.render(newProps)),
         opName = "rename_column")
     }
 

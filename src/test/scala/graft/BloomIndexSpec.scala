@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.VersionedParquetSink
+
+/** Bloom-filter file skipping (Delta bloom-index parity): per-file
+  * filters on `graft.bloom.columns` prune point lookups that min/max
+  * stats cannot — interleaved key ranges make every file's [min, max]
+  * span the domain, so only the bloom pass can rule files out. */
+class BloomIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  private def graftRead(base: String) =
+    spark.read.format("graft").load(s"$base/t")
+
+  /** Three single-file commits with INTERLEAVED ids (i%3 == k), so every
+    * file's min/max spans [k, ~900+k] and stats pruning keeps all three. */
+  private def interleaved(tag: String): (VersionedParquetSink, String) = {
+    val base = TestSpark.tmpDir(tag)
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((0L, "seed")).toDF("id", "v"), "t")
+    sink.setProperties(spark, "t", Map("graft.bloom.columns" -> "id,v"))
+    (0 until 3).foreach { k =>
+      sink.append(Seq.tabulate(300)(i => ((i * 3 + k).toLong, s"s$k-$i"))
+        .toDF("id", "v").coalesce(1), "t")
+    }
+    (sink, base)
+  }
+
+  test("point lookup prunes files min/max stats cannot") {
+    val (sink, base) = interleaved("bl1")
+    // id=601: in the k=1 commit (601 % 3 == 1); min/max keeps all three
+    // interleaved files + the seed is pruned by stats (max 0)
+    val df = graftRead(base).filter(col("id") === 601L)
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("s1-200"))
+    val scanned = scanOf(
+      graftRead(base).filter(col("id") === 601L)).metrics("numFiles")
+    assert(scanned.value == 1,
+      s"bloom should leave 1 of 4 files, scanned ${scanned.value}")
+    val _ = sink
+  }
+
+  test("string-column lookup prunes through its own filters") {
+    val (_, base) = interleaved("bl2")
+    val scanned = scanOf(
+      graftRead(base).filter(col("v") === "s2-7")).metrics("numFiles")
+    assert(scanned.value == 1, s"scanned ${scanned.value}")
+  }
+
+  test("IN-list keeps every file that might contain a value") {
+    val (_, base) = interleaved("bl3")
+    val df = graftRead(base)
+      .filter(col("id").isin(300L, 301L)) // k=0 and k=1 files
+    assert(df.count() == 2L)
+    val scanned = scanOf(graftRead(base)
+      .filter(col("id").isin(300L, 301L))).metrics("numFiles")
+    assert(scanned.value == 2, s"scanned ${scanned.value}")
+  }
+
+  test("ensureBloomIndex backfills a table indexed after the fact") {
+    val base = TestSpark.tmpDir("bl4")
+    val sink = new VersionedParquetSink(base)
+    (0 until 3).foreach { k =>
+      sink.append(Seq.tabulate(100)(i => ((i * 3 + k).toLong, s"x$i"))
+        .toDF("id", "v").coalesce(1), "t")
+    }
+    sink.setProperties(spark, "t", Map("graft.bloom.columns" -> "id"))
+    // sidecars don't exist yet: conservative keep-all, answers right
+    val before = scanOf(graftRead(base).filter(col("id") === 7L))
+    assert(before.metrics("numFiles").value == 3)
+    sink.ensureBloomIndex(spark, "t")
+    val after = scanOf(graftRead(base).filter(col("id") === 7L))
+    assert(after.metrics("numFiles").value == 1,
+      s"backfill did not index: ${after.metrics("numFiles").value}")
+    assert(graftRead(base).filter(col("id") === 7L).count() == 1L)
+  }
+
+  test("non-equality predicates bypass bloom; results unaffected") {
+    val (sink, _) = interleaved("bl5")
+    val rows = sink.read(spark, "t")
+      .filter(col("id") >= 890L).count()
+    assert(rows == 10L) // ids 890..899 all present across the 3 files
+  }
+
+  test("bloom survives column rename (sidecars key on physical names)") {
+    val (sink, base) = interleaved("bl6")
+    sink.renameColumn(spark, "t", "id", "key")
+    val df = graftRead(base).filter(col("key") === 601L)
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("s1-200"))
+    val scanned = scanOf(
+      graftRead(base).filter(col("key") === 601L)).metrics("numFiles")
+    assert(scanned.value == 1, s"post-rename scanned ${scanned.value}")
+  }
+
+  test("off by default: no property, no sidecars written") {
+    val base = TestSpark.tmpDir("bl7")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1L, "a")).toDF("id", "v"), "t")
+    val dirs = Option(new java.io.File(s"$base/t").listFiles).toSeq.flatten
+      .filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    assert(!dirs.exists(d => new java.io.File(d, "_bloom").exists()),
+      "bloom sidecars written without opt-in")
+  }
+}
