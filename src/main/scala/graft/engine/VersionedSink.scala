@@ -382,6 +382,34 @@ final class VersionedParquetSink(basePath: String,
     }
   }
 
+  /** Optimized writes (Delta's `autoOptimize.optimizeWrite` parity):
+    * with `TBLPROPERTIES('graft.optimizeWrite'='true')`, an append's
+    * partitions COALESCE down so each output file targets
+    * `graft.optimizeWrite.targetBytes` (default 128 MiB) of PLANNED
+    * size — without it, a 1000-task pipeline writing a few MB commits
+    * 1000 tiny files per append and the small-file problem compounds
+    * with every micro-batch. Coalesce is narrow (no shuffle, unlike
+    * Delta's adaptive shuffle — the right trade when the write is the
+    * last stage anyway) and never INCREASES the partition count, so a
+    * genuinely large append keeps its parallelism. The size estimate is
+    * Catalyst's in-memory `sizeInBytes`, so on-disk parquet files land
+    * a few× smaller than the target — same ballpark Delta's binning
+    * hits. Complements [[maybeAutoCompact]]: this shapes files at write
+    * time, that folds history after. */
+  private def optimizeWrite(df: DataFrame,
+      props: Map[String, String]): DataFrame =
+    if (!props.get("graft.optimizeWrite").exists(_.toBoolean)) df
+    else {
+      val target = props.get("graft.optimizeWrite.targetBytes")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(128L * 1024 * 1024)
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val want = ((est + target - 1) / target).toLong
+      val cur = df.rdd.getNumPartitions
+      val n = math.max(1L, math.min(want, cur.toLong)).toInt
+      if (n >= cur) df else df.coalesce(n)
+    }
+
   /** Everything [[doAppend]] does BEFORE the commit claim: governance
     * completion/guards, schema pre-check, the unique data-dir write,
     * per-file stats. The staged dir is invisible until a marker claims
@@ -426,7 +454,9 @@ final class VersionedParquetSink(basePath: String,
       }
     }
     val unique = s"d-${UUID.randomUUID()}"
-    toPhysical(guarded, extended).write.mode(SaveMode.ErrorIfExists)
+    val shaped = optimizeWrite(guarded, VersionedParquetSink.Constraints
+      .parse(entries.lastOption.flatMap(_.props)).toMap)
+    toPhysical(shaped, extended).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${tableDir(table)}/$unique") // step 1: unique data dir
     val stats = FileStats.collect(spark, s"${tableDir(table)}/$unique",
       VersionedParquetSink.ColumnMapping
