@@ -66,7 +66,12 @@ object ScaleProbe {
     // with exact DECIMAL ln sums — vocab grows under the replica
     // substitutions, so these probe real key-space growth)
     "q_len_trim", "q_fertility", "q_corpus_build",
-    "q_bigram_entropy", "q_kl_source", "q_burstiness")
+    "q_bigram_entropy", "q_kl_source", "q_burstiness",
+    // lexical-stats wave: per-lang running-sum window over a GROWING
+    // vocab (q_vocab_coverage), bigram+unigram joined association table
+    // (q_pmi — two vocab-keyed joins and two 1-row totals), row-local
+    // embedding prefix energy (q_dim_energy)
+    "q_vocab_coverage", "q_pmi", "q_dim_energy")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -102,7 +102,10 @@ final class VersionedParquetSink(basePath: String,
       // not full dirs, so a clone's re-pointed `../src/<dir>` spelling
       // still matches (same prefix-independence as DV mask paths)
       str("replacesB64").map(b64).toSeq
-        .flatMap(_.split(',')).filter(_.nonEmpty), body)
+        .flatMap(_.split(',')).filter(_.nonEmpty),
+      // newline-separated: source URIs may contain commas
+      str("copiedB64").map(b64).toSeq
+        .flatMap(_.split('\n')).filter(_.nonEmpty), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -204,6 +207,62 @@ final class VersionedParquetSink(basePath: String,
       maybeBloom(spark, table, props)
     }
     committed
+  }
+
+  /** COPY INTO (Delta parity): idempotent FILE-granular bulk load from
+    * a directory of parquet files into an EXISTING table. Each source
+    * file is identified as `uri@mtime:length`; identities recorded by
+    * an earlier COPY ride the commit marker itself (`copiedB64`), so a
+    * re-run loads only the new files and a crash-replay never
+    * double-loads — the ledger and the rows land in ONE atomic commit.
+    * All write governance applies (schema check, CHECK constraints,
+    * generated columns, optimizeWrite shaping, bloom indexing).
+    * Concurrency: the commit pins its base version and the whole
+    * compute-stage-claim retries from a fresh snapshot on conflict, so
+    * racing COPYs converge with every file loaded exactly once.
+    * Returns the number of files loaded (0 = already up to date).
+    *
+    * Scale: the ledger diff is driver-side set arithmetic over the
+    * manifest (O(loaded files) strings, same order as the manifest
+    * itself); the data path is one distributed parquet read over ONLY
+    * the fresh files. */
+  def copyInto(spark: SparkSession, table: String, sourceDir: String,
+      pattern: String = "*.parquet",
+      allowEvolution: Boolean = false): Long = {
+    val srcFs = fs(spark, sourceDir)
+    require(srcFs.exists(new Path(sourceDir)),
+      s"COPY INTO source not found: $sourceDir")
+    val files = Option(srcFs.globStatus(new Path(sourceDir, pattern)))
+      .map(_.toSeq).getOrElse(Seq.empty).filter(_.isFile)
+    def id(st: org.apache.hadoop.fs.FileStatus): String =
+      s"${st.getPath.toUri}@${st.getModificationTime}:${st.getLen}"
+    var n = 0L
+    retryingRewrite(spark, table, "COPY INTO", commitKey = None) { entries =>
+      val loaded = entries.flatMap(_.copied).toSet
+      val fresh = files.filterNot(st => loaded.contains(id(st)))
+        .sortBy(_.getPath.toString)
+      n = fresh.size.toLong
+      if (fresh.isEmpty) entries.last.version
+      else {
+        val df = spark.read.parquet(fresh.map(_.getPath.toString): _*)
+        val staged = stageAppend(df, table, entries, allowEvolution)
+        commitLoop(spark, table, staged.unique, commitKey = None,
+          compacts = None, schemaDdl = staged.schemaDdl,
+          cleanupOnKeyLoss = false, snapshot = Some(entries),
+          enforceSchema = true, allowEvolution = allowEvolution,
+          requireBase = Some(entries.last.version),
+          op = Some("copy"), statsJson = Some(staged.statsJson),
+          enforcedConstraints = Some(staged.constraints),
+          newMapping = staged.newMapping.map(m => Some(m)),
+          enforcedMapping =
+            if (staged.mapping.isDefined) Some(staged.mapping) else None,
+          enforcedGenerated = Some(staged.generated),
+          copied = fresh.map(id)).getOrElse(
+            throw new IllegalStateException(
+              "keyless COPY commit cannot lose a key race"))
+      }
+    }
+    n
   }
 
   /** Best-effort [[ensureBloomIndex]] after a successful write — same
@@ -786,6 +845,8 @@ final class VersionedParquetSink(basePath: String,
       // the live dirs whose content this commit's dir now carries —
       // liveEntries drops them once this commit lands
       replaces: Seq[String] = Nil,
+      // COPY INTO's loaded-source-file identities for this commit
+      copied: Seq[String] = Nil,
       // None = inherit the latest commit's constraint set (every normal
       // commit); Some(x) = set it to x (add/dropConstraint)
       newConstraints: Option[Option[String]] = None,
@@ -830,7 +891,10 @@ final class VersionedParquetSink(basePath: String,
         .getOrElse("") +
       (if (replaces.isEmpty) "" else s""","replacesB64":"${
         Base64.getEncoder.encodeToString(
-          replaces.mkString(",").getBytes(StandardCharsets.UTF_8))}"""")
+          replaces.mkString(",").getBytes(StandardCharsets.UTF_8))}"""") +
+      (if (copied.isEmpty) "" else s""","copiedB64":"${
+        Base64.getEncoder.encodeToString(
+          copied.mkString("\n").getBytes(StandardCharsets.UTF_8))}"""")
     def b64enc(s: String): String =
       Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     var reuse = snapshot // first attempt only; retries re-read under the lock
@@ -2778,7 +2842,11 @@ object VersionedParquetSink {
       ts: Option[Long], op: Option[String], stats: Option[String],
       constraints: Option[String], mapping: Option[String],
       generated: Option[String], props: Option[String],
-      replaces: Seq[String], raw: String)
+      replaces: Seq[String],
+      // COPY INTO's file ledger: source-file identities (uri@mtime:len)
+      // this commit loaded — the union across the manifest is the
+      // already-loaded set a re-run skips
+      copied: Seq[String], raw: String)
 
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */
