@@ -618,7 +618,7 @@ private final class GraftChangesTable(base: String, table: String)
 private object GraftProcedures {
 
   val names: Array[String] =
-    Array("optimize", "restore", "vacuum", "clone", "reorg")
+    Array("optimize", "restore", "vacuum", "clone", "reorg", "copy_into")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -655,6 +655,21 @@ private object GraftProcedures {
           Seq(s"compacted '$t' as version $v" +
             w.fold("")(c => s" where $c") +
             z.fold("")(c => s" z-ordered on $c"))
+        }))
+      case "copy_into" => Some(proc("copy_into",
+        "COPY INTO: idempotent file-granular bulk load of parquet files " +
+          "from a directory — re-runs load only files not already loaded",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("pattern", StringType)
+            .defaultValue("'*.parquet'").build()),
+        { (spark, row) =>
+          val t = row.getUTF8String(0).toString
+          val src = row.getUTF8String(1).toString
+          val pat = row.getUTF8String(2).toString
+          val n = cat.sink.copyInto(spark, t, src, pat)
+          Seq(s"loaded $n file(s) from $src into '$t'")
         }))
       case "reorg" => Some(proc("reorg",
         "REORG ... APPLY (PURGE): materialize every live deletion-vector " +

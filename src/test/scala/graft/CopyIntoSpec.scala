@@ -72,6 +72,24 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(sink.read(spark, "t").count() == 2L)
   }
 
+  test("CALL g.copy_into drives the same ledger from SQL") {
+    val base = TestSpark.tmpDir("ci5")
+    val src = TestSpark.tmpDir("ci5s")
+    spark.conf.set("spark.sql.catalog.cic",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cic.path", base)
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((0L, "seed")).toDF("id", "v"), "t")
+    srcFile(src, "a.parquet", Seq((1L, "a")))
+    val r1 = spark.sql(
+      s"CALL cic.copy_into(table => 't', source => '$src')").collect()
+    assert(r1.head.getString(0).startsWith("loaded 1 file"), r1.head)
+    val r2 = spark.sql(
+      s"CALL cic.copy_into(table => 't', source => '$src')").collect()
+    assert(r2.head.getString(0).startsWith("loaded 0 file"), r2.head)
+    assert(spark.table("cic.t").count() == 2L)
+  }
+
   test("requires an existing table (Delta's contract)") {
     val base = TestSpark.tmpDir("ci4")
     val src = TestSpark.tmpDir("ci4s")
