@@ -2003,8 +2003,15 @@ final class VersionedParquetSink(basePath: String,
       val replayed = commitKey.flatMap(k =>
         entries.find(_.key.contains(k)).map(_.version))
       replayed.foreach(v => return v)
-      try return body(entries)
-      catch {
+      try {
+        val v = body(entries)
+        // every rewrite/metadata path funnels here: OPTIMIZE/REORG
+        // outputs get their bloom sidecars without waiting for the next
+        // append, and SET TBLPROPERTIES enabling the index backfills
+        // immediately (no-op probe for un-indexed tables)
+        maybeBloom(spark, table, propertiesOf(spark, table))
+        return v
+      } catch {
         case e: VersionedParquetSink.ConcurrentRewriteException =>
           attempt += 1
           if (attempt >= maxAttempts) throw e // livelock guard: surface it

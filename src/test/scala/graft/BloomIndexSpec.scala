@@ -74,22 +74,56 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(scanned.value == 2, s"scanned ${scanned.value}")
   }
 
-  test("ensureBloomIndex backfills a table indexed after the fact") {
+  test("enabling the property on an existing table backfills immediately") {
     val base = TestSpark.tmpDir("bl4")
     val sink = new VersionedParquetSink(base)
     (0 until 3).foreach { k =>
       sink.append(Seq.tabulate(100)(i => ((i * 3 + k).toLong, s"x$i"))
         .toDF("id", "v").coalesce(1), "t")
     }
+    // SET TBLPROPERTIES rides the rewrite funnel, which runs the bloom
+    // maintenance pass — pre-existing dirs are indexed with no extra call
     sink.setProperties(spark, "t", Map("graft.bloom.columns" -> "id"))
-    // sidecars don't exist yet: conservative keep-all, answers right
-    val before = scanOf(graftRead(base).filter(col("id") === 7L))
-    assert(before.metrics("numFiles").value == 3)
-    sink.ensureBloomIndex(spark, "t")
     val after = scanOf(graftRead(base).filter(col("id") === 7L))
     assert(after.metrics("numFiles").value == 1,
-      s"backfill did not index: ${after.metrics("numFiles").value}")
+      s"enable-time backfill missing: ${after.metrics("numFiles").value}")
     assert(graftRead(base).filter(col("id") === 7L).count() == 1L)
+  }
+
+  test("missing sidecars are conservative keep-all; ensure rebuilds them") {
+    val base = TestSpark.tmpDir("bl4b")
+    val sink = new VersionedParquetSink(base)
+    (0 until 3).foreach { k =>
+      sink.append(Seq.tabulate(100)(i => ((i * 3 + k).toLong, s"x$i"))
+        .toDF("id", "v").coalesce(1), "t")
+    }
+    sink.setProperties(spark, "t", Map("graft.bloom.columns" -> "id"))
+    // simulate lost sidecars (e.g. a partial restore of the table dir)
+    Option(new java.io.File(s"$base/t").listFiles).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("d-"))
+      .map(d => new java.io.File(d, "_bloom"))
+      .filter(_.exists()).foreach { bd =>
+        bd.listFiles.foreach(_.delete()); bd.delete()
+      }
+    val kept = scanOf(graftRead(base).filter(col("id") === 7L))
+    assert(kept.metrics("numFiles").value == 3,
+      "missing sidecars must keep files, never drop them")
+    assert(graftRead(base).filter(col("id") === 7L).count() == 1L)
+    sink.ensureBloomIndex(spark, "t")
+    val after = scanOf(graftRead(base).filter(col("id") === 7L))
+    assert(after.metrics("numFiles").value == 1)
+  }
+
+  test("OPTIMIZE output is re-indexed by the rewrite funnel") {
+    val (sink, base) = interleaved("bl8")
+    sink.compact(spark, "t", targetFiles = Some(2))
+    // the folded dirs are fresh; the funnel's maintenance pass indexed
+    // them, so point lookups keep pruning (2 clustered-by-nothing files:
+    // the fold interleaves ids, only bloom can separate them)
+    val scanned = scanOf(
+      graftRead(base).filter(col("id") === 601L)).metrics("numFiles")
+    assert(scanned.value <= 1, s"post-OPTIMIZE scanned ${scanned.value}")
+    assert(graftRead(base).filter(col("id") === 601L).count() == 1L)
   }
 
   test("non-equality predicates bypass bloom; results unaffected") {
