@@ -163,14 +163,14 @@ final class GraftDataSource extends RelationProvider
         table, pinned,
         startingVersion = parameters.get("startingVersion").map(_.toLong)
           .getOrElse(0L),
-        limits = AdmissionLimits(parameters), metadataPath = metadataPath)
+        limits = AdmissionLimits(parameters))
     } else new GraftStreamSource(sqlContext, new VersionedParquetSink(base),
       table, pinned,
       startingVersion = parameters.get("startingVersion").map(_.toLong)
         .getOrElse(-1L),
       skipChangeCommits = parameters.get("skipChangeCommits")
         .exists(_.toBoolean),
-      limits = AdmissionLimits(parameters), metadataPath = metadataPath)
+      limits = AdmissionLimits(parameters))
   }
 
   // ---- writeStream.format("graft") -------------------------------------
@@ -251,47 +251,6 @@ private[graft] object AdmissionLimits {
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
 }
 
-/** The highest version this source has handed to the engine, persisted
-  * under the source's checkpoint `metadataPath` (FileStreamSource keeps
-  * its seen-files log in the same place). Rate-limited `getOffset` needs
-  * the floor to cap FROM; the V1 Source API never passes the current
-  * position to `getOffset`, so the source must remember it across
-  * restarts itself. Written on every `getBatch` — which the engine calls
-  * AFTER logging the batch's offsets, so the persisted floor never runs
-  * ahead of the engine's offset log (an uncommitted crash window is
-  * replayed by the engine with ITS logged offsets, ratcheting us
-  * forward before the next `getOffset`). */
-private final class AdmittedFloor(sqlContext: SQLContext,
-    metadataPath: String, init: Long) {
-  private val path = new org.apache.hadoop.fs.Path(metadataPath,
-    "graft-admitted")
-  private val fs = path.getFileSystem(
-    sqlContext.sparkSession.sessionState.newHadoopConf())
-  private var v: Long = try {
-    if (!fs.exists(path)) init
-    else {
-      val in = fs.open(path)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      math.max(init, body.trim.toLong)
-    }
-  } catch { case scala.util.control.NonFatal(_) => init }
-
-  def get: Long = v
-
-  def ratchet(nv: Long): Unit = if (nv > v) {
-    v = nv
-    // best-effort: a torn/lost write only weakens the NEXT restart's cap
-    // by one batch (the engine's own offset log still bounds redelivery)
-    try {
-      val out = fs.create(path, true)
-      try out.write(nv.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
-  }
-}
-
 /** Structured Streaming source over the versioned sink: offsets ARE
   * commit versions, batches are served straight from append dirs
   * ([[VersionedParquetSink.streamSince]] — O(new data), compactions
@@ -299,17 +258,44 @@ private final class AdmittedFloor(sqlContext: SQLContext,
   * `skipChangeCommits`). The schema is pinned at stream start; a
   * mid-stream rename/drop fails the projection loudly — restart the
   * query to adopt the new schema (Delta's contract). With
-  * [[AdmissionLimits]] set, `getOffset` advances at most
-  * maxFiles/maxBytes of backlog per trigger instead of jumping to
-  * latest. */
+  * [[AdmissionLimits]] set, each trigger admits at most
+  * maxFiles/maxBytes of backlog instead of jumping to latest
+  * (`latestOffset(start, limit)` — the KafkaSource V1 admission-control
+  * shape, so the engine hands us the floor and restarts stay capped for
+  * free); under Trigger.AvailableNow the drain goal pins at query start
+  * and the backlog drains as a sequence of capped batches. */
 private final class GraftStreamSource(sqlContext: SQLContext,
     sink: VersionedParquetSink, table: String, pinned: StructType,
     startingVersion: Long, skipChangeCommits: Boolean,
-    limits: AdmissionLimits, metadataPath: String) extends Source {
+    limits: AdmissionLimits) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
-  private lazy val floor =
-    new AdmittedFloor(sqlContext, metadataPath, startingVersion)
+
+  private var availableEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = sink.latestVersion(spark, table)
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    sink.latestVersion(spark, table)
+      .map(l => availableEnd.fold(l)(math.min(l, _)))
+      .filter(_ > startingVersion).map { l =>
+        val floor = Option(start)
+          .map(o => ver(o.asInstanceOf[V1Offset]))
+          .getOrElse(startingVersion)
+        if (!limits.defined || l <= floor) LongOffset(l)
+        else LongOffset(limits.admit(
+          sink.admissionSizes(spark, table, floor)
+            .takeWhile(_._1 <= l), l))
+      }.orNull
 
   override def schema: StructType = pinned
 
@@ -320,14 +306,10 @@ private final class GraftStreamSource(sqlContext: SQLContext,
   }
 
   override def getOffset: Option[V1Offset] =
-    sink.latestVersion(spark, table).filter(_ > startingVersion).map { l =>
-      if (!limits.defined || l <= floor.get) LongOffset(l)
-      else LongOffset(
-        limits.admit(sink.admissionSizes(spark, table, floor.get), l))
-    }
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    if (limits.defined) floor.ratchet(ver(end))
     val fromV = start.map(ver).getOrElse(startingVersion)
     val relation = sink.streamBatchRelation(spark, table, fromV, ver(end),
       skipChangeCommits)
@@ -360,12 +342,37 @@ private final class GraftStreamSource(sqlContext: SQLContext,
   * pinned (stream-start) schema. */
 private final class GraftChangeFeedSource(sqlContext: SQLContext,
     sink: VersionedParquetSink, table: String, pinned: StructType,
-    startingVersion: Long, limits: AdmissionLimits,
-    metadataPath: String) extends Source {
+    startingVersion: Long, limits: AdmissionLimits) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
-  private lazy val floor =
-    new AdmittedFloor(sqlContext, metadataPath, startingVersion - 1)
+
+  // see GraftStreamSource: pin the drain goal so AvailableNow + rate
+  // limits serve the WHOLE backlog in capped batches, then stop
+  private var availableEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = sink.latestVersion(spark, table)
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    sink.latestVersion(spark, table)
+      .map(l => availableEnd.fold(l)(math.min(l, _)))
+      .filter(_ >= startingVersion).map { l =>
+        val floor = Option(start)
+          .map(o => ver(o.asInstanceOf[V1Offset]))
+          .getOrElse(startingVersion - 1)
+        if (!limits.defined || l <= floor) LongOffset(l)
+        else LongOffset(limits.admit(
+          sink.admissionSizes(spark, table, floor, cdf = true)
+            .takeWhile(_._1 <= l), l))
+      }.orNull
 
   override def schema: StructType = pinned
 
@@ -376,15 +383,11 @@ private final class GraftChangeFeedSource(sqlContext: SQLContext,
   }
 
   override def getOffset: Option[V1Offset] =
-    sink.latestVersion(spark, table).filter(_ >= startingVersion).map { l =>
-      if (!limits.defined || l <= floor.get) LongOffset(l)
-      else LongOffset(limits.admit(
-        sink.admissionSizes(spark, table, floor.get, cdf = true), l))
-    }
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    if (limits.defined) floor.ratchet(ver(end))
     val fromV = start.map(ver).getOrElse(startingVersion - 1)
     val df = sink.changesBetween(spark, table, fromV, ver(end))
     val have = df.columns.toSet

@@ -109,6 +109,27 @@ class RateLimitSpec extends AnyFunSuite {
     assert(batches.size >= 2 && batches.forall(_ <= 2L), batches)
   }
 
+  test("Trigger.AvailableNow drains the whole backlog in capped batches") {
+    val base = TestSpark.tmpDir("rl6")
+    val sink = new VersionedParquetSink(base)
+    (0 until 5).foreach(i =>
+      sink.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1), "t"))
+    val batches = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", 2).load(s"$base/t")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += b.count() }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", TestSpark.tmpDir("rl6c")).start()
+    q.awaitTermination(120000)
+    val got = batches.synchronized(batches.filter(_ > 0).toSeq)
+    assert(got.sum == 5L, s"AvailableNow lost rows: $got")
+    assert(got.size >= 3 && got.forall(_ <= 2L),
+      s"AvailableNow ignored the cap: $got")
+  }
+
   test("admission math: soft caps, free metadata commits, early stop") {
     val lim = AdmissionLimits(Some(2), None)
     // metadata-only commits ride along free
