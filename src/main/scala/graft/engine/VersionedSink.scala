@@ -346,8 +346,9 @@ final class VersionedParquetSink(basePath: String,
             f.listStatus(p).filter(_.isFile).map(_.getLen).sum < target
         }
       if (small.size >= minDirs) {
+        // clustered tables re-cluster the fold on the declared columns
         foldSelected(spark, table, entries, small, Nil,
-          targetFiles = Some(1), zorderBy = Nil,
+          targetFiles = Some(1), zorderBy = clusterColumns(props),
           commitKey = Some(s"autocompact-${entries.last.version}"))
         ()
       }
@@ -455,19 +456,42 @@ final class VersionedParquetSink(basePath: String,
     * a few× smaller than the target — same ballpark Delta's binning
     * hits. Complements [[maybeAutoCompact]]: this shapes files at write
     * time, that folds history after. */
+  /** Size-targeted partition count for an append: Catalyst's planned
+    * size over the target bin, clamped to [1, incoming partitions] so a
+    * write never LOSES parallelism it arrived with. */
+  private def sizedPartitions(df: DataFrame,
+      props: Map[String, String]): Int = {
+    val target = props.get("graft.optimizeWrite.targetBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(128L * 1024 * 1024)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = ((est + target - 1) / target).toLong
+    val cur = df.rdd.getNumPartitions
+    math.max(1L, math.min(want, cur.toLong)).toInt
+  }
+
+  /** Clustering columns of a clustered table (Delta liquid-clustering
+    * UX: declare once in TBLPROPERTIES, every write and maintenance
+    * pass keeps the layout): `graft.cluster.columns` = comma list of
+    * numeric/date/timestamp columns. */
+  private def clusterColumns(props: Map[String, String]): Seq[String] =
+    props.get("graft.cluster.columns").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   private def optimizeWrite(df: DataFrame,
-      props: Map[String, String]): DataFrame =
-    if (!props.get("graft.optimizeWrite").exists(_.toBoolean)) df
+      props: Map[String, String]): DataFrame = {
+    val cluster = clusterColumns(props)
+    if (cluster.nonEmpty) {
+      // clustered tables imply optimized writes (Delta's coupling): the
+      // batch Morton-clusters on the declared columns into size-targeted
+      // files, so every append's per-file stats are tight on all of them
+      ZOrder.zOrderedN(df, cluster, sizedPartitions(df, props))
+    } else if (!props.get("graft.optimizeWrite").exists(_.toBoolean)) df
     else {
-      val target = props.get("graft.optimizeWrite.targetBytes")
-        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-        .getOrElse(128L * 1024 * 1024)
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val want = ((est + target - 1) / target).toLong
-      val cur = df.rdd.getNumPartitions
-      val n = math.max(1L, math.min(want, cur.toLong)).toInt
-      if (n >= cur) df else df.coalesce(n)
+      val n = sizedPartitions(df, props)
+      if (n >= df.rdd.getNumPartitions) df else df.coalesce(n)
     }
+  }
 
   /** Everything [[doAppend]] does BEFORE the commit claim: governance
     * completion/guards, schema pre-check, the unique data-dir write,
@@ -1092,9 +1116,17 @@ final class VersionedParquetSink(basePath: String,
     // concurrent delete/merge/compaction re-derives from the fresh
     // snapshot (concurrent APPENDS never abort it — they stay visible
     // past the compaction's high-water mark)
-    retryingRewrite(spark, table, "compact", commitKey)(entries =>
+    retryingRewrite(spark, table, "compact", commitKey) { entries =>
+      // OPTIMIZE on a clustered table re-clusters (Delta's behavior for
+      // clustered tables: no ZORDER BY clause needed)
+      val cluster = clusterColumns(VersionedParquetSink.Constraints
+        .parse(entries.lastOption.flatMap(_.props)).toMap)
       doCompact(spark, table, entries, commitKey,
-        snap => targetFiles.fold(snap)(n => snap.coalesce(n))))
+        snap =>
+          if (cluster.nonEmpty)
+            ZOrder.zOrderedN(snap, cluster, targetFiles.getOrElse(8))
+          else targetFiles.fold(snap)(n => snap.coalesce(n)))
+    }
   }
 
   /** OPTIMIZE ... ZORDER BY (Delta parity): a compaction whose folded
