@@ -71,7 +71,10 @@ object ScaleProbe {
     // vocab (q_vocab_coverage), bigram+unigram joined association table
     // (q_pmi — two vocab-keyed joins and two 1-row totals), row-local
     // embedding prefix energy (q_dim_energy)
-    "q_vocab_coverage", "q_pmi", "q_dim_energy")
+    "q_vocab_coverage", "q_pmi", "q_dim_energy",
+    // temporal monitors: lag-ladder / trailing-frame windows over the
+    // per-(type, day) aggregate — sub-linear surface, events-keyed rollup
+    "q_ewma", "q_spike")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
