@@ -209,6 +209,52 @@ final class VersionedParquetSink(basePath: String,
     committed
   }
 
+  /** GENERATE symlink_format_manifest (Delta parity): writes
+    * `_symlink_format_manifest/manifest` under the table dir — one
+    * absolute data-file URI per line for the CURRENT snapshot, the
+    * format Presto/Trino/Athena external tables consume. Atomic
+    * (temp-write + rename), so concurrent readers see the old or the
+    * new manifest, never a torn one. Refused while live deletion
+    * vectors / merge-on-read masks exist (an external reader cannot
+    * apply them — serving the unmasked files would resurrect deleted
+    * rows; run [[reorgPurge]] first), exactly Delta's rule. Driver-side
+    * O(live files) listing; returns the file count. */
+  def generateManifest(spark: SparkSession, table: String): Int = {
+    val entries = manifest(spark, table)
+    require(entries.nonEmpty, s"no committed versions for $table")
+    val live = liveEntries(entries)
+    val masked = live.filter(VersionedParquetSink.isMergeOnRead)
+    require(masked.isEmpty,
+      s"cannot generate a symlink manifest for '$table': live deletion-" +
+        s"vector commit(s) ${masked.map(e => s"v${e.version}").mkString(", ")}" +
+        " — an external reader cannot apply row masks; run REORG APPLY " +
+        "(PURGE) first")
+    val f = fs(spark, tableDir(table))
+    val files = live.filterNot(VersionedParquetSink.isDv).flatMap { e =>
+      val p = new Path(
+        VersionedParquetSink.resolveDir(tableDir(table), e.dir))
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => f.makeQualified(st.getPath).toUri.toString)
+    }.sorted
+    val dir = new Path(tableDir(table), "_symlink_format_manifest")
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".manifest.tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(files.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(dir, "manifest")
+    f.delete(target, false)
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"failed to publish symlink manifest for '$table'")
+    }
+    files.size
+  }
+
   /** COPY INTO (Delta parity): idempotent FILE-granular bulk load from
     * a directory of parquet files into an EXISTING table. Each source
     * file is identified as `uri@mtime:length`; identities recorded by
@@ -2266,12 +2312,22 @@ final class VersionedParquetSink(basePath: String,
     * path for ranges below the latest rewrite (their append dirs are
     * gone), exactly as it truncates time travel — Delta's VACUUM has the
     * same effect on its CDF retention. */
-  def vacuum(spark: SparkSession, table: String, graceMs: Long = 3600000L,
+  def vacuum(spark: SparkSession, table: String, graceMs: Long = -1L,
       includeSuperseded: Boolean = false, dryRun: Boolean = false): Int = {
     val f = fs(spark, tableDir(table))
     val td = new Path(tableDir(table))
     if (!f.exists(td)) return 0
     val entries = manifest(spark, table)
+    // graceMs < 0 = "table default": the retention TBLPROPERTIES
+    // (Delta's deletedFileRetentionDuration, time strings like "7d"),
+    // else one hour — an explicit caller argument always wins
+    val grace: Long =
+      if (graceMs >= 0L) graceMs
+      else VersionedParquetSink.Constraints.parse(
+          entries.lastOption.flatMap(_.props)).toMap
+        .get("graft.deletedFileRetentionDuration")
+        .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+        .getOrElse(3600000L)
     // Staged dirs named by a pending `_txn` manifest are NOT orphans:
     // the transaction passed its commit point, so the batch is durable
     // for every table and recovery WILL claim these dirs — deleting one
@@ -2307,7 +2363,7 @@ final class VersionedParquetSink(basePath: String,
         val cloneName = st.getPath.getName
         val cloneEntries = manifest(spark, cloneName)
         if (cloneEntries.isEmpty) {
-          if (now - st.getModificationTime >= graceMs && !dryRun)
+          if (now - st.getModificationTime >= grace && !dryRun)
             f.delete(st.getPath, false)
           Seq.empty
         } else cloneEntries.map(_.dir)
@@ -2325,14 +2381,14 @@ final class VersionedParquetSink(basePath: String,
     val txnD = new Path(txnDir)
     if (fb.exists(txnD)) fb.listStatus(txnD).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-"))
-      .filter(st => now - st.getModificationTime >= graceMs)
+      .filter(st => now - st.getModificationTime >= grace)
       .foreach(st => if (!dryRun) fb.delete(st.getPath, false))
     // dryRun (Delta's VACUUM ... DRY RUN): report what WOULD be deleted,
     // touch nothing
     f.listStatus(td).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
       .filter(st => !keep.contains(st.getPath.getName))
-      .filter(st => now - st.getModificationTime >= graceMs)
+      .filter(st => now - st.getModificationTime >= grace)
       .map { st => if (!dryRun) f.delete(st.getPath, true); 1 }.sum
   }
 

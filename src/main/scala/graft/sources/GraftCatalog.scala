@@ -618,7 +618,8 @@ private final class GraftChangesTable(base: String, table: String)
 private object GraftProcedures {
 
   val names: Array[String] =
-    Array("optimize", "restore", "vacuum", "clone", "reorg", "copy_into")
+    Array("optimize", "restore", "vacuum", "clone", "reorg", "copy_into",
+      "generate")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -655,6 +656,15 @@ private object GraftProcedures {
           Seq(s"compacted '$t' as version $v" +
             w.fold("")(c => s" where $c") +
             z.fold("")(c => s" z-ordered on $c"))
+        }))
+      case "generate" => Some(proc("generate",
+        "GENERATE symlink_format_manifest: publish the current " +
+          "snapshot's data-file list for Presto/Trino external tables",
+        Array(ProcedureParameter.in("table", StringType).build()),
+        { (spark, row) =>
+          val t = row.getUTF8String(0).toString
+          val n = cat.sink.generateManifest(spark, t)
+          Seq(s"manifest for '$t' lists $n file(s)")
         }))
       case "copy_into" => Some(proc("copy_into",
         "COPY INTO: idempotent file-granular bulk load of parquet files " +
@@ -728,15 +738,18 @@ private object GraftProcedures {
         Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("retain_hours", LongType)
-            .defaultValue("1").build(),
+            .defaultValue("CAST(NULL AS BIGINT)").build(),
           ProcedureParameter.in("dry_run",
             org.apache.spark.sql.types.BooleanType)
             .defaultValue("false").build()),
         { (spark, row) =>
           val t = row.getUTF8String(0).toString
           val dry = !row.isNullAt(2) && row.getBoolean(2)
+          // retain_hours omitted -> the table's retention TBLPROPERTIES
+          // (graft.deletedFileRetentionDuration), else the 1h default
           val n = cat.sink.vacuum(spark, t,
-            graceMs = row.getLong(1) * 3600000L, dryRun = dry)
+            graceMs = if (row.isNullAt(1)) -1L
+              else row.getLong(1) * 3600000L, dryRun = dry)
           Seq(if (dry) s"dry run: $n orphan dir(s) eligible in '$t'"
             else s"vacuumed $n orphan dir(s) from '$t'")
         }))
