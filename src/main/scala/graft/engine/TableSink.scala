@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StructField, StructType}
 
 /** Append-time schema enforcement, mirroring Delta's append-mode check
   * (the reference's write_deltalake(..., mode='append') rejects drifting
@@ -10,6 +10,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * safe. Without this check a drifted append silently produces a
   * union-schema mess at read time. */
 object SchemaCheck {
+  /** Lossless type promotions (Delta type-widening set that Spark's
+    * parquet readers upcast natively): the integral chain and
+    * float->double. Transitive by construction. */
+  private[engine] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
   /** Nullability-normalized copy (recursively nullable everywhere). */
   private def norm(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
@@ -24,16 +36,21 @@ object SchemaCheck {
       incoming: StructType, allowEvolution: Boolean = false): Unit =
     existing.foreach { cur =>
       if (allowEvolution) {
-        // mergeSchema parity: new columns may be ADDED; every existing
-        // column must keep its name and (normalized) type — a type change
-        // or drop is never an evolution, it is a different table
+        // mergeSchema parity: new columns may be ADDED, and an existing
+        // column may WIDEN (Delta type widening: byte->short->int->long,
+        // float->double — lossless promotions Spark's parquet reader
+        // upcasts natively, so pre-widening files stay readable under
+        // the new schema); any other retype or a drop is never an
+        // evolution, it is a different table
         val in = incoming.fields.map(f => f.name -> norm(f.dataType)).toMap
         val broken = cur.fields.filterNot(f =>
-          in.get(f.name).contains(norm(f.dataType)))
+          in.get(f.name).exists(t =>
+            t == norm(f.dataType) || widens(norm(f.dataType), t)))
         if (broken.nonEmpty)
           throw new IllegalArgumentException(
-            s"schema evolution appending to '$table' may only add columns; " +
-              s"missing/retyped: ${broken.map(_.name).mkString(", ")}\n" +
+            s"schema evolution appending to '$table' may only add columns " +
+              "or widen types (byte->short->int->long, float->double); " +
+              s"missing/narrowed/retyped: ${broken.map(_.name).mkString(", ")}\n" +
               s"  table:  ${cur.toDDL}\n  append: ${incoming.toDDL}")
       } else if (norm(cur) != norm(incoming))
         throw new IllegalArgumentException(
