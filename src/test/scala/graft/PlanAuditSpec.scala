@@ -152,6 +152,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("round-8 wave: top-k/limit shapes, single-pass windows, no hints") {
+    // PMI: limit-20 compiles to TakeOrderedAndProject, and no join hint
+    // is forced anywhere (the unigram sides are vocab-proportional — AQE
+    // decides broadcast vs shuffle per scale)
+    val pmi = plan("q_pmi")
+    assert(pmi.contains("TakeOrderedAndProject"), pmi.take(400))
+    val pmiLogical = SparkEntry.queries("q_pmi")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!pmiLogical.toLowerCase.contains("hint"), pmiLogical.take(400))
+    // EWMA: the 16-term lag ladder fuses into ONE Window operator (one
+    // shuffle + one sort over the daily aggregate, not sixteen)
+    val ewma = plan("q_ewma")
+    assert("Window \\[".r.findAllIn(ewma).length == 1, ewma.take(400))
+    // dim-energy: label aggregate is map-side combinable
+    assert(plan("q_dim_energy").contains("partial_"),
+      "per-label energy aggregate lost its partial (map-side) phase")
+  }
+
   test("fuzzy verify: equi-keyed joins only, no hint, no cartesian") {
     // candidates come from the df-capped shingle equi-join; the two
     // prefix lookups join on doc_id. Any cartesian or forced hint means
