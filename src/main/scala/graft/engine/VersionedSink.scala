@@ -2803,12 +2803,20 @@ final class VersionedParquetSink(basePath: String,
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     manifest(spark, table).sortBy(-_.version).map { e =>
+      // operation metrics (Delta's operationMetrics): file/row counts
+      // from the commit's OWN stats payload — no data scan
+      val perFile = e.stats.map(FileStats.parse).getOrElse(Map.empty)
       (e.version,
         e.ts.map(m => new java.sql.Timestamp(m)).orNull,
         e.op.map(_.toUpperCase).getOrElse("WRITE"),
         e.compacts.map(java.lang.Long.valueOf).orNull,
-        e.key.orNull)
-    }.toDF("version", "timestamp", "operation", "supersedes", "commitKey")
+        e.key.orNull,
+        if (e.stats.isEmpty) null
+        else java.lang.Long.valueOf(perFile.size.toLong),
+        if (e.stats.isEmpty) null
+        else java.lang.Long.valueOf(perFile.values.map(_.numRecords).sum))
+    }.toDF("version", "timestamp", "operation", "supersedes", "commitKey",
+      "numFiles", "numRecords")
   }
 
   /** DESCRIBE DETAIL (Delta parity): one row of table-level metadata —

@@ -490,13 +490,10 @@ private final class GraftHistoryTable(base: String, table: String)
 
   override def name(): String = s"$table.history"
 
-  override val schema: StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("version", LongType),
-    org.apache.spark.sql.types.StructField("timestamp",
-      org.apache.spark.sql.types.TimestampType),
-    org.apache.spark.sql.types.StructField("operation", StringType),
-    org.apache.spark.sql.types.StructField("supersedes", LongType),
-    org.apache.spark.sql.types.StructField("commitKey", StringType)))
+  // derived from the sink so added columns (operation metrics) never
+  // drift from the V1 scan's rows
+  override lazy val schema: StructType =
+    sink.history(SparkSession.active, table).schema
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava

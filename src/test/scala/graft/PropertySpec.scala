@@ -71,4 +71,54 @@ class PropertySpec extends AnyFunSuite {
       assert(sequential == union)
     }
   }
+
+  test("streaming admission: progress, caps, and full-drain invariants") {
+    import graft.sources.AdmissionLimits
+    val sizesGen: Gen[List[(Long, Int, Long)]] = for {
+      n <- Gen.choose(1, 20)
+      costs <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 4), Gen.choose(0L, 1000L)))
+    } yield costs.zipWithIndex.map { case ((nf, nb), i) =>
+      (i.toLong + 1L, nf, if (nf == 0) 0L else nb + 1L)
+    }
+    val limitGen: Gen[AdmissionLimits] = Gen.zip(
+      Gen.option(Gen.choose(1, 6)),
+      Gen.option(Gen.choose(1L, 2000L))).map { case (f, b) =>
+      AdmissionLimits(f, b)
+    }
+    for (seed <- 1L to 40L) {
+      val sizes = sample(sizesGen, seed)
+      val lim = sample(limitGen, seed + 999)
+      val latest = sizes.map(_._1).max
+      val end = lim.admit(sizes.iterator, latest)
+      // 1. progress: something admits whenever backlog exists
+      assert(end >= sizes.head._1 || end == latest,
+        s"no progress: $end of $sizes with $lim")
+      // 2. never beyond latest
+      assert(end <= latest)
+      // 3. soft caps: the admitted slice respects the caps OR is a
+      //    single data commit (the oversized-first-commit allowance)
+      val admitted = sizes.filter(_._1 <= end)
+      val dataCommits = admitted.count(_._2 > 0)
+      lim.maxFiles.foreach { m =>
+        assert(admitted.map(_._2).sum <= m || dataCommits == 1,
+          s"files cap broken: $admitted with $lim")
+      }
+      lim.maxBytes.foreach { m =>
+        assert(admitted.map(_._3).sum <= m || dataCommits == 1,
+          s"bytes cap broken: $admitted with $lim")
+      }
+      // 4. repeated admission from each new floor drains the backlog in
+      //    finitely many steps, never skipping or repeating a version
+      var floor = 0L
+      var steps = 0
+      while (floor < latest && steps < 100) {
+        val nxt = lim.admit(
+          sizes.iterator.filter(_._1 > floor), latest)
+        assert(nxt > floor, s"stuck at $floor: $sizes with $lim")
+        floor = nxt; steps += 1
+      }
+      assert(floor == latest, s"never drained: $floor of $latest")
+    }
+  }
 }
