@@ -189,24 +189,88 @@ final class VersionedParquetSink(basePath: String,
       commitKey: Option[String], allowEvolution: Boolean = false,
       initialProps: Option[Map[String, String]] = None): Boolean = {
     val spark = df.sparkSession
-    val entries = manifest(spark, table)
-    if (commitKey.exists(k => entries.exists(_.key.contains(k)))) return false
-    val staged = stageAppend(df, table, entries, allowEvolution)
-    val committed = claimStaged(spark, staged, commitKey, allowEvolution,
-      snapshot = Some(entries), cleanupOnKeyLoss = true,
-      initialProps = initialProps).isDefined
-    // TBLPROPERTIES from the caller's snapshot: autoCompact is a
-    // steady-state behavior, one commit of enablement lag is fine and
-    // saves re-reading the manifest on every append
-    if (committed) {
+    var attempt = 0
+    while (true) {
+      val entries = manifest(spark, table)
+      if (commitKey.exists(k => entries.exists(_.key.contains(k))))
+        return false
+      // TBLPROPERTIES from the caller's snapshot: autoCompact/bloom are
+      // steady-state behaviors, one commit of enablement lag is fine and
+      // saves re-reading the manifest on every append
       val props = VersionedParquetSink.Constraints.parse(
         entries.lastOption.flatMap(_.props)
           .orElse(initialProps.flatMap(p =>
             VersionedParquetSink.Constraints.render(p.toSeq)))).toMap
-      maybeAutoCompact(spark, table, props)
-      maybeBloom(spark, table, props)
+      val idents = identityDecls(props)
+      if (idents.isEmpty) {
+        val staged = stageAppend(df, table, entries, allowEvolution)
+        val committed = claimStaged(spark, staged, commitKey, allowEvolution,
+          snapshot = Some(entries), cleanupOnKeyLoss = true,
+          initialProps = initialProps).isDefined
+        if (committed) {
+          maybeAutoCompact(spark, table, props)
+          maybeBloom(spark, table, props)
+        }
+        return committed
+      }
+      // identity allocation: stamp values from the declared high waters,
+      // stage, and commit PINNED to this base version — any concurrent
+      // commit aborts the claim and the whole allocation retries from
+      // the fresh high waters (Delta serializes identity transactions
+      // the same way)
+      idents.keys.foreach(c => require(!df.columns.contains(c),
+        s"column '$c' of '$table' is GENERATED ALWAYS AS IDENTITY — " +
+          "writers may not supply it"))
+      import org.apache.spark.sql.functions.monotonically_increasing_id
+      val stamped = idents.foldLeft(df) { case (d, (c, (_, step, hw))) =>
+        d.withColumn(c, (monotonically_increasing_id() + 1L) * step + hw)
+      }
+      val staged = stageAppend(stamped, table, entries, allowEvolution)
+      // new high waters from the commit's OWN per-file stats (the
+      // extreme in the increment's direction) — no extra pass; an
+      // empty batch leaves them unchanged
+      val mapping = VersionedParquetSink.ColumnMapping.parse(
+        entries.lastOption.flatMap(_.mapping))
+      val perFile = FileStats.parse(staged.statsJson)
+      val newDecls = idents.map { case (c, (s0, step, hw)) =>
+        val phys =
+          VersionedParquetSink.ColumnMapping.physicalName(mapping, c)
+        val extremes = perFile.values.flatMap(pf =>
+          (if (step > 0) pf.maxV else pf.minV).get(phys)).map(_.asLong)
+        val nhw = if (extremes.isEmpty) hw
+          else if (step > 0) math.max(hw, extremes.max)
+          else math.min(hw, extremes.min)
+        s"graft.identity.$c" -> s"$s0:$step:$nhw"
+      }
+      try {
+        val committed = commitLoop(spark, table, staged.unique, commitKey,
+          compacts = None, schemaDdl = staged.schemaDdl,
+          cleanupOnKeyLoss = true, snapshot = Some(entries),
+          enforceSchema = true, allowEvolution = allowEvolution,
+          requireBase = Some(entries.last.version),
+          statsJson = Some(staged.statsJson),
+          enforcedConstraints = Some(staged.constraints),
+          newMapping = staged.newMapping.map(m => Some(m)),
+          enforcedMapping =
+            if (staged.mapping.isDefined) Some(staged.mapping) else None,
+          enforcedGenerated = Some(staged.generated),
+          newProps = Some(VersionedParquetSink.Constraints.render(
+            (props ++ newDecls).toSeq))).isDefined
+        if (committed) {
+          maybeAutoCompact(spark, table, props)
+          maybeBloom(spark, table, props)
+        }
+        return committed
+      } catch {
+        case _: VersionedParquetSink.ConcurrentRewriteException =>
+          attempt += 1
+          if (attempt >= 8) throw new IllegalStateException(
+            s"identity append to '$table' lost $attempt allocation " +
+              "races; giving up")
+        // loop: re-read the manifest and re-allocate
+      }
     }
-    committed
+    false // unreachable
   }
 
   /** GENERATE symlink_format_manifest (Delta parity): writes
@@ -1934,6 +1998,63 @@ final class VersionedParquetSink(basePath: String,
       commitMetadata(spark, table, commitKey, baseV, newSchema,
         constraints = None, mapping = newMapping,
         opName = "add_column")
+    }
+
+  /** GENERATED ALWAYS AS IDENTITY (Delta identity-column parity):
+    * declares `name` as an engine-assigned BIGINT on an EXISTING table
+    * — one metadata commit that adds the (nullable) column and records
+    * the generator `(startWith, incrementBy, highWater)` in the props
+    * payload. From then on every append ALLOCATES values: unique,
+    * moving in the increment's direction, gaps allowed (Delta's
+    * contract — each row gets `highWater + incrementBy·(k+1)` for a
+    * per-row k from `monotonically_increasing_id`, and the new high
+    * water is read from the commit's own per-file stats, no extra
+    * pass). Writers may never supply the column (ALWAYS semantics).
+    * Concurrent identity appends serialize: the allocation pins its
+    * base version and a conflicting commit aborts-and-retries the whole
+    * stage (Delta conflicts identity-high-water transactions the same
+    * way). Pre-declaration rows read the column as NULL, including
+    * through time travel. */
+  def setIdentityColumn(spark: SparkSession, table: String, name: String,
+      startWith: Long = 1L, incrementBy: Long = 1L,
+      commitKey: Option[String] = None): Long = {
+    require(incrementBy != 0L, "identity INCREMENT BY must be non-zero")
+    retryingRewrite(spark, table, "identity_column", commitKey) { entries =>
+      val baseV = entries.last.version
+      val schema = StructType.fromDDL(entries.last.schemaDdl.getOrElse(
+        readAt(spark, table, baseV).schema.toDDL))
+      require(!schema.fieldNames.contains(name),
+        s"column '$name' already exists in '$table' — identity columns " +
+          "are declared fresh (their values are engine-owned)")
+      val newSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.LongType, nullable = true))
+      val mapping = VersionedParquetSink.ColumnMapping.parse(
+        entries.lastOption.flatMap(_.mapping))
+      val newMapping =
+        if (mapping.isEmpty) None
+        else Some(VersionedParquetSink.ColumnMapping.render(mapping :+
+          (name -> VersionedParquetSink.ColumnMapping.Entry(
+            s"col-${UUID.randomUUID()}", mapping.map(_._2.id).max + 1))))
+      val props = VersionedParquetSink.Constraints.parse(
+        entries.lastOption.flatMap(_.props)).toMap
+      val merged = props + (s"graft.identity.$name" ->
+        s"$startWith:$incrementBy:${startWith - incrementBy}")
+      commitMetadata(spark, table, commitKey, baseV, newSchema,
+        constraints = None, mapping = newMapping,
+        props = Some(VersionedParquetSink.Constraints.render(
+          merged.toSeq)),
+        opName = "identity_column")
+    }
+  }
+
+  /** Parsed identity declarations: column -> (start, step, highWater). */
+  private def identityDecls(
+      props: Map[String, String]): Map[String, (Long, Long, Long)] =
+    props.collect {
+      case (k, v) if k.startsWith("graft.identity.") =>
+        val Array(s, i, h) = v.split(':')
+        k.stripPrefix("graft.identity.") -> (s.toLong, i.toLong, h.toLong)
     }
 
   /** The current mapping, or — at first rename/drop — the identity

@@ -1,0 +1,100 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.VersionedParquetSink
+
+/** Identity columns (Delta GENERATED ALWAYS AS IDENTITY parity):
+  * engine-assigned BIGINTs — unique, moving in the increment's
+  * direction, gaps allowed; writers may never supply them; concurrent
+  * appends serialize through the allocation's base-version pin. */
+class IdentityColumnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("appends allocate unique increasing values from START WITH") {
+    val base = TestSpark.tmpDir("idc1")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq("a", "b").toDF("v"), "t")
+    sink.setIdentityColumn(spark, "t", "id", startWith = 100L)
+    sink.append(Seq("c", "d", "e").toDF("v"), "t")
+    sink.append(Seq("f").toDF("v"), "t")
+    val rows = sink.read(spark, "t").collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+    val byV = rows.toMap
+    // pre-declaration rows read NULL (metadata-only column add)
+    assert(byV("a").isEmpty && byV("b").isEmpty)
+    val assigned = rows.flatMap(_._2)
+    assert(assigned.length == 4)
+    assert(assigned.distinct.length == 4, s"duplicate ids: ${assigned.toSeq}")
+    assert(assigned.forall(_ >= 100L), s"below START WITH: ${assigned.toSeq}")
+    // second append's values are strictly above the first's (direction)
+    val batch1 = rows.filter(r => Set("c", "d", "e")(r._1)).flatMap(_._2)
+    val batch2 = rows.filter(_._1 == "f").flatMap(_._2)
+    assert(batch2.min > batch1.max,
+      s"allocation direction broken: $batch1 then $batch2")
+  }
+
+  test("negative increment descends") {
+    val base = TestSpark.tmpDir("idc2")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq("a").toDF("v"), "t")
+    sink.setIdentityColumn(spark, "t", "id",
+      startWith = 0L, incrementBy = -2L)
+    sink.append(Seq("b").toDF("v"), "t")
+    sink.append(Seq("c").toDF("v"), "t")
+    val ids = sink.read(spark, "t").collect()
+      .flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long]))
+    assert(ids.length == 2 && ids.distinct.length == 2)
+    assert(ids.forall(_ <= 0L), ids.toSeq)
+  }
+
+  test("GENERATED ALWAYS: supplying the column is rejected") {
+    val base = TestSpark.tmpDir("idc3")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq("a").toDF("v"), "t")
+    sink.setIdentityColumn(spark, "t", "id")
+    val e = intercept[IllegalArgumentException] {
+      sink.append(Seq(("b", 7L)).toDF("v", "id"), "t")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+  }
+
+  test("concurrent appends never collide (allocation races retry)") {
+    val base = TestSpark.tmpDir("idc4")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq("seed").toDF("v"), "t")
+    sink.setIdentityColumn(spark, "t", "id")
+    val pool = Executors.newFixedThreadPool(4)
+    val go = new CountDownLatch(1)
+    val futures = (0 until 4).map { k =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          go.await()
+          sink.append(
+            (0 until 5).map(i => s"w$k-$i").toDF("v"), "t")
+        }
+      })
+    }
+    go.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val ids = sink.read(spark, "t").collect()
+      .flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long]))
+    assert(ids.length == 20, s"lost rows: ${ids.length}")
+    assert(ids.distinct.length == 20,
+      s"identity collision across racing appends: ${ids.sorted.toSeq}")
+  }
+
+  test("keyed replay of an identity append is a no-op") {
+    val base = TestSpark.tmpDir("idc5")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq("a").toDF("v"), "t")
+    sink.setIdentityColumn(spark, "t", "id")
+    assert(sink.appendOnce(Seq("b").toDF("v"), "t", "k1"))
+    assert(!sink.appendOnce(Seq("b").toDF("v"), "t", "k1"))
+    assert(sink.read(spark, "t").count() == 2L)
+  }
+}
