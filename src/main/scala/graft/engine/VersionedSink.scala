@@ -218,11 +218,22 @@ final class VersionedParquetSink(basePath: String,
       // commit aborts the claim and the whole allocation retries from
       // the fresh high waters (Delta serializes identity transactions
       // the same way)
-      idents.keys.foreach(c => require(!df.columns.contains(c),
-        s"column '$c' of '$table' is GENERATED ALWAYS AS IDENTITY — " +
-          "writers may not supply it"))
+      // ALWAYS semantics: a writer may not supply values. SQL INSERT
+      // with an explicit column list arrives with the identity column
+      // auto-filled NULL — indistinguishable from "not supplied", so an
+      // all-null column is dropped and allocated; any non-null value is
+      // rejected (Delta's rule).
+      val cleaned = idents.keys.foldLeft(df) { (d, c) =>
+        if (!d.columns.contains(c)) d
+        else {
+          require(d.filter(col(c).isNotNull).isEmpty,
+            s"column '$c' of '$table' is GENERATED ALWAYS AS IDENTITY — " +
+              "writers may not supply it")
+          d.drop(c)
+        }
+      }
       import org.apache.spark.sql.functions.monotonically_increasing_id
-      val stamped = idents.foldLeft(df) { case (d, (c, (_, step, hw))) =>
+      val stamped = idents.foldLeft(cleaned) { case (d, (c, (_, step, hw))) =>
         d.withColumn(c, (monotonically_increasing_id() + 1L) * step + hw)
       }
       val staged = stageAppend(stamped, table, entries, allowEvolution)

@@ -616,7 +616,7 @@ private object GraftProcedures {
 
   val names: Array[String] =
     Array("optimize", "restore", "vacuum", "clone", "reorg", "copy_into",
-      "generate")
+      "generate", "identity")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -653,6 +653,23 @@ private object GraftProcedures {
           Seq(s"compacted '$t' as version $v" +
             w.fold("")(c => s" where $c") +
             z.fold("")(c => s" z-ordered on $c"))
+        }))
+      case "identity" => Some(proc("identity",
+        "Declare a GENERATED ALWAYS AS IDENTITY column: engine-assigned " +
+          "unique BIGINTs on every future append",
+        Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("column", StringType).build(),
+          ProcedureParameter.in("start_with", LongType)
+            .defaultValue("1").build(),
+          ProcedureParameter.in("increment_by", LongType)
+            .defaultValue("1").build()),
+        { (spark, row) =>
+          val t = row.getUTF8String(0).toString
+          val c = row.getUTF8String(1).toString
+          val v = cat.sink.setIdentityColumn(spark, t, c,
+            startWith = row.getLong(2), incrementBy = row.getLong(3))
+          Seq(s"declared identity column '$c' on '$t' as version $v")
         }))
       case "generate" => Some(proc("generate",
         "GENERATE symlink_format_manifest: publish the current " +

@@ -88,6 +88,22 @@ class IdentityColumnSpec extends AnyFunSuite {
       s"identity collision across racing appends: ${ids.sorted.toSeq}")
   }
 
+  test("CALL g.identity declares from SQL; INSERT INTO allocates") {
+    val base = TestSpark.tmpDir("idc6")
+    spark.conf.set("spark.sql.catalog.idc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.idc.path", base)
+    spark.sql("CREATE TABLE idc.t (v STRING)")
+    spark.sql(
+      "CALL idc.identity(table => 't', column => 'id', start_with => 10)")
+    spark.sql("INSERT INTO idc.t (v) VALUES ('a'), ('b')")
+    val rows = spark.sql("SELECT v, id FROM idc.t").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length == 2)
+    assert(rows.map(_._2).distinct.length == 2)
+    assert(rows.map(_._2).forall(_ >= 10L), rows.toSeq)
+  }
+
   test("keyed replay of an identity append is a no-op") {
     val base = TestSpark.tmpDir("idc5")
     val sink = new VersionedParquetSink(base)
