@@ -527,8 +527,12 @@ final class VersionedParquetSink(basePath: String,
       return true
     }
     val last = entries.lastOption
+    // identity tables re-stage like other governed tables: the epoch's
+    // rows need engine-assigned values the executor writers can't mint
     val governed = last.exists(e => e.mapping.isDefined ||
-      e.generated.isDefined || e.constraints.isDefined)
+      e.generated.isDefined || e.constraints.isDefined ||
+      identityDecls(VersionedParquetSink.Constraints.parse(e.props)
+        .toMap).nonEmpty)
     if (governed) {
       val df = spark.read.schema(querySchema)
         .parquet(s"${tableDir(table)}/$unique")

@@ -104,6 +104,28 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(rows.map(_._2).forall(_ >= 10L), rows.toSeq)
   }
 
+  test("streaming epochs allocate identity values (governed re-stage)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = TestSpark.tmpDir("idc7")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq("seed").toDF("v"), "t")
+    sink.setIdentityColumn(spark, "t", "id")
+    val mem = MemoryStream[String](spark)
+    val q = mem.toDF().toDF("v").writeStream.format("graft")
+      .option("checkpointLocation", TestSpark.tmpDir("idc7c"))
+      .start(s"$base/t")
+    try {
+      mem.addData("a", "b")
+      q.processAllAvailable()
+      mem.addData("c")
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = sink.read(spark, "t").collect()
+      .flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long]))
+    assert(ids.length == 3, s"missing allocations: ${ids.toSeq}")
+    assert(ids.distinct.length == 3, s"collisions: ${ids.sorted.toSeq}")
+  }
+
   test("keyed replay of an identity append is a no-op") {
     val base = TestSpark.tmpDir("idc5")
     val sink = new VersionedParquetSink(base)
