@@ -74,7 +74,10 @@ object ScaleProbe {
     "q_vocab_coverage", "q_pmi", "q_dim_energy",
     // temporal monitors: lag-ladder / trailing-frame windows over the
     // per-(type, day) aggregate — sub-linear surface, events-keyed rollup
-    "q_ewma", "q_spike")
+    "q_ewma", "q_spike",
+    // NB lang-ID eval: profile aggregates (langs x vocab) + word-keyed
+    // scoring joins with a bounded |langs| fan-out
+    "q_nb_langid")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

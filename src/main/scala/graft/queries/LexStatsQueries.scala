@@ -137,6 +137,80 @@ object LexStatsQueries {
                  (b::DOUBLE * c1::DOUBLE * c2::DOUBLE)), 4) AS pmi
              FROM j ORDER BY pmi DESC, bigram LIMIT 20""")),
 
+    // Naive-Bayes language-ID evaluation: train multinomial word
+    // profiles on the EVEN doc_ids, classify the ODD ones, emit the
+    // confusion matrix — the complete train/classify/evaluate loop as
+    // one relational plan (the eval primitive behind every heuristic
+    // filter's precision check). Laplace-smoothed log-likelihoods:
+    // every term is cd * f6(ln((cw+1)/(tl+V))) — an exact DECIMAL in
+    // BOTH engines, so per-(doc, lang) sums are order-independent and
+    // the argmax is bit-determined; ONLY integer counts are emitted.
+    // Scale: profiles are (|langs| x vocab) aggregates; scoring joins
+    // test-doc words to profiles ON THE WORD (keyed, linear) and fans
+    // out only by |langs| (bounded dimension); the argmax window is
+    // |langs| rows per doc.
+    Q("q_nb_langid",
+      (s, d) => {
+        def f6(c: Column): Column =
+          (floor(c * 1000000 + 0.5) / 1000000).cast("decimal(18,6)")
+        val docs = Tables.documents(s, d)
+        val tw = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        val prof = tw.groupBy("lang", "w").agg(count(lit(1)).as("cw"))
+        val totals = prof.groupBy("lang").agg(sum("cw").as("tl"))
+        val vsz = prof.agg(countDistinct("w").as("v")) // 1 row
+        val dw = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy("doc_id", "true_lang", "w")
+          .agg(count(lit(1)).as("cd"))
+        val scored = dw
+          .crossJoin(totals) // |langs| rows: scale-invariant fan-out
+          .join(prof, Seq("lang", "w"), "left")
+          .crossJoin(vsz)
+          .withColumn("term", col("cd").cast("decimal(18,6)") *
+            f6(log((coalesce(col("cw"), lit(0L)) + lit(1)).cast("double") /
+              (col("tl") + col("v")).cast("double"))))
+          .groupBy("doc_id", "true_lang", "lang")
+          .agg(sum(col("term")).as("score"))
+        val pred = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(desc("score"), asc("lang"))))
+          .filter(col("rn") === 1)
+          .select(col("true_lang"), col("lang").as("pred_lang"))
+        pred.groupBy("true_lang", "pred_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some("""WITH tw AS (SELECT lang, unnest(str_split(text, ' ')) AS w
+               FROM documents WHERE doc_id % 2 = 0),
+             prof AS (SELECT lang, w, count(*) AS cw FROM tw GROUP BY 1, 2),
+             totals AS (SELECT lang, sum(cw) AS tl FROM prof GROUP BY 1),
+             vsz AS (SELECT count(DISTINCT w) AS v FROM prof),
+             dw AS (SELECT doc_id, lang AS true_lang,
+                      unnest(str_split(text, ' ')) AS w
+                    FROM documents WHERE doc_id % 2 = 1),
+             dwc AS (SELECT doc_id, true_lang, w, count(*) AS cd
+                     FROM dw GROUP BY 1, 2, 3),
+             scored AS (
+               SELECT dwc.doc_id, dwc.true_lang, totals.lang,
+                 sum(cd::DECIMAL(18,6) *
+                   CAST(floor(ln((coalesce(prof.cw, 0) + 1)::DOUBLE /
+                     (totals.tl + vsz.v)::DOUBLE) * 1000000 + 0.5::DOUBLE)
+                     / 1000000 AS DECIMAL(18,6))) AS score
+               FROM dwc CROSS JOIN totals CROSS JOIN vsz
+               LEFT JOIN prof ON prof.lang = totals.lang AND prof.w = dwc.w
+               GROUP BY 1, 2, 3),
+             pred AS (
+               SELECT true_lang, lang AS pred_lang FROM (
+                 SELECT true_lang, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, lang) AS rn
+                 FROM scored) WHERE rn = 1)
+             SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Matryoshka truncation audit: per label, the mean fraction of a
     // vector's energy (squared norm) retained by its first 16 dims —
     // the readout that decides whether coarse ANN stages can run on
