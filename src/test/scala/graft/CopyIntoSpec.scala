@@ -90,6 +90,32 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(spark.table("cic.t").count() == 2L)
   }
 
+  test("racing COPYs load every file exactly once") {
+    val base = TestSpark.tmpDir("ci6")
+    val src = TestSpark.tmpDir("ci6s")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((0L, "seed")).toDF("id", "v"), "t")
+    (1 to 6).foreach(i => srcFile(src, s"f$i.parquet", Seq((i.toLong, s"v$i"))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val loaded = new java.util.concurrent.atomic.AtomicLong(0L)
+    val futures = (0 until 3).map { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          go.await()
+          loaded.addAndGet(sink.copyInto(spark, "t", src)); ()
+        }
+      })
+    }
+    go.countDown()
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(loaded.get() == 6L,
+      s"racing COPYs loaded ${loaded.get()} files total, want exactly 6")
+    assert(sink.read(spark, "t").count() == 7L, "rows duplicated or lost")
+    assert(sink.read(spark, "t").select("id").distinct().count() == 7L)
+  }
+
   test("requires an existing table (Delta's contract)") {
     val base = TestSpark.tmpDir("ci4")
     val src = TestSpark.tmpDir("ci4s")
