@@ -105,7 +105,8 @@ final class VersionedParquetSink(basePath: String,
         .flatMap(_.split(',')).filter(_.nonEmpty),
       // newline-separated: source URIs may contain commas
       str("copiedB64").map(b64).toSeq
-        .flatMap(_.split('\n')).filter(_.nonEmpty), body)
+        .flatMap(_.split('\n')).filter(_.nonEmpty),
+      str("userMetaB64").filter(_.nonEmpty).map(b64), body)
   }
 
   private def readSmallFile(spark: SparkSession, p: String): String = {
@@ -1043,7 +1044,13 @@ final class VersionedParquetSink(basePath: String,
           replaces.mkString(",").getBytes(StandardCharsets.UTF_8))}"""") +
       (if (copied.isEmpty) "" else s""","copiedB64":"${
         Base64.getEncoder.encodeToString(
-          copied.mkString("\n").getBytes(StandardCharsets.UTF_8))}"""")
+          copied.mkString("\n").getBytes(StandardCharsets.UTF_8))}"""") +
+      // commit annotation (Delta's userMetadata UX: a session conf so
+      // every write path — API, SQL, streaming — carries it uniformly)
+      spark.conf.getOption("spark.graft.commitInfo.userMetadata")
+        .filter(_.nonEmpty).map(m => s""","userMetaB64":"${
+          Base64.getEncoder.encodeToString(
+            m.getBytes(StandardCharsets.UTF_8))}"""").getOrElse("")
     def b64enc(s: String): String =
       Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     var reuse = snapshot // first attempt only; retries re-read under the lock
@@ -2950,9 +2957,10 @@ final class VersionedParquetSink(basePath: String,
         if (e.stats.isEmpty) null
         else java.lang.Long.valueOf(perFile.size.toLong),
         if (e.stats.isEmpty) null
-        else java.lang.Long.valueOf(perFile.values.map(_.numRecords).sum))
+        else java.lang.Long.valueOf(perFile.values.map(_.numRecords).sum),
+        e.userMeta.orNull)
     }.toDF("version", "timestamp", "operation", "supersedes", "commitKey",
-      "numFiles", "numRecords")
+      "numFiles", "numRecords", "userMetadata")
   }
 
   /** DESCRIBE DETAIL (Delta parity): one row of table-level metadata —
@@ -3085,7 +3093,9 @@ object VersionedParquetSink {
       // COPY INTO's file ledger: source-file identities (uri@mtime:len)
       // this commit loaded — the union across the manifest is the
       // already-loaded set a re-run skips
-      copied: Seq[String], raw: String)
+      copied: Seq[String],
+      // free-form commit annotation (Delta's commitInfo.userMetadata)
+      userMeta: Option[String], raw: String)
 
   /** A deletion-vector commit: its dir holds `(path, pos)` row positions
     * to MASK from the scan, not table data. */

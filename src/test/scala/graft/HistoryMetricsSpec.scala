@@ -31,4 +31,20 @@ class HistoryMetricsSpec extends AnyFunSuite {
       "SELECT numRecords FROM hmc.t.history WHERE version = 0").collect()
     assert(sql.head.getLong(0) == 5L)
   }
+
+  test("userMetadata session conf annotates commits (Delta UX)") {
+    val base = TestSpark.tmpDir("hm2")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1L, "a")).toDF("id", "v"), "t") // unannotated
+    spark.conf.set("spark.graft.commitInfo.userMetadata",
+      "backfill ticket DATA-123")
+    try sink.append(Seq((2L, "b")).toDF("id", "v"), "t")
+    finally spark.conf.unset("spark.graft.commitInfo.userMetadata")
+    sink.append(Seq((3L, "c")).toDF("id", "v"), "t") // conf cleared
+    val h = sink.history(spark, "t").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("userMetadata")))
+      .toMap
+    assert(h(0L).isEmpty && h(2L).isEmpty)
+    assert(h(1L).contains("backfill ticket DATA-123"), h)
+  }
 }
