@@ -143,17 +143,45 @@ final class VersionedParquetSink(basePath: String,
     (fromCp ++ tail).sortBy(_.version)
   }
 
-  /** Committed version numbers, ascending (markers are never deleted, so
-    * this is full history even after checkpoints/compaction). */
-  def versions(spark: SparkSession, table: String): Seq[Long] = {
+  /** Committed version numbers, ascending — full history through the
+    * manifest (checkpoint lines + newer markers), so it stays complete
+    * even after [[vacuumLog]] retires checkpointed marker files. */
+  def versions(spark: SparkSession, table: String): Seq[Long] =
+    manifest(spark, table).map(_.version)
+
+  /** Log retention (Delta's `delta.logRetentionDuration` shape):
+    * deletes commit-marker files already SNAPSHOTTED by a checkpoint
+    * (and superseded older checkpoints) once they age past
+    * `olderThanMs`. Safe by construction: [[manifest]] reads every
+    * version at or below the newest checkpoint FROM the checkpoint
+    * (never from its marker file), and checkpoint lines carry the FULL
+    * marker bodies — so time travel, keyed replay dedup, history, and
+    * clones are all unaffected; the only change is that the `_commits`
+    * listing stays O(interval + recent) instead of O(all versions
+    * ever). Opt-in via the `graft.logRetentionDuration` TBLPROPERTIES
+    * (honored by [[vacuum]]) or direct call. Returns files deleted. */
+  def vacuumLog(spark: SparkSession, table: String,
+      olderThanMs: Long): Int = {
     val dir = new Path(commitDir(table))
     val f = fs(spark, commitDir(table))
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit").toLong)
-      .sorted
+    if (!f.exists(dir)) return 0
+    val sts = f.listStatus(dir).toSeq
+    val cp = sts.map(_.getPath.getName).filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted.lastOption
+    cp.fold(0) { c =>
+      val now = System.currentTimeMillis()
+      val dead = sts.filter { st =>
+        val n = st.getPath.getName
+        val covered =
+          (n.endsWith(".commit") &&
+            n.stripSuffix(".commit").toLong <= c) ||
+          (n.endsWith(".checkpoint") &&
+            n.stripSuffix(".checkpoint").toLong < c)
+        covered && now - st.getModificationTime >= olderThanMs
+      }
+      dead.foreach(st => f.delete(st.getPath, false))
+      dead.size
+    }
   }
 
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
@@ -2464,13 +2492,17 @@ final class VersionedParquetSink(basePath: String,
     // graceMs < 0 = "table default": the retention TBLPROPERTIES
     // (Delta's deletedFileRetentionDuration, time strings like "7d"),
     // else one hour — an explicit caller argument always wins
+    val vacProps = VersionedParquetSink.Constraints.parse(
+      entries.lastOption.flatMap(_.props)).toMap
     val grace: Long =
       if (graceMs >= 0L) graceMs
-      else VersionedParquetSink.Constraints.parse(
-          entries.lastOption.flatMap(_.props)).toMap
-        .get("graft.deletedFileRetentionDuration")
+      else vacProps.get("graft.deletedFileRetentionDuration")
         .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
         .getOrElse(3600000L)
+    // opt-in log retention rides the same maintenance pass
+    if (!dryRun) vacProps.get("graft.logRetentionDuration")
+      .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+      .foreach(ms => vacuumLog(spark, table, ms))
     // Staged dirs named by a pending `_txn` manifest are NOT orphans:
     // the transaction passed its commit point, so the batch is durable
     // for every table and recovery WILL claim these dirs — deleting one
