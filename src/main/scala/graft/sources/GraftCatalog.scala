@@ -106,7 +106,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     case Array(t) if ident.name == "detail" && sink.exists(spark, t) =>
       new GraftDetailTable(base, t)
     case Array(t) if ident.name == "changes" && sink.exists(spark, t) =>
-      new GraftChangesTable(base, t)
+      new GraftChangesTable(base, t, Some(catalogName))
     case _ => throw new NoSuchTableException(ident)
   }
 
@@ -562,8 +562,10 @@ private final class GraftDetailTable(base: String, table: String)
   * Bounded reads across a schema evolution project to the CURRENT
   * logical schema (pre-evolution changes read the new columns as null),
   * matching how every other read of old versions presents rows. */
-private final class GraftChangesTable(base: String, table: String)
-    extends Table with SupportsRead {
+private final class GraftChangesTable(base: String, table: String,
+    catalogName: Option[String] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.graft.V1FallbackTable {
 
   private def sink = new VersionedParquetSink(base)
 
@@ -572,6 +574,30 @@ private final class GraftChangesTable(base: String, table: String)
   override lazy val schema: StructType =
     sink.read(SparkSession.active, table).schema
       .add("_change_type", StringType)
+
+  /** STREAMING the change feed through the catalog:
+    * `spark.readStream.table("g.tbl.changes")` — the V1 fallback
+    * descriptor carries `readChangeFeed=true` in its storage
+    * properties, so the analyzer re-enters the tested CDF source
+    * ([[GraftDataSource]]'s GraftChangeFeedSource) with this table's
+    * `_change_type`-bearing schema. This is how the catalog face gets
+    * streaming CDF despite V2 relation schemas resolving before reader
+    * options (the wall that rules out `option("readChangeFeed")` on
+    * `readStream.table`). */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable =
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        table, Some(catalogName.getOrElse("graft"))),
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat
+        .empty.copy(
+          locationUri = Some(
+            org.apache.spark.sql.catalyst.catalog.CatalogUtils
+              .stringToURI(s"${base.stripSuffix("/")}/$table")),
+          properties = Map("readChangeFeed" -> "true")),
+      schema = schema,
+      provider = Some("graft"))
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava

@@ -113,6 +113,25 @@ class CatalogStreamingSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(4))
   }
 
+  test("streaming change feed works through the catalog path") {
+    val base = catalog("gcdf")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    val q = spark.readStream.table("gcdf.t.changes")
+      .writeStream.format("memory").queryName("gcdf_out")
+      .option("checkpointLocation", TestSpark.tmpDir("cstr-cdf")).start()
+    try {
+      q.processAllAvailable()
+      sink.deleteVectored(spark, "t",
+        org.apache.spark.sql.functions.col("id") === 1)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("gcdf_out").collect()
+      .map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+    assert(rows == Seq((1, "delete"), (1, "insert"), (2, "insert")),
+      s"catalog CDF stream wrong: $rows")
+  }
+
   test("readStream reader options (startingVersion) reach the catalog source") {
     val base = catalog("gro")
     val sink = new VersionedParquetSink(base)
