@@ -2064,7 +2064,12 @@ final class VersionedParquetSink(basePath: String,
     * base version and a conflicting commit aborts-and-retries the whole
     * stage (Delta conflicts identity-high-water transactions the same
     * way). Pre-declaration rows read the column as NULL, including
-    * through time travel. */
+    * through time travel.
+    *
+    * DML rewrites (UPDATE/DELETE/MERGE/applyChanges) preserve existing
+    * values and pass supplied ones through DELIBERATELY — replication
+    * flows (CDC apply, clone back-fill) must copy source ids verbatim;
+    * only the APPEND path allocates. */
   def setIdentityColumn(spark: SparkSession, table: String, name: String,
       startWith: Long = 1L, incrementBy: Long = 1L,
       commitKey: Option[String] = None): Long = {
