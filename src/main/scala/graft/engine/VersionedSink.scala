@@ -287,7 +287,11 @@ final class VersionedParquetSink(basePath: String,
           compacts = None, schemaDdl = staged.schemaDdl,
           cleanupOnKeyLoss = true, snapshot = Some(entries),
           enforceSchema = true, allowEvolution = allowEvolution,
-          requireBase = Some(entries.last.version),
+          // conflict scope: the PROPS payload (which carries the high
+          // waters) — another allocation or SET TBLPROPERTIES aborts
+          // us; compactions and plain appends sail through, so identity
+          // appends stay live under maintenance churn
+          enforcedProps = Some(entries.lastOption.flatMap(_.props)),
           statsJson = Some(staged.statsJson),
           enforcedConstraints = Some(staged.constraints),
           newMapping = staged.newMapping.map(m => Some(m)),
@@ -304,9 +308,10 @@ final class VersionedParquetSink(basePath: String,
       } catch {
         case _: VersionedParquetSink.ConcurrentRewriteException =>
           attempt += 1
-          if (attempt >= 8) throw new IllegalStateException(
+          if (attempt >= 20) throw new IllegalStateException(
             s"identity append to '$table' lost $attempt allocation " +
               "races; giving up")
+          Thread.sleep(math.min(50L * attempt, 500L)) // contention backoff
         // loop: re-read the manifest and re-allocate
       }
     }
@@ -1043,10 +1048,14 @@ final class VersionedParquetSink(basePath: String,
       newGenerated: Option[Option[String]] = None,
       enforcedGenerated: Option[Option[String]] = None,
       // table properties (TBLPROPERTIES): inherit commit-to-commit like
-      // constraints; set by SET/UNSET TBLPROPERTIES metadata commits.
-      // Free-form annotations — no enforced variant (nothing validates
-      // against them)
+      // constraints; set by SET/UNSET TBLPROPERTIES metadata commits
       newProps: Option[Option[String]] = None,
+      // when set, abort (retryably) if the latest props payload is not
+      // the one the caller derived its newProps from — the identity
+      // allocator's conflict scope: ONLY a concurrent props change
+      // (another allocation, SET TBLPROPERTIES) invalidates it, so
+      // compactions and plain appends never starve identity appends
+      enforcedProps: Option[Option[String]] = None,
       // keep the staged dir when a governance/schema abort throws: a
       // multi-table transaction's dir is named by its `_txn` manifest,
       // and recovery needs the BYTES to re-validate and roll forward —
@@ -1118,6 +1127,12 @@ final class VersionedParquetSink(basePath: String,
             f.delete(new Path(s"${tableDir(table)}/$unique"), true)
             throw new VersionedParquetSink.ConcurrentRewriteException(
               table, requireBase.get,
+              entries.lastOption.map(_.version).getOrElse(-1L))
+          } else if (enforcedProps.exists(p =>
+              entries.lastOption.flatMap(_.props) != p)) {
+            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            throw new VersionedParquetSink.ConcurrentRewriteException(
+              table, requireBase.getOrElse(-1L),
               entries.lastOption.map(_.version).getOrElse(-1L))
           } else if (enforcedConstraints.exists(c =>
               entries.lastOption.flatMap(_.constraints) != c)) {
