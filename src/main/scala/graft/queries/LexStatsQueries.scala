@@ -137,6 +137,37 @@ object LexStatsQueries {
                  (b::DOUBLE * c1::DOUBLE * c2::DOUBLE)), 4) AS pmi
              FROM j ORDER BY pmi DESC, bigram LIMIT 20""")),
 
+    // In-document stutter collapse: drop every word equal to its
+    // immediate predecessor ("batch batch batch" -> "batch") — the
+    // cheapest in-doc boilerplate repair, run before token counting so
+    // stutters don't inflate budgets. Entirely ROW-LOCAL (one indexed
+    // higher-order filter per doc, zero shuffles at any corpus size);
+    // outputs are pure integers plus the repaired text's md5 so the
+    // oracle pins the exact reconstruction, not just the counts.
+    Q("q_destutter",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("kept", expr(
+          "filter(ws, (x, i) -> i = 0 OR x != element_at(ws, i))"))
+        .withColumn("n_tok", size(col("ws")).cast("long"))
+        .withColumn("n_kept", size(col("kept")).cast("long"))
+        .withColumn("clean_md5", md5(concat_ws(" ", col("kept"))))
+        .filter(col("n_kept") < col("n_tok")) // only docs that stuttered
+        .select("doc_id", "n_tok", "n_kept", "clean_md5")
+        .orderBy("doc_id"),
+      // DuckDB lambdas are 1-indexed where Spark's are 0-indexed; both
+      // spell "keep unless equal to predecessor"
+      Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws
+               FROM documents),
+             k AS (SELECT doc_id, ws,
+                     list_filter(ws, (x, i) -> i = 1 OR ws[i - 1] <> x)
+                       AS kept
+                   FROM w)
+             SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               md5(array_to_string(kept, ' ')) AS clean_md5
+             FROM k WHERE len(kept) < len(ws) ORDER BY doc_id""")),
+
     // Naive-Bayes language-ID evaluation: train multinomial word
     // profiles on the EVEN doc_ids, classify the ODD ones, emit the
     // confusion matrix — the complete train/classify/evaluate loop as
