@@ -77,7 +77,9 @@ object ScaleProbe {
     "q_ewma", "q_spike",
     // NB lang-ID eval: profile aggregates (langs x vocab) + word-keyed
     // scoring joins with a bounded |langs| fan-out
-    "q_nb_langid")
+    "q_nb_langid",
+    // row-local stutter collapse: pure per-row array op, flat by design
+    "q_destutter")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
