@@ -48,6 +48,15 @@ object GraftExtensions {
         if (children.size != 1) throw new IllegalArgumentException(
           s"graft_nfc requires exactly 1 argument, got ${children.size}")
         NormalizeNfc(children.head)
+      }),
+    (FunctionIdentifier("graft_destutter"),
+      new ExpressionInfo(classOf[graft.functions.Destutter].getName,
+        "graft_destutter"),
+      (children: Seq[Expression]) => {
+        if (children.size != 1) throw new IllegalArgumentException(
+          s"graft_destutter requires exactly 1 argument, got ${
+            children.size}")
+        graft.functions.Destutter(children.head)
       }))
 
   /** Late registration for sessions built without the extensions conf
