@@ -124,15 +124,76 @@ object CatalogReadProbe {
     // (a fresh sink dir per run would re-pay the load; the keyed commit
     // makes the delete idempotent across probe re-runs)
     if (!sink.read(spark, "docs").columns.isEmpty) {
-      val before = sink.latestVersion(spark, "docs")
-      sink.deleteVectored(spark, "docs", col("doc_id") % 1000 === 0,
-        commitKey = Some("probe-dv"))
+      // fresh mask per run (version-scoped keys), folded before exit so
+      // the NEXT run's full/selective probes measure the clean path and
+      // this probe always measures a genuinely LIVE mask
+      val cycle = sink.latestVersion(spark, "docs").getOrElse(0L)
+      // rotate the masked sliver: an earlier cycle's fold MATERIALIZED
+      // its deletes, so re-masking the same rows would mask nothing
+      val sliver = cycle % 997L
+      sink.deleteVectored(spark, "docs", col("doc_id") % 1000 === sliver,
+        commitKey = Some(s"probe-dv-$cycle"))
+      // raw side approximates the survivors (earlier cycles' slivers,
+      // ~0.1% each, stay in the raw file) — the RATIO is the readout
       probe("docs_full_under_dv")(
         docAgg(spark.read.parquet(s"$out/documents.parquet")
-          .where(col("doc_id") % 1000 =!= 0)),
+          .where(col("doc_id") % 1000 =!= sliver)),
         docAgg(graftDf("docs")))
-      val _ = before
+      sink.compact(spark, "docs", commitKey = Some(s"probe-dv-fold-$cycle"))
+      ()
     }
+
+    // Bloom-index probe: point lookups on a HASH-INTERLEAVED layout —
+    // every commit holds ids spread across the whole domain, so every
+    // file's [min, max] spans it and commit-log min/max stats prune
+    // NOTHING. This is the 100 TB point-lookup reality (keys arrive
+    // hash-distributed, not range-clustered); only the per-file bloom
+    // sidecars can rule files out. Two tables with the identical
+    // layout, one bloom-indexed: the delta IS the index.
+    def loadInterleaved(name: String, bloom: Boolean): Unit = {
+      if (sink.exists(spark, name)) return
+      System.err.println(s"[probe] building interleaved table $name")
+      val df = spark.read.parquet(s"$out/documents.parquet")
+      if (bloom) {
+        sink.append(df.limit(0), name) // schema-bearing create
+        sink.setProperties(spark, name,
+          Map("graft.bloom.columns" -> "doc_id"))
+      }
+      for (k <- 0L until 16L) {
+        sink.append(df.filter(col("doc_id") % 16 === k)
+          .repartition(4), name)
+      }
+    }
+    loadInterleaved("docs_hash_bloom", bloom = true)
+    loadInterleaved("docs_hash_plain", bloom = false)
+    // wall time at THIS corpus size is job-overhead-dominated; the
+    // scale-relevant readout is FILES OPENED per lookup — that is the
+    // quantity that multiplies by 10^4 on a 100 TB table
+    val lookupIds = Seq(1L, maxDoc / 3, maxDoc / 2, 2 * maxDoc / 3, maxDoc)
+    def filesScanned(mk: Long => DataFrame): Long =
+      lookupIds.map { id =>
+        val df = mk(id)
+        df.collect()
+        def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+            org.apache.spark.sql.execution.SparkPlan = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        unwrap(df.queryExecution.executedPlan).collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.sum
+      }.sum
+    val plainFiles = filesScanned(id =>
+      graftDf("docs_hash_plain").where(col("doc_id") === id))
+    val bloomFiles = filesScanned(id =>
+      graftDf("docs_hash_bloom").where(col("doc_id") === id))
+    probes("point_lookup_files") =
+      (plainFiles.toDouble, bloomFiles.toDouble)
+    System.err.println(
+      f"[probe] point_lookup_files    plain=$plainFiles bloom=$bloomFiles " +
+        f"ratio=${bloomFiles.toDouble / plainFiles}%5.2f")
 
     val qs = probes.map { case (k, (r, g)) =>
       f""""$k":{"raw":$r%.3f,"graft":$g%.3f,"ratio":${g / r}%.2f}"""
