@@ -268,18 +268,42 @@ final class VersionedParquetSink(basePath: String,
       val staged = stageAppend(stamped, table, entries, allowEvolution)
       // new high waters from the commit's OWN per-file stats (the
       // extreme in the increment's direction) — no extra pass; an
-      // empty batch leaves them unchanged
+      // empty batch leaves them unchanged. Stats cover only the first
+      // FileStats.MaxStatsColumns eligible columns, so on a wide table
+      // the identity column can be OUTSIDE the stats set — in that case
+      // the extreme is derived directly from the staged files (one
+      // single-column agg), and the append FAILS rather than commit a
+      // high water it could not advance: a stale high water mints
+      // duplicate identity values on the next append, violating the
+      // GENERATED ALWAYS AS IDENTITY uniqueness contract.
       val mapping = VersionedParquetSink.ColumnMapping.parse(
         entries.lastOption.flatMap(_.mapping))
       val perFile = FileStats.parse(staged.statsJson)
+      val stagedRows = perFile.values.map(_.numRecords).sum
       val newDecls = idents.map { case (c, (s0, step, hw)) =>
         val phys =
           VersionedParquetSink.ColumnMapping.physicalName(mapping, c)
         val extremes = perFile.values.flatMap(pf =>
           (if (step > 0) pf.maxV else pf.minV).get(phys)).map(_.asLong)
-        val nhw = if (extremes.isEmpty) hw
-          else if (step > 0) math.max(hw, extremes.max)
-          else math.min(hw, extremes.min)
+        val ext: Seq[Long] =
+          if (extremes.nonEmpty || stagedRows == 0L) extremes.toSeq
+          else {
+            val r = spark.read
+              .parquet(s"${tableDir(table)}/${staged.unique}")
+              .agg((if (step > 0)
+                org.apache.spark.sql.functions.max(col(phys))
+              else org.apache.spark.sql.functions.min(col(phys)))
+                .cast("long")).head()
+            if (r.isNullAt(0)) throw new IllegalStateException(
+              s"cannot derive the identity high water for column '$c' " +
+                s"of '$table': the staged commit has $stagedRows rows " +
+                "but no stamped extreme — refusing to commit a stale " +
+                "high water (it would mint duplicate identity values)")
+            Seq(r.getLong(0))
+          }
+        val nhw = if (ext.isEmpty) hw
+          else if (step > 0) math.max(hw, ext.max)
+          else math.min(hw, ext.min)
         s"graft.identity.$c" -> s"$s0:$step:$nhw"
       }
       try {

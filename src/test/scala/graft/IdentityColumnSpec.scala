@@ -126,6 +126,34 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(ids.distinct.length == 3, s"collisions: ${ids.sorted.toSeq}")
   }
 
+  test("wide table (identity outside the 32-column stats cap) still " +
+      "advances the high water — no duplicates") {
+    // FileStats caps stats at the first 32 eligible columns; with 32
+    // long columns ahead of it, the appended identity column gets NO
+    // per-file stats. The allocation must then derive the extreme
+    // directly — a stale high water would mint duplicates on the next
+    // append.
+    val base = TestSpark.tmpDir("idc8")
+    val sink = new VersionedParquetSink(base)
+    val wideCols = (0 until 32).map(i => s"c$i")
+    def wide(vals: Seq[Long]) = {
+      val df = vals.toDF("c0")
+      wideCols.drop(1).foldLeft(df)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.col("c0")))
+    }
+    sink.append(wide(Seq(1L)), "t")
+    sink.setIdentityColumn(spark, "t", "id", startWith = 100L)
+    sink.append(wide(Seq(2L, 3L)), "t")
+    sink.append(wide(Seq(4L)), "t")
+    sink.append(wide(Seq(5L, 6L)), "t")
+    val ids = sink.read(spark, "t").select("id").collect()
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(ids.length == 5, s"missing allocations: ${ids.toSeq}")
+    assert(ids.distinct.length == 5,
+      s"stats-cap high-water stall minted duplicates: ${ids.sorted.toSeq}")
+    assert(ids.forall(_ >= 100L), ids.toSeq)
+  }
+
   test("keyed replay of an identity append is a no-op") {
     val base = TestSpark.tmpDir("idc5")
     val sink = new VersionedParquetSink(base)
