@@ -379,11 +379,24 @@ final class VersionedParquetSink(basePath: String,
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(dir, "manifest")
-    f.delete(target, false)
-    if (!f.rename(tmp, target)) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(
-        s"failed to publish symlink manifest for '$table'")
+    // Overwriting rename (FileContext supports Rename.OVERWRITE where
+    // plain FileSystem.rename does not): readers see the old manifest
+    // or the new one — never an ENOENT window, and a crash mid-publish
+    // leaves the previous manifest intact. Falls back to delete+rename
+    // only on stores whose FileContext cannot overwrite.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(dir).toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        f.delete(target, false)
+        if (!f.rename(tmp, target)) {
+          f.delete(tmp, false)
+          throw new IllegalStateException(
+            s"failed to publish symlink manifest for '$table'")
+        }
     }
     files.size
   }
@@ -473,7 +486,16 @@ final class VersionedParquetSink(basePath: String,
     if (logicalCols.isEmpty) return
     val fppValue = BloomIndex.fpp(props)
     val f = fs(spark, tableDir(table))
-    liveEntries(entries).filterNot(VersionedParquetSink.isDv).foreach { e =>
+    liveEntries(entries).filterNot(VersionedParquetSink.isDv)
+      // a SHALLOW CLONE's inherited dirs resolve `../source/<dir>` —
+      // building there would write `_bloom` sidecars into the SOURCE
+      // table's data dirs (clone inherits graft.bloom.columns), racing
+      // any source-side build and violating the clone contract that
+      // maintenance never touches the source. Index only table-local
+      // dirs; inherited dirs are served by the source's own sidecars
+      // (the read path keeps files whose sidecar is missing).
+      .filterNot(_.dir.startsWith("../"))
+      .foreach { e =>
       val dir = VersionedParquetSink.resolveDir(tableDir(table), e.dir)
       if (f.exists(new Path(dir)) && !BloomIndex.isIndexed(f, dir)) {
         // the dir's files spell the schema/mapping AS OF ITS COMMIT —
@@ -1154,7 +1176,11 @@ final class VersionedParquetSink(basePath: String,
               entries.lastOption.map(_.version).getOrElse(-1L))
           } else if (enforcedProps.exists(p =>
               entries.lastOption.flatMap(_.props) != p)) {
-            f.delete(new Path(s"${tableDir(table)}/$unique"), true)
+            // honor preserveOnAbort like the adjacent governance-abort
+            // branches: a multi-table-transaction caller relies on the
+            // staged dir surviving the abort for recovery
+            if (!preserveOnAbort)
+              f.delete(new Path(s"${tableDir(table)}/$unique"), true)
             throw new VersionedParquetSink.ConcurrentRewriteException(
               table, requireBase.getOrElse(-1L),
               entries.lastOption.map(_.version).getOrElse(-1L))
@@ -2575,6 +2601,14 @@ final class VersionedParquetSink(basePath: String,
     // or crashed clone) and is garbage-collected here — but only past
     // the grace period, since a racing cloneShallow writes the
     // breadcrumb before its first marker.
+    // A breadcrumb younger than the grace period whose clone has NOT
+    // yet committed its first marker is a clone IN FLIGHT — its
+    // manifest is unreadable, so the dirs it will reference (possibly
+    // superseded ones, for a VERSION AS OF clone) are unknowable. Hold
+    // ALL of the source's manifest dirs for this pass rather than none:
+    // an includeSuperseded vacuum racing that window must not delete
+    // history the pending clone is about to pin.
+    var pendingClone = false
     val cloneHeld: Set[String] = {
       val cd = new Path(s"${tableDir(table)}/_clones")
       if (!f.exists(cd)) Set.empty
@@ -2582,8 +2616,9 @@ final class VersionedParquetSink(basePath: String,
         val cloneName = st.getPath.getName
         val cloneEntries = manifest(spark, cloneName)
         if (cloneEntries.isEmpty) {
-          if (now - st.getModificationTime >= grace && !dryRun)
-            f.delete(st.getPath, false)
+          if (now - st.getModificationTime >= grace) {
+            if (!dryRun) f.delete(st.getPath, false)
+          } else pendingClone = true
           Seq.empty
         } else cloneEntries.map(_.dir)
           .filter(_.startsWith(s"../$table/"))
@@ -2591,7 +2626,7 @@ final class VersionedParquetSink(basePath: String,
       }.toSet
     }
     val keep: Set[String] = txnStagedDirs ++ cloneHeld ++
-      (if (!includeSuperseded) entries.map(_.dir).toSet
+      (if (!includeSuperseded || pendingClone) entries.map(_.dir).toSet
        else liveEntries(entries).map(_.dir).toSet) // = readAt(MaxValue) scan set
     // `_txn/.tmp-*` files are writers that died BEFORE the manifest
     // rename (= before the commit point): true orphans after the grace

@@ -143,6 +143,32 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(scanned.value == 1, s"post-rename scanned ${scanned.value}")
   }
 
+  test("clone-side maintenance never writes sidecars into the source") {
+    // a SHALLOW CLONE inherits graft.bloom.columns; its inherited dirs
+    // resolve `../source/<dir>` — a clone-side ensure must index only
+    // table-local dirs, never reach into the source (clone contract +
+    // a race with any concurrent source-side build)
+    val base = TestSpark.tmpDir("bl8")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    sink.setProperties(spark, "t", Map("graft.bloom.columns" -> "id"))
+    sink.cloneShallow(spark, "t", "c")
+    // strip the source's own sidecars so a clone-side rebuild would be
+    // observable
+    def bloomDirs(tbl: String) =
+      Option(new java.io.File(s"$base/$tbl").listFiles).toSeq.flatten
+        .filter(_.isDirectory).map(d => new java.io.File(d, "_bloom"))
+        .filter(_.exists())
+    bloomDirs("t").foreach { d =>
+      d.listFiles.foreach(_.delete()); d.delete()
+    }
+    sink.ensureBloomIndex(spark, "c")
+    assert(bloomDirs("t").isEmpty,
+      "clone-side bloom build wrote sidecars into the source's dirs")
+    // correctness unaffected: missing sidecars are conservative keep-all
+    assert(sink.read(spark, "c").where(col("id") === 2L).count() == 1L)
+  }
+
   test("off by default: no property, no sidecars written") {
     val base = TestSpark.tmpDir("bl7")
     val sink = new VersionedParquetSink(base)

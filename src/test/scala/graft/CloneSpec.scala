@@ -208,6 +208,39 @@ class CloneSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$base/t/_clones/pending").exists)
   }
 
+  test("pending clone (young breadcrumb, no commits) holds superseded " +
+      "dirs against an includeSuperseded vacuum") {
+    // a VERSION AS OF clone may be about to reference superseded dirs;
+    // while its breadcrumb is young but its manifest is empty (the
+    // mid-clone window) the vacuum cannot know WHICH dirs — it must
+    // hold all of them
+    val base = TestSpark.tmpDir("clone12")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1, "a")).toDF("id", "v"), "t")
+    sink.overwrite(Seq((2, "b")).toDF("id", "v"), "t") // v0 dir superseded
+    val td = new java.io.File(s"$base/t")
+    def dataDirs = td.listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("d-"))
+    // age every data dir well past the grace period
+    dataDirs.foreach(
+      _.setLastModified(System.currentTimeMillis() - 86400000L))
+    new java.io.File(s"$base/t/_clones").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/t/_clones/pending"),
+      "pending".getBytes("UTF-8"))
+    val before = dataDirs.size
+    sink.vacuum(spark, "t", includeSuperseded = true) // default grace
+    assert(dataDirs.size == before,
+      "vacuum deleted superseded dirs while a clone was in flight")
+    // breadcrumb gone stale (no clone log ever appeared): next
+    // includeSuperseded pass collects both it and the superseded dir
+    new java.io.File(s"$base/t/_clones/pending")
+      .setLastModified(System.currentTimeMillis() - 86400000L)
+    sink.vacuum(spark, "t", includeSuperseded = true)
+    assert(dataDirs.size < before, "stale breadcrumb kept holding dirs")
+    assert(sink.read(spark, "t").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("clone at a version: the clone is the source AS OF v") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("clone9"))
     sink.append((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "t")
