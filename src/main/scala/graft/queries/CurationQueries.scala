@@ -342,6 +342,59 @@ object CurationQueries {
                CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
                floor((n_vectors - coalesce(n_removed, 0))::DOUBLE / n_vectors
                  * 10000 + 0.5::DOUBLE) / 10000 AS keep_rate
-             FROM nv LEFT JOIN rmc ON nv.cell = rmc.cell ORDER BY nv.cell"""))
+             FROM nv LEFT JOIN rmc ON nv.cell = rmc.cell ORDER BY nv.cell""")),
+
+    // PII / pattern scrub audit (engine/PiiScrub.scala): per-source
+    // match counts for each PII class (emails, credential-shaped keys,
+    // phones, IPv4s), documents flagged, and the post-redaction
+    // character mass. Row-local regexp_count/regexp_replace — one map
+    // pass, zero shuffles before the final keyed aggregate. The
+    // synthetic corpus legitimately contains ZERO matches: all-zero
+    // counts with clean_chars == original mass is the CORRECT,
+    // hash-checked answer here (the positive-match behavior is pinned
+    // by PiiScrubSpec's self-injected fixtures — the MultimodalSpec
+    // pattern). Patterns are Java-and-RE2 compatible and the redaction
+    // chain applies in the same fixed order on both engines.
+    Q("q_pii_scrub",
+      (s, d) => {
+        import graft.engine.PiiScrub
+        PiiScrub.annotate(Tables.documents(s, d), "text")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_email").cast("long")).as("emails"),
+            sum(col("n_key").cast("long")).as("keys"),
+            sum(col("n_phone").cast("long")).as("phones"),
+            sum(col("n_ip").cast("long")).as("ips"),
+            sum(when(col("pii_total") > 0, 1L).otherwise(0L))
+              .as("docs_flagged"),
+            sum(length(col("text_clean")).cast("long")).as("clean_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ann AS (
+               SELECT source,
+                 len(regexp_extract_all(text, '${graft.engine.PiiScrub.Email}'))
+                   AS n_email,
+                 len(regexp_extract_all(text, '${graft.engine.PiiScrub.SecretKey}'))
+                   AS n_key,
+                 len(regexp_extract_all(text, '${graft.engine.PiiScrub.Phone}'))
+                   AS n_phone,
+                 len(regexp_extract_all(text, '${graft.engine.PiiScrub.Ipv4}'))
+                   AS n_ip,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '${graft.engine.PiiScrub.Email}', '[EMAIL]', 'g'),
+                   '${graft.engine.PiiScrub.SecretKey}', '[KEY]', 'g'),
+                   '${graft.engine.PiiScrub.Phone}', '[PHONE]', 'g'),
+                   '${graft.engine.PiiScrub.Ipv4}', '[IP]', 'g') AS clean
+               FROM documents)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(n_email) AS BIGINT) AS emails,
+               CAST(sum(n_key) AS BIGINT) AS keys,
+               CAST(sum(n_phone) AS BIGINT) AS phones,
+               CAST(sum(n_ip) AS BIGINT) AS ips,
+               CAST(sum(CASE WHEN n_email + n_key + n_phone + n_ip > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+               CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+             FROM ann GROUP BY source ORDER BY source"""))
   )
 }

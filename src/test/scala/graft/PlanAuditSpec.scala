@@ -170,6 +170,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-label energy aggregate lost its partial (map-side) phase")
   }
 
+  test("pii scrub: row-local map pass, one shuffle, map-side combine") {
+    // the scrub itself (regexp count/replace) must stay inside the scan
+    // stage: exactly ONE Exchange (the per-source aggregate), with a
+    // partial phase ahead of it — a second shuffle or a lost partial
+    // means the stage stopped being a map pass
+    // exactly two Exchanges: the per-source hash agg + the final
+    // presentation sort — a third means the scrub left the scan stage
+    val p = plan("q_pii_scrub")
+    assert("Exchange".r.findAllIn(p).length == 2, p.take(600))
+    assert(p.contains("partial_"),
+      "per-source scrub aggregate lost its partial (map-side) phase")
+  }
+
   test("fuzzy verify: equi-keyed joins only, no hint, no cartesian") {
     // candidates come from the df-capped shingle equi-join; the two
     // prefix lookups join on doc_id. Any cartesian or forced hint means
