@@ -372,14 +372,14 @@ object CoreQueries {
 
     // exact percentiles (linear interpolation — same semantics as
     // DuckDB's quantile_cont; values here are integral-valued doubles so
-    // interpolation is exact on both engines)
+    // interpolation is exact on both engines). Computed from the
+    // (flag, quantity, count) histogram via ExactPercentile: no
+    // per-group value→count aggregation buffer at any corpus scale.
     Q("q_percentile",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.9)").as("p90"),
-          count(lit(1)).as("n"))
+      (s, d) => ExactPercentile.overHistogram(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity",
+          Seq(("p50", 0.5), ("p90", 0.9)))
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("n"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS p50,

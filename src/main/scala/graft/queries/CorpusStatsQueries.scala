@@ -168,17 +168,18 @@ object CorpusStatsQueries {
     // Percentile length trim: keep documents inside the per-language
     // [p05, p95] character-length band — the length-outlier screen run
     // per language because length distributions differ by script (a CJK
-    // p95 is not a Latin p95). Exact interpolated percentiles over ONE
-    // keyed shuffle on lang (percentile buffers merge map-side — the
-    // q_mad_outlier shape); the per-language stats table is
-    // |langs|-sized, broadcast at any corpus scale; comparisons run on
-    // identical interpolation inputs in both engines.
+    // p95 is not a Latin p95). Exact interpolated percentiles from the
+    // (lang, n_chars, count) histogram via ExactPercentile (no
+    // per-group value→count aggregation buffer at any scale); the
+    // per-language stats table is |langs|-sized, broadcast at any
+    // corpus scale; comparisons run on identical interpolation inputs
+    // in both engines.
     Q("q_len_trim",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val bands = docs.groupBy("lang")
-          .agg(expr("percentile(n_chars, 0.05)").as("p05"),
-            expr("percentile(n_chars, 0.95)").as("p95"))
+        val bands = ExactPercentile.overHistogram(docs, Seq("lang"),
+            "n_chars", Seq(("p05", 0.05), ("p95", 0.95)))
+          .select("lang", "p05", "p95")
         docs.join(broadcast(bands), "lang")
           .withColumn("keep",
             col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))

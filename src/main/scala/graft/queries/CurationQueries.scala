@@ -232,21 +232,31 @@ object CurationQueries {
     // median and MAD (median absolute deviation), then the count of
     // events whose robust z-score 0.6745*(v-med)/mad exceeds 3.5 — the
     // standard Iglewicz-Hoaglin rule, immune to the outliers it hunts
-    // (unlike the q_zscore mean/stddev screen). Three keyed shuffles on
-    // event_type (exact percentile buffers merge map-side); comparisons
-    // run on full-precision medians (identical interpolation inputs on
-    // both engines), outputs r4-rounded.
+    // (unlike the q_zscore mean/stddev screen). BOTH medians come from
+    // value HISTOGRAMS via ExactPercentile (the adev histogram derives
+    // from the value histogram arithmetically — same doubles, counts
+    // re-keyed on the folded |v-med| value), so no per-group
+    // value→count aggregation buffer exists anywhere: on a continuous
+    // domain at 100 TB with ~5 event types, that buffer — not the
+    // shuffle — was the scale hazard. The raw stream is touched only by
+    // the final row-local screen against the broadcastable per-type
+    // stats. Comparisons run on full-precision medians (identical
+    // interpolation inputs on both engines), outputs r4-rounded.
     Q("q_mad_outlier",
       (s, d) => {
         val e = Tables.events(s, d).select("event_type", "value")
-        val med = e.groupBy("event_type")
-          .agg(expr("percentile(value, 0.5)").as("med"))
-        val dev = e.join(med, "event_type")
+        val hist = e.groupBy("event_type", "value")
+          .agg(count(lit(1)).as("cnt"))
+        val med = ExactPercentile.fromCounts(hist, Seq("event_type"),
+            "value", "cnt", Seq(("med", 0.5)))
+          .select("event_type", "med")
+        val devHist = hist.join(med, "event_type")
           .withColumn("adev", abs(col("value") - col("med")))
-        val stats = dev.groupBy("event_type")
-          .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
-            expr("percentile(adev, 0.5)").as("mad"))
-        dev.join(stats.select("event_type", "mad"), "event_type")
+          .groupBy("event_type", "adev").agg(sum("cnt").as("cnt"))
+        val mad = ExactPercentile.fromCounts(devHist, Seq("event_type"),
+            "adev", "cnt", Seq(("mad", 0.5)))
+          .select("event_type", "mad")
+        e.join(med, "event_type").join(mad, "event_type")
           .withColumn("robz",
             lit(0.6745) * (col("value") - col("med")) / col("mad"))
           .groupBy("event_type")

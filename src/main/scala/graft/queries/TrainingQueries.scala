@@ -455,15 +455,18 @@ object TrainingQueries {
              SELECT doc_id, lm_score FROM sc ORDER BY lm_score, doc_id LIMIT 25""")),
 
     // Per-group exact median (linear-interpolated, the SQL
-    // percentile_cont contract): corpus length profile per language —
-    // one shuffle on the group key, each group's percentile buffer
-    // merged map-side. Interpolated midpoints of integer lengths are
-    // dyadic rationals (x.0 / x.5), exact in IEEE on both engines.
+    // percentile_cont contract): corpus length profile per language.
+    // Computed from the (lang, n_chars, count) HISTOGRAM via
+    // ExactPercentile — no per-group value→count aggregation buffer
+    // (the 100 TB hazard of the exact `percentile` aggregate); the
+    // distinct-value mass stays a distributed map-side-combinable
+    // table. Interpolated midpoints of integer lengths are dyadic
+    // rationals (x.0 / x.5), exact in IEEE on both engines.
     Q("q_median_group",
-      (s, d) => Tables.documents(s, d)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          expr("percentile(n_chars, 0.5)").as("median_chars"))
+      (s, d) => ExactPercentile.overHistogram(
+          Tables.documents(s, d), Seq("lang"), "n_chars",
+          Seq(("median_chars", 0.5)))
+        .select(col("lang"), col("n").as("n_docs"), col("median_chars"))
         .orderBy("lang"),
       Some("""SELECT lang, count(*) AS n_docs,
              quantile_cont(n_chars, 0.5) AS median_chars

@@ -170,6 +170,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-label energy aggregate lost its partial (map-side) phase")
   }
 
+  test("exact-percentile family runs on histograms — no value-buffer " +
+      "aggregate anywhere") {
+    // Spark's exact `percentile` holds a value→count map per group in
+    // ONE aggregation buffer — O(distinct values) executor heap on a
+    // continuous domain at 100 TB. These queries must compute their
+    // percentiles from the (group, value, count) histogram
+    // (ExactPercentile): the plan carries Window + aggregates, and the
+    // Percentile aggregate function appears NOWHERE.
+    Seq("q_percentile", "q_median_group", "q_len_trim", "q_mad_outlier")
+      .foreach { q =>
+        val lp = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.optimizedPlan.toString
+        assert(!lp.contains("percentile("),
+          s"$q regressed to the exact-percentile value-buffer aggregate")
+        assert(lp.contains("Window") || lp.contains("window"),
+          s"$q lost its histogram cumsum window")
+      }
+  }
+
   test("pii scrub: row-local map pass, one shuffle, map-side combine") {
     // the scrub itself (regexp count/replace) must stay inside the scan
     // stage: exactly ONE Exchange (the per-source aggregate), with a
