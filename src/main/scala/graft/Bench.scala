@@ -79,7 +79,9 @@ object Bench {
         """SELECT x, contains(lower(s), 'a'), regexp_extract(s, '([0-9]+)', 1),
           |  date_format(current_timestamp(), 'yyyy-MM-dd'), to_date('2024-01-01'),
           |  cast(x as decimal(18,2)) * cast(2 as decimal(18,2)),
-          |  row_number() OVER (PARTITION BY s ORDER BY x)
+          |  row_number() OVER (PARTITION BY s ORDER BY x),
+          |  from_json(concat('{"k":', x, '}'), 'k INT').k,
+          |  get_json_object(concat('{"k":', x, '}'), '$.k')
           |FROM (SELECT id AS x, concat('a', id) AS s,
           |        explode(split('a b', ' ')) AS t FROM range(100))""".stripMargin)
         .write.mode("overwrite").format("noop").save()
