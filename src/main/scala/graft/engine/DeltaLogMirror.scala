@@ -146,12 +146,18 @@ object DeltaLogMirror {
     // id as field metadata, exactly as the protocol's `name` mode
     // spells it
     def normSchema(ddl: String): String =
-      mirroredSchemaJson(ddl, e.mapping, e.generated)
+      mirroredSchemaJson(ddl, e.mapping, e.generated, e.props)
     val prevDdl = prev.lastOption.flatMap(_.schemaDdl)
     val consChanged = e.constraints != prev.lastOption.flatMap(_.constraints)
     val mapChanged = e.mapping != prev.lastOption.flatMap(_.mapping)
     val genChanged = e.generated != prev.lastOption.flatMap(_.generated)
+    // identity props re-emit metaData whenever a declaration appears or
+    // a high water advances — Delta updates the field metadata per
+    // identity transaction the same way
+    val identChanged =
+      identityProps(e.props) != identityProps(prev.lastOption.flatMap(_.props))
     if (e.version == 0L || consChanged || mapChanged || genChanged ||
+        identChanged ||
         (e.schemaDdl.isDefined &&
           e.schemaDdl.map(normSchema) != prevDdl.map(normSchema))) {
       e.schemaDdl.foreach { ddl =>
@@ -219,10 +225,22 @@ object DeltaLogMirror {
   // first ADD CONSTRAINT / generated declaration / RENAME-DROP COLUMN.
   // Protocol never downgrades.
   private def writerVersion(c: Commit): Int =
-    if (c.mapping.isDefined) 5
+    if (identityProps(c.props).nonEmpty) 6 // identity columns: writer 6
+    else if (c.mapping.isDefined) 5
     else if (c.generated.isDefined) 4
     else if (c.constraints.isDefined) 3 else 2
   private def readerVersion(c: Commit): Int = if (c.mapping.isDefined) 2 else 1
+
+  /** Identity declarations from the marker's TBLPROPERTIES payload:
+    * column -> (start, step, highWater) — the sink's
+    * `graft.identity.<col>` encoding. */
+  private def identityProps(
+      propsJson: Option[String]): Map[String, (Long, Long, Long)] =
+    VersionedParquetSink.Constraints.parse(propsJson).collect {
+      case (k, v) if k.startsWith("graft.identity.") =>
+        val Array(s, i, h) = v.split(':')
+        k.stripPrefix("graft.identity.") -> ((s.toLong, i.toLong, h.toLong))
+    }.toMap
 
   /** The schema exactly as the mirror publishes it: nullable-normalized
     * (marker DDLs flip NOT NULL as writers alternate between case-class
@@ -230,9 +248,11 @@ object DeltaLogMirror {
     * with column-mapping physical names/ids and generation expressions
     * as field metadata, per the protocol's `name` mode. */
   private def mirroredSchemaJson(ddl: String, mappingJson: Option[String],
-      generatedJson: Option[String]): String = {
+      generatedJson: Option[String],
+      propsJson: Option[String] = None): String = {
     val mapping = VersionedParquetSink.ColumnMapping.parse(mappingJson)
     val gens = VersionedParquetSink.Constraints.parse(generatedJson)
+    val idents = identityProps(propsJson)
     StructType(StructType.fromDDL(ddl).fields.map { f0 =>
       val f = f0.copy(nullable = true)
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
@@ -243,6 +263,16 @@ object DeltaLogMirror {
       }
       gens.find(_._1 == f.name).foreach { case (_, sql) =>
         mb.putString("delta.generationExpression", sql)
+      }
+      // GENERATED ALWAYS AS IDENTITY, in the protocol's own field
+      // metadata keys — an external Delta reader sees the column's
+      // identity contract (and the current high water) instead of a
+      // plain BIGINT
+      idents.get(f.name).foreach { case (start, step, hw) =>
+        mb.putLong("delta.identity.start", start)
+        mb.putLong("delta.identity.step", step)
+        mb.putLong("delta.identity.highWaterMark", hw)
+        mb.putBoolean("delta.identity.allowExplicitInsert", false)
       }
       f.copy(metadata = mb.build())
     }).json
@@ -257,7 +287,8 @@ object DeltaLogMirror {
     val fmt = n.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
-    n.put("schemaString", mirroredSchemaJson(ddl, e.mapping, e.generated))
+    n.put("schemaString",
+      mirroredSchemaJson(ddl, e.mapping, e.generated, e.props))
     n.putArray("partitionColumns")
     val conf = n.putObject("configuration")
     VersionedParquetSink.Constraints.parse(e.constraints).foreach {
@@ -353,7 +384,7 @@ object DeltaLogMirror {
             mapping.map(_._2.id).max.toString
       }
       rows += row(meta = Row(tableId(tableDir), Row("parquet", Map.empty),
-        mirroredSchemaJson(ddl, last.mapping, last.generated),
+        mirroredSchemaJson(ddl, last.mapping, last.generated, last.props),
         Seq.empty[String], confMap.result().toMap,
         upTo.head.ts.getOrElse(last.ts.getOrElse(0L))))
     }

@@ -154,6 +154,45 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(ids.forall(_ >= 100L), ids.toSeq)
   }
 
+  test("_delta_log mirror: writer 6 + delta.identity.* field metadata, " +
+      "high water re-emitted per allocation") {
+    val store = TestSpark.tmpDir("idc9")
+    val sink = new VersionedParquetSink(store)
+    sink.append(Seq("a").toDF("v"), "t") // v0
+    sink.setIdentityColumn(spark, "t", "id", startWith = 100L,
+      incrementBy = 2L) // v1
+    sink.append(Seq("b", "c").toDF("v"), "t") // v2: allocates
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def actions(v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(s"$store/t/_delta_log", f"$v%020d.json"), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+      finally src.close()
+    }
+    def identMeta(v: Long): com.fasterxml.jackson.databind.JsonNode = {
+      val meta = actions(v).flatMap(a => Option(a.get("metaData"))).head
+      val fields = mapper.readTree(meta.get("schemaString").asText)
+        .get("fields")
+      (0 until fields.size).map(fields.get)
+        .find(_.get("name").asText == "id").get.get("metadata")
+    }
+    // the declaration commit upgrades the protocol and carries the seed
+    val proto = actions(1).flatMap(a => Option(a.get("protocol"))).head
+    assert(proto.get("minWriterVersion").asInt == 6)
+    val m1 = identMeta(1)
+    assert(m1.get("delta.identity.start").asLong == 100L)
+    assert(m1.get("delta.identity.step").asLong == 2L)
+    assert(!m1.get("delta.identity.allowExplicitInsert").asBoolean)
+    val hw1 = m1.get("delta.identity.highWaterMark").asLong
+    // the allocation commit re-emits metaData with the advanced water
+    val m2 = identMeta(2)
+    val hw2 = m2.get("delta.identity.highWaterMark").asLong
+    assert(hw2 > hw1, s"high water did not advance in the mirror: $hw1 -> $hw2")
+    val ids = sink.read(spark, "t").select("id").collect()
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(hw2 == ids.max, s"mirror water $hw2 vs actual max ${ids.max}")
+  }
+
   test("keyed replay of an identity append is a no-op") {
     val base = TestSpark.tmpDir("idc5")
     val sink = new VersionedParquetSink(base)
