@@ -116,8 +116,24 @@ final class VersionedParquetSink(basePath: String,
   }
 
   /** Full manifest, ascending by version: ONE listing, ONE checkpoint
-    * read, plus only the markers newer than the newest checkpoint. */
+    * read, plus only the markers newer than the newest checkpoint.
+    * Retries when a concurrent [[vacuumLog]] deletes a file between our
+    * listing and our read — retirement implies a NEWER checkpoint now
+    * covers it, so a fresh listing always converges. */
   private def manifest(spark: SparkSession, table: String): Seq[Commit] = {
+    var attempt = 0
+    while (true) {
+      try return manifestOnce(spark, table)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 8) throw e
+      }
+    }
+    Seq.empty // unreachable
+  }
+
+  private def manifestOnce(spark: SparkSession, table: String): Seq[Commit] = {
     val dir = new Path(commitDir(table))
     val f = fs(spark, commitDir(table))
     if (!f.exists(dir)) return Seq.empty
@@ -1283,11 +1299,26 @@ final class VersionedParquetSink(basePath: String,
         }
       claimed match {
         case Some(Some(v)) =>
-          maybeCheckpoint(spark, table, v)
-          // external interop: mirror the commit (and any gap a crashed
-          // writer left) into _delta_log; best-effort, never throws
-          DeltaLogMirror.sync(spark, tableDir(table), manifest(spark, table))
-          return Some(v)
+          // Phantom-claim guard (found by the log-retention soak): a
+          // writer holding a STALE snapshot computes attempt =
+          // stale_latest + 1; normally that version's marker exists and
+          // the rename is blocked, but vacuumLog may have RETIRED it
+          // (it sits behind the checkpoint horizon) — the rename then
+          // succeeds and mints a marker manifest() filters out, i.e. a
+          // commit that silently never happened. Validate the claim is
+          // actually visible; if not, undo the marker and retry from a
+          // fresh manifest. The validation read is the same manifest()
+          // the mirror sync needs, so the healthy path pays nothing.
+          val after = manifest(spark, table)
+          if (!after.exists(e => e.version == v && e.dir == unique)) {
+            f.delete(new Path(s"${commitDir(table)}/$v.commit"), false)
+          } else {
+            maybeCheckpoint(spark, table, v)
+            // external interop: mirror the commit (and any gap a crashed
+            // writer left) into _delta_log; best-effort, never throws
+            DeltaLogMirror.sync(spark, tableDir(table), after)
+            return Some(v)
+          }
         case Some(None) =>
           if (cleanupOnKeyLoss)
             f.delete(new Path(s"${tableDir(table)}/$unique"), true)

@@ -98,4 +98,102 @@ class SoakSpec extends AnyFunSuite {
       expected.length.toLong)
     assert(sink.readAt(spark, "t", 0).count() == 1L)
   }
+
+  test("log retention x checkpoints x clones x vacuum: hundreds of " +
+      "versions under concurrent churn") {
+    // races the O(interval) commit-listing claim (vacuumLog + parquet
+    // checkpoints) against live appenders, a cloner pinning snapshots
+    // mid-flight, and time-travel readers — the marker set is
+    // CONTINUOUSLY retiring while every other actor depends on the
+    // manifest being complete for its snapshot
+    val base = TestSpark.tmpDir("soak2")
+    val sink = new VersionedParquetSink(base, checkpointInterval = 5)
+    sink.append(Seq((0L, "seed")).toDF("n", "v"), "t")
+    sink.setProperties(spark, "t", Map(
+      "graft.logRetentionDuration" -> "0s", // retire aggressively
+      "graft.deletedFileRetentionDuration" -> "1h")) // data dirs safe
+
+    val appenders = 2
+    val batches = 40
+    val rows = 5
+    val pool = Executors.newFixedThreadPool(appenders + 3)
+    val go = new CountDownLatch(1)
+    val done = new CountDownLatch(appenders)
+    val firstFailure = new AtomicReference[Throwable](null)
+    val clones = new java.util.concurrent.atomic.AtomicInteger(0)
+    def guard(body: => Unit): Runnable = new Runnable {
+      override def run(): Unit = {
+        go.await()
+        try body
+        catch { case t: Throwable => firstFailure.compareAndSet(null, t) }
+      }
+    }
+
+    (0 until appenders).foreach { a =>
+      pool.submit(guard {
+        try (0 until batches).foreach { b =>
+          sink.append(
+            (0 until rows).map(i =>
+              ((a * batches + b).toLong * rows + i, s"w$a-$b-$i"))
+              .toDF("n", "v"), "t")
+        } finally done.countDown()
+      })
+    }
+    pool.submit(guard { // vacuum (runs vacuumLog via the retention prop)
+      while (done.getCount > 0) {
+        sink.vacuum(spark, "t", graceMs = 3600000L)
+        Thread.sleep(120)
+      }
+    })
+    pool.submit(guard { // cloner: pin a snapshot mid-churn, read it back
+      while (done.getCount > 0) {
+        val i = clones.getAndIncrement()
+        val v = sink.cloneShallow(spark, "t", s"c$i")
+        val cnt = sink.read(spark, s"c$i").count()
+        assert(cnt >= 1L, s"clone c$i at v$v read $cnt rows")
+        Thread.sleep(300)
+      }
+    })
+    pool.submit(guard { // reader: versions() stays coherent; time travel
+      while (done.getCount > 0) {
+        val vs = sink.versions(spark, "t")
+        assert(vs.nonEmpty && vs == vs.sorted,
+          s"versions() incoherent under log retention: $vs")
+        // the latest version must stay fully readable mid-retirement
+        assert(sink.readAt(spark, "t", vs.last).count() >= 1L)
+        Thread.sleep(150)
+      }
+    })
+
+    go.countDown()
+    assert(done.await(300, TimeUnit.SECONDS), "appenders did not finish")
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    Option(firstFailure.get()).foreach(t => fail(t))
+
+    // hundreds of versions actually happened, and retention actually
+    // retired markers (the commit dir holds far fewer than one marker
+    // per version)
+    val nVersions = sink.versions(spark, "t").last + 1
+    assert(nVersions >= (appenders * batches).toLong,
+      s"expected 80+ versions, saw $nVersions")
+    val markerFiles = Option(new java.io.File(s"$base/t/_commits")
+        .listFiles).toSeq.flatten.count(_.getName.endsWith(".json"))
+    assert(markerFiles < (appenders * batches) / 2,
+      s"log retention retired nothing: $markerFiles markers for " +
+        s"$nVersions versions")
+
+    // every committed row survives exactly once
+    val fin = sink.read(spark, "t").collect()
+    val ns = fin.map(_.getLong(0)).sorted.toSeq
+    val expected = (0L +: (0 until appenders).flatMap(a =>
+      (0 until batches).flatMap(b => (0 until rows).map(i =>
+        (a * batches + b).toLong * rows + i))).sorted).sorted
+    assert(ns == expected,
+      s"lost/duplicated rows: ${ns.length} of ${expected.length}")
+    // every clone still reads its pinned snapshot after the churn
+    (0 until clones.get()).foreach { i =>
+      assert(sink.read(spark, s"c$i").count() >= 1L, s"clone c$i broken")
+    }
+  }
 }
