@@ -484,6 +484,101 @@ object CorpusStatsQueries {
                floor((sc2::DOUBLE / n - (sc::DOUBLE / n) * (sc::DOUBLE / n))
                    / (sc::DOUBLE / n)
                  * 10000 + 0.5::DOUBLE) / 10000 AS vmr
-             FROM ag, nd ORDER BY w"""))
+             FROM ag, nd ORDER BY w""")),
+
+    // Distribution-drift audit: EXACT two-sample Kolmogorov-Smirnov
+    // distance between each source's document-length distribution and
+    // the corpus-wide one — the drift readout run between crawl
+    // snapshots (a source whose length CDF walks away from the corpus
+    // baseline changed its extraction or its content mix; KL (q_kl)
+    // sees token drift, this sees structural drift). The sup over
+    // |F_s - F| is evaluated on the GLOBAL length grid (both step
+    // functions only jump there): per-source cumulative counts are
+    // fill-forwarded onto the grid with a running max, and the KS
+    // numerator |cumS*N - cumG*nS| stays an exact DECIMAL(38,0)
+    // integer (scale-safe to ~1e19-doc corpora) — the ratio goes
+    // rational -> r4 floor only at the end. Tie on the sup point
+    // breaks to the smallest length.
+    //
+    // Scale: everything after the (source, n_chars) rollup is
+    // histogram-sized (|sources| x |distinct lengths|); the grid x
+    // sources expansion is a broadcast of a bounded dimension table.
+    Q("q_ks_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grid0 = docs.groupBy("n_chars").agg(count(lit(1)).as("g"))
+        val wAll = Window.orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid = grid0.withColumn("cumG", sum("g").over(wAll))
+        val totals = grid0.agg(sum("g").as("N"))
+        val srcHist = docs.groupBy("source", "n_chars")
+          .agg(count(lit(1)).as("c"))
+        val wSrc = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val srcCum = srcHist.withColumn("cumS", sum("c").over(wSrc))
+          .select("source", "n_chars", "cumS")
+        val srcTot = srcHist.groupBy("source").agg(sum("c").as("nS"))
+        val full = grid.select("n_chars", "cumG")
+          .crossJoin(broadcast(srcTot))
+          .join(srcCum, Seq("source", "n_chars"), "left")
+          .withColumn("cumSf", coalesce(
+            max(col("cumS")).over(Window.partitionBy("source")
+              .orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            lit(0L)))
+          .crossJoin(broadcast(totals))
+          .withColumn("num", abs(
+            col("cumSf").cast("decimal(38,0)") *
+              col("N").cast("decimal(38,0)") -
+            col("cumG").cast("decimal(38,0)") *
+              col("nS").cast("decimal(38,0)")))
+        val wS = Window.partitionBy("source")
+        full.withColumn("mnum", max(col("num")).over(wS))
+          .filter(col("num") === col("mnum"))
+          .groupBy(col("source"), col("nS").as("n_docs"),
+            col("mnum"), col("N"))
+          .agg(min(col("n_chars")).as("at_len"))
+          .withColumn("ks", r4(col("mnum").cast("double") /
+            (col("n_docs").cast("double") * col("N").cast("double"))))
+          .select("source", "n_docs", "ks", "at_len")
+          .orderBy("source")
+      },
+      Some("""WITH g AS (SELECT n_chars, count(*) AS g
+               FROM documents GROUP BY 1),
+             grid AS (SELECT n_chars, sum(g) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumG
+               FROM g),
+             tot AS (SELECT CAST(sum(g) AS BIGINT) AS N FROM g),
+             sh AS (SELECT source, n_chars, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+             st AS (SELECT source, CAST(sum(c) AS BIGINT) AS nS
+               FROM sh GROUP BY 1),
+             sc AS (SELECT source, n_chars, sum(c) OVER (
+                 PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumS
+               FROM sh),
+             filled AS (SELECT st.source, grid.n_chars, grid.cumG,
+                 st.nS, tot.N,
+                 coalesce(max(sc.cumS) OVER (PARTITION BY st.source
+                   ORDER BY grid.n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   0) AS cumSf
+               FROM grid CROSS JOIN st CROSS JOIN tot
+               LEFT JOIN sc ON sc.source = st.source
+                 AND sc.n_chars = grid.n_chars),
+             scored AS (SELECT source, n_chars, nS, N,
+                 abs(CAST(cumSf AS DECIMAL(38,0)) * CAST(N AS DECIMAL(38,0))
+                   - CAST(cumG AS DECIMAL(38,0)) * CAST(nS AS DECIMAL(38,0)))
+                   AS num
+               FROM filled),
+             mx AS (SELECT source, nS, N, max(num) AS mnum
+               FROM scored GROUP BY 1, 2, 3)
+             SELECT m.source, m.nS AS n_docs,
+               floor(m.mnum::DOUBLE / (m.nS::DOUBLE * m.N::DOUBLE)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS ks,
+               CAST(min(s.n_chars) AS BIGINT) AS at_len
+             FROM mx m JOIN scored s ON s.source = m.source
+               AND s.num = m.mnum
+             GROUP BY 1, 2, m.mnum, m.N ORDER BY m.source"""))
   )
 }

@@ -104,6 +104,63 @@ object TemporalQueries {
                CAST(trail_n AS BIGINT) AS trail_n,
                CAST(trail_sum AS BIGINT) AS trail_sum,
                (trail_n > 0 AND c * trail_n > 2 * trail_sum) AS is_spike
-             FROM t ORDER BY event_type, day"""))
+             FROM t ORDER BY event_type, day""")),
+
+    // CUSUM drift accumulation: the sustained-shift detector q_spike's
+    // point rule misses (a +20% volume drift never trips a 2x spike
+    // threshold but accumulates linearly in CUSUM). Per type, the
+    // classic one-sided CUSUM s_t = max(0, s_{t-1} + (x_t - mean))
+    // against the series' own mean, computed WITHOUT the recursion via
+    // the reflection identity s_t = S_t - min(0, min_{j<=t} S_j) on the
+    // prefix sums — two stacked windows over the per-(type, day)
+    // aggregate, sub-linear in events. EXACT integers throughout:
+    // deviations are scaled by n_days (dev = nd*c - tot), so "mean" is
+    // never a float; drift_max is reported in that nd-scaled unit.
+    // Peak ties break to the earliest day.
+    Q("q_cusum",
+      (s, d) => {
+        val base = daily(s, d)
+        val totals = base.groupBy("event_type")
+          .agg(sum("c").as("tot"), count(lit(1)).as("nd"))
+        val wc = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = base.join(broadcast(totals), "event_type")
+          .withColumn("dev", col("nd") * col("c") - col("tot"))
+          .withColumn("s_raw", sum("dev").over(wc))
+          .withColumn("runmin", min(col("s_raw")).over(wc))
+          .withColumn("cusum", col("s_raw") - least(col("runmin"), lit(0L)))
+        val wt = Window.partitionBy("event_type")
+        scored.withColumn("mx", max(col("cusum")).over(wt))
+          .filter(col("cusum") === col("mx"))
+          .groupBy(col("event_type"), col("nd").as("n_days"),
+            col("mx").as("drift_max"))
+          .agg(min(col("day")).as("peak_day"))
+          .select("event_type", "n_days", "drift_max", "peak_day")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH $dailyCte,
+             tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot,
+                       CAST(count(*) AS BIGINT) AS nd
+                     FROM daily GROUP BY 1),
+             s1 AS (SELECT d.event_type, d.day, t.nd,
+                      sum(t.nd * d.c - t.tot) OVER (
+                        PARTITION BY d.event_type ORDER BY d.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS s_raw
+                    FROM daily d JOIN tot t USING (event_type)),
+             s2 AS (SELECT event_type, day, nd,
+                      s_raw - least(min(s_raw) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0) AS cusum
+                    FROM s1),
+             mx AS (SELECT event_type, nd, max(cusum) AS drift_max
+                    FROM s2 GROUP BY 1, 2)
+             SELECT m.event_type, m.nd AS n_days,
+               CAST(m.drift_max AS BIGINT) AS drift_max,
+               min(s2.day) AS peak_day
+             FROM mx m JOIN s2 ON s2.event_type = m.event_type
+               AND s2.cusum = m.drift_max
+             GROUP BY 1, 2, 3 ORDER BY m.event_type"""))
   )
 }

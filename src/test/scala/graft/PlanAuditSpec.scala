@@ -318,6 +318,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("drift monitors: windows over aggregates only; ks grid side " +
+      "broadcasts") {
+    // q_cusum's two stacked windows run over the per-(type, day)
+    // aggregate; q_ks_drift's grid x sources expansion must broadcast
+    // the bounded dimension sides and keep every single-partition
+    // window above the histogram aggregate — never over corpus rows
+    singlePartitionsOnlyAboveAggregates("q_cusum")
+    singlePartitionsOnlyAboveAggregates("q_ks_drift")
+    val ks = plan("q_ks_drift")
+    assert(ks.contains("BroadcastHashJoin") ||
+      ks.contains("BroadcastNestedLoopJoin"),
+      s"ks grid/source/totals sides lost their broadcast:\n${ks.take(600)}")
+    assert(!ks.contains("CartesianProduct"), "ks went all-pairs")
+  }
+
   test("gopher filter is row-local: no hash exchange before the output sort") {
     // every flag derives from the split-token array in place; the only
     // exchange is the deterministic output orderBy (rangepartitioning)
