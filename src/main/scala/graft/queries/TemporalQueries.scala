@@ -161,6 +161,36 @@ object TemporalQueries {
                min(s2.day) AS peak_day
              FROM mx m JOIN s2 ON s2.event_type = m.event_type
                AND s2.cusum = m.drift_max
-             GROUP BY 1, 2, 3 ORDER BY m.event_type"""))
+             GROUP BY 1, 2, 3 ORDER BY m.event_type""")),
+
+    // Daily P50/P95 value bands per event type — THE standing ops
+    // readout (latency/size percentile bands per day). Exact
+    // interpolated percentiles from the (type, day, value) histogram
+    // via ExactPercentile: the percentile never sees corpus rows and no
+    // value→count aggregation buffer exists (the q_percentile
+    // treatment, here composed per day). One map-side-combinable
+    // rollup; windows partition on (type, day). Outputs r4-floored
+    // (value domain is 2-decimal rationals — the q_mad_outlier
+    // precedent).
+    Q("q_daily_p95",
+      (s, d) => {
+        val hist = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
+        ExactPercentile.fromCounts(hist, Seq("event_type", "day"),
+            "value", "cnt", Seq(("p50", 0.5), ("p95", 0.95)))
+          .select(col("event_type"), col("day"), col("n"),
+            Helpers.r4(col("p50")).as("p50"),
+            Helpers.r4(col("p95")).as("p95"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(quantile_cont(value, 0.5)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS p50,
+               floor(quantile_cont(value, 0.95)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS p95
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -178,7 +178,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // percentiles from the (group, value, count) histogram
     // (ExactPercentile): the plan carries Window + aggregates, and the
     // Percentile aggregate function appears NOWHERE.
-    Seq("q_percentile", "q_median_group", "q_len_trim", "q_mad_outlier")
+    Seq("q_percentile", "q_median_group", "q_len_trim", "q_mad_outlier",
+      "q_daily_p95")
       .foreach { q =>
         val lp = SparkEntry.queries(q)(spark, sf)
           .queryExecution.optimizedPlan.toString
