@@ -79,7 +79,12 @@ object ScaleProbe {
     // scoring joins with a bounded |langs| fan-out
     "q_nb_langid",
     // row-local stutter collapse: pure per-row array op, flat by design
-    "q_destutter")
+    "q_destutter",
+    // round-9 wave: PII scrub (row-local regex map pass), KS drift
+    // (histogram-sized CDF grid after one rollup), CUSUM + daily P50/95
+    // (windows over the per-(type, day) aggregate), BM25 (filtered
+    // explode + broadcast df/totals)
+    "q_pii_scrub", "q_ks_drift", "q_cusum", "q_daily_p95", "q_bm25")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
