@@ -405,6 +405,62 @@ object CurationQueries {
                CAST(sum(CASE WHEN n_email + n_key + n_phone + n_ip > 0
                  THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
                CAST(sum(length(clean)) AS BIGINT) AS clean_chars
-             FROM ann GROUP BY source ORDER BY source"""))
+             FROM ann GROUP BY source ORDER BY source""")),
+
+    // Token-budget waterfilling: realize a document-weighted mixture
+    // under per-source SUPPLY CAPS — the allocation step between
+    // q_mix_weights (what the mix should be) and q_corpus_build (the
+    // materialization): give each source tokens proportional to its
+    // document share, but a source cannot supply more than it has;
+    // freed budget redistributes to the unsaturated sources (classic
+    // waterfilling). Closed form, no iteration: sort sources by
+    // tokens-per-doc ascending; the saturated set is a PREFIX of that
+    // order, found by the cross-multiplied integer check
+    // t_i·(W−prefD) ≤ (B−prefT)·d_i with a running-AND (min over the
+    // prefix) enforcing the monotone-saturation lemma exactly.
+    // EXACT BIGINT arithmetic throughout — the only double is the sort
+    // ratio, whose quotients of small ints are separated far above ulp
+    // (ties break on source). Unsaturated allocations use integer DIV;
+    // the ≤|sources| leftover tokens from flooring stay unallocated
+    // (deterministic). All windows run over the |sources|-row
+    // aggregate, never corpus rows.
+    Q("q_budget_fill",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("d"), sum("n_tok").as("t"))
+        val j = graft.engine.BudgetFill.waterfill(per)
+        j.select(col("source"), col("d").as("n_docs"),
+            col("t").as("n_tokens"), col("saturated"), col("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+               SELECT source, CAST(count(*) AS BIGINT) AS d,
+                 CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS t
+               FROM documents GROUP BY 1),
+             tot AS (SELECT CAST(sum(d) AS BIGINT) AS W,
+               CAST(sum(t) AS BIGINT) AS TT FROM per),
+             o AS (SELECT per.*, tot.W, tot.TT // 2 AS B,
+                 t::DOUBLE / d::DOUBLE AS ratio,
+                 sum(t) OVER wo AS prefT, sum(d) OVER wo AS prefD
+               FROM per CROSS JOIN tot
+               WINDOW wo AS (ORDER BY t::DOUBLE / d::DOUBLE, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             c AS (SELECT *, CASE WHEN t * (W - (prefD - d)) <=
+                   (B - (prefT - t)) * d THEN 1 ELSE 0 END AS chk
+               FROM o),
+             sflag AS (SELECT *, (min(chk) OVER (ORDER BY ratio, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) = 1
+                 AS sat
+               FROM c),
+             g AS (SELECT *,
+                 coalesce(sum(CASE WHEN sat THEN t END) OVER (), 0) AS satT,
+                 coalesce(sum(CASE WHEN sat THEN d END) OVER (), 0) AS satD
+               FROM sflag)
+             SELECT source, d AS n_docs, t AS n_tokens, sat AS saturated,
+               CAST(CASE WHEN sat THEN t
+                 ELSE ((B - satT) * d) // (W - satD) END AS BIGINT) AS alloc
+             FROM g ORDER BY source"""))
   )
 }
