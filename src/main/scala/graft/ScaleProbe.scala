@@ -84,7 +84,9 @@ object ScaleProbe {
     // (histogram-sized CDF grid after one rollup), CUSUM + daily P50/95
     // (windows over the per-(type, day) aggregate), BM25 (filtered
     // explode + broadcast df/totals)
-    "q_pii_scrub", "q_ks_drift", "q_cusum", "q_daily_p95", "q_bm25")
+    "q_pii_scrub", "q_ks_drift", "q_cusum", "q_daily_p95", "q_bm25",
+    // waterfilling: one rollup, then |sources|-row window arithmetic
+    "q_budget_fill")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -327,6 +327,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // window above the histogram aggregate — never over corpus rows
     singlePartitionsOnlyAboveAggregates("q_cusum")
     singlePartitionsOnlyAboveAggregates("q_ks_drift")
+    singlePartitionsOnlyAboveAggregates("q_budget_fill")
     val ks = plan("q_ks_drift")
     assert(ks.contains("BroadcastHashJoin") ||
       ks.contains("BroadcastNestedLoopJoin"),
