@@ -86,7 +86,10 @@ object ScaleProbe {
     // explode + broadcast df/totals)
     "q_pii_scrub", "q_ks_drift", "q_cusum", "q_daily_p95", "q_bm25",
     // waterfilling: one rollup, then |sources|-row window arithmetic
-    "q_budget_fill")
+    "q_budget_fill",
+    // simplified silhouette: the assignment's own broadcast-k scoring
+    // pass plus a per-vector top-2 window
+    "q_silhouette")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

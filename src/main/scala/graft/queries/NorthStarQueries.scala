@@ -711,6 +711,69 @@ object NorthStarQueries {
                min(sim) AS min_sim, max(sim) AS max_sim
              FROM assigned GROUP BY cell ORDER BY cell""")),
 
+    // Simplified silhouette (centroid-based, Hruschka et al. — the
+    // O(N·k) production form of the O(N²) silhouette): per vector,
+    // a = cosine distance to its OWN centroid (the argmax cell), b =
+    // distance to the SECOND-best centroid; with argmax assignment
+    // a ≤ b always, so s = (b−a)/b = (sim1−sim2)/(1−sim2) ∈ [0, 1] —
+    // the clustering-quality audit that complements cellHealth as the
+    // retrain trigger (a cell whose members score near 0 sits between
+    // centroids; the quantizer is stale). Same broadcast-k scoring
+    // pass as the assignment itself (row-local, codegen'd graft_dot);
+    // sims r4-rounded BEFORE comparison (assignment-identical
+    // determinism, ties cell asc), the rational score r4-floored, the
+    // per-cell mean summed through DECIMAL.
+    Q("q_silhouette",
+      (s, d) => {
+        val cents = trainedCentroids(s, d)
+          .select(col("cell"), col("c_emb"), col("c_nrm"))
+        val sims = emb(s, d).crossJoin(broadcast(cents))
+          .withColumn("sim",
+            round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(desc("sim"), asc("cell"))
+        val pv = sims.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy("vec_id")
+          .agg(max(when(col("rn") === 1, col("sim"))).as("s1"),
+            max(when(col("rn") === 1, col("cell"))).as("cell"),
+            max(when(col("rn") === 2, col("sim"))).as("s2"))
+          .withColumn("sil", when(col("s2") >= 1.0, lit(0.0))
+            .otherwise(r4((col("s1") - col("s2")) /
+              (lit(1.0) - col("s2")))))
+        pv.groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            r4(sum(col("sil").cast("decimal(18,4)")).cast("double") /
+              count(lit(1))).as("mean_sil"),
+            min("sil").as("min_sil"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH $embCte,
+             $kmeansCte,
+             scored AS (
+               SELECT n.vec_id, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+               FROM n CROSS JOIN c),
+             rk AS (SELECT vec_id, cell, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cell) AS rn
+               FROM scored),
+             pv AS (SELECT vec_id,
+                 max(CASE WHEN rn = 1 THEN sim END) AS s1,
+                 max(CASE WHEN rn = 1 THEN cell END) AS cell,
+                 max(CASE WHEN rn = 2 THEN sim END) AS s2
+               FROM rk WHERE rn <= 2 GROUP BY 1),
+             sil AS (SELECT cell,
+                 CASE WHEN s2 >= 1.0 THEN 0.0
+                   ELSE floor((s1 - s2) / (1.0::DOUBLE - s2)
+                     * 10000 + 0.5::DOUBLE) / 10000 END AS sil
+               FROM pv)
+             SELECT cell, count(*) AS n_vecs,
+               floor((CAST(sum(CAST(sil AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*)) * 10000 + 0.5::DOUBLE) / 10000 AS mean_sil,
+               min(sil) AS min_sil
+             FROM sil GROUP BY cell ORDER BY cell""")),
+
     // SRP-LSH bucketing (Charikar STOC'02 sign-random-projection): the
     // EMBEDDING-side locality hash complementing the text-side MinHash —
     // 8 deterministic hyperplanes (md5-derived components, recomputed
