@@ -62,4 +62,54 @@ class BudgetFillSpec extends AnyFunSuite {
     val b = fill(Seq(("o", 5L, 700L), ("n", 5L, 100L), ("m", 5L, 100L)))
     assert(a == b, "input order changed the allocation")
   }
+
+  /** Plain-Scala reference waterfill (the textbook iterative form):
+    * repeatedly saturate any source whose proportional share exceeds
+    * its cap, redistribute, until stable. */
+  private def reference(rows: Seq[(String, Long, Long)],
+      num: Long, den: Long): Map[String, Long] = {
+    val budget = rows.map(_._3).sum * num / den
+    var sat = Map.empty[String, Long]
+    var active = rows
+    var remB = budget
+    var changed = true
+    while (changed) {
+      changed = false
+      val w = active.map(_._2).sum
+      if (w > 0) {
+        // saturate the smallest-ratio violator first (prefix order)
+        val viol = active
+          .filter { case (_, d, t) => t * w <= remB * d }
+          .sortBy { case (s, d, t) => (t.toDouble / d, s) }
+          .headOption
+        viol.foreach { case (src, _, t) =>
+          sat += src -> t; remB -= t
+          active = active.filterNot(_._1 == src)
+          changed = true
+        }
+      }
+    }
+    val w = active.map(_._2).sum
+    sat ++ active.map { case (s, d, _) =>
+      s -> (if (w == 0) 0L else remB * d / w) }.toMap
+  }
+
+  test("property: matches the iterative reference on 20 random inputs") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 20).foreach { i =>
+      val n = 2 + rnd.nextInt(6)
+      val rows = (0 until n).map(j =>
+        (f"s$j%02d", 1L + rnd.nextInt(20), 1L + rnd.nextInt(1000).toLong))
+      val num = 1L + rnd.nextInt(2) // budget 1/3..2/3 of supply
+      val den = 3L
+      val got = fill(rows, num, den).map { case (s, (_, a, _)) => s -> a }
+      val want = reference(rows, num, den)
+      val budget = rows.map(_._3).sum * num / den
+      // exact agreement with the reference
+      assert(got == want, s"seed-case $i: $rows got $got want $want")
+      // invariants: never over cap, never over budget
+      rows.foreach { case (s, _, t) => assert(got(s) <= t, s"case $i cap") }
+      assert(got.values.sum <= budget, s"case $i overspent")
+    }
+  }
 }
