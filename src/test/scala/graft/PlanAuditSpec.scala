@@ -335,6 +335,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ks.contains("CartesianProduct"), "ks went all-pairs")
   }
 
+  test("bm25: dimension sides broadcast, no cartesian on data") {
+    // df (3 rows) and the corpus totals (1 row) must broadcast; the
+    // only nested-loop joins allowed are those 1-3-row scalar sides
+    val p = plan("q_bm25")
+    assert(!p.contains("CartesianProduct"), "bm25 went all-pairs")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"bm25 lost its broadcasts:\n${p.take(600)}")
+    singlePartitionsOnlyAboveAggregates("q_bm25")
+  }
+
+  test("silhouette: scoring pass broadcasts the k centroids; top-2 is " +
+      "window-group-limited") {
+    val p = plan("q_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid side lost its broadcast:\n${p.take(600)}")
+    assert(p.contains("WindowGroupLimit"),
+      "per-vector top-2 lost its WindowGroupLimit pruning")
+  }
+
   test("gopher filter is row-local: no hash exchange before the output sort") {
     // every flag derives from the split-token array in place; the only
     // exchange is the deterministic output orderBy (rangepartitioning)
