@@ -37,14 +37,19 @@ object BudgetFill {
     val wOrd = Window.orderBy(col("ratio"), col("source"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
+    // the cross-multiplications pair corpus-scale BIGINTs (t·W, B·d) —
+    // at the 100 TB target those products pass 2^63, so they run in
+    // DECIMAL(38,0) (good to ~1e19·1e19, the q_ks_drift treatment);
+    // DuckDB's HUGEINT mirror is 128-bit and agrees
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     per.crossJoin(broadcast(tot))
       .withColumn("B", expr(s"(totT * $budgetNum) DIV $budgetDen"))
       .withColumn("ratio", col("t").cast("double") / col("d").cast("double"))
       .withColumn("prefT", sum("t").over(wOrd))
       .withColumn("prefD", sum("d").over(wOrd))
       .withColumn("chk",
-        when(col("t") * (col("totW") - (col("prefD") - col("d"))) <=
-          (col("B") - (col("prefT") - col("t"))) * col("d"), 1L)
+        when(d38(col("t")) * d38(col("totW") - (col("prefD") - col("d"))) <=
+          d38(col("B") - (col("prefT") - col("t"))) * d38(col("d")), 1L)
           .otherwise(0L))
       .withColumn("saturated", min(col("chk")).over(wOrd) === 1L)
       .withColumn("satT",
@@ -53,7 +58,13 @@ object BudgetFill {
         coalesce(sum(when(col("saturated"), col("d"))).over(wAll), lit(0L)))
       .withColumn("alloc",
         when(col("saturated"), col("t"))
-          .otherwise(expr("((B - satT) * d) DIV (totW - satD)")))
+          // DIV (IntegralDivide) on DECIMAL operands truncates exactly;
+          // a `/`-then-floor would round at the quotient's result scale
+          // first and can round a ...99999x quotient UP across an
+          // integer boundary
+          .otherwise(expr("CAST((CAST(B - satT AS DECIMAL(38,0)) * " +
+            "CAST(d AS DECIMAL(38,0))) DIV " +
+            "CAST(totW - satD AS DECIMAL(38,0)) AS BIGINT)")))
       .drop("ratio", "prefT", "prefD", "chk", "satT", "satD",
         "totW", "totT")
   }

@@ -232,15 +232,12 @@ object DeltaLogMirror {
   private def readerVersion(c: Commit): Int = if (c.mapping.isDefined) 2 else 1
 
   /** Identity declarations from the marker's TBLPROPERTIES payload:
-    * column -> (start, step, highWater) — the sink's
-    * `graft.identity.<col>` encoding. */
+    * column -> (start, step, highWater) — the sink's shared
+    * `graft.identity.<col>` codec (one parser, zero drift). */
   private def identityProps(
       propsJson: Option[String]): Map[String, (Long, Long, Long)] =
-    VersionedParquetSink.Constraints.parse(propsJson).collect {
-      case (k, v) if k.startsWith("graft.identity.") =>
-        val Array(s, i, h) = v.split(':')
-        k.stripPrefix("graft.identity.") -> ((s.toLong, i.toLong, h.toLong))
-    }.toMap
+    VersionedParquetSink.identityDecls(
+      VersionedParquetSink.Constraints.parse(propsJson).toMap)
 
   /** The schema exactly as the mirror publishes it: nullable-normalized
     * (marker DDLs flip NOT NULL as writers alternate between case-class

@@ -400,13 +400,17 @@ final class VersionedParquetSink(basePath: String,
     // or the new one — never an ENOENT window, and a crash mid-publish
     // leaves the previous manifest intact. Falls back to delete+rename
     // only on stores whose FileContext cannot overwrite.
+    // fallback catches IOException too: stores with no AbstractFileSystem
+    // binding throw UnsupportedFileSystemException (an IOException) from
+    // getFileContext, and a transient rename failure should still try
+    // the plain path rather than leak the tmp file
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         f.makeQualified(dir).toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(f.makeQualified(tmp), f.makeQualified(target),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException =>
+      case _: UnsupportedOperationException | _: java.io.IOException =>
         f.delete(target, false)
         if (!f.rename(tmp, target)) {
           f.delete(tmp, false)
@@ -2202,11 +2206,7 @@ final class VersionedParquetSink(basePath: String,
   /** Parsed identity declarations: column -> (start, step, highWater). */
   private def identityDecls(
       props: Map[String, String]): Map[String, (Long, Long, Long)] =
-    props.collect {
-      case (k, v) if k.startsWith("graft.identity.") =>
-        val Array(s, i, h) = v.split(':')
-        k.stripPrefix("graft.identity.") -> (s.toLong, i.toLong, h.toLong)
-    }
+    VersionedParquetSink.identityDecls(props)
 
   /** The current mapping, or — at first rename/drop — the identity
     * mapping that freezes every column's physical name at its current
@@ -3204,6 +3204,17 @@ final class VersionedParquetSink(basePath: String,
 }
 
 object VersionedParquetSink {
+
+  /** The ONE parser for the `graft.identity.<col>` = "start:step:hw"
+    * TBLPROPERTIES codec — shared by the sink's allocation path and the
+    * `_delta_log` mirror so the two can never drift. */
+  private[engine] def identityDecls(
+      props: Map[String, String]): Map[String, (Long, Long, Long)] =
+    props.collect {
+      case (k, v) if k.startsWith("graft.identity.") =>
+        val Array(s, i, h) = v.split(':')
+        k.stripPrefix("graft.identity.") -> ((s.toLong, i.toLong, h.toLong))
+    }
   /** Serializes marker claims within one JVM (see commitLoop). */
   private[engine] val localClaimLock = new Object
 

@@ -384,7 +384,7 @@ object CoreQueries {
       Some("""SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS p50,
                quantile_cont(l_quantity, 0.9) AS p90,
-               COUNT(*) AS n
+               COUNT(l_quantity) AS n
              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // scalar string-function battery (case, pad, trim, replace, slice)

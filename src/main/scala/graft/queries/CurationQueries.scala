@@ -245,7 +245,11 @@ object CurationQueries {
     Q("q_mad_outlier",
       (s, d) => {
         val e = Tables.events(s, d).select("event_type", "value")
-        val hist = e.groupBy("event_type", "value")
+        // histogram excludes NULL values (percentile/quantile_cont
+        // semantics — a null row must not shift the ranks); the final
+        // screen still sees every row
+        val hist = e.filter(col("value").isNotNull)
+          .groupBy("event_type", "value")
           .agg(count(lit(1)).as("cnt"))
         val med = ExactPercentile.fromCounts(hist, Seq("event_type"),
             "value", "cnt", Seq(("med", 0.5)))
@@ -256,7 +260,8 @@ object CurationQueries {
         val mad = ExactPercentile.fromCounts(devHist, Seq("event_type"),
             "adev", "cnt", Seq(("mad", 0.5)))
           .select("event_type", "mad")
-        e.join(med, "event_type").join(mad, "event_type")
+        e.join(broadcast(med), "event_type")
+          .join(broadcast(mad), "event_type")
           .withColumn("robz",
             lit(0.6745) * (col("value") - col("med")) / col("mad"))
           .groupBy("event_type")

@@ -28,8 +28,12 @@ object ExactPercentile {
 
   /** Percentiles of `valueCol` per `groupCols` group from raw rows:
     * returns one row per group with `groupCols`, `n` (non-null value
-    * count — what percentile ranks are computed over), and one double
-    * column per requested (name, p). */
+    * count — what percentile ranks are computed over; oracle mirrors
+    * must spell `count(valueCol)`, not `count(*)`), and one double
+    * column per requested (name, p). A group whose values are ALL null
+    * is omitted (it has no ranks); [[fromCounts]] callers must filter
+    * null values out of their histogram for the same reason — a
+    * (group, NULL, cnt) row would shift every rank. */
   def overHistogram(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
     val hist = df.filter(col(valueCol).isNotNull)

@@ -175,6 +175,7 @@ object TemporalQueries {
     Q("q_daily_p95",
       (s, d) => {
         val hist = Tables.events(s, d)
+          .filter(col("value").isNotNull) // quantile_cont null semantics
           .groupBy(col("event_type"),
             date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
           .agg(count(lit(1)).as("cnt"))
@@ -186,7 +187,7 @@ object TemporalQueries {
           .orderBy("event_type", "day")
       },
       Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(value) AS BIGINT) AS n,
                floor(quantile_cont(value, 0.5)
                  * 10000 + 0.5::DOUBLE) / 10000 AS p50,
                floor(quantile_cont(value, 0.95)

@@ -468,7 +468,7 @@ object TrainingQueries {
           Seq(("median_chars", 0.5)))
         .select(col("lang"), col("n").as("n_docs"), col("median_chars"))
         .orderBy("lang"),
-      Some("""SELECT lang, count(*) AS n_docs,
+      Some("""SELECT lang, count(n_chars) AS n_docs,
              quantile_cont(n_chars, 0.5) AS median_chars
              FROM documents GROUP BY lang ORDER BY lang""")),
 

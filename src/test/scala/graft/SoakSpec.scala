@@ -178,7 +178,7 @@ class SoakSpec extends AnyFunSuite {
     assert(nVersions >= (appenders * batches).toLong,
       s"expected 80+ versions, saw $nVersions")
     val markerFiles = Option(new java.io.File(s"$base/t/_commits")
-        .listFiles).toSeq.flatten.count(_.getName.endsWith(".json"))
+        .listFiles).toSeq.flatten.count(_.getName.endsWith(".commit"))
     assert(markerFiles < (appenders * batches) / 2,
       s"log retention retired nothing: $markerFiles markers for " +
         s"$nVersions versions")
