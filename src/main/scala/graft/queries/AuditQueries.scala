@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables, UrlAudit}
+
+/** Round-9 second wave: corpus AUDIT operators — the safety /
+  * provenance / redundancy screens a training-data pipeline runs
+  * between raw ingestion and mixing (the reference's curation slot,
+  * collector.py:136-154):
+  *
+  *  - q_blocklist: word-blocklist screen (the Gopher "bad words"
+  *    filter) — per-source hit mass and documents over threshold.
+  *  - q_url_audit: URL/domain audit (engine/UrlAudit.scala) — link
+  *    density, distinct registered domains, post-scrub text mass.
+  *  - q_js_div: Jensen-Shannon divergence of each source's unigram
+  *    distribution from the corpus — the SYMMETRIC, bounded
+  *    distribution-shift readout next to q_kl_source's KL.
+  *  - q_boilerplate: frequent-segment boilerplate screen (the C4
+  *    rule re-expressed over word trigrams) — segments occurring in
+  *    >= 3 distinct documents are boilerplate; per-source ratio.
+  *  - q_winnow: winnowing fingerprints (Schleimer et al., MOSS) —
+  *    rightmost-minimum of 16-bit kgram hashes per sliding window;
+  *    guarantees every w-window of every document contributes a
+  *    fingerprint (the local-algorithm property document-level
+  *    minhash lacks).
+  *
+  * Determinism: blocklists and regex catalogs are fixed constants run
+  * identically in both engines (Java-and-RE2-compatible patterns, the
+  * PiiScrub contract); threshold compares are INTEGER
+  * cross-multiplications (10·hits > n_tok — never a 0.1 double); JS
+  * ln terms are 1e-6-floored into DECIMAL before the sum (the
+  * q_kl_source rule) with ln(2) pre-floored to the literal 0.693147 in
+  * BOTH engines; winnowing ties break rightmost via the
+  * h·2^32 + (2^31 − pos) BIGINT encoding (min-hash then max-pos);
+  * rational ratios go through r4.
+  *
+  * Scale: every screen is a row-local map pass followed by keyed
+  * map-side-combinable shuffles; q_boilerplate's segment-frequency
+  * join keys on content-derived trigrams (cardinality grows with the
+  * corpus — no degenerate hot key); q_winnow is one window pass over
+  * per-doc positions (partition = doc, never corpus-wide); q_js_div
+  * joins token tables keyed on the token with |sources|-row broadcast
+  * totals. Nothing is all-pairs; nothing collects.
+  */
+object AuditQueries {
+
+  private def r4(c: Column): Column = Helpers.r4(c)
+
+  /** Blocklist screened by q_blocklist — fixed catalog, present in the
+    * corpus vocabulary so the audit exercises real hits. */
+  val BlockWords: Seq[String] = Seq("slow", "merge", "dup")
+  private val BlockSql = BlockWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** A trigram is boilerplate when it occurs in >= this many docs. */
+  val BoilerDocFreq = 3
+
+  /** Winnowing parameters: kgram width and window size (Schleimer et
+    * al. §4: guarantee = any match of length >= W + K − 1 is caught). */
+  val WinnowK = 4
+  val WinnowW = 5
+
+  val all: Seq[Q] = Seq(
+
+    // Word-blocklist screen (Gopher-style bad-word filter): per-source
+    // token mass hitting a fixed blocklist, documents whose hit ratio
+    // exceeds 10% (INTEGER cross-multiply 10·hits > n_tok), aggregate
+    // hit rate. Row-local list filter -> one keyed aggregate; the
+    // blocklist is a compile-time constant (at 100 TB it stays a
+    // codegen'd IN-list, not a join).
+    Q("q_blocklist",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")).cast("long"))
+        .withColumn("hits",
+          size(filter(col("ws"), w => w.isin(BlockWords: _*))).cast("long"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum("hits").as("hits"),
+          sum(when(lit(10) * col("hits") > col("n_tok"), 1L).otherwise(0L))
+            .as("docs_flagged"))
+        .withColumn("hit_rate",
+          r4(col("hits").cast("double") / col("n_tokens")))
+        .orderBy("source"),
+      Some(s"""WITH a AS (SELECT source, len(str_split(text, ' ')) AS n_tok,
+               len(list_filter(str_split(text, ' '),
+                 w -> w IN $BlockSql)) AS hits
+               FROM documents)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(hits) AS BIGINT) AS hits,
+               CAST(sum(CASE WHEN 10 * hits > n_tok THEN 1 ELSE 0 END)
+                 AS BIGINT) AS docs_flagged,
+               floor(sum(hits)::DOUBLE / sum(n_tok)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS hit_rate
+             FROM a GROUP BY source ORDER BY source""")),
+
+    // URL / domain audit (engine/UrlAudit.scala): per-source URL count,
+    // documents with links, distinct registered domains, post-scrub
+    // character mass. The synthetic corpus legitimately contains ZERO
+    // URLs: all-zero counts with clean_chars == original mass is the
+    // CORRECT, hash-checked answer (positive behavior is pinned by
+    // UrlAuditSpec's self-injected fixtures — the PiiScrub pattern).
+    Q("q_url_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ann = UrlAudit.annotate(docs, "text")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_url").cast("long")).as("n_urls"),
+            sum(when(col("n_url") > 0, 1L).otherwise(0L)).as("docs_with_url"),
+            sum(length(col("text_clean")).cast("long")).as("clean_chars"))
+        val doms = docs
+          .select(col("source"), explode(UrlAudit.extractUrls(col("text"))).as("url"))
+          .select(col("source"),
+            UrlAudit.registered(UrlAudit.host(col("url"))).as("dom"))
+          .groupBy("source").agg(countDistinct("dom").as("n_domains"))
+        ann.join(doms, Seq("source"), "left")
+          .withColumn("n_domains", coalesce(col("n_domains"), lit(0L)))
+          .orderBy("source")
+      },
+      Some(s"""WITH ann AS (
+               SELECT source,
+                 len(regexp_extract_all(text, '${UrlAudit.Url}')) AS n_url,
+                 regexp_replace(text, '${UrlAudit.Url}',
+                   '[URL]', 'g') AS clean
+               FROM documents),
+             agg AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_url) AS BIGINT) AS n_urls,
+                 CAST(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_url,
+                 CAST(sum(length(clean)) AS BIGINT) AS clean_chars
+               FROM ann GROUP BY source),
+             u AS (SELECT source,
+                 unnest(regexp_extract_all(text, '${UrlAudit.Url}')) AS url
+               FROM documents),
+             doms AS (SELECT source, count(DISTINCT regexp_extract(
+                 regexp_extract(url, '${UrlAudit.HostOfUrl}', 1),
+                 '${UrlAudit.RegisteredOfHost}')) AS n_domains
+               FROM u GROUP BY source)
+             SELECT agg.source, n_docs, n_urls, docs_with_url, clean_chars,
+               CAST(coalesce(doms.n_domains, 0) AS BIGINT) AS n_domains
+             FROM agg LEFT JOIN doms ON agg.source = doms.source
+             ORDER BY agg.source""")),
+
+    // Jensen-Shannon divergence of each source's unigram distribution
+    // P from the corpus distribution Q: JSD = ½KL(P‖M) + ½KL(Q‖M),
+    // M = (P+Q)/2 — symmetric and bounded by ln 2, the robust
+    // companion to q_kl_source for mixing decisions. Words ABSENT from
+    // the source contribute exactly ½·q·ln2 to KL(Q‖M); that absent
+    // mass is (n − Σ_present cw)/n — a per-source scalar, so the join
+    // only materializes PRESENT (source, word) pairs (same keyed
+    // shuffles as q_kl_source; nothing is |sources|×|vocab|).
+    // Determinism: ln ratios run on identically-structured double
+    // trees in both engines, 1e-6-floored into DECIMAL before the sum;
+    // ln 2 is the pre-floored literal 0.693147 in BOTH engines.
+    Q("q_js_div",
+      (s, d) => {
+        def f6(c: Column): Column =
+          (floor(c * 1000000 + 0.5) / 1000000).cast("decimal(18,6)")
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val sw = toks.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+        val cw = sw.groupBy("w").agg(sum("csw").as("cw"))
+        val ns = sw.groupBy("source").agg(sum("csw").as("ns"))
+        val n = cw.agg(sum("cw").as("n"))
+        val den = col("csw").cast("double") * col("n") +
+          col("cw").cast("double") * col("ns")
+        sw.join(cw, "w")
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("t1", col("csw") * f6(log(
+            (lit(2) * col("csw").cast("double") * col("n")) / den)))
+          .withColumn("t2", col("cw") * f6(log(
+            (lit(2) * col("cw").cast("double") * col("ns")) / den)))
+          .groupBy("source")
+          .agg(max("ns").as("n_tokens"), max("n").as("n"),
+            sum("t1").as("s1"), sum("t2").as("s2"),
+            sum("cw").as("sumcw"))
+          .withColumn("jsd", r4(lit(0.5) * (
+            col("s1").cast("double") / col("n_tokens") +
+              col("s2").cast("double") / col("n") +
+              lit(0.693147) * (col("n") - col("sumcw")) / col("n"))))
+          .select("source", "n_tokens", "jsd")
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS w
+               FROM documents),
+             sw AS (SELECT source, w, count(*) AS csw FROM toks GROUP BY 1, 2),
+             cw AS (SELECT w, sum(csw) AS cw FROM sw GROUP BY 1),
+             ns AS (SELECT source, sum(csw) AS ns FROM sw GROUP BY 1),
+             n AS (SELECT sum(cw) AS n FROM cw),
+             t AS (SELECT sw.source, ns.ns, n.n, cw.cw,
+                     sw.csw * CAST(floor(ln((2 * sw.csw::DOUBLE * n.n) /
+                         (sw.csw::DOUBLE * n.n + cw.cw::DOUBLE * ns.ns))
+                       * 1000000 + 0.5::DOUBLE) / 1000000
+                       AS DECIMAL(18,6)) AS t1,
+                     cw.cw * CAST(floor(ln((2 * cw.cw::DOUBLE * ns.ns) /
+                         (sw.csw::DOUBLE * n.n + cw.cw::DOUBLE * ns.ns))
+                       * 1000000 + 0.5::DOUBLE) / 1000000
+                       AS DECIMAL(18,6)) AS t2
+                   FROM sw JOIN cw ON sw.w = cw.w
+                           JOIN ns ON sw.source = ns.source, n)
+             SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+               floor((0.5::DOUBLE * (CAST(sum(t1) AS DOUBLE) / max(ns) +
+                   CAST(sum(t2) AS DOUBLE) / max(n) +
+                   0.693147::DOUBLE * (max(n) - sum(cw)) / max(n)))
+                 * 10000 + 0.5::DOUBLE) / 10000 AS jsd
+             FROM t GROUP BY source ORDER BY source""")),
+
+    // Frequent-segment boilerplate screen — the C4 boilerplate rule
+    // re-expressed over word trigrams (the corpus is single-line, so
+    // the segment unit is the trigram, not the line): any trigram
+    // occurring in >= BoilerDocFreq DISTINCT documents is boilerplate;
+    // report per-source boilerplate occupancy and documents over 25%
+    // (INTEGER cross-multiply 4·boiler > n_tri). Distinct from
+    // q_span_clean: spans are masked when merely DUPLICATED (>= 2
+    // docs, 8-word exact spans); boilerplate is a FREQUENCY threshold
+    // at segment granularity with a per-doc occupancy readout.
+    // Trigram generation is row-local (zip_with — the q_bigram idiom);
+    // the frequency table and the occurrence join key on the
+    // content-derived trigram (cardinality grows with the corpus, no
+    // hot key, no broadcast), aggregates are map-side-combinable.
+    Q("q_boilerplate",
+      (s, d) => {
+        val tg = Tables.documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("tg", expr(
+            "filter(zip_with(zip_with(ws, slice(ws, 2, size(ws)), " +
+              "(x, y) -> concat(x, ' ', y)), slice(ws, 3, size(ws)), " +
+              "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
+          .select(col("doc_id"), col("source"), explode(col("tg")).as("tri"))
+        val freq = tg.groupBy("tri")
+          .agg(countDistinct("doc_id").as("df"))
+        val perDoc = tg.join(freq, "tri")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tri"),
+            sum(when(col("df") >= BoilerDocFreq, 1L).otherwise(0L))
+              .as("n_boiler"))
+        perDoc.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tri").as("n_tri"),
+            sum("n_boiler").as("n_boiler"),
+            sum(when(lit(4) * col("n_boiler") > col("n_tri"), 1L)
+              .otherwise(0L)).as("docs_flagged"))
+          .withColumn("boiler_rate",
+            r4(col("n_boiler").cast("double") / col("n_tri")))
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws,
+               len(str_split(text, ' ')) AS nw FROM documents),
+             tg AS (SELECT doc_id, source,
+                 ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2] AS tri
+               FROM w CROSS JOIN range(1, 4096) t(i) WHERE t.i <= nw - 2),
+             f AS (SELECT tri, count(DISTINCT doc_id) AS df
+               FROM tg GROUP BY 1),
+             pd AS (SELECT tg.doc_id, tg.source, count(*) AS n_tri,
+                 sum(CASE WHEN f.df >= $BoilerDocFreq THEN 1 ELSE 0 END)
+                   AS n_boiler
+               FROM tg JOIN f ON tg.tri = f.tri GROUP BY 1, 2)
+             SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tri) AS BIGINT) AS n_tri,
+               CAST(sum(n_boiler) AS BIGINT) AS n_boiler,
+               CAST(sum(CASE WHEN 4 * n_boiler > n_tri THEN 1 ELSE 0 END)
+                 AS BIGINT) AS docs_flagged,
+               floor(sum(n_boiler)::DOUBLE / sum(n_tri)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS boiler_rate
+             FROM pd GROUP BY source ORDER BY source""")),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS algorithm): hash every K-word kgram (16-bit md5 prefix, the
+    // hash16 split-hash), slide a W-kgram window, select the MINIMUM
+    // hash per window breaking ties RIGHTMOST, and report each doc's
+    // distinct selected positions. The local-algorithm guarantee (any
+    // shared substring of >= W+K−1 words yields a shared fingerprint)
+    // is what document-minhash cannot give. Selection is ONE window
+    // pass partitioned by doc — the min-then-rightmost rule runs as a
+    // single BIGINT min over h·2^32 + (2^31 − pos) (smaller hash wins;
+    // equal hashes prefer larger pos). Per-doc output; the density
+    // audit ~ 2/(W+1) is the paper's expected fingerprint rate.
+    Q("q_winnow",
+      (s, d) => graft.engine.Winnow
+        .fingerprints(Tables.documents(s, d), "doc_id", "text",
+          WinnowK, WinnowW)
+        .groupBy("doc_id")
+        .agg(max("m").as("n_kgrams"), count(lit(1)).as("n_fp"))
+        .withColumn("density",
+          r4(col("n_fp").cast("double") / col("n_kgrams")))
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
+               len(str_split(text, ' ')) AS nw FROM documents),
+             g AS (SELECT doc_id, nw - 3 AS m, t.i AS pos,
+                 ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2]
+                   || ' ' || ws[t.i + 3] AS gram
+               FROM w CROSS JOIN range(1, 4096) t(i) WHERE t.i <= nw - 3),
+             k AS (SELECT doc_id, m, pos,
+                 ${Helpers.hex4("md5(gram)")} * 4294967296
+                   + (2147483648 - pos) AS key
+               FROM g),
+             sel AS (SELECT doc_id, m, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+                   AS mk
+               FROM k),
+             sp AS (SELECT doc_id, m,
+                 2147483648 - (mk % 4294967296) AS selpos
+               FROM sel WHERE pos <= greatest(m - ${WinnowW - 1}, 1))
+             SELECT doc_id, CAST(max(m) AS BIGINT) AS n_kgrams,
+               CAST(count(DISTINCT selpos) AS BIGINT) AS n_fp,
+               floor(count(DISTINCT selpos)::DOUBLE / max(m)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS density
+             FROM sp GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

@@ -7,7 +7,8 @@ object Registry {
   private def groups: Seq[Q] =
     CoreQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
       TrainingQueries.all ++ CurationQueries.all ++ CorpusStatsQueries.all ++
-      PqQueries.all ++ LexStatsQueries.all ++ TemporalQueries.all
+      PqQueries.all ++ LexStatsQueries.all ++ TemporalQueries.all ++
+      AuditQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.impl).toMap
