@@ -224,19 +224,28 @@ object AuditQueries {
     // hot key, no broadcast), aggregates are map-side-combinable.
     Q("q_boilerplate",
       (s, d) => {
-        val tg = Tables.documents(s, d)
+        // pre-aggregate to (doc, trigram, count), then take the doc
+        // frequency as a count-over-partition window instead of a
+        // groupBy+join: ONE evaluation of the trigram explode and one
+        // tri-keyed shuffle, vs the join form's TWO explode passes
+        // (the cappedShingles shape, NorthStarQueries.scala:101-106).
+        // The window's partition width is a trigram's DOC frequency
+        // (the (doc,tri) aggregate, never raw occurrences) — the same
+        // bounded exposure the shingle-df window carries.
+        val dt = Tables.documents(s, d)
           .withColumn("ws", split(col("text"), " "))
           .withColumn("tg", expr(
             "filter(zip_with(zip_with(ws, slice(ws, 2, size(ws)), " +
               "(x, y) -> concat(x, ' ', y)), slice(ws, 3, size(ws)), " +
               "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
           .select(col("doc_id"), col("source"), explode(col("tg")).as("tri"))
-        val freq = tg.groupBy("tri")
-          .agg(countDistinct("doc_id").as("df"))
-        val perDoc = tg.join(freq, "tri")
+          .groupBy("doc_id", "source", "tri").agg(count(lit(1)).as("c"))
+        val perDoc = dt
+          .withColumn("df", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("tri")))
           .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("n_tri"),
-            sum(when(col("df") >= BoilerDocFreq, 1L).otherwise(0L))
+          .agg(sum("c").as("n_tri"),
+            sum(when(col("df") >= BoilerDocFreq, col("c")).otherwise(0L))
               .as("n_boiler"))
         perDoc.groupBy("source").agg(
             count(lit(1)).as("n_docs"),

@@ -504,4 +504,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"pair join lost its token key:\n$p")
   }
+
+  test("blocklist / url audit: row-local screens, no corpus self-join") {
+    // both audits are one map pass + keyed aggregates; a refactor that
+    // joins the corpus against itself (or explodes a join) would still
+    // be correct and 100x the shuffle at scale
+    val pb = plan("q_blocklist")
+    assert(!pb.contains("Join"), s"blocklist grew a join:\n$pb")
+    val pu = plan("q_url_audit")
+    assert(!pu.contains("CartesianProduct"), s"url audit went all-pairs:\n$pu")
+  }
+
+  test("js divergence: per-source totals broadcast; token join stays keyed") {
+    // |sources|-row and 1-row totals must broadcast (the q_kl_source
+    // contract); the (source,w)x(w) join must keep its token equi key —
+    // the absent-mass term exists precisely so nothing materializes
+    // |sources| x |vocab|
+    val p = plan("q_js_div")
+    assert(p.contains("BroadcastHashJoin"), s"totals lost broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"js_div went all-pairs:\n$p")
+  }
+
+  test("boilerplate: doc frequency is a window over the (doc,tri) " +
+    "aggregate — one explode pass, no join") {
+    // the cappedShingles shape: a groupBy+join form would evaluate the
+    // trigram explode twice; a window over RAW occurrences would widen
+    // partitions from doc-frequency to occurrence-frequency
+    val p = plan("q_boilerplate")
+    assert(p.contains("Window"), s"df window gone:\n$p")
+    assert(!p.contains("Join"), s"boilerplate grew a join:\n$p")
+    // the window consumes the (doc,source,tri) aggregate, not the
+    // explode: a HashAggregate must sit between Generate and Window
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val genAt = lines.indexWhere(_.contains("Generate explode"))
+    val aggBetween = lines.slice(winAt, genAt)
+      .exists(_.contains("HashAggregate"))
+    assert(winAt >= 0 && genAt > winAt && aggBetween,
+      s"window input is not the (doc,tri) aggregate:\n$p")
+  }
+
+  test("winnow: one per-doc window pass, no join, no cartesian") {
+    // selection must stay a single window partitioned by the document —
+    // a join-based rightmost-min (positions x window starts) would be
+    // O(w x tokens) and shuffle twice
+    val p = plan("q_winnow")
+    assert(!p.contains("Join"), s"winnow grew a join:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 2,
+      s"winnow should need at most the min-key and count windows:\n$p")
+  }
 }
