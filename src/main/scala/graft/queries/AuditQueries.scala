@@ -60,6 +60,12 @@ object AuditQueries {
   val WinnowK = 4
   val WinnowW = 5
 
+  /** Embedding-contamination cosine threshold — an eval vector with a
+    * same-cell train neighbor at or above this similarity is counted
+    * contaminated (matches the SemDeDup operating point on this
+    * corpus so the audit exercises real hits). */
+  val ContamTau = 0.35
+
   val all: Seq[Q] = Seq(
 
     // Word-blocklist screen (Gopher-style bad-word filter): per-source
@@ -319,6 +325,81 @@ object AuditQueries {
                CAST(count(DISTINCT selpos) AS BIGINT) AS n_fp,
                floor(count(DISTINCT selpos)::DOUBLE / max(m)
                  * 10000 + 0.5::DOUBLE) / 10000 AS density
-             FROM sp GROUP BY doc_id ORDER BY doc_id"""))
+             FROM sp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Embedding-space contamination check: does the EVAL split share
+    // near-identical vectors with the TRAIN split? The n-gram
+    // decontamination (q_contamination) misses paraphrases; this is
+    // the embedding-side companion every benchmark-hygiene pipeline
+    // runs before training. Split is deterministic (vec_id % 10 = 0 is
+    // eval); candidate pairs are blocked on the SHARED trained-IVF
+    // cell (memoized with the ANN family) — per-cell membership stays
+    // bounded as cell count grows with the corpus, so the pair term
+    // never sees N (the SemDeDup scaling argument). Per-cell report:
+    // eval/train populations, contaminated eval vectors, hit mass, max
+    // similarity. Cosines are round()ed (irrational-mantissa rule)
+    // before the >= tau compare on BOTH engines.
+    Q("q_embed_contam",
+      (s, d) => {
+        val a = NorthStarQueries.ivfAssigned(s, d)
+        val ev = a.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("cell"), col("vec_id").as("qid"),
+            col("emb").as("qe"), col("nrm").as("qn"))
+        val tr = a.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+          .select(col("cell"), col("vec_id").as("tid"),
+            col("emb").as("te"), col("nrm").as("tn"))
+        val perEval = ev.join(tr, Seq("cell"))
+          .withColumn("sim",
+            round(expr("graft_dot(qe, te)") / (col("qn") * col("tn")), 4))
+          .filter(col("sim") >= ContamTau)
+          .groupBy("cell", "qid")
+          .agg(count(lit(1)).as("nh"), max("sim").as("ms"))
+        val hits = perEval.groupBy("cell")
+          .agg(count(lit(1)).as("n_contaminated"),
+            sum("nh").as("n_hits"), max("ms").as("max_sim"))
+        val evc = ev.groupBy("cell").agg(count(lit(1)).as("n_eval"))
+        val trc = tr.groupBy("cell").agg(count(lit(1)).as("n_train"))
+        evc.join(trc, Seq("cell"), "left")
+          .join(hits, Seq("cell"), "left")
+          .select(col("cell"), col("n_eval"),
+            coalesce(col("n_train"), lit(0L)).as("n_train"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("max_sim"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH ${NorthStarQueries.embCte},
+             ${NorthStarQueries.kmeansCte},
+             scored AS (
+               SELECT n.vec_id, n.e, n.nrm, c.cell,
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS csim
+               FROM n CROSS JOIN c),
+             asn AS (
+               SELECT vec_id, e, nrm, cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cell) AS rn FROM scored)
+               WHERE rn = 1),
+             ev AS (SELECT cell, vec_id AS qid, e AS qe, nrm AS qn
+               FROM asn WHERE vec_id % 10 = 0),
+             tr AS (SELECT cell, vec_id AS tid, e AS te, nrm AS tn
+               FROM asn WHERE vec_id % 10 <> 0),
+             pe AS (SELECT ev.cell, qid, count(*) AS nh,
+                 max(round(list_dot_product(qe, te) / (qn * tn), 4)) AS ms
+               FROM ev JOIN tr ON ev.cell = tr.cell
+               WHERE round(list_dot_product(qe, te) / (qn * tn), 4)
+                 >= $ContamTau
+               GROUP BY 1, 2),
+             h AS (SELECT cell, count(*) AS n_contaminated,
+                 sum(nh) AS n_hits, max(ms) AS max_sim FROM pe GROUP BY 1),
+             evc AS (SELECT cell, count(*) AS n_eval FROM ev GROUP BY 1),
+             trc AS (SELECT cell, count(*) AS n_train FROM tr GROUP BY 1)
+             SELECT evc.cell, n_eval,
+               CAST(coalesce(trc.n_train, 0) AS BIGINT) AS n_train,
+               CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               h.max_sim
+             FROM evc LEFT JOIN trc ON evc.cell = trc.cell
+                      LEFT JOIN h ON evc.cell = h.cell
+             ORDER BY evc.cell"""))
   )
 }

@@ -544,6 +544,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window input is not the (doc,tri) aggregate:\n$p")
   }
 
+  test("embed contamination: eval x train pair join blocked on the cell") {
+    // the q_dedup_embed contract: the only unkeyed join allowed is the
+    // k-row broadcast centroid assignment; the eval x train pair join
+    // must keep its cell equi key or contamination goes all-pairs
+    val p = plan("q_embed_contam")
+    assert(!p.contains("CartesianProduct"), s"contam went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"pair join lost its cell key:\n$p")
+  }
+
   test("winnow: one per-doc window pass, no join, no cartesian") {
     // selection must stay a single window partitioned by the document —
     // a join-based rightmost-min (positions x window starts) would be
