@@ -62,15 +62,39 @@ object BloomIndex {
 
   private def bloomDir(dataDir: String): String = s"$dataDir/_bloom"
 
+  /** Clone-local sidecar root serving an INHERITED commit dir: a
+    * shallow clone must never write into the source's data dirs, so
+    * its sidecars for `../source/<dir>` entries land under the CLONE's
+    * own table dir, keyed by a digest of the manifest-recorded dir
+    * string (`commitDir` — stable and identical on the build and read
+    * paths, unlike resolved filesystem paths). */
+  def extRoot(tableDir: String, commitDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(commitDir.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    s"$tableDir/_bloom_ext/$hex"
+  }
+
+  private def sidecarAt(bloomOut: String, file: String,
+      physCol: String): Path =
+    new Path(bloomOut, s"$file.$physCol.bloom")
+
   private def sidecar(dataDir: String, file: String, physCol: String): Path =
-    new Path(bloomDir(dataDir), s"$file.$physCol.bloom")
+    sidecarAt(bloomDir(dataDir), file, physCol)
+
+  private def successMarkAt(bloomOut: String): Path =
+    new Path(bloomOut, "_SUCCESS")
 
   private def successMark(dataDir: String): Path =
-    new Path(bloomDir(dataDir), "_SUCCESS")
+    successMarkAt(bloomDir(dataDir))
 
   /** True when the dir carries the fully-indexed marker. */
   def isIndexed(fs: FileSystem, dataDir: String): Boolean =
     fs.exists(successMark(dataDir))
+
+  /** True when an explicit sidecar root carries the marker. */
+  def isIndexedAt(fs: FileSystem, bloomOut: String): Boolean =
+    fs.exists(successMarkAt(bloomOut))
 
   /** Builds all sidecars for one immutable data dir and stamps
     * `_bloom/_SUCCESS`. `counts` are per-file row counts from the
@@ -80,6 +104,14 @@ object BloomIndex {
     * builds its files' filters and writes the sidecars directly. */
   def buildDir(spark: SparkSession, dataDir: String,
       physSchema: StructType, physCols: Seq[StructField],
+      counts: Map[String, Long], fppValue: Double): Unit =
+    buildDirAt(spark, dataDir, bloomDir(dataDir), physSchema, physCols,
+      counts, fppValue)
+
+  /** [[buildDir]] with an explicit sidecar root — the clone-local form
+    * for inherited dirs (reads `dataDir`, writes only `bloomOut`). */
+  def buildDirAt(spark: SparkSession, dataDir: String, bloomOut: String,
+      physSchema: StructType, physCols: Seq[StructField],
       counts: Map[String, Long], fppValue: Double): Unit = {
     val cols = physCols.filter(f => supported(f.dataType))
     if (cols.isEmpty) {
@@ -87,7 +119,7 @@ object BloomIndex {
       // stamp it anyway so the steady-state re-check stays one probe
       val hfs = new Path(dataDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      hfs.create(successMark(dataDir), true).close()
+      hfs.create(successMarkAt(bloomOut), true).close()
       return
     }
     val conf = new SerializableConfiguration(
@@ -95,7 +127,7 @@ object BloomIndex {
     val fallback = math.max(1L, (counts.values ++ Seq(1L)).max)
     val colNames = cols.map(_.name)
     val colTypes = cols.map(_.dataType)
-    val dirStr = dataDir
+    val outStr = bloomOut
     spark.read.schema(physSchema).parquet(dataDir)
       .select(input_file_name().as("__file") +: colNames.map(col): _*)
       .repartition(col("__file"))
@@ -121,25 +153,30 @@ object BloomIndex {
             i += 1
           }
         }
-        val hfs = new Path(dirStr).getFileSystem(conf.value)
+        val hfs = new Path(outStr).getFileSystem(conf.value)
         filters.foreach { case (name, fl) =>
           colNames.indices.foreach { i =>
-            val out = hfs.create(sidecar(dirStr, name, colNames(i)), true)
+            val out = hfs.create(sidecarAt(outStr, name, colNames(i)), true)
             try fl(i).writeTo(out) finally out.close()
           }
         }
       }
     val hfs = new Path(dataDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val out = hfs.create(successMark(dataDir), true)
+    val out = hfs.create(successMarkAt(bloomOut), true)
     out.close()
   }
 
   /** Loads one sidecar, None when absent/unreadable (keep-file). */
   def load(fs: FileSystem, dataDir: String, file: String,
       physCol: String): Option[BloomFilter] =
+    loadAt(fs, bloomDir(dataDir), file, physCol)
+
+  /** [[load]] from an explicit sidecar root (clone-local form). */
+  def loadAt(fs: FileSystem, bloomOut: String, file: String,
+      physCol: String): Option[BloomFilter] =
     try {
-      val p = sidecar(dataDir, file, physCol)
+      val p = sidecarAt(bloomOut, file, physCol)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)

@@ -218,13 +218,19 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
     }.filter(_._2.nonEmpty)
   }
 
-  private def bloomKeeps(file: FileStatus,
+  /** `extRoot` is the clone-local sidecar root for files of an
+    * INHERITED commit dir: tried when the dir-local sidecar is absent
+    * (source never indexed, or dropped its sidecars — the clone may
+    * have built its own under `_bloom_ext`). */
+  private def bloomKeeps(file: FileStatus, extRoot: Option[String],
       targets: Seq[(String, Seq[Any])]): Boolean =
     targets.forall { case (col, values) =>
       val dir = file.getPath.getParent.toString
       val name = file.getPath.getName
       bloomCache.getOrElseUpdate((s"$dir/$name", col),
-        BloomIndex.load(fs, dir, name, col)) match {
+        BloomIndex.load(fs, dir, name, col)
+          .orElse(extRoot.flatMap(r => BloomIndex.loadAt(fs, r, name, col)))
+      ) match {
         case Some(bf) =>
           values.exists(v => BloomIndex.mightContain(bf, bloom(col), v))
         case None => true // unindexed file: keep
@@ -249,15 +255,19 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
       case a: AttributeReference if mappingMap.contains(a.name) =>
         a.withName(mappingMap(a.name))
     })
-    val kept = dataEntries.flatMap { e =>
+    val kept: Seq[(FileStatus, Option[String])] = dataEntries.flatMap { e =>
       val files = listDir(e)
-      (e.stats, physPred) match {
+      // clone-local sidecar root for inherited dirs (read fallback)
+      val ext = if (e.dir.startsWith("../"))
+        Some(BloomIndex.extRoot(tableDir, e.dir)) else None
+      val survivors = (e.stats, physPred) match {
         case (Some(json), Some(p)) =>
           val perFile = FileStats.parse(json)
           files.filter(f => perFile.get(f.getPath.getName)
             .forall(pf => FileStats.mayMatch(p, physSchema, pf)))
         case _ => files
       }
+      survivors.map(f => (f, ext))
     }
     // Bloom pass AFTER min/max pruning: point predicates on indexed
     // columns drop files whose filters rule the value out (sidecars
@@ -265,8 +275,9 @@ final class GraftFileIndex(spark: SparkSession, tableDir: String,
     val bloomed = physPred match {
       case Some(p) if bloom.nonEmpty =>
         val targets = bloomTargets(p)
-        if (targets.isEmpty) kept else kept.filter(bloomKeeps(_, targets))
-      case _ => kept
+        if (targets.isEmpty) kept.map(_._1)
+        else kept.collect { case (f, ext) if bloomKeeps(f, ext, targets) => f }
+      case _ => kept.map(_._1)
     }
     Seq(PartitionDirectory(InternalRow.empty, bloomed.toArray))
   }

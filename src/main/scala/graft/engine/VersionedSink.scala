@@ -507,17 +507,29 @@ final class VersionedParquetSink(basePath: String,
     val fppValue = BloomIndex.fpp(props)
     val f = fs(spark, tableDir(table))
     liveEntries(entries).filterNot(VersionedParquetSink.isDv)
+      .foreach { e =>
+      val dir = VersionedParquetSink.resolveDir(tableDir(table), e.dir)
       // a SHALLOW CLONE's inherited dirs resolve `../source/<dir>` —
       // building there would write `_bloom` sidecars into the SOURCE
       // table's data dirs (clone inherits graft.bloom.columns), racing
       // any source-side build and violating the clone contract that
-      // maintenance never touches the source. Index only table-local
-      // dirs; inherited dirs are served by the source's own sidecars
-      // (the read path keeps files whose sidecar is missing).
-      .filterNot(_.dir.startsWith("../"))
-      .foreach { e =>
-      val dir = VersionedParquetSink.resolveDir(tableDir(table), e.dir)
-      if (f.exists(new Path(dir)) && !BloomIndex.isIndexed(f, dir)) {
+      // maintenance never touches the source. An inherited dir already
+      // indexed by the source is served by those sidecars; otherwise
+      // (source never opted in, or its sidecars were dropped) the
+      // build lands CLONE-LOCALLY under `_bloom_ext/<digest(e.dir)>`,
+      // which the read path consults as a fallback.
+      val inherited = e.dir.startsWith("../")
+      val out: Option[String] =
+        if (!f.exists(new Path(dir))) None
+        else if (inherited) {
+          if (BloomIndex.isIndexed(f, dir)) None
+          else {
+            val ext = BloomIndex.extRoot(tableDir(table), e.dir)
+            if (BloomIndex.isIndexedAt(f, ext)) None else Some(ext)
+          }
+        } else if (BloomIndex.isIndexed(f, dir)) None
+        else Some(s"$dir/_bloom")
+      out.foreach { bloomOut =>
         // the dir's files spell the schema/mapping AS OF ITS COMMIT —
         // configured columns missing back then are skipped for that dir
         val logical = e.schemaDdl.map(StructType.fromDDL)
@@ -534,8 +546,8 @@ final class VersionedParquetSink(basePath: String,
           .filter(sf => physNames.contains(sf.name))
         val counts = e.stats.map(FileStats.parse).getOrElse(Map.empty)
           .map { case (file, pf) => file -> pf.numRecords }
-        BloomIndex.buildDir(spark, dir, physSchema, physCols, counts,
-          fppValue)
+        BloomIndex.buildDirAt(spark, dir, bloomOut, physSchema, physCols,
+          counts, fppValue)
       }
     }
   }
@@ -2668,6 +2680,20 @@ final class VersionedParquetSink(basePath: String,
       .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-"))
       .filter(st => now - st.getModificationTime >= grace)
       .foreach(st => if (!dryRun) fb.delete(st.getPath, false))
+    // clone-local bloom sidecars (`_bloom_ext/<digest>`) GC with the
+    // inherited entries that reference them — same retention window
+    // and superseded semantics as the data dirs they serve
+    val extKeep: Set[String] =
+      (if (!includeSuperseded || pendingClone) entries
+       else liveEntries(entries))
+        .filter(_.dir.startsWith("../"))
+        .map(e => new Path(
+          BloomIndex.extRoot(tableDir(table), e.dir)).getName).toSet
+    val extD = new Path(s"${tableDir(table)}/_bloom_ext")
+    if (f.exists(extD)) f.listStatus(extD).toSeq
+      .filter(st => st.isDirectory && !extKeep.contains(st.getPath.getName))
+      .filter(st => now - st.getModificationTime >= grace)
+      .foreach(st => if (!dryRun) f.delete(st.getPath, true))
     // dryRun (Delta's VACUUM ... DRY RUN): report what WOULD be deleted,
     // touch nothing
     f.listStatus(td).toSeq

@@ -169,6 +169,57 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(sink.read(spark, "c").where(col("id") === 2L).count() == 1L)
   }
 
+  test("clone-local sidecars serve inherited dirs the source never indexed") {
+    // source WITHOUT bloom; the clone opts in — the inherited dirs must
+    // get clone-local `_bloom_ext` sidecars (never source-side writes)
+    // and the clone's point lookups must prune through them
+    val base = TestSpark.tmpDir("bl9")
+    val sink = new VersionedParquetSink(base)
+    (0 until 3).foreach { k =>
+      sink.append(Seq.tabulate(300)(i => ((i * 3 + k).toLong, s"s$k-$i"))
+        .toDF("id", "v").coalesce(1), "t")
+    }
+    sink.cloneShallow(spark, "t", "c")
+    sink.setProperties(spark, "c", Map("graft.bloom.columns" -> "id"))
+    sink.ensureBloomIndex(spark, "c")
+    // nothing in the source's dirs
+    val srcDirs = Option(new java.io.File(s"$base/t").listFiles).toSeq
+      .flatten.filter(_.isDirectory)
+    assert(!srcDirs.exists(d => new java.io.File(d, "_bloom").exists()),
+      "clone build touched the source")
+    // clone-local roots exist, one per inherited dir
+    val extRoots = Option(
+      new java.io.File(s"$base/c/_bloom_ext").listFiles).toSeq.flatten
+    assert(extRoots.count(_.isDirectory) == 3, s"ext roots: $extRoots")
+    // point lookup on the clone prunes to 1 of 3 interleaved files
+    val scanned = scanOf(spark.read.format("graft").load(s"$base/c")
+      .filter(col("id") === 601L)).metrics("numFiles")
+    assert(scanned.value == 1, s"scanned ${scanned.value}")
+    // correctness: the surviving file holds the row
+    assert(spark.read.format("graft").load(s"$base/c")
+      .filter(col("id") === 601L).collect().map(_.getString(1)).toSeq
+      == Seq("s1-200"))
+  }
+
+  test("vacuum GCs clone-local sidecar roots with their entries") {
+    val base = TestSpark.tmpDir("bl10")
+    val sink = new VersionedParquetSink(base)
+    sink.append(Seq((1L, "a")).toDF("id", "v"), "t")
+    sink.cloneShallow(spark, "t", "c")
+    sink.setProperties(spark, "c", Map("graft.bloom.columns" -> "id"))
+    sink.ensureBloomIndex(spark, "c")
+    val extD = new java.io.File(s"$base/c/_bloom_ext")
+    assert(Option(extD.listFiles).toSeq.flatten.count(_.isDirectory) == 1)
+    // materialize the clone: OPTIMIZE folds inherited dirs into a local
+    // one, superseding the inherited entry
+    sink.compact(spark, "c")
+    sink.vacuum(spark, "c", graceMs = 0L, includeSuperseded = true)
+    assert(Option(extD.listFiles).toSeq.flatten.isEmpty,
+      "superseded inherited dir kept its _bloom_ext root past vacuum")
+    // reads still fine (local dir got its own _bloom via the rewrite)
+    assert(sink.read(spark, "c").where(col("id") === 1L).count() == 1L)
+  }
+
   test("off by default: no property, no sidecars written") {
     val base = TestSpark.tmpDir("bl7")
     val sink = new VersionedParquetSink(base)
