@@ -89,7 +89,17 @@ object ScaleProbe {
     "q_budget_fill",
     // simplified silhouette: the assignment's own broadcast-k scoring
     // pass plus a per-vector top-2 window
-    "q_silhouette")
+    "q_silhouette",
+    // audit wave: blocklist/url are row-local map passes (flat-by-
+    // design control rows); JS divergence adds the absent-mass scalar
+    // to the kl_source topology; boilerplate is the trigram-keyed
+    // window-over-aggregate; winnow is one per-doc window over kgram
+    // positions. q_embed_contam carries the q_dedup_embed fixed-k
+    // caveat at 100x (per-cell membership grows under the oracle's
+    // corpus-independent k, inflating the within-cell pair term — the
+    // parameterized engine path grows k with the corpus).
+    "q_blocklist", "q_url_audit", "q_js_div", "q_boilerplate",
+    "q_winnow", "q_embed_contam")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -66,6 +66,11 @@ object AuditQueries {
     * corpus so the audit exercises real hits). */
   val ContamTau = 0.35
 
+  /** Content-defined chunking parameters: rolling-hash kgram width and
+    * the boundary modulus (expected chunk length ≈ modulus tokens). */
+  val CdcK = 4
+  val CdcModulus = 32
+
   val all: Seq[Q] = Seq(
 
     // Word-blocklist screen (Gopher-style bad-word filter): per-source
@@ -400,6 +405,59 @@ object AuditQueries {
                h.max_sim
              FROM evc LEFT JOIN trc ON evc.cell = trc.cell
                       LEFT JOIN h ON evc.cell = h.cell
-             ORDER BY evc.cell"""))
+             ORDER BY evc.cell""")),
+
+    // Content-defined chunking (engine/Chunker.scala — the rsync/LBFS
+    // boundary rule behind dedup stores and delta sync): a boundary
+    // falls after token t when hash16 of the 4-gram ending at t is
+    // 0 mod 32, so boundaries move with CONTENT, not offsets — an
+    // insertion re-chunks only its neighborhood (the locality property
+    // fixed-width q_chunk lacks, tested in ChunkerSpec). Per-source
+    // report: chunk count, content-distinct chunks (the dedup-store
+    // address space), token mass, uniqueness rate, mean chunk length
+    // (≈ modulus by construction). Row-local flags + one per-doc
+    // window cumsum + bounded (doc, chunk) reassembly — linear, no
+    // joins except the doc→source attach.
+    Q("q_cdc_chunk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.engine.Chunker.cdcChunks(docs, "doc_id", "text", CdcK, CdcModulus)
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct("hash").as("n_distinct"),
+            sum("n_tokens").as("n_tokens"))
+          .withColumn("uniq_rate",
+            r4(col("n_distinct").cast("double") / col("n_chunks")))
+          .withColumn("mean_len",
+            r4(col("n_tokens").cast("double") / col("n_chunks")))
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, str_split(text, ' ') AS ws,
+               len(str_split(text, ' ')) AS nw FROM documents),
+             tok AS (SELECT doc_id, source, t.i AS pos, ws[t.i] AS tok, ws
+               FROM w CROSS JOIN range(1, 4096) t(i) WHERE t.i <= nw),
+             b AS (SELECT doc_id, source, pos, tok,
+                 CASE WHEN pos >= $CdcK AND ${Helpers.hex4(
+                   s"md5(ws[pos-3] || ' ' || ws[pos-2] || ' ' || " +
+                     "ws[pos-1] || ' ' || ws[pos])")} % $CdcModulus = 0
+                   THEN 1 ELSE 0 END AS b
+               FROM tok),
+             c AS (SELECT doc_id, source, pos, tok,
+                 coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk
+               FROM b),
+             ch AS (SELECT doc_id, source, chunk, count(*) AS n_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS hash
+               FROM c GROUP BY 1, 2, 3)
+             SELECT source, count(*) AS n_chunks,
+               CAST(count(DISTINCT hash) AS BIGINT) AS n_distinct,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               floor(count(DISTINCT hash)::DOUBLE / count(*)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS uniq_rate,
+               floor(sum(n_tokens)::DOUBLE / count(*)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS mean_len
+             FROM ch GROUP BY source ORDER BY source"""))
   )
 }

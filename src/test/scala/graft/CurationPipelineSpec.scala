@@ -3,25 +3,28 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{BudgetFill, PiiScrub, VersionedParquetSink}
+import graft.engine.{BudgetFill, PiiScrub, UrlAudit, VersionedParquetSink}
 
 /** The LLM-training-data curation pipeline as ONE composition over the
   * engine's own stages — the corpus-side counterpart of the flagship
   * reference flow (EndToEndSpec / FlagshipCatalogSpec cover
   * RSS→ingest→dashboard; this covers corpus→training-set):
   *
-  *   real documents (+ injected PII and duplicate fixtures)
+  *   real documents (+ injected PII / URL / blocklist / dup fixtures)
   *     → PII scrub (redact, audit)          [PiiScrub]
+  *     → URL scrub (links → [URL])          [UrlAudit]
   *     → quality screen (token floor)       [row-local]
+  *     → blocklist screen (10% integer rule) [row-local]
   *     → exact dedup (text fingerprint)     [hash groupBy]
   *     → budget allocation per source       [BudgetFill waterfilling]
   *     → contiguous-fill selection to the allocation
   *     → versioned sink with identity + CDF [VersionedParquetSink]
   *
-  * Asserts the properties a pipeline owner actually relies on: PII
-  * never reaches the sink, duplicates land exactly once, per-source
-  * token spend never exceeds its allocation (+ one doc of granularity),
-  * identity values are unique, and the change feed shows the load. */
+  * Asserts the properties a pipeline owner actually relies on: PII and
+  * raw URLs never reach the sink, blocklist-saturated docs are cut,
+  * duplicates land exactly once, per-source token spend never exceeds
+  * its allocation (+ one doc of granularity), identity values are
+  * unique, and the change feed shows the load. */
 class CurationPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -41,7 +44,10 @@ class CurationPipelineSpec extends AnyFunSuite {
       (9001L, "contact alice@example.com about key sk-abcdef0123456789abcd " +
         "and more words to pass the quality floor here", "en", "srcPII"),
       (9002L, dupText, "en", "src0"), // exact dup of doc 0
-      (9003L, "too short", "en", "src0"))
+      (9003L, "too short", "en", "src0"),
+      (9004L, "see https://tracker.example.com/pixel plus enough filler " +
+        "words to pass the quality floor", "en", "src1"),
+      (9005L, "slow merge dup slow merge dup slow merge", "en", "src1"))
       .toDF("doc_id", "text", "lang", "source")
     val corpus = real.unionByName(fixtures)
 
@@ -50,10 +56,25 @@ class CurationPipelineSpec extends AnyFunSuite {
       .withColumn("text", col("text_clean"))
       .drop("text_clean")
 
+    // 1b. URL scrub: links become [URL] before tokenization
+    val unlinked = UrlAudit.annotate(scrubbed, "text")
+      .withColumn("text", col("text_clean"))
+      .drop("text_clean")
+
     // 2. quality screen: token floor
-    val screened = scrubbed
+    val screened0 = unlinked
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .filter(col("n_tok") >= 5L)
+
+    // 2b. blocklist screen: cut docs over 10% blocklist mass (the
+    // q_blocklist integer rule)
+    val block = graft.queries.AuditQueries.BlockWords
+    val screened = screened0
+      .withColumn("hits",
+        size(filter(split(col("text"), " "), w => w.isin(block: _*)))
+          .cast("long"))
+      .filter(lit(10) * col("hits") <= col("n_tok"))
+      .drop("hits")
 
     // 3. exact dedup on the scrubbed text fingerprint (keep min doc_id)
     val deduped = screened
@@ -96,6 +117,14 @@ class CurationPipelineSpec extends AnyFunSuite {
       val t = pii.head().getAs[String]("text")
       assert(t.contains("[EMAIL]") && t.contains("[KEY]"), t)
     }
+    // raw URLs never reach the sink; the URL doc (if budgeted) is scrubbed
+    assert(out.filter(col("text").contains("https://")).isEmpty)
+    val urlDoc = out.filter(col("doc_id") === 9004L)
+    if (!urlDoc.isEmpty)
+      assert(urlDoc.head().getAs[String]("text").contains("[URL]"))
+    // the blocklist-saturated fixture is cut (8 hits / 8 tokens)
+    assert(out.filter(col("doc_id") === 9005L).isEmpty,
+      "blocklist-saturated doc survived the screen")
     // the exact duplicate landed exactly once (the original doc 0 kept)
     assert(out.filter(col("doc_id") === 9002L).isEmpty, "dup survived")
     assert(out.filter(col("doc_id") === 0L).count() == 1L)

@@ -554,6 +554,16 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"pair join lost its cell key:\n$p")
   }
 
+  test("cdc chunking: row-local boundaries; only the doc->source attach joins") {
+    // boundary flags are computed inside a per-row lambda and chunk ids
+    // by one per-doc window — a refactor that joins tokens against a
+    // boundary table (or goes cartesian) would shuffle the token stream
+    // twice at 100 TB
+    val p = plan("q_cdc_chunk")
+    assert(!p.contains("CartesianProduct"), s"cdc chunking went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$p")
+  }
+
   test("winnow: one per-doc window pass, no join, no cartesian") {
     // selection must stay a single window partitioned by the document —
     // a join-based rightmost-min (positions x window starts) would be
