@@ -99,7 +99,11 @@ object ScaleProbe {
     // corpus-independent k, inflating the within-cell pair term — the
     // parameterized engine path grows k with the corpus).
     "q_blocklist", "q_url_audit", "q_js_div", "q_boilerplate",
-    "q_winnow", "q_embed_contam")
+    "q_winnow", "q_embed_contam",
+    // MOSS pair detection (df-capped fingerprint-keyed pair join) and
+    // content-defined chunking (row-local flags + per-doc cumsum +
+    // bounded chunk reassembly)
+    "q_winnow_pairs", "q_cdc_chunk")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

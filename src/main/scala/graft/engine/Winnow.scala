@@ -69,4 +69,25 @@ object Winnow {
         shiftright(col("mk"), 32).as("h"), col("m"))
       .distinct()
   }
+
+  /** [[fingerprints]] joined back to their kgram CONTENT: (idCol, pos,
+    * g, m) where `g` is md5 of the selected kgram — the full-width
+    * identity MOSS matches on (the 16-bit `h` only drives selection;
+    * matching on it would collide constantly at corpus scale). One
+    * (id, pos)-keyed join against the same kgram stream. */
+  def fingerprintGrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame =
+    attachGrams(fingerprints(df, idCol, textCol, k, w), df, idCol,
+      textCol, k)
+
+  /** [[fingerprintGrams]] over a PRECOMPUTED (possibly cached)
+    * [[fingerprints]] table — lets callers share one selection pass
+    * across several consumers. */
+  def attachGrams(fp: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val g = kgrams(df, idCol, textCol, k)
+      .select(col(idCol), col("pos"),
+        md5(col("gram").cast("binary")).as("g"))
+    fp.drop("h").join(g, Seq(idCol, "pos"))
+  }
 }

@@ -71,6 +71,25 @@ object AuditQueries {
   val CdcK = 4
   val CdcModulus = 32
 
+  /** Hot-fingerprint document-frequency cap for winnow pair matching
+    * (the MaxShingleDf treatment: a fingerprint in > this many docs is
+    * boilerplate, not near-dup evidence, and would blow up the pair
+    * join quadratically). */
+  val WinnowMaxDf = 5
+
+  /** Winnow selection pass, memoized+cached per (session, dir) — BOTH
+    * q_winnow and q_winnow_pairs consume it (the shingleCache
+    * pattern). */
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+  private def corpusFingerprints(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    NorthStarQueries.memoize(fpCache, s, d) {
+      graft.engine.Winnow.fingerprints(Tables.documents(s, d),
+        "doc_id", "text", WinnowK, WinnowW)
+    }
+
   val all: Seq[Q] = Seq(
 
     // Word-blocklist screen (Gopher-style bad-word filter): per-source
@@ -300,9 +319,7 @@ object AuditQueries {
     // equal hashes prefer larger pos). Per-doc output; the density
     // audit ~ 2/(W+1) is the paper's expected fingerprint rate.
     Q("q_winnow",
-      (s, d) => graft.engine.Winnow
-        .fingerprints(Tables.documents(s, d), "doc_id", "text",
-          WinnowK, WinnowW)
+      (s, d) => corpusFingerprints(s, d)
         .groupBy("doc_id")
         .agg(max("m").as("n_kgrams"), count(lit(1)).as("n_fp"))
         .withColumn("density",
@@ -331,6 +348,66 @@ object AuditQueries {
                floor(count(DISTINCT selpos)::DOUBLE / max(m)
                  * 10000 + 0.5::DOUBLE) / 10000 AS density
              FROM sp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // MOSS pair detection on winnow fingerprints: documents sharing
+    // >= 2 selected kgram CONTENT hashes (md5 — the 16-bit h only
+    // drives selection; matching on it would collide constantly at
+    // corpus scale) are near-dup candidates. The locality guarantee
+    // makes this sound: any >= w+k−1-word shared run YIELDS a shared
+    // fingerprint, so real overlaps cannot be missed, while the >= 2
+    // threshold drops single-fingerprint chance collisions (measured
+    // on this corpus: chance pairs share exactly 1, planted near-dups
+    // share 6-30). Fingerprints are df-capped (the MaxShingleDf
+    // treatment) so pair volume stays Σ C(df,2) <= (cap-1)/2 × |fps| —
+    // linear in the corpus; the join keys on the fingerprint hash.
+    Q("q_winnow_pairs",
+      (s, d) => {
+        val fp = graft.engine.Winnow
+          .attachGrams(corpusFingerprints(s, d), Tables.documents(s, d),
+            "doc_id", "text", WinnowK)
+          .select(col("doc_id"), col("g")).distinct()
+        val capped = fp
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("g")))
+          .filter(col("df") <= WinnowMaxDf)
+          .select("doc_id", "g")
+        val l = capped.select(col("g"), col("doc_id").as("d1"))
+        val r = capped.select(col("g"), col("doc_id").as("d2"))
+        l.join(r, Seq("g")).filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
+               len(str_split(text, ' ')) AS nw FROM documents),
+             g AS (SELECT doc_id, nw - 3 AS m, t.i AS pos,
+                 ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2]
+                   || ' ' || ws[t.i + 3] AS gram
+               FROM w CROSS JOIN range(1, 4096) t(i) WHERE t.i <= nw - 3),
+             k AS (SELECT doc_id, m, pos, gram,
+                 ${Helpers.hex4("md5(gram)")} * 4294967296
+                   + (2147483648 - pos) AS key
+               FROM g),
+             sel AS (SELECT doc_id, m, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+                   AS mk
+               FROM k),
+             sp AS (SELECT DISTINCT doc_id,
+                 2147483648 - (mk % 4294967296) AS selpos
+               FROM sel WHERE pos <= greatest(m - ${WinnowW - 1}, 1)),
+             fg AS (SELECT DISTINCT sp.doc_id, md5(k.gram) AS g
+               FROM sp JOIN k
+                 ON sp.doc_id = k.doc_id AND sp.selpos = k.pos),
+             cap AS (SELECT doc_id, g FROM (
+                 SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
+                 FROM fg)
+               WHERE df <= $WinnowMaxDf)
+             SELECT a.doc_id AS d1, b.doc_id AS d2,
+               count(*) AS n_shared
+             FROM cap a JOIN cap b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2
+             ORDER BY d1, d2""")),
 
     // Embedding-space contamination check: does the EVAL split share
     // near-identical vectors with the TRAIN split? The n-gram

@@ -202,6 +202,22 @@ class AuditSpec extends AnyFunSuite {
     assert(fp(1L).length == 1 && fp(2L).length == 1)
   }
 
+  test("q_winnow_pairs: shared-run docs pair up; unrelated docs do not") {
+    val shared = "omega kappa sigma delta theta lambda micro nano " +
+      "pico femto atto zepto yocto quecto ronto" // 15 words >> w+k-1
+    val dir = fixtureDir(Seq(
+      (1L, s"${salad(31, 40)} $shared ${salad(37, 40)}", "en", "sa"),
+      (2L, s"${salad(41, 25)} $shared ${salad(43, 55)}", "en", "sa"),
+      (3L, salad(47, 90), "en", "sb"),
+      (4L, salad(53, 90), "en", "sb")))
+    val pairs = q("q_winnow_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 2L)),
+      s"planted 15-word shared run not detected: $pairs")
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"unrelated salads paired: $pairs")
+  }
+
   test("winnowing rightmost tie-break: equal hashes pick the later pos") {
     // identical kgrams everywhere -> every window's min hash ties at all
     // positions; rightmost rule must select the LAST position per window

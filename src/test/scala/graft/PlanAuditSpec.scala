@@ -554,6 +554,16 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"pair join lost its cell key:\n$p")
   }
 
+  test("winnow pairs: candidate join keyed on the fingerprint hash") {
+    // the MOSS pair join must keep its content-hash equi key and never
+    // go cartesian — the df cap bounds volume only if the join blocks
+    // on the fingerprint
+    val p = plan("q_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), s"winnow pairs went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pair join lost its fingerprint key:\n$p")
+  }
+
   test("cdc chunking: row-local boundaries; only the doc->source attach joins") {
     // boundary flags are computed inside a per-row lambda and chunk ids
     // by one per-doc window — a refactor that joins tokens against a
