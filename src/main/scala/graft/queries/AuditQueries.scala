@@ -415,9 +415,13 @@ object AuditQueries {
     // the embedding-side companion every benchmark-hygiene pipeline
     // runs before training. Split is deterministic (vec_id % 10 = 0 is
     // eval); candidate pairs are blocked on the SHARED trained-IVF
-    // cell (memoized with the ANN family) — per-cell membership stays
-    // bounded as cell count grows with the corpus, so the pair term
-    // never sees N (the SemDeDup scaling argument). Per-cell report:
+    // cell (memoized with the ANN family). The ORACLE's k is a
+    // corpus-independent literal, so THIS query's scale path is
+    // engine/Contamination.scala (k = ceil(nTrain/targetCellSize),
+    // re-derived per run — cell-boundedness asserted in
+    // ContaminationSpec), exactly the q_semdedup/SemDedup split; a
+    // fixed-k 100x probe measures the quantizer-staleness artifact,
+    // not the plan. Per-cell report:
     // eval/train populations, contaminated eval vectors, hit mass, max
     // similarity. Cosines are round()ed (irrational-mantissa rule)
     // before the >= tau compare on BOTH engines.
