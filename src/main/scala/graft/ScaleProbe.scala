@@ -103,7 +103,10 @@ object ScaleProbe {
     // MOSS pair detection (df-capped fingerprint-keyed pair join) and
     // content-defined chunking (row-local flags + per-doc cumsum +
     // bounded chunk reassembly)
-    "q_winnow_pairs", "q_cdc_chunk")
+    "q_winnow_pairs", "q_cdc_chunk",
+    // tie-corrected Spearman: rank windows over value-distinct
+    // aggregates, doc stream picks ranks up by keyed joins
+    "q_spearman")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -488,6 +488,88 @@ object AuditQueries {
                       LEFT JOIN h ON evc.cell = h.cell
              ORDER BY evc.cell""")),
 
+    // Exact tie-corrected Spearman rank correlation between document
+    // length and type-token ratio, per source — the metric-dependence
+    // audit run before comparing lexical diversity across sources of
+    // different length profiles (TTR falls with length; a source whose
+    // rho differs is the outlier to inspect). Scale shape: ranks
+    // depend only on VALUES, so average ranks come from the
+    // (source, value, count) AGGREGATE via a cumsum window over
+    // value-DISTINCT rows (the q_ntile/histogram treatment — never a
+    // rank window over raw documents, whose per-source partition would
+    // grow with the corpus); docs then pick up (ra, rb) by two keyed
+    // joins and feed exact DECIMAL sums (the q_corr_sums shape).
+    // Tie-averaged ranks are scaled by 2 (R = 2·minrank + cnt − 1) so
+    // every rank is an INTEGER — Spearman is Pearson on ranks and
+    // scale-invariant, so rho is unchanged and all sums stay exact.
+    Q("q_spearman",
+      (s, d) => {
+        val winS = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+        val t = Tables.documents(s, d).select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("nt"),
+            size(array_distinct(split(col("text"), " "))).cast("long")
+              .as("nd"))
+          .withColumn("ttr", col("nd").cast("double") / col("nt"))
+        def ranks(valCol: String, out: String) = {
+          val g = t.groupBy(col("source"), col(valCol))
+            .agg(count(lit(1)).as("cnt"))
+          g.withColumn("cum", sum("cnt").over(winS.orderBy(valCol)
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))
+            .select(col("source"), col(valCol),
+              (lit(2) * (col("cum") - col("cnt") + 1) + col("cnt") - 1)
+                .cast("decimal(18,0)").as(out))
+        }
+        t.join(ranks("nt", "ra"), Seq("source", "nt"))
+          .join(ranks("ttr", "rb"), Seq("source", "ttr"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(col("ra")).cast("double").as("sx"),
+            sum(col("rb")).cast("double").as("sy"),
+            sum(col("ra") * col("rb")).cast("double").as("sxy"),
+            sum(col("ra") * col("ra")).cast("double").as("sxx"),
+            sum(col("rb") * col("rb")).cast("double").as("syy"))
+          .select(col("source"), col("n"),
+            r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("rho_len_ttr"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+               len(str_split(text, ' ')) AS nt,
+               len(list_distinct(str_split(text, ' '))) AS nd,
+               len(list_distinct(str_split(text, ' ')))::DOUBLE /
+                 len(str_split(text, ' ')) AS ttr
+               FROM documents),
+             ga AS (SELECT source, nt, count(*) AS cnt FROM t GROUP BY 1, 2),
+             ra AS (SELECT source, nt,
+                 CAST(2 * (sum(cnt) OVER (PARTITION BY source ORDER BY nt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt + 1) + cnt - 1 AS DECIMAL(18,0)) AS ra
+               FROM ga),
+             gb AS (SELECT source, ttr, count(*) AS cnt FROM t GROUP BY 1, 2),
+             rb AS (SELECT source, ttr,
+                 CAST(2 * (sum(cnt) OVER (PARTITION BY source ORDER BY ttr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt + 1) + cnt - 1 AS DECIMAL(18,0)) AS rb
+               FROM gb),
+             j AS (SELECT t.source, ra.ra, rb.rb
+               FROM t JOIN ra ON t.source = ra.source AND t.nt = ra.nt
+                      JOIN rb ON t.source = rb.source AND t.ttr = rb.ttr),
+             sums AS (SELECT source, count(*)::BIGINT AS n,
+                 CAST(sum(ra) AS DOUBLE) AS sx, CAST(sum(rb) AS DOUBLE) AS sy,
+                 CAST(sum(ra * rb) AS DOUBLE) AS sxy,
+                 CAST(sum(ra * ra) AS DOUBLE) AS sxx,
+                 CAST(sum(rb * rb) AS DOUBLE) AS syy
+               FROM j GROUP BY 1)
+             SELECT source, n,
+               floor((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 10000 + 0.5::DOUBLE) / 10000 AS rho_len_ttr
+             FROM sums ORDER BY source""")),
+
     // Content-defined chunking (engine/Chunker.scala — the rsync/LBFS
     // boundary rule behind dedup stores and delta sync): a boundary
     // falls after token t when hash16 of the 4-gram ending at t is

@@ -554,6 +554,27 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"pair join lost its cell key:\n$p")
   }
 
+  test("spearman: rank windows run over value-distinct aggregates") {
+    // ranks must come from the (source, value, count) aggregate — a
+    // rank window over raw documents would sort a per-source partition
+    // that grows with the corpus. Every Window's input must pass
+    // through a HashAggregate below it, and the doc-side joins stay
+    // equi-keyed.
+    val p = plan("q_spearman")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"rank join lost its key:\n$p")
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.zipWithIndex
+      .filter(_._1.contains("Window [")).map(_._2)
+    assert(winIdx.nonEmpty, s"no rank window found:\n$p")
+    winIdx.foreach { i =>
+      val below = lines.drop(i + 1)
+        .takeWhile(l => !l.contains("Scan parquet"))
+      assert(below.exists(_.contains("HashAggregate")),
+        s"window at line $i consumes raw rows, not the aggregate:\n$p")
+    }
+  }
+
   test("winnow pairs: candidate join keyed on the fingerprint hash") {
     // the MOSS pair join must keep its content-hash equi key and never
     // go cartesian — the df cap bounds volume only if the join blocks
@@ -580,7 +601,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // O(w x tokens) and shuffle twice
     val p = plan("q_winnow")
     assert(!p.contains("Join"), s"winnow grew a join:\n$p")
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 2,
-      s"winnow should need at most the min-key and count windows:\n$p")
+    val wins = p.linesIterator.count(_.contains("Window ["))
+    assert(wins >= 1 && wins <= 2,
+      s"winnow should need the min-key (+count) windows, found $wins:\n$p")
   }
 }
