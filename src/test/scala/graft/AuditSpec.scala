@@ -202,6 +202,25 @@ class AuditSpec extends AnyFunSuite {
     assert(fp(1L).length == 1 && fp(2L).length == 1)
   }
 
+  test("q_auc: separable corpus scores high; label-only corpus near 0.5") {
+    // separable: en docs are stopword-rich AND long (both score terms
+    // fire); non-en docs are short stopword-free salads
+    val enDoc = ("the a of to in and " * 8).trim // 48 tokens, all stopwords
+    val sep = fixtureDir(
+      (1L to 6L).map(i => (i, enDoc + s" extra$i", "en", "sa")) ++
+        (7L to 12L).map(i => (i, salad(i.toInt, 8), "zz", "sa")))
+    val r = q("q_auc")(spark, sep).head()
+    assert(r.getAs[Long]("n_pos") == 6L && r.getAs[Long]("n_neg") == 6L)
+    assert(r.getAs[Double]("auc") >= 0.95, s"separable auc ${r.get(2)}")
+
+    // label-only: identical text distribution across labels -> ~0.5
+    val same = fixtureDir((1L to 10L).map(i =>
+      (i, "the a of gold iron wolf moon star rain leaf",
+        if (i % 2 == 0) "en" else "zz", "sa")))
+    val r2 = q("q_auc")(spark, same).head()
+    assert(r2.getAs[Double]("auc") == 0.5, s"tied corpus auc ${r2.get(2)}")
+  }
+
   test("q_winnow_pairs: shared-run docs pair up; unrelated docs do not") {
     val shared = "omega kappa sigma delta theta lambda micro nano " +
       "pico femto atto zepto yocto quecto ronto" // 15 words >> w+k-1
