@@ -107,9 +107,10 @@ object ScaleProbe {
     // tie-corrected Spearman: rank windows over value-distinct
     // aggregates, doc stream picks ranks up by keyed joins
     "q_spearman",
-    // Mann-Whitney AUC: the r4-rounded score bounds the rank table at
-    // ~10^4 rows at any corpus size — expect a FLAT post-rollup cost
-    "q_auc")
+    // Mann-Whitney AUC + PR curve: the r4-rounded score bounds the
+    // rank/threshold table at ~10^4 rows at any corpus size — expect a
+    // FLAT post-rollup cost
+    "q_auc", "q_pr_curve")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

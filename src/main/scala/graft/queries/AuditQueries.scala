@@ -648,6 +648,77 @@ object AuditQueries {
                  * 10000 + 0.5::DOUBLE) / 10000 AS auc
              FROM sums""")),
 
+    // Precision-recall curve of the quality screen at EVERY distinct
+    // operating threshold — the companion readout to q_auc's single
+    // number (which threshold actually buys which precision/recall
+    // trade?). tp/fp at threshold τ are cumulative sums DESCENDING by
+    // score over the same (score, count, pos_count) aggregate the AUC
+    // rides — r4-rounding bounds it at ~10⁴ rows at any corpus size,
+    // so the curve's row count (and the window input) is absolutely
+    // bounded. Rational precision/recall → r4 floor.
+    Q("q_pr_curve",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))))
+          .withColumn("stop_hits", expr(
+            s"size(filter(split(text, ' '), x -> x IN ${Helpers.enStopwords}))"))
+          .withColumn("score", r4(
+            lit(0.5) * least(col("n_tokens") / 40.0, lit(1.0)) +
+              lit(0.3) * (col("n_distinct") / col("n_tokens")) +
+              lit(0.2) * least(lit(10.0) * col("stop_hits") / col("n_tokens"),
+                lit(1.0))))
+          .select(col("score"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+        val g = t.groupBy("score")
+          .agg(count(lit(1)).as("cnt"), sum("p").as("pos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score")).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val tot = org.apache.spark.sql.expressions.Window
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        g.withColumn("tp", sum("pos").over(w))
+          .withColumn("n_at", sum("cnt").over(w))
+          .withColumn("n_pos", sum("pos").over(tot))
+          .select(col("score").as("threshold"), col("tp"),
+            (col("n_at") - col("tp")).as("fp"),
+            r4(col("tp").cast("double") / col("n_at")).as("precision"),
+            r4(col("tp").cast("double") / col("n_pos")).as("recall"))
+          .orderBy(desc("threshold"))
+      },
+      Some(s"""WITH t AS (SELECT
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p,
+               floor((0.5::DOUBLE * least(len(string_split(text, ' ')) /
+                     40.0::DOUBLE, 1.0::DOUBLE) +
+                   0.3::DOUBLE * (len(list_distinct(string_split(text, ' ')))::DOUBLE /
+                     len(string_split(text, ' '))) +
+                   0.2::DOUBLE * least(10.0::DOUBLE *
+                     len(list_filter(string_split(text, ' '),
+                       x -> x IN ${Helpers.enStopwords})) /
+                     len(string_split(text, ' ')), 1.0::DOUBLE))
+                 * 10000 + 0.5::DOUBLE) / 10000 AS score
+               FROM documents),
+             g AS (SELECT score, count(*) AS cnt,
+                 CAST(sum(p) AS BIGINT) AS pos
+               FROM t GROUP BY score),
+             c AS (SELECT score,
+                 CAST(sum(pos) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp,
+                 CAST(sum(cnt) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_at,
+                 CAST(sum(pos) OVER () AS BIGINT) AS n_pos
+               FROM g)
+             SELECT score AS threshold, tp, n_at - tp AS fp,
+               floor(tp::DOUBLE / n_at * 10000 + 0.5::DOUBLE) / 10000
+                 AS precision,
+               floor(tp::DOUBLE / n_pos * 10000 + 0.5::DOUBLE) / 10000
+                 AS recall
+             FROM c ORDER BY threshold DESC""")),
+
     // Content-defined chunking (engine/Chunker.scala — the rsync/LBFS
     // boundary rule behind dedup stores and delta sync): a boundary
     // falls after token t when hash16 of the 4-gram ending at t is
