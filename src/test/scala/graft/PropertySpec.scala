@@ -121,4 +121,85 @@ class PropertySpec extends AnyFunSuite {
       assert(floor == latest, s"never drained: $floor of $latest")
     }
   }
+
+  // ---- winnow / CDC reference agreement ---------------------------------
+
+  /** The shared 16-bit split hash, sequentially: first 4 hex chars of
+    * md5 (exactly Helpers.hash16 / the engines' portable SQL form). */
+  private def hash16Ref(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    (((d(0) & 0xffL) << 8) | (d(1) & 0xffL))
+  }
+
+  /** Sequential winnowing (Schleimer et al. fig. 5 with the rightmost
+    * tie-break): returns selected 1-based kgram positions. */
+  private def winnowRef(words: IndexedSeq[String], k: Int,
+      w: Int): Set[Long] = {
+    if (words.length < k) return Set.empty // sliding() yields one short group
+    val grams = words.sliding(k).map(_.mkString(" ")).toVector
+    if (grams.isEmpty) return Set.empty
+    val h = grams.map(hash16Ref)
+    val m = grams.length
+    val starts = 1 to math.max(m - w + 1, 1)
+    starts.map { p =>
+      val win = (p to math.min(p + w - 1, m))
+      // min hash, rightmost position on ties
+      win.minBy(i => (h(i - 1), -i)).toLong
+    }.toSet
+  }
+
+  /** Sequential CDC chunking: chunk texts in order (boundary AFTER
+    * token t when hash16 of the k-gram ending at t is 0 mod mod). */
+  private def cdcRef(words: IndexedSeq[String], k: Int,
+      mod: Int): Vector[String] = {
+    val bounds = (k to words.length).filter { t =>
+      hash16Ref(words.slice(t - k, t).mkString(" ")) % mod == 0
+    }
+    val cuts = (0 +: bounds) :+ words.length
+    cuts.sliding(2).collect {
+      case Seq(a, b) if b > a => words.slice(a, b).mkString(" ")
+    }.toVector
+  }
+
+  private val vocabGen: Gen[Vector[String]] = Gen.chooseNum(2, 24)
+    .map(n => (1 to n).map(i => s"w$i").toVector)
+  private def docGen(vocab: Vector[String]): Gen[Vector[String]] =
+    Gen.chooseNum(0, 160).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.toVector))
+
+  test("winnowing agrees with the sequential reference on random docs") {
+    for (seed <- 1L to 10L) {
+      val vocab = sample(vocabGen, seed)
+      val docs = (1 to 6).map(i =>
+        (i.toLong, sample(docGen(vocab), seed * 31 + i)))
+      val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.engine.Winnow.fingerprints(df, "doc_id", "text", 4, 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getAs[Long]("pos")).toSet }
+      docs.foreach { case (id, ws) =>
+        // empty-split quirk: "" splits to [""], one 0-word doc = no grams
+        val expect = if (ws.isEmpty) Set.empty[Long] else winnowRef(ws, 4, 5)
+        assert(got.getOrElse(id, Set.empty[Long]) == expect,
+          s"seed $seed doc $id (${ws.length} words, vocab ${vocab.length})")
+      }
+    }
+  }
+
+  test("CDC chunking agrees with the sequential reference on random docs") {
+    for (seed <- 20L to 28L) {
+      val vocab = sample(vocabGen, seed)
+      val ws = sample(docGen(vocab), seed * 17).filter(_ => true)
+      if (ws.nonEmpty) {
+        val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+        val got = graft.engine.Chunker
+          .cdcChunks(df, "doc_id", "text", 4, 8) // mod 8: frequent bounds
+          .collect().sortBy(_.getAs[Long]("start_pos"))
+          .map(_.getAs[String]("text")).toVector
+        assert(got == cdcRef(ws, 4, 8),
+          s"seed $seed (${ws.length} words, vocab ${vocab.length})")
+      }
+    }
+  }
 }
