@@ -371,11 +371,20 @@ object AuditQueries {
             org.apache.spark.sql.expressions.Window.partitionBy("g")))
           .filter(col("df") <= WinnowMaxDf)
           .select("doc_id", "g")
+        val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
         val l = capped.select(col("g"), col("doc_id").as("d1"))
         val r = capped.select(col("g"), col("doc_id").as("d2"))
         l.join(r, Seq("g")).filter(col("d1") < col("d2"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
+          // containment = shared / min(doc fp counts): catches SUBSET
+          // duplication (a short doc quoted inside a long one) that a
+          // symmetric jaccard-style measure dilutes toward 0
+          .join(sizes.select(col("doc_id").as("d1"), col("nfp").as("n1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("nfp").as("n2")), "d2")
+          .select(col("d1"), col("d2"), col("n_shared"),
+            r4(col("n_shared").cast("double") / least(col("n1"), col("n2")))
+              .as("containment"))
           .orderBy("d1", "d2")
       },
       Some(s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
@@ -402,11 +411,17 @@ object AuditQueries {
              cap AS (SELECT doc_id, g FROM (
                  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
                  FROM fg)
-               WHERE df <= $WinnowMaxDf)
-             SELECT a.doc_id AS d1, b.doc_id AS d2,
-               count(*) AS n_shared
-             FROM cap a JOIN cap b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2 HAVING count(*) >= 2
+               WHERE df <= $WinnowMaxDf),
+             sizes AS (SELECT doc_id, count(*) AS nfp FROM cap GROUP BY 1),
+             p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 count(*) AS n_shared
+               FROM cap a JOIN cap b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+             SELECT d1, d2, n_shared,
+               floor(n_shared::DOUBLE / least(s1.nfp, s2.nfp)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS containment
+             FROM p JOIN sizes s1 ON p.d1 = s1.doc_id
+                    JOIN sizes s2 ON p.d2 = s2.doc_id
              ORDER BY d1, d2""")),
 
     // Embedding-space contamination check: does the EVAL split share
