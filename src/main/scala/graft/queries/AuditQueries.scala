@@ -77,6 +77,30 @@ object AuditQueries {
     * join quadratically). */
   val WinnowMaxDf = 5
 
+  /** (doc_id, source, tri, c) trigram counts, memoized+cached per
+    * (session, dir): q_boilerplate consumes it TWICE (frequency table
+    * + occurrence join). Caching makes the JOIN form affordable —
+    * chosen over a count-over-partition window because a UNIVERSAL
+    * boilerplate trigram ("all rights reserved" in 10⁹ docs) would
+    * funnel that window's hot partition into one task, while the
+    * groupBy's map-side partial aggregation and AQE's skew-join
+    * handling keep the join form balanced at any document frequency. */
+  private val triCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+  private def docTrigrams(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    NorthStarQueries.memoize(triCache, s, d) {
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("tg", expr(
+          "filter(zip_with(zip_with(ws, slice(ws, 2, size(ws)), " +
+            "(x, y) -> concat(x, ' ', y)), slice(ws, 3, size(ws)), " +
+            "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
+        .select(col("doc_id"), col("source"), explode(col("tg")).as("tri"))
+        .groupBy("doc_id", "source", "tri").agg(count(lit(1)).as("c"))
+    }
+
   /** Winnow selection pass, memoized+cached per (session, dir) — BOTH
     * q_winnow and q_winnow_pairs consume it (the shingleCache
     * pattern). */
@@ -254,25 +278,16 @@ object AuditQueries {
     // hot key, no broadcast), aggregates are map-side-combinable.
     Q("q_boilerplate",
       (s, d) => {
-        // pre-aggregate to (doc, trigram, count), then take the doc
-        // frequency as a count-over-partition window instead of a
-        // groupBy+join: ONE evaluation of the trigram explode and one
-        // tri-keyed shuffle, vs the join form's TWO explode passes
-        // (the cappedShingles shape, NorthStarQueries.scala:101-106).
-        // The window's partition width is a trigram's DOC frequency
-        // (the (doc,tri) aggregate, never raw occurrences) — the same
-        // bounded exposure the shingle-df window carries.
-        val dt = Tables.documents(s, d)
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn("tg", expr(
-            "filter(zip_with(zip_with(ws, slice(ws, 2, size(ws)), " +
-              "(x, y) -> concat(x, ' ', y)), slice(ws, 3, size(ws)), " +
-              "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
-          .select(col("doc_id"), col("source"), explode(col("tg")).as("tri"))
-          .groupBy("doc_id", "source", "tri").agg(count(lit(1)).as("c"))
-        val perDoc = dt
-          .withColumn("df", count(lit(1))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("tri")))
+        // (doc, trigram, count) aggregate memoized+cached (see
+        // docTrigrams): the frequency table needs no countDistinct
+        // (one row per doc per trigram) and the occurrence join rides
+        // the cache, so the explode evaluates ONCE. The groupBy's
+        // map-side partial aggregation and AQE skew handling keep a
+        // universal boilerplate trigram from funneling into one task
+        // (the hazard of the count-over-partition window form).
+        val dt = docTrigrams(s, d)
+        val freq = dt.groupBy("tri").agg(count(lit(1)).as("df"))
+        val perDoc = dt.join(freq, "tri")
           .groupBy("doc_id", "source")
           .agg(sum("c").as("n_tri"),
             sum(when(col("df") >= BoilerDocFreq, col("c")).otherwise(0L))

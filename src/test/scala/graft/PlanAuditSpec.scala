@@ -525,23 +525,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"js_div went all-pairs:\n$p")
   }
 
-  test("boilerplate: doc frequency is a window over the (doc,tri) " +
-    "aggregate — one explode pass, no join") {
-    // the cappedShingles shape: a groupBy+join form would evaluate the
-    // trigram explode twice; a window over RAW occurrences would widen
-    // partitions from doc-frequency to occurrence-frequency
+  test("boilerplate: keyed df join over the CACHED (doc,tri) aggregate") {
+    // a count-over-partition window would funnel a universal trigram's
+    // doc frequency into one task; the chosen form is a map-side-
+    // combinable groupBy plus a tri-keyed join, with the explode
+    // evaluated once through the memoized cache (both consumers must
+    // read InMemoryTableScan, and the join must stay equi-keyed)
     val p = plan("q_boilerplate")
-    assert(p.contains("Window"), s"df window gone:\n$p")
-    assert(!p.contains("Join"), s"boilerplate grew a join:\n$p")
-    // the window consumes the (doc,source,tri) aggregate, not the
-    // explode: a HashAggregate must sit between Generate and Window
-    val lines = p.linesIterator.toSeq
-    val winAt = lines.indexWhere(_.contains("Window"))
-    val genAt = lines.indexWhere(_.contains("Generate explode"))
-    val aggBetween = lines.slice(winAt, genAt)
-      .exists(_.contains("HashAggregate"))
-    assert(winAt >= 0 && genAt > winAt && aggBetween,
-      s"window input is not the (doc,tri) aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate df join lost its trigram key:\n$p")
+    assert(p.contains("Join"), s"df join gone (window regression?):\n$p")
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2,
+      s"trigram aggregate not cached for both consumers ($scans):\n$p")
+    assert(!p.contains("Generate explode") || scans >= 2,
+      s"explode re-evaluated instead of riding the cache:\n$p")
   }
 
   test("embed contamination: eval x train pair join blocked on the cell") {
