@@ -101,8 +101,11 @@ object AuditQueries {
         .groupBy("doc_id", "source", "tri").agg(count(lit(1)).as("c"))
     }
 
-  /** Winnow selection pass, memoized+cached per (session, dir) — BOTH
-    * q_winnow and q_winnow_pairs consume it (the shingleCache
+  /** Winnow selection pass WITH gram identities (doc_id, pos, g, m),
+    * memoized+cached per (session, dir) — BOTH q_winnow (per-doc
+    * counts from pos/m) and q_winnow_pairs (pair matching on g)
+    * consume it, and caching the grams-attached form saves the pair
+    * query a second full kgram evaluation (the shingleCache
     * pattern). */
   private val fpCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
@@ -110,7 +113,7 @@ object AuditQueries {
   private def corpusFingerprints(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     NorthStarQueries.memoize(fpCache, s, d) {
-      graft.engine.Winnow.fingerprints(Tables.documents(s, d),
+      graft.engine.Winnow.fingerprintGrams(Tables.documents(s, d),
         "doc_id", "text", WinnowK, WinnowW)
     }
 
@@ -377,9 +380,7 @@ object AuditQueries {
     // linear in the corpus; the join keys on the fingerprint hash.
     Q("q_winnow_pairs",
       (s, d) => {
-        val fp = graft.engine.Winnow
-          .attachGrams(corpusFingerprints(s, d), Tables.documents(s, d),
-            "doc_id", "text", WinnowK)
+        val fp = corpusFingerprints(s, d)
           .select(col("doc_id"), col("g")).distinct()
         val capped = fp
           .withColumn("df", count(lit(1)).over(

@@ -598,10 +598,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // selection must stay a single window partitioned by the document —
     // a join-based rightmost-min (positions x window starts) would be
     // O(w x tokens) and shuffle twice
+    // the query reads the memoized grams cache, so the selection
+    // invariant is pinned on the ENGINE plan (Winnow.fingerprints —
+    // the join in fingerprintGrams is the deliberate gram attach)
     val p = plan("q_winnow")
-    assert(!p.contains("Join"), s"winnow grew a join:\n$p")
-    val wins = p.linesIterator.count(_.contains("Window ["))
+    assert(!p.contains("CartesianProduct"), s"winnow went all-pairs:\n$p")
+    val ep = graft.engine.Winnow.fingerprints(
+        graft.engine.Tables.documents(spark, sf), "doc_id", "text", 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(!ep.contains("Join"), s"winnow selection grew a join:\n$ep")
+    val wins = ep.linesIterator.count(_.contains("Window ["))
     assert(wins >= 1 && wins <= 2,
-      s"winnow should need the min-key (+count) windows, found $wins:\n$p")
+      s"selection should need the min-key (+count) windows, found $wins:\n$ep")
   }
 }
