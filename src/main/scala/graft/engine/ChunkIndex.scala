@@ -34,7 +34,14 @@ object ChunkIndex {
   /** Ingest `newDocs` (doc_id, text): chunk, store novel contents,
     * append the manifest. Returns batch metrics; `dedupedTokens` is
     * the token mass this batch served from already-stored chunks (the
-    * storage saved by content addressing). */
+    * storage saved by content addressing).
+    *
+    * Concurrency: two racing batches sharing a novel chunk may BOTH
+    * store it (each anti-joins a store that lacks it) — benign,
+    * because an address row always carries the identical content
+    * (hash = md5(text)); [[reassemble]] dedupes on the address, so
+    * correctness never depends on store uniqueness (raced in
+    * SoakSpec's chunk-store soak). */
   def append(spark: SparkSession, sink: TableSink, newDocs: DataFrame,
       indexPrefix: String = "cdc", k: Int = 4, modulus: Int = 32,
       batchKey: Option[String] = None): Result = {
@@ -78,12 +85,19 @@ object ChunkIndex {
   }
 
   /** Reassembled documents: (doc_id, text) — the manifest joined to the
-    * store on the chunk address, chunks re-concatenated in order. */
+    * store on the chunk address, chunks re-concatenated in order.
+    *
+    * The store is deduped on the address first: two CONCURRENT
+    * [[append]] batches that both see the same novel hash both pass
+    * the anti-join and both store it — harmless for storage (the
+    * address is md5 of the content, so every duplicate row carries the
+    * IDENTICAL text), but a raw join would then duplicate the chunk
+    * inside the reassembled document. */
   def reassemble(spark: SparkSession, sink: TableSink,
       indexPrefix: String = "cdc"): DataFrame =
     sink.read(spark, s"${indexPrefix}_manifest")
       .join(sink.read(spark, s"${indexPrefix}_store")
-        .select("hash", "text"), Seq("hash"))
+        .groupBy("hash").agg(min("text").as("text")), Seq("hash"))
       .groupBy("doc_id")
       .agg(concat_ws(" ", transform(array_sort(
         collect_list(struct(col("chunk"), col("text")))),

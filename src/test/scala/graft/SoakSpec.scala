@@ -196,4 +196,93 @@ class SoakSpec extends AnyFunSuite {
       assert(sink.read(spark, s"c$i").count() >= 1L, s"clone c$i broken")
     }
   }
+
+  test("chunk-store soak: concurrent ingest x replays x vacuum, " +
+      "lossless reassembly") {
+    // races ChunkIndex's two-table keyed commit protocol: appenders
+    // whose batches SHARE content (the duplicate-store-row window),
+    // a replayer re-submitting already-committed batch keys, and a
+    // vacuumer running log retention underneath. The invariant is the
+    // one users rely on: every ingested document reassembles to its
+    // exact original text afterwards, replays add nothing.
+    val base = TestSpark.tmpDir("soak3")
+    val sink = new VersionedParquetSink(base, checkpointInterval = 5)
+
+    def salad(seed: Int, n: Int): String = {
+      val vocab = Vector("red", "blue", "green", "gold", "iron", "wolf",
+        "moon", "star", "rain", "leaf", "sand", "snow", "fire", "dust")
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val sharedRun = salad(999, 120) // content EVERY appender ingests
+    val appenders = 2
+    val batchesPer = 6
+    def docId(a: Int, b: Int) = (a * batchesPer + b).toLong
+    def docText(a: Int, b: Int) =
+      s"${salad(a * 100 + b, 80)} $sharedRun ${salad(a * 100 + b + 50, 40)}"
+
+    val pool = Executors.newFixedThreadPool(appenders + 2)
+    val go = new CountDownLatch(1)
+    val done = new CountDownLatch(appenders)
+    val firstFailure = new AtomicReference[Throwable](null)
+    def guard(body: => Unit): Runnable = new Runnable {
+      override def run(): Unit = {
+        go.await()
+        try body
+        catch { case t: Throwable => firstFailure.compareAndSet(null, t) }
+      }
+    }
+    (0 until appenders).foreach { a =>
+      pool.submit(guard {
+        try (0 until batchesPer).foreach { b =>
+          graft.engine.ChunkIndex.append(spark, sink,
+            Seq((docId(a, b), docText(a, b))).toDF("doc_id", "text"),
+            batchKey = Some(s"soak-$a-$b"))
+        } finally done.countDown()
+      })
+    }
+    pool.submit(guard { // replayer: re-submit keys that already landed
+      while (done.getCount > 0) {
+        graft.engine.ChunkIndex.append(spark, sink,
+          Seq((docId(0, 0), docText(0, 0))).toDF("doc_id", "text"),
+          batchKey = Some("soak-0-0"))
+        Thread.sleep(150)
+      }
+    })
+    pool.submit(guard { // vacuum + retention churn under the ingest
+      while (done.getCount > 0) {
+        try {
+          sink.vacuum(spark, "cdc_store", graceMs = 3600000L)
+          sink.vacuum(spark, "cdc_manifest", graceMs = 3600000L)
+        } catch { case _: Exception => () } // tables may not exist yet
+        Thread.sleep(200)
+      }
+    })
+
+    go.countDown()
+    assert(done.await(300, TimeUnit.SECONDS), "appenders did not finish")
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    Option(firstFailure.get()).foreach(t => fail(t))
+
+    // 1. lossless reassembly for EVERY ingested doc, replays absorbed
+    val back = graft.engine.ChunkIndex.reassemble(spark, sink)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (a <- 0 until appenders; b <- 0 until batchesPer) {
+      assert(back.get(docId(a, b)).contains(docText(a, b)),
+        s"doc ${docId(a, b)} lost or corrupted")
+    }
+    assert(back.size == appenders * batchesPer, s"extra docs: ${back.size}")
+    // 2. the shared run actually deduplicated across appenders: the
+    //    store holds fewer DISTINCT addresses than total manifest rows
+    val distinctAddrs = sink.read(spark, "cdc_store")
+      .select("hash").distinct().count()
+    val manifestRows = sink.read(spark, "cdc_manifest").count()
+    assert(distinctAddrs < manifestRows,
+      s"no cross-appender sharing: $distinctAddrs of $manifestRows")
+    // 3. each manifest (doc, chunk) landed exactly once despite replays
+    val dupManifest = sink.read(spark, "cdc_manifest")
+      .groupBy("doc_id", "chunk").count().filter("count > 1").count()
+    assert(dupManifest == 0L, s"$dupManifest duplicated manifest rows")
+  }
 }
