@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Tables, UrlAudit}
 
 /** Round-9 second wave: corpus AUDIT operators — the safety /
-  * provenance / redundancy screens a training-data pipeline runs
-  * between raw ingestion and mixing (the reference's curation slot,
-  * collector.py:136-154):
+  * provenance / redundancy / calibration screens a training-data
+  * pipeline runs between raw ingestion and mixing (the reference's
+  * curation slot, collector.py:136-154):
   *
   *  - q_blocklist: word-blocklist screen (the Gopher "bad words"
   *    filter) — per-source hit mass and documents over threshold.
@@ -16,14 +16,23 @@ import graft.engine.{Tables, UrlAudit}
   *  - q_js_div: Jensen-Shannon divergence of each source's unigram
   *    distribution from the corpus — the SYMMETRIC, bounded
   *    distribution-shift readout next to q_kl_source's KL.
+  *  - q_spearman / q_auc / q_pr_curve: exact rank statistics (all
+  *    ranks derived from value-distinct aggregates, never doc-level
+  *    rank windows) — metric-dependence, screen calibration, and the
+  *    threshold trade-off curve.
   *  - q_boilerplate: frequent-segment boilerplate screen (the C4
   *    rule re-expressed over word trigrams) — segments occurring in
   *    >= 3 distinct documents are boilerplate; per-source ratio.
-  *  - q_winnow: winnowing fingerprints (Schleimer et al., MOSS) —
-  *    rightmost-minimum of 16-bit kgram hashes per sliding window;
-  *    guarantees every w-window of every document contributes a
-  *    fingerprint (the local-algorithm property document-level
-  *    minhash lacks).
+  *  - q_winnow / q_winnow_pairs: winnowing fingerprints (Schleimer
+  *    et al., MOSS — engine/Winnow.scala) and pair detection with
+  *    containment; the local-algorithm guarantee (any >= w+k−1-word
+  *    match yields a shared fingerprint) document-minhash lacks.
+  *  - q_embed_contam: eval-vs-train embedding contamination on the
+  *    trained-IVF blocking (engine/Contamination.scala is the
+  *    corpus-proportional-k scale path).
+  *  - q_cdc_chunk: content-defined chunking (engine/Chunker.scala,
+  *    the rsync/LBFS boundary rule; engine/ChunkIndex.scala is the
+  *    incremental store).
   *
   * Determinism: blocklists and regex catalogs are fixed constants run
   * identically in both engines (Java-and-RE2-compatible patterns, the
