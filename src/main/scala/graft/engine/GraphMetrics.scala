@@ -1,0 +1,182 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the near-duplicate candidate graph (nodes =
+  * documents, edges = scored candidate pairs). Complements
+  * [[Graph.connectedComponents]] (which answers "which docs form one
+  * duplicate cluster") with the *structure* questions a curation
+  * pipeline asks of the same graph: which documents are duplication
+  * hubs — boilerplate templates syndicated everywhere — (PageRank),
+  * how clique-like each neighborhood is (triangles / clustering
+  * coefficient), and whether hubs attach to hubs (degree
+  * assortativity, computed in the query layer from this module's
+  * degree output).
+  *
+  * Reference context: the reference pipeline stores every article
+  * revision (`/root/reference/collector.py:136-154`), so re-crawled
+  * near-identical items are its dominant redundancy mode; ranking the
+  * duplication graph identifies the canonical/template members the
+  * way MOSS/winnowing identifies shared spans.
+  *
+  * Determinism: PageRank runs entirely in scaled BIGINT arithmetic
+  * (rank mass in units of 1/`scale`), so every update is an exact,
+  * order-independent integer sum — no floating-point accumulation
+  * anywhere, and a DuckDB oracle unrolling the same recurrence with
+  * `//` reproduces results bit-for-bit. Truncation loses at most
+  * deg(v) units of mass per node per round — bounded and identical in
+  * both engines.
+  *
+  * Scale: every step shuffles on a vertex id (never all-pairs); the
+  * iteration state is one row per vertex. The candidate-edge input is
+  * O(duplicate pairs), not O(corpus^2) — it rides the same df-capped
+  * shingle self-join the dedup family shares. Triangle enumeration
+  * uses the id-oriented edge list (each triangle counted once); on an
+  * adversarially skewed graph, orient by (degree, id) first — the
+  * standard node-iterator bound — which is a drop-in reordering of
+  * the same two equi-joins.
+  */
+object GraphMetrics {
+
+  /** Symmetrized (u, v) directed-edge view of a canonical undirected
+    * edge list, self-loops dropped, duplicates collapsed. */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val c0 = edges.columns(0); val c1 = edges.columns(1)
+    val e = edges.select(
+      least(col(c0).cast("long"), col(c1).cast("long")).as("a"),
+      greatest(col(c0).cast("long"), col(c1).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+  }
+
+  /** Damped PageRank over an undirected edge list, in exact scaled
+    * BIGINT arithmetic.
+    *
+    * Nodes are the vertices incident to at least one edge (every node
+    * therefore has deg >= 1, so there is no dangling mass to
+    * redistribute). With N nodes and damping d = dampNum/dampDen:
+    *
+    *   r_0(v)     = scale div N
+    *   r_t(v)     = base + (dampNum * sum_{u~v} (r_{t-1}(u) div deg(u)))
+    *                       div dampDen
+    *   base       = ((dampDen - dampNum) * scale) div (dampDen * N)
+    *
+    * Output: (v, deg, rank_s) with rank_s in units of 1/scale; high
+    * rank_s = the template/hub members of the duplication graph.
+    *
+    * Each round is one keyed equi-join (contributions onto edges) plus
+    * one groupBy(v) — the Pregel topology on DataFrames. Rounds are
+    * MATERIALIZED with an eager localCheckpoint, exactly like
+    * Graph.largeStarSmallStar: prRound reads the rank table twice, so a
+    * lazily-chained iteration DAG doubles per round — by round 5
+    * Catalyst is analyzing a 2^5-copy logical tree (measured: round
+    * counts 0.75 -> 9.3 s even with every input cached, ~80 s for the
+    * whole query; checkpointed: flat per-round cost). Truncating
+    * lineage per round is how any iterative graph algorithm must run on
+    * Spark; on a cluster swap localCheckpoint for reliable
+    * checkpoint() if executor loss must not restart the query. */
+  def pagerank(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val spark = edges.sparkSession
+    val e2 = symmetrize(edges).localCheckpoint(true)
+    val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
+    // node count as an eager bounded scalar (the
+    // Graph.connectedComponents precedent): baking base/r0 in as
+    // literals keeps the rounds free of scalar-attach joins
+    val nNodes = deg.count()
+    if (nNodes == 0) {
+      e2.unpersist()
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("v", "deg", "rank_s")
+    }
+    var ranks = deg
+      .withColumn("base",
+        lit(((dampDen - dampNum) * scale) / (dampDen * nNodes)))
+      .withColumn("r", lit(scale / nNodes))
+      .select("u", "deg", "base", "r")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = prRound(ranks, e2, dampNum, dampDen).localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    e2.unpersist()
+    ranks.select(col("u").as("v"), col("deg"), col("r").as("rank_s"))
+  }
+
+  /** One PageRank round over a materialized rank table — the plan shape
+    * PlanAuditSpec pins (vertex-keyed join + groupBy + left join back;
+    * no cartesian, no unkeyed broadcast). */
+  private[graft] def prRound(ranks: DataFrame, e2: DataFrame,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    val contrib = ranks.select(col("u"), expr("r div deg").as("c"))
+    val inbox = e2.join(contrib, "u")
+      .groupBy(col("v").as("u"))
+      .agg(sum("c").as("m"))
+    ranks.drop("r").join(inbox, Seq("u"), "left")
+      .withColumn("r",
+        col("base") + expr(s"(${dampNum} * coalesce(m, 0L)) div ${dampDen}"))
+      .select("u", "deg", "base", "r")
+  }
+
+  /** Exact per-vertex triangle counts over an undirected edge list.
+    *
+    * Triangles are enumerated once each on the id-oriented edge set
+    * (a < b < c) via two equi-joins, then exploded to their three
+    * vertices for the per-node count. Output: (v, deg, n_tri) for
+    * every vertex of the graph (n_tri = 0 for triangle-free nodes). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e2 = symmetrize(edges)
+    val e = e2.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    val deg = e2.groupBy(col("u").as("v")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select("v", "deg", "n_tri")
+  }
+
+  /** Mutual nearest neighbors between two embedding sets, blocked on a
+    * shared coarse-quantizer cell — the bitext-mining primitive
+    * (Artetxe & Schwenk, "Margin-based Parallel Corpus Mining"): a
+    * pair survives only if each side is the other's top-1 within the
+    * block, which suppresses the hub vectors a one-directional top-1
+    * keeps.
+    *
+    * Inputs carry (id, emb, nrm, cell); output (cell, src_id, tgt_id,
+    * sim) with sim = round(cos, 4). Top-1 ties break (sim desc, id
+    * asc). Both directions come from ONE scored pair table with two
+    * row_number windows — no second pairing pass. Blocking bounds the
+    * work to per-cell products; at corpus scale the cell count grows
+    * with the data (engine/Contamination.scala's k = n/target rule),
+    * keeping per-block pairs constant. */
+  def mutualTopOne(src: DataFrame, tgt: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(src.sparkSession)
+    val a = src.select(col("cell"), col("id").as("sid"),
+      col("emb").as("se"), col("nrm").as("sn"))
+    val b = tgt.select(col("cell"), col("id").as("tid"),
+      col("emb").as("te"), col("nrm").as("tn"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(desc("sim"), asc("tid"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("tid").orderBy(desc("sim"), asc("sid"))
+    a.join(b, Seq("cell"))
+      .withColumn("sim",
+        round(expr("graft_dot(se, te)") / (col("sn") * col("tn")), 4))
+      .withColumn("rs", row_number().over(ws))
+      .withColumn("rt", row_number().over(wt))
+      .filter(col("rs") === 1 && col("rt") === 1)
+      .select("cell", "sid", "tid", "sim")
+  }
+}

@@ -611,4 +611,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(wins >= 1 && wins <= 2,
       s"selection should need the min-key (+count) windows, found $wins:\n$ep")
   }
+
+  test("graph family: every pairwise/iteration step stays vertex-keyed") {
+    // PageRank: rounds are materialized (Pregel-style), so the query
+    // plan reads a cached table — pin the ROUND plan on the engine
+    // directly (the winnow pattern): one vertex-keyed edge join +
+    // groupBy(v) + left join back, no cartesian, no unkeyed broadcast
+    // (the node-count scalar is baked in as a literal, not joined).
+    // Triangles / assortativity: same edge table, equi-joined on
+    // vertices — a CartesianProduct or BNLJ would mean an all-pairs
+    // enumeration.
+    for (q <- Seq("q_pagerank", "q_triangles", "q_assortativity")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q pairs without an equi key:\n$p")
+    }
+    import spark.implicits._
+    val ranks = Seq((1L, 2L, 100L, 500L), (2L, 1L, 100L, 500L))
+      .toDF("u", "deg", "base", "r")
+    val e2 = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val rp = graft.engine.GraphMetrics.prRound(ranks, e2, 85, 100)
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct"), s"pagerank round went all-pairs:\n$rp")
+    assert(!rp.contains("BroadcastNestedLoopJoin"),
+      s"pagerank round pairs without an equi key:\n$rp")
+    assert(rp.contains("HashAggregate") || rp.contains("SortAggregate"),
+      s"pagerank round lost its map-side-combinable groupBy:\n$rp")
+  }
+
+  test("mutual-NN pairs only inside an IVF cell (keyed join, no all-pairs)") {
+    val p = plan("q_mutual_nn")
+    assert(!p.contains("CartesianProduct"), s"q_mutual_nn went all-pairs:\n$p")
+    // the k-row broadcast centroid assignment is the one tolerated
+    // unkeyed join (the IVF contract, same as q_ivf_probe2); the
+    // src x tgt pair join must be hash/merge-keyed on cell
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"pair join lost its cell key:\n$p")
+  }
 }
