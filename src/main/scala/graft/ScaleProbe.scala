@@ -110,7 +110,16 @@ object ScaleProbe {
     // Mann-Whitney AUC + PR curve: the r4-rounded score bounds the
     // rank/threshold table at ~10^4 rows at any corpus size — expect a
     // FLAT post-rollup cost
-    "q_auc", "q_pr_curve")
+    "q_auc", "q_pr_curve",
+    // graph-analytics wave: PageRank is 5 materialized vertex-keyed
+    // rounds over the candidate-pair graph (state = one row per node;
+    // cost tracks the edge list, which the df-capped shingle join keeps
+    // proportional to candidates); triangles/assortativity are keyed
+    // joins over the same edge list. q_mutual_nn blocks on the trained
+    // IVF cell and carries the q_embed_contam fixed-k caveat (per-cell
+    // membership grows under the oracle's corpus-independent k — the
+    // parameterized engine path grows k with the corpus)
+    "q_pagerank", "q_triangles", "q_assortativity", "q_mutual_nn")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
