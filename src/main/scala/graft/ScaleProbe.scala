@@ -119,7 +119,8 @@ object ScaleProbe {
     // IVF cell and carries the q_embed_contam fixed-k caveat (per-cell
     // membership grows under the oracle's corpus-independent k — the
     // parameterized engine path grows k with the corpus)
-    "q_pagerank", "q_triangles", "q_assortativity", "q_mutual_nn")
+    "q_pagerank", "q_triangles", "q_assortativity", "q_mutual_nn",
+    "q_margin_nn")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

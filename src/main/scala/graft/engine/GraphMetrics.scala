@@ -161,6 +161,61 @@ object GraphMetrics {
     * work to per-cell products; at corpus scale the cell count grows
     * with the data (engine/Contamination.scala's k = n/target rule),
     * keeping per-block pairs constant. */
+  /** Margin-based neighbor selection (the ratio margin of Artetxe &
+    * Schwenk, used by LASER/CCMatrix): for each source vector, among
+    * its top-`k` in-cell neighbors, pick the target maximizing
+    *
+    *   margin(x, y) = sim(x, y) / ((avgTop_k(x) + avgTop_k(y)) / 2)
+    *
+    * which discounts hub targets (high backward average) that raw
+    * top-1 similarity over-selects.
+    *
+    * Determinism: sims are rounded to 4 decimals, then SCALED TO
+    * BIGINT (floor(sim*1e4 + 0.5)); the margin is evaluated as ONE
+    * double division of exact integer products — 2*s*nA*nB over
+    * A*nB + B*nA, where A/B are top-k scaled-sim sums and nA/nB their
+    * counts — so no partial double sums exist anywhere and both
+    * engines compute an identical operation tree. Rows with a
+    * non-positive denominator (pathological all-negative
+    * neighborhoods) are dropped by an exact integer predicate. Ties
+    * break (margin desc, tgt id asc).
+    *
+    * Output: (cell, sid, tid, sim, margin) — one row per source with
+    * at least one admissible candidate. */
+  def marginTopOne(src: DataFrame, tgt: DataFrame, k: Int = 4): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(src.sparkSession)
+    val a = src.select(col("cell"), col("id").as("sid"),
+      col("emb").as("se"), col("nrm").as("sn"))
+    val b = tgt.select(col("cell"), col("id").as("tid"),
+      col("emb").as("te"), col("nrm").as("tn"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(desc("sim"), asc("tid"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("tid").orderBy(desc("sim"), asc("sid"))
+    val p = a.join(b, Seq("cell"))
+      .withColumn("sim",
+        round(expr("graft_dot(se, te)") / (col("sn") * col("tn")), 4))
+      .withColumn("s", floor(col("sim") * 10000 + 0.5).cast("long"))
+      .withColumn("rn_s", row_number().over(ws))
+      .withColumn("rn_t", row_number().over(wt))
+    val aS = p.filter(col("rn_s") <= k).groupBy("sid")
+      .agg(sum("s").as("sa"), count(lit(1)).as("na"))
+    val aT = p.filter(col("rn_t") <= k).groupBy("tid")
+      .agg(sum("s").as("sb"), count(lit(1)).as("nb"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(desc("margin"), asc("tid"))
+    p.filter(col("rn_s") <= k)
+      .join(aS, "sid").join(aT, "tid")
+      .withColumn("den", col("sa") * col("nb") + col("sb") * col("na"))
+      .filter(col("den") > 0)
+      .withColumn("margin",
+        floor((lit(2) * col("s") * col("na") * col("nb")) / col("den")
+          * 10000 + 0.5) / 10000)
+      .withColumn("rm", row_number().over(wm))
+      .filter(col("rm") === 1)
+      .select("cell", "sid", "tid", "sim", "margin")
+  }
+
   def mutualTopOne(src: DataFrame, tgt: DataFrame): DataFrame = {
     graft.GraftExtensions.ensureRegistered(src.sparkSession)
     val a = src.select(col("cell"), col("id").as("sid"),

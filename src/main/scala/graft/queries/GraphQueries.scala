@@ -28,9 +28,12 @@ import graft.engine.GraphMetrics
   *    (assortative, mirrored crawls).
   *  - q_mutual_nn: mutual nearest neighbors between the label-0 and
   *    label-1 embedding populations, blocked on the shared trained-IVF
-  *    cell — the margin-family bitext-mining primitive (Artetxe &
+  *    cell — the bitext-mining candidate primitive (Artetxe &
   *    Schwenk): a pair survives only if each side is the other's
   *    top-1, suppressing hub vectors.
+  *  - q_margin_nn: the margin-ratio selection over the same pair
+  *    table — the LASER/CCMatrix scoring function, discounting hub
+  *    targets by their backward top-k average.
   *
   * Edges are the memoized dedup candidate pairs (NorthStarQueries
   * .scoredPairs — ONE cached table shared with the whole dedup family)
@@ -108,6 +111,43 @@ object GraphQueries {
     }
     sb.toString
   }
+
+  private val MarginK = 4
+
+  /** One side of the bitext pairing: the label-`l` population of the
+    * (memoized) IVF-assigned embedding table, in mutual/marginTopOne's
+    * (id, emb, nrm, cell) shape. */
+  private def bitextSide(s: org.apache.spark.sql.SparkSession, d: String,
+      l: Int) = {
+    val lab = NorthStarQueries.emb(s, d).select("vec_id", "label")
+    NorthStarQueries.ivfAssigned(s, d).join(lab, "vec_id")
+      .filter(col("label") === l)
+      .select(col("vec_id").as("id"), col("emb"), col("nrm"), col("cell"))
+  }
+
+  /** Shared oracle prefix for the bitext queries: IVF assignment (the
+    * q_dedup_embed CTEs), the two label populations, and the in-cell
+    * scored pair table p(cell, sid, tid, sim). */
+  private val bitextCte =
+    s"""${NorthStarQueries.embCte},
+       |${NorthStarQueries.kmeansCte},
+       |scored AS (
+       |  SELECT n.vec_id, c.cell,
+       |    round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+       |  FROM n CROSS JOIN c),
+       |asn AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |m AS MATERIALIZED (SELECT n.vec_id, n.e, n.nrm, n.label, asn.cell
+       |      FROM n JOIN asn USING (vec_id)),
+       |a AS (SELECT vec_id, e, nrm, cell FROM m WHERE label = 0),
+       |b AS (SELECT vec_id, e, nrm, cell FROM m WHERE label = 1),
+       |p AS MATERIALIZED (
+       |  SELECT a.cell, a.vec_id AS sid, b.vec_id AS tid,
+       |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+       |  FROM a JOIN b ON a.cell = b.cell)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -198,41 +238,54 @@ object GraphQueries {
     // (Contamination.scala's k = n/target rule) the 100-TB form, same
     // as q_embed_contam / q_semdedup.
     Q("q_mutual_nn",
-      (s, d) => {
-        val lab = NorthStarQueries.emb(s, d).select("vec_id", "label")
-        val e = NorthStarQueries.ivfAssigned(s, d).join(lab, "vec_id")
-        def side(l: Int) = e.filter(col("label") === l)
-          .select(col("vec_id").as("id"), col("emb"), col("nrm"), col("cell"))
-        GraphMetrics.mutualTopOne(side(0), side(1))
-          .select(col("cell"), col("sid").as("src_id"),
-            col("tid").as("tgt_id"), col("sim"))
-          .orderBy("src_id")
-      },
-      Some(s"""WITH ${NorthStarQueries.embCte},
-             ${NorthStarQueries.kmeansCte},
-             scored AS (
-               SELECT n.vec_id, c.cell,
-                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
-               FROM n CROSS JOIN c),
-             asn AS (
-               SELECT vec_id, cell FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY sim DESC, cell) AS rn FROM scored)
-               WHERE rn = 1),
-             m AS MATERIALIZED (SELECT n.vec_id, n.e, n.nrm, n.label, asn.cell
-                   FROM n JOIN asn USING (vec_id)),
-             a AS (SELECT vec_id, e, nrm, cell FROM m WHERE label = 0),
-             b AS (SELECT vec_id, e, nrm, cell FROM m WHERE label = 1),
-             p AS (
-               SELECT a.cell, a.vec_id AS sid, b.vec_id AS tid,
-                 round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
-               FROM a JOIN b ON a.cell = b.cell),
+      (s, d) => GraphMetrics.mutualTopOne(bitextSide(s, d, 0), bitextSide(s, d, 1))
+        .select(col("cell"), col("sid").as("src_id"),
+          col("tid").as("tgt_id"), col("sim"))
+        .orderBy("src_id"),
+      Some(s"""WITH $bitextCte,
              w AS (SELECT *,
                row_number() OVER (PARTITION BY sid ORDER BY sim DESC, tid) AS rs,
                row_number() OVER (PARTITION BY tid ORDER BY sim DESC, sid) AS rt
                FROM p)
              SELECT cell, sid AS src_id, tid AS tgt_id, sim
              FROM w WHERE rs = 1 AND rt = 1
+             ORDER BY src_id""")),
+
+    // margin-ratio neighbor selection (Artetxe & Schwenk; the
+    // LASER/CCMatrix scoring function): per source, the top-4-by-sim
+    // candidate maximizing sim / ((avgTop4(src) + avgTop4(tgt)) / 2) —
+    // hub targets with a high backward average are discounted, the
+    // failure mode raw top-1 (q_mutual_nn) cannot see. The margin is
+    // ONE double division of exact BIGINT products (scaled sims summed
+    // as integers), so no partial double sums exist in either engine.
+    Q("q_margin_nn",
+      (s, d) => GraphMetrics
+        .marginTopOne(bitextSide(s, d, 0), bitextSide(s, d, 1), MarginK)
+        .select(col("cell"), col("sid").as("src_id"),
+          col("tid").as("tgt_id"), col("sim"), col("margin"))
+        .orderBy("src_id"),
+      Some(s"""WITH $bitextCte,
+             ps AS MATERIALIZED (SELECT *,
+               CAST(floor(sim * 10000 + 0.5::DOUBLE) AS BIGINT) AS s,
+               row_number() OVER (PARTITION BY sid ORDER BY sim DESC, tid) AS rn_s,
+               row_number() OVER (PARTITION BY tid ORDER BY sim DESC, sid) AS rn_t
+               FROM p),
+             sa AS (SELECT sid, sum(s)::BIGINT AS sa, count(*) AS na
+                    FROM ps WHERE rn_s <= $MarginK GROUP BY sid),
+             sb AS (SELECT tid, sum(s)::BIGINT AS sb, count(*) AS nb
+                    FROM ps WHERE rn_t <= $MarginK GROUP BY tid),
+             mg AS (SELECT ps.cell, ps.sid, ps.tid, ps.sim,
+                 floor((2 * ps.s * sa.na * sb.nb) /
+                     (sa.sa * sb.nb + sb.sb * sa.na)
+                   * 10000 + 0.5::DOUBLE) / 10000 AS margin
+               FROM ps JOIN sa ON sa.sid = ps.sid JOIN sb ON sb.tid = ps.tid
+               WHERE ps.rn_s <= $MarginK
+                 AND (sa.sa * sb.nb + sb.sb * sa.na) > 0),
+             w AS (SELECT *, row_number() OVER (PARTITION BY sid
+                 ORDER BY margin DESC, tid) AS rm FROM mg)
+             SELECT cell, sid AS src_id, tid AS tgt_id, sim, margin
+             FROM w WHERE rm = 1
              ORDER BY src_id"""))
   )
+
 }

@@ -138,4 +138,62 @@ class GraphMetricsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((0, 1L, 10L), (0, 2L, 11L), (1, 5L, 15L)))
   }
+
+  /** Sequential mirror of GraphMetrics.marginTopOne: same rounded sims,
+    * same scaled-BIGINT sums, same single-division margin. */
+  private def seqMargin(src: Seq[(Long, Seq[Double], Int)],
+      tgt: Seq[(Long, Seq[Double], Int)], k: Int): Map[Long, (Long, Double)] = {
+    def sim(x: Seq[Double], y: Seq[Double]): Double = {
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (u, v) => u * v }.sum
+      val raw = dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pairs = for {
+      (si, se, sc) <- src; (ti, te, tc) <- tgt; if sc == tc
+    } yield (si, ti, sim(se, te), math.floor(sim(se, te) * 10000 + 0.5).toLong)
+    def topk(by: Long, side: Int) = {
+      val mine = pairs.filter(p => (if (side == 0) p._1 else p._2) == by)
+        .sortBy(p => (-p._3, if (side == 0) p._2 else p._1)).take(k)
+      (mine.map(_._4).sum, mine.size.toLong)
+    }
+    pairs.groupBy(_._1).flatMap { case (sid, mine) =>
+      val (sa, na) = topk(sid, 0)
+      val cands = mine.sortBy(p => (-p._3, p._2)).take(k).flatMap {
+        case (_, tid, s4, s) =>
+          val (sb, nb) = topk(tid, 1)
+          val den = sa * nb + sb * na
+          if (den <= 0) None
+          else Some((tid, s4,
+            math.floor(2.0 * s * na * nb / den * 10000 + 0.5) / 10000))
+      }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.minBy { case (tid, _, m) => (-m, tid) }
+        Some(sid -> (best._1, best._3))
+      }
+    }
+  }
+
+  test("marginTopOne agrees with the sequential reference and discounts hubs") {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    def randVec() = Seq.fill(8)(rnd.nextGaussian())
+    val src = (1L to 12L).map(i => (i, randVec(), (i % 2).toInt))
+    val tgt = (101L to 112L).map(i => (i, randVec(), (i % 2).toInt))
+    val want = seqMargin(src, tgt, 4)
+    val gotM = GraphMetrics.marginTopOne(vecDf(src), vecDf(tgt), 4)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(gotM == want, s"margin mismatch:\n got  $gotM\n want $want")
+    // hub discount: a target near-identical to THREE sources loses the
+    // margin argmax to a slightly-lower-sim exclusive target
+    val hubT = Seq((201L, Seq(1.0, 0.0), 9), (202L, Seq(0.985, 0.174), 9))
+    val srcs = Seq(
+      (21L, Seq(1.0, 0.001), 9), (22L, Seq(1.0, -0.001), 9),
+      (23L, Seq(0.999, 0.002), 9))
+    val m2 = GraphMetrics.marginTopOne(vecDf(srcs), vecDf(hubT), 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val w2 = seqMargin(srcs, hubT, 4).map { case (s, (t, _)) => s -> t }
+    assert(m2 == w2)
+  }
 }

@@ -640,13 +640,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pagerank round lost its map-side-combinable groupBy:\n$rp")
   }
 
-  test("mutual-NN pairs only inside an IVF cell (keyed join, no all-pairs)") {
-    val p = plan("q_mutual_nn")
-    assert(!p.contains("CartesianProduct"), s"q_mutual_nn went all-pairs:\n$p")
-    // the k-row broadcast centroid assignment is the one tolerated
-    // unkeyed join (the IVF contract, same as q_ivf_probe2); the
-    // src x tgt pair join must be hash/merge-keyed on cell
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
-      p.contains("ShuffledHashJoin"), s"pair join lost its cell key:\n$p")
+  test("bitext family pairs only inside an IVF cell (keyed join, no all-pairs)") {
+    for (q <- Seq("q_mutual_nn", "q_margin_nn")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+      // the k-row broadcast centroid assignment is the one tolerated
+      // unkeyed join (the IVF contract, same as q_ivf_probe2); the
+      // src x tgt pair join must be hash/merge-keyed on cell
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), s"$q pair join lost its cell key:\n$p")
+    }
   }
 }
