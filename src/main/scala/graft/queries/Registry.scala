@@ -8,7 +8,7 @@ object Registry {
     CoreQueries.all ++ NorthStarQueries.all ++ ExtendedQueries.all ++
       TrainingQueries.all ++ CurationQueries.all ++ CorpusStatsQueries.all ++
       PqQueries.all ++ LexStatsQueries.all ++ TemporalQueries.all ++
-      AuditQueries.all ++ GraphQueries.all
+      AuditQueries.all ++ GraphQueries.all ++ TokenizerQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.map(q => q.name -> q.impl).toMap
