@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Tables, UrlAudit}
 
@@ -810,6 +810,90 @@ object AuditQueries {
                  * 10000 + 0.5::DOUBLE) / 10000 AS uniq_rate,
                floor(sum(n_tokens)::DOUBLE / count(*)
                  * 10000 + 0.5::DOUBLE) / 10000 AS mean_len
-             FROM ch GROUP BY source ORDER BY source"""))
+             FROM ch GROUP BY source ORDER BY source""")),
+
+    // Reliability diagram of the quality screen: 10 equal-width score
+    // bins, each with its mean predicted score (confidence) and
+    // observed positive rate (accuracy) — the per-bin readout behind
+    // ECE (Guo et al. 2017). Rides the same r4-rounded score as
+    // q_auc/q_pr_curve; per-bin confidence sums go through
+    // DECIMAL(18,4) (exact, order-independent), one double division
+    // per bin at the end. Bounded at 10 rows at any corpus size.
+    Q("q_calibration",
+      (s, d) => calibBins(s, d)
+        .select(col("bin"), col("n"), col("pos"),
+          r4(col("sc").cast("double") / col("n")).as("conf"),
+          r4(col("pos").cast("double") / col("n")).as("acc"))
+        .orderBy("bin"),
+      Some(s"""WITH $calibCte
+             SELECT bin, n, pos,
+               floor(sc::DOUBLE / n * 10000 + 0.5::DOUBLE) / 10000 AS conf,
+               floor(pos::DOUBLE / n * 10000 + 0.5::DOUBLE) / 10000 AS acc
+             FROM g ORDER BY bin""")),
+
+    // Expected calibration error as ONE exact decimal sum: with
+    // acc_b = pos_b/n_b and conf_b = sc_b/n_b over the same bins,
+    // ECE = Σ n_b/N · |acc_b − conf_b| = (Σ |pos_b − sc_b|) / N —
+    // the bin sizes cancel, so the whole statistic is an exact
+    // DECIMAL(18,4) sum divided by N once (zero per-bin doubles;
+    // near-random separation on this corpus is the honest answer,
+    // the q_auc precedent).
+    Q("q_ece",
+      (s, d) => calibBins(s, d)
+        .agg(sum("n").as("n"),
+          sum(abs(col("pos").cast("decimal(18,4)") - col("sc")))
+            .as("gapsum"))
+        .select(col("n"),
+          r4(col("gapsum").cast("double") / col("n")).as("ece")),
+      Some(s"""WITH $calibCte
+             SELECT CAST(sum(n) AS BIGINT) AS n,
+               floor(CAST(sum(abs(CAST(pos AS DECIMAL(18,4)) - sc))
+                   AS DOUBLE) / CAST(sum(n) AS BIGINT)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS ece
+             FROM g"""))
   )
+
+  /** Shared (bin, n, pos, sc) aggregate of the calibration pair: the
+    * q_auc quality score r4-rounded, binned into 10 equal widths
+    * (score exactly 1.0 folds into the top bin), score mass summed
+    * exactly as DECIMAL(18,4). */
+  private def calibBins(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_distinct", size(array_distinct(split(col("text"), " "))))
+      .withColumn("stop_hits", expr(
+        s"size(filter(split(text, ' '), x -> x IN ${Helpers.enStopwords}))"))
+      .withColumn("score", r4(
+        lit(0.5) * least(col("n_tokens") / 40.0, lit(1.0)) +
+          lit(0.3) * (col("n_distinct") / col("n_tokens")) +
+          lit(0.2) * least(lit(10.0) * col("stop_hits") / col("n_tokens"),
+            lit(1.0))))
+      .select(col("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+      .withColumn("bin",
+        least(floor(col("score") * 10), lit(9L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("p").as("pos"),
+        sum(col("score").cast("decimal(18,4)")).as("sc"))
+
+  /** Oracle mirror of [[calibBins]] (t = q_auc's scored rows).
+    * Lazy: referenced from the `all` initializer above — a strict val
+    * here would still be null during object init. */
+  private lazy val calibCte =
+    s"""t AS (SELECT
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p,
+       |  floor((0.5::DOUBLE * least(len(string_split(text, ' ')) /
+       |        40.0::DOUBLE, 1.0::DOUBLE) +
+       |      0.3::DOUBLE * (len(list_distinct(string_split(text, ' ')))::DOUBLE /
+       |        len(string_split(text, ' '))) +
+       |      0.2::DOUBLE * least(10.0::DOUBLE *
+       |        len(list_filter(string_split(text, ' '),
+       |          x -> x IN ${Helpers.enStopwords})) /
+       |        len(string_split(text, ' ')), 1.0::DOUBLE))
+       |    * 10000 + 0.5::DOUBLE) / 10000 AS score
+       |  FROM documents),
+       |g AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+       |    count(*) AS n, CAST(sum(p) AS BIGINT) AS pos,
+       |    sum(CAST(score AS DECIMAL(18,4))) AS sc
+       |  FROM t GROUP BY 1)""".stripMargin
 }

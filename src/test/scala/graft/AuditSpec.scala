@@ -237,6 +237,39 @@ class AuditSpec extends AnyFunSuite {
       s"unrelated salads paired: $pairs")
   }
 
+  // ---- calibration ------------------------------------------------------
+
+  /** 40 distinct tokens, 4 of them stopwords: every quality-score term
+    * saturates exactly (len 40/40, TTR 40/40, stop 10*4/40), so the
+    * r4-rounded score is EXACTLY 1.0 — which must fold into bin 9, not
+    * mint a phantom bin 10. */
+  private def perfectDoc(i: Int): String =
+    ("the a of to" +: (1 to 36).map(j => s"w${i}x$j")).mkString(" ")
+
+  test("q_calibration: score exactly 1.0 folds into bin 9; conf/acc exact") {
+    val dir = fixtureDir(
+      (1L to 4L).map(i => (i, perfectDoc(i.toInt), "en", "sa")) ++
+        (5L to 8L).map(i => (i, perfectDoc(i.toInt), "de", "sa")))
+    val rows = q("q_calibration")(spark, dir).collect()
+    assert(rows.length == 1, s"expected one bin, got ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getAs[Long]("bin") == 9L, "score 1.0 must clamp into bin 9")
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("pos") == 4L)
+    assert(r.getAs[Double]("conf") == 1.0)
+    assert(r.getAs[Double]("acc") == 0.5)
+  }
+
+  test("q_ece: perfectly-calibrated fixture 0; inverted labels 1") {
+    // every doc scores 1.0 and is en -> conf == acc in the only bin
+    val calib = fixtureDir(
+      (1L to 5L).map(i => (i, perfectDoc(i.toInt), "en", "sa")))
+    assert(q("q_ece")(spark, calib).head().getAs[Double]("ece") == 0.0)
+    // same scores, all labels negative -> |acc - conf| = 1 at full mass
+    val inv = fixtureDir(
+      (1L to 5L).map(i => (i, perfectDoc(i.toInt), "de", "sa")))
+    assert(q("q_ece")(spark, inv).head().getAs[Double]("ece") == 1.0)
+  }
+
   test("winnowing rightmost tie-break: equal hashes pick the later pos") {
     // identical kgrams everywhere -> every window's min hash ties at all
     // positions; rightmost rule must select the LAST position per window

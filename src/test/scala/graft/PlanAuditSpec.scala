@@ -543,6 +543,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"explode re-evaluated instead of riding the cache:\n$p")
   }
 
+  test("calibration pair: row-local scoring, join-free 10-bin aggregate") {
+    // q_calibration/q_ece are one map pass + a groupBy over <= 10 bins
+    // (map-side combinable, output bounded at any corpus size); a
+    // refactor that joins the corpus against a score table or ranks raw
+    // docs through a window would shuffle row-proportional state
+    for (name <- Seq("q_calibration", "q_ece")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+      assert(!p.contains("Window ["), s"$name ranks raw rows:\n$p")
+      assert(p.contains("HashAggregate"), s"$name lost its bin aggregate:\n$p")
+    }
+  }
+
   test("embed contamination: eval x train pair join blocked on the cell") {
     // the q_dedup_embed contract: the only unkeyed join allowed is the
     // k-row broadcast centroid assignment; the eval x train pair join
