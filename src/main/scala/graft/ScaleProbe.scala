@@ -120,7 +120,17 @@ object ScaleProbe {
     // membership grows under the oracle's corpus-independent k — the
     // parameterized engine path grows k with the corpus)
     "q_pagerank", "q_triangles", "q_assortativity", "q_mutual_nn",
-    "q_margin_nn")
+    "q_margin_nn",
+    // BPE tokenizer training: the corpus is scanned once into the
+    // word-frequency vocab; every merge round runs on the vocab, whose
+    // size under the charMap substitutions grows ~linearly with the
+    // replica count — so these probe training cost under real
+    // vocabulary growth (the memo is invalidated before each timed run
+    // so the measurement is training, not a cache read)
+    "q_bpe_merges", "q_bpe_vocab", "q_bpe_compress",
+    // calibration audit: row-local scoring + a 10-bin aggregate —
+    // flat-by-design control rows like blocklist/url_audit
+    "q_calibration", "q_ece")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -146,6 +156,9 @@ object ScaleProbe {
     generateIfMissing(spark, src, out, factor)
 
     def execOnce(name: String, dir: String): Double = {
+      // BPE queries memoize the trained tokenizer per (session, dir);
+      // drop it so each timed run pays training (see ProbeQueries note)
+      if (name.startsWith("q_bpe")) graft.queries.TokenizerQueries.invalidate()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()

@@ -37,6 +37,18 @@ object TokenizerQueries {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (Seq[Bpe.Merge], DataFrame)]()
 
+  /** Drops every memoized training run — ScaleProbe calls this before
+    * timing a BPE query so the probe measures TRAINING cost (the
+    * vocab-proportional part that grows with the corpus), not a warm
+    * cache read. */
+  private[graft] def invalidate(): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.values.asScala.foreach { v =>
+      try v._2.unpersist() catch { case _: Exception => () }
+    }
+    cache.clear()
+  }
+
   /** Memoized learn() per (session, dir) — same hygiene as
     * NorthStarQueries.memoize: drop stopped sessions, keep one dir. */
   private def learned(s: SparkSession, d: String): (Seq[Bpe.Merge], DataFrame) = {

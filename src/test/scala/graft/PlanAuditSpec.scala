@@ -543,6 +543,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"explode re-evaluated instead of riding the cache:\n$p")
   }
 
+  test("bpe family: merges stay driver-local; vocab rollups read the " +
+    "checkpoint join-free") {
+    // the merge table is one collected row per round (bounded by the
+    // round count) — it must compile to a LocalTableScan, never a
+    // distributed plan; the vocab/compress rollups must read the
+    // checkpointed vocab (Scan ExistingRDD) with no join — a refactor
+    // that re-derives the vocab from the corpus per query, or joins
+    // corpus rows against the merge table, would re-pay the corpus
+    // scan (or worse) at every query
+    val pm = plan("q_bpe_merges")
+    assert(pm.contains("LocalTableScan"), s"merge table went distributed:\n$pm")
+    assert(!pm.contains("Scan parquet"),
+      s"merge table re-derives from the corpus:\n$pm")
+    for (name <- Seq("q_bpe_vocab", "q_bpe_compress")) {
+      val p = plan(name)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name does not read the checkpointed vocab:\n$p")
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"$name re-scans the corpus instead of the vocab:\n$p")
+    }
+  }
+
   test("calibration pair: row-local scoring, join-free 10-bin aggregate") {
     // q_calibration/q_ece are one map pass + a groupBy over <= 10 bins
     // (map-side combinable, output bounded at any corpus size); a
