@@ -130,7 +130,12 @@ object ScaleProbe {
     "q_bpe_merges", "q_bpe_vocab", "q_bpe_compress",
     // calibration audit: row-local scoring + a 10-bin aggregate —
     // flat-by-design control rows like blocklist/url_audit
-    "q_calibration", "q_ece")
+    "q_calibration", "q_ece",
+    // ES weighted sampling: row-local keys + TakeOrderedAndProject
+    // (zero corpus shuffles — expect the scan to dominate); CMS audit:
+    // one vocab aggregate fanned x4 into a 1024-row sketch + broadcast
+    // probe lookups — vocab grows under the replica substitutions
+    "q_weighted_sample", "q_cms_err")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -33,6 +33,19 @@ object ExtendedQueries {
   /** DuckDB-side parse of 4 hex chars -> 0..65535 (shared definition). */
   private def hex4(h: String): String = Helpers.hex4(h)
 
+  /** (w, true_n) corpus word counts, memoized+cached per (session, dir):
+    * q_cms_err reads it three times (sketch build, probe set, truth). */
+  private val wordCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    NorthStarQueries.memoize(wordCountCache, s, d) {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w")
+        .agg(count(lit(1)).as("true_n"))
+    }
+
   val all: Seq[Q] = Seq(
 
     // Sessionization: split each user's event stream on >30min
@@ -759,6 +772,71 @@ object ExtendedQueries {
       Some("""WITH t AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
              c AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1)
              SELECT w, cnt, true AS sketch_ok FROM c
-             ORDER BY cnt DESC, w LIMIT 10"""))
+             ORDER BY cnt DESC, w LIMIT 10""")),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-Res,
+    // engine/Sampling.scala): sample 20 docs with probability ~ doc
+    // length — the importance-weighted corpus-sampling primitive of a
+    // training-mix builder. The A-Res key ln(u)/w is ROW-LOCAL
+    // (deterministic 16-bit md5 u, exactly representable over 2^16, so
+    // DuckDB replays the identical ln) and selection is top-k:
+    // TakeOrderedAndProject, zero corpus shuffles at any size
+    // (plan-pinned). ln mantissas are irrational -> plain round.
+    Q("q_weighted_sample",
+      (s, d) => graft.engine.Sampling.weightedTopK(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            greatest(col("n_chars"), lit(1)).as("wt")),
+          col("doc_id"), col("wt"), 20)
+        .select(col("doc_id"), col("source"), col("wt"),
+          round(col("es_key"), 4).as("es_key")),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+               greatest(n_chars, 1) AS wt,
+               ln((${hex4("md5(doc_id::VARCHAR)")} + 1)::DOUBLE
+                   / 65536.0::DOUBLE)
+                 / greatest(n_chars, 1)::DOUBLE AS k
+             FROM documents)
+             SELECT doc_id, source, wt, round(k, 4) AS es_key
+             FROM t ORDER BY k DESC, doc_id LIMIT 20""")),
+
+    // Count-Min sketch audit (engine/Cms.scala, Cormode-Muthukrishnan):
+    // build the 4x256 sketch from the word-count aggregate (CMS is
+    // linear, so folding counts in equals streaming every token — the
+    // corpus is scanned ONCE and only the vocab fans out x depth), then
+    // audit the top-20 tokens: estimate = min over rows of the hashed
+    // bucket's count, overcount = est - true (>= 0 ALWAYS - collisions
+    // only add; the e^-depth error bound is property-tested in
+    // CmsSpec). md5-derived buckets replay exactly in DuckDB, so
+    // estimates hash-match. The sketch is 1024 rows at ANY corpus size
+    // (broadcast), the probe side 20 rows.
+    Q("q_cms_err",
+      (s, d) => {
+        val counts = wordCounts(s, d)
+        val sketch = graft.engine.Cms.build(counts, "w", "true_n")
+        val top = counts.orderBy(col("true_n").desc, col("w").asc).limit(20)
+        graft.engine.Cms.estimate(sketch, top, "w")
+          .select(col("w"), col("true_n"), col("est_n"),
+            (col("est_n") - col("true_n")).as("overcount"))
+          .orderBy(col("true_n").desc, col("w").asc)
+      },
+      Some(s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+             c AS MATERIALIZED (SELECT w, count(*)::BIGINT AS true_n
+               FROM t WHERE w <> '' GROUP BY w),
+             cms AS MATERIALIZED (
+               SELECT r, ${hex4("md5(r::VARCHAR || ':' || w)")} % 256 AS b,
+                 sum(true_n)::BIGINT AS cnt
+               FROM c, LATERAL unnest(range(0, 4)) AS u(r)
+               GROUP BY 1, 2),
+             tp AS MATERIALIZED (SELECT w, true_n FROM c
+               ORDER BY true_n DESC, w LIMIT 20),
+             p AS (SELECT w, true_n, r,
+                 ${hex4("md5(r::VARCHAR || ':' || w)")} % 256 AS b
+               FROM tp, LATERAL unnest(range(0, 4)) AS u(r))
+             SELECT p.w AS w, p.true_n AS true_n,
+               min(cms.cnt)::BIGINT AS est_n,
+               (min(cms.cnt) - p.true_n)::BIGINT AS overcount
+             FROM p JOIN cms USING (r, b)
+             GROUP BY p.w, p.true_n
+             ORDER BY true_n DESC, w"""))
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Cms
+
+/** Count-Min sketch (engine/Cms.scala) held to the PAPER's guarantees
+  * on seeded random corpora, plus the linearity property that justifies
+  * building from the (key, count) aggregate instead of the raw token
+  * stream, and exact agreement with a sequential reference fed one
+  * token at a time. */
+class CmsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Zipf-ish seeded corpus: word w_i with frequency ~ N/i — heavy head
+    * + long tail, the shape CMS is built for. */
+  private def corpus(seed: Int, nWords: Int, maxF: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to nWords).flatMap(i =>
+      Seq.fill(math.max(1, maxF / i + rnd.nextInt(3)))(s"w$seed-$i"))
+  }
+
+  /** Sequential reference: the textbook depth x width array updated one
+    * occurrence at a time, sharing the engine's bucket function. */
+  private def seqCms(tokens: Seq[String], depth: Int, width: Int):
+      Map[(Int, Int), Long] = {
+    def bucket(r: Int, w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$w".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % width
+    }
+    tokens.foldLeft(Map.empty[(Int, Int), Long].withDefaultValue(0L)) {
+      (acc, t) =>
+        (0 until depth).foldLeft(acc)((a, r) =>
+          a.updated((r, bucket(r, t)), a((r, bucket(r, t))) + 1))
+    }
+  }
+
+  private def countsOf(tokens: Seq[String]) =
+    tokens.toDF("w").groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  test("aggregate-built sketch equals the sequential per-token reference") {
+    val tokens = corpus(7, 400, 1000)
+    val got = Cms.build(countsOf(tokens)).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Int]("b")) -> r.getAs[Long]("cnt"))
+      .toMap
+    val want = seqCms(tokens, Cms.Depth, Cms.Width)
+    assert(got == want.filter(_._2 > 0),
+      "DataFrame build diverged from the sequential reference")
+  }
+
+  test("overestimate-only: est >= true for EVERY key") {
+    val tokens = corpus(11, 2000, 500)
+    val counts = countsOf(tokens)
+    val est = Cms.estimate(Cms.build(counts), counts).collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("est_n") >= r.getAs[Long]("cnt"),
+        s"underestimate at ${r.getAs[String]("w")}")
+    }
+  }
+
+  test("error bound: P[over > (e/width) * N] <= e^-depth") {
+    val tokens = corpus(13, 2000, 500)
+    val n = tokens.size.toDouble
+    val eps = math.E / Cms.Width
+    val counts = countsOf(tokens)
+    val est = Cms.estimate(Cms.build(counts), counts).collect()
+    val breaches = est.count(r =>
+      (r.getAs[Long]("est_n") - r.getAs[Long]("cnt")) > eps * n)
+    val pBound = math.exp(-Cms.Depth) // ~1.8%
+    assert(breaches <= math.ceil(pBound * est.length),
+      s"$breaches/${est.length} keys breach the eps*N bound")
+  }
+
+  test("linearity: cms(A) + cms(B) = cms(A ++ B) bucket-wise") {
+    val a = corpus(17, 300, 200)
+    val b = corpus(19, 300, 200) // distinct seed -> different words too
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Int]("b")) -> r.getAs[Long]("cnt"))
+      .toMap.withDefaultValue(0L)
+    val ma = toMap(Cms.build(countsOf(a)))
+    val mb = toMap(Cms.build(countsOf(b)))
+    val whole = toMap(Cms.build(countsOf(a ++ b)))
+    val keys = ma.keySet ++ mb.keySet
+    assert(keys.forall(k => ma(k) + mb(k) == whole(k)),
+      "bucket-wise addition of the halves diverged from the whole")
+    assert(whole.keys == keys)
+  }
+
+  test("sketch size is depth x width at most, regardless of vocab") {
+    val rows = Cms.build(countsOf(corpus(23, 5000, 100))).count()
+    assert(rows <= Cms.Depth.toLong * Cms.Width)
+  }
+}

@@ -117,4 +117,57 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       assert(c >= -1.0 && c <= 1.0)
     }
   }
+
+  // ---- Efraimidis-Spirakis weighted sampling -----------------------------
+
+  /** Sequential A-Res reference sharing the engine's hash: key =
+    * ln((hex4(md5(id))+1)/65536)/max(w,1), top-k, ties on id. */
+  private def seqSample(rows: Seq[(Long, Long)], k: Int): Seq[Long] = {
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (Integer.parseInt(md.map("%02x".format(_)).mkString.take(4), 16) + 1)
+        .toDouble / 65536.0
+    }
+    rows.map { case (id, w) => (id, math.log(u(id)) / math.max(w, 1L)) }
+      .sortBy { case (id, key) => (-key, id) }.take(k).map(_._1)
+  }
+
+  test("q_weighted_sample agrees exactly with the sequential reference") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = seqSample(docs, 20)
+    val got = run("q_weighted_sample").collect().map(_.getAs[Long]("doc_id"))
+    assert(got.sorted.toSeq == want.sorted,
+      s"selection diverged: got ${got.toSeq.sorted} want ${want.sorted}")
+  }
+
+  test("es_key is monotone in the weight (fixed id, heavier never worse)") {
+    import spark.implicits._
+    val keys = (1L to 50L).toDF("id")
+      .select(col("id"),
+        graft.engine.Sampling.esKey(col("id"), lit(1)).as("k1"),
+        graft.engine.Sampling.esKey(col("id"), lit(1000)).as("k1000"))
+      .collect()
+    keys.foreach(r => assert(r.getAs[Double]("k1000") >= r.getAs[Double]("k1")))
+    // strict for any id whose u < 1 (ln u < 0); u = 1 is a 1/65536 tie
+    assert(keys.count(r =>
+      r.getAs[Double]("k1000") > r.getAs[Double]("k1")) >= 45)
+  }
+
+  test("weighted sample: without replacement, heavy weights dominate") {
+    import spark.implicits._
+    // 100 light docs (w=1) + 5 heavy (w=10000): a heavy doc misses only
+    // if 20 light keys beat ~-1e-4, each a ~1e-4 event — deterministic
+    // under the md5 hash, and the expected miss count is ~0.01
+    val df = ((1L to 100L).map((_, 1)) ++ (101L to 105L).map((_, 10000)))
+      .toDF("doc_id", "wt")
+    val got = graft.engine.Sampling
+      .weightedTopK(df, col("doc_id"), col("wt"), 20)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(got.length == 20 && got.distinct.length == 20)
+    assert((101L to 105L).forall(got.contains),
+      s"heavy docs not all selected: ${got.toSeq.sorted}")
+  }
 }

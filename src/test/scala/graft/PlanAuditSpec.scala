@@ -543,6 +543,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"explode re-evaluated instead of riding the cache:\n$p")
   }
 
+  test("weighted sample: row-local keys + TakeOrderedAndProject, no shuffle") {
+    // the A-Res key is computed per row and selection is a top-k: the
+    // plan must be per-partition heaps merged at the driver — a global
+    // sort or any Exchange before the top-k would shuffle the corpus
+    // to sample 20 rows from it
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a sort:\n$p")
+    assert(!p.contains("Exchange"), s"sampling shuffles the corpus:\n$p")
+    assert(!p.contains("Join"), s"sampling grew a join:\n$p")
+  }
+
+  test("cms audit: corpus scanned once via the cached aggregate; " +
+    "sketch side broadcast") {
+    // the sketch and the probe set must both ride the memoized word
+    // counts (two InMemoryTableScans), and the probe->sketch lookup
+    // must broadcast the 1024-row sketch — a shuffle join there, or a
+    // second corpus tokenization, would be corpus-proportional work
+    // for a bounded-size audit
+    val p = plan("q_cms_err")
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2, s"word counts not shared via the cache ($scans):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"sketch lookup lost broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounded lookup shuffles:\n$p")
+  }
+
   test("bpe family: merges stay driver-local; vocab rollups read the " +
     "checkpoint join-free") {
     // the merge table is one collected row per round (bounded by the
