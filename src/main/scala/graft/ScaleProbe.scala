@@ -135,7 +135,11 @@ object ScaleProbe {
     // (zero corpus shuffles — expect the scan to dominate); CMS audit:
     // one vocab aggregate fanned x4 into a 1024-row sketch + broadcast
     // probe lookups — vocab grows under the replica substitutions
-    "q_weighted_sample", "q_cms_err")
+    "q_weighted_sample", "q_cms_err",
+    // stratified sampling (source-keyed window, group-limit-pruned) and
+    // tokenizer application (corpus explode + word-keyed vocab join;
+    // pays BPE training per run via the q_bpe invalidation)
+    "q_weighted_strata", "q_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

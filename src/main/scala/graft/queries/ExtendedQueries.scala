@@ -798,6 +798,39 @@ object ExtendedQueries {
              SELECT doc_id, source, wt, round(k, 4) AS es_key
              FROM t ORDER BY k DESC, doc_id LIMIT 20""")),
 
+    // Stratified weighted sampling: 5 docs PER SOURCE by the same A-Res
+    // key — per-domain weighted quotas, the training-mix builder's
+    // per-source counterpart of q_weighted_sample (q_sample_group is
+    // its unweighted ancestor). One shuffle on source; WindowGroupLimit
+    // prunes each partition to k rows pre-sort, so per-source state is
+    // O(k) at any corpus size.
+    Q("q_weighted_strata",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            greatest(col("n_chars"), lit(1)).as("wt"))
+          .withColumn("es_key",
+            graft.engine.Sampling.esKey(col("doc_id"), col("wt")))
+        val w = Window.partitionBy("source")
+          .orderBy(col("es_key").desc, col("doc_id").asc)
+        base.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("source"), col("doc_id"), col("wt"),
+            round(col("es_key"), 4).as("es_key"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+               greatest(n_chars, 1) AS wt,
+               ln((${hex4("md5(doc_id::VARCHAR)")} + 1)::DOUBLE
+                   / 65536.0::DOUBLE)
+                 / greatest(n_chars, 1)::DOUBLE AS k
+             FROM documents),
+             r AS (SELECT source, doc_id, wt, k,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY k DESC, doc_id) AS rn FROM t)
+             SELECT source, doc_id, wt, round(k, 4) AS es_key
+             FROM r WHERE rn <= 5 ORDER BY source, doc_id""")),
+
     // Count-Min sketch audit (engine/Cms.scala, Cormode-Muthukrishnan):
     // build the 4x256 sketch from the word-count aggregate (CMS is
     // linear, so folding counts in equals streaming every token — the

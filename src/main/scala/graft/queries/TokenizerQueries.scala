@@ -131,6 +131,42 @@ object TokenizerQueries {
               FROM v$Rounds)
         GROUP BY sym ORDER BY n_tok DESC, sym""")),
 
+    // APPLY the learned tokenizer to the corpus, per source: BPE
+    // segmentation is word-level, so application is one corpus explode
+    // + a word-keyed join against the trained vocab's segment counts
+    // (every corpus word is in the vocab by construction) — the honest
+    // 100 TB apply path: the corpus streams once through a keyed join
+    // (AQE broadcasts the vocab side while it fits), per-source
+    // fertility under the LEARNED subwords (q_fertility's fixed-regex
+    // counterpart). Inner join drops the empty-token rows the vocab
+    // never held.
+    Q("q_bpe_apply",
+      (s, d) => {
+        val vocab = learned(s, d)._2
+          .select(col("word"), size(col("syms")).as("n_sub"))
+        Tables.documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .join(vocab, "word")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_sub").as("n_tokens"))
+          .select(col("source"), col("n_words"), col("n_tokens"),
+            r4(col("n_tokens").cast("double") / col("n_words"))
+              .as("fertility"))
+          .orderBy("source")
+      },
+      Some(s"""${chain(Rounds)},
+        nw AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+        j AS (SELECT source, len(string_split(v.syms, chr(1))) AS n_sub
+              FROM nw JOIN v$Rounds v ON nw.w = v.w)
+        SELECT source, count(*) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+               floor(sum(n_sub)::DOUBLE / count(*)
+                 * 10000 + 0.5::DOUBLE) / 10000 AS fertility
+        FROM j GROUP BY source ORDER BY source""")),
+
     // compression audit: corpus token count before (chars) and after
     // the learned merges — the number a tokenizer budget planner reads
     Q("q_bpe_compress",

@@ -128,6 +128,22 @@ class BpeSpec extends AnyFunSuite {
     fv.unpersist()
   }
 
+  test("q_bpe_apply is consistent with q_bpe_compress on the same corpus") {
+    // application via the word-keyed vocab join must serve EXACTLY the
+    // token counts the compress audit derives from the vocab itself —
+    // summing per-source fertility numerators over sources recovers the
+    // corpus totals
+    val sf = "/root/testdata/sf0.001"
+    val apply = SparkEntry.queries("q_bpe_apply")(spark, sf).collect()
+    val comp = SparkEntry.queries("q_bpe_compress")(spark, sf).head()
+    assert(apply.map(_.getAs[Long]("n_words")).sum ==
+      comp.getAs[Long]("n_words"))
+    assert(apply.map(_.getAs[Long]("n_tokens")).sum ==
+      comp.getAs[Long]("n_tokens"))
+    // fertility >= 1: a word is at least one subword
+    apply.foreach(r => assert(r.getAs[Double]("fertility") >= 1.0))
+  }
+
   test("training is deterministic across runs") {
     val vocabDf = Seq(("abab", 2L), ("abba", 2L), ("baba", 2L))
       .toDF("word", "cnt")

@@ -156,6 +156,24 @@ class ExtendedQueriesSpec extends AnyFunSuite {
       r.getAs[Double]("k1000") > r.getAs[Double]("k1")) >= 45)
   }
 
+  test("q_weighted_strata: per-source quotas agree with the reference") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      seqSample(rows.map(r => (r._1, r._3)).toSeq, 5).map(src -> _)
+    }.toSet
+    val got = run("q_weighted_strata").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id")).toSet
+    assert(got == want, s"per-source selection diverged")
+    // quota: exactly min(5, source size) rows per source
+    val bySrc = got.groupBy(_._1).view.mapValues(_.size)
+    val sizes = docs.groupBy(_._2).view.mapValues(_.length)
+    sizes.foreach { case (s2, n) =>
+      assert(bySrc.getOrElse(s2, 0) == math.min(5, n))
+    }
+  }
+
   test("weighted sample: without replacement, heavy weights dominate") {
     import spark.implicits._
     // 100 light docs (w=1) + 5 heavy (w=10000): a heavy doc misses only

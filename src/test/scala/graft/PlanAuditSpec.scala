@@ -554,6 +554,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"sampling grew a join:\n$p")
   }
 
+  test("stratified sample: WindowGroupLimit prunes each source to k rows") {
+    // per-source top-k must prune partitions pre-sort (the
+    // q_sample_group contract) — losing the limit pushdown sorts every
+    // source's full doc list to keep 5 rows
+    val p = plan("q_weighted_strata")
+    assert(p.contains("WindowGroupLimit"), s"group limit not pushed:\n$p")
+    assert(!p.contains("Join"), s"sampling grew a join:\n$p")
+  }
+
+  test("bpe apply: one corpus scan joined keyed against the vocab") {
+    // application is explode + ONE word-keyed join against the
+    // checkpointed vocab — a lost key would cross corpus x vocab, and a
+    // second parquet scan would re-tokenize the corpus
+    val p = plan("q_bpe_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"vocab join lost its key:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"vocab side does not read the checkpoint:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one corpus scan, got $scans:\n$p")
+  }
+
   test("cms audit: corpus scanned once via the cached aggregate; " +
     "sketch side broadcast") {
     // the sketch and the probe set must both ride the memoized word
