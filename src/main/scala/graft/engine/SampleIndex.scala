@@ -11,53 +11,89 @@ import org.apache.spark.sql.functions._
   *
   * Soundness: with A-Res keys ([[Sampling.esKey]]) the global sample IS
   * the global top-k by key, and top-k distributes over union —
-  * topK(S ∪ B) = topK(topK(S) ∪ topK(B)) — so each round needs only the
-  * persisted k rows plus the new batch. Per-round cost: one
-  * TakeOrderedAndProject over the batch (O(batch) scan, k-row result)
-  * plus a 2k-row merge; the historical corpus is NEVER re-read.
+  * topK(S ∪ B) = topK(topK(S) ∪ topK(B)) — so retaining each batch's
+  * top-k candidates suffices to answer the global sample exactly.
   *
-  * Exactly-once WITHOUT idempotency keys: the key is a deterministic
-  * hash of the document id, so absorbing the same rows twice yields the
-  * identical reservoir (topK is idempotent over duplicates — also
-  * dropDuplicates(id) guards the without-replacement contract).
-  * Checkpoint loss therefore needs no healing protocol at all: ANY
-  * re-batching of replayed files converges to the same state — a
-  * strictly stronger story than the content-keyed appendOnce the other
-  * indexes need, because the reservoir is a bounded idempotent merge
-  * (CRDT-shaped), not an append log. Property-tested in SampleIndexSpec
-  * (sequential-union equivalence, replay convergence, checkpoint-loss
-  * replay).
+  * Storage shape — an APPEND-ONLY candidate log plus a top-k view, not
+  * read-modify-write state:
+  *  - [[absorb]] appends the batch's k best candidates (one
+  *    TakeOrderedAndProject over the batch — the historical corpus is
+  *    never re-read). Appends are race-safe under concurrent writers on
+  *    a versioned sink (commit-claim loop), unlike an overwrite-merge,
+  *    whose read-merge-write window would silently drop a concurrent
+  *    writer's contribution.
+  *  - [[sample]] computes the current sample: top-k over the log after
+  *    per-id dedup. Because the key is a DETERMINISTIC id hash,
+  *    replayed/duplicated candidates are identical rows — the sample is
+  *    correct with NO idempotency keys under ANY re-batching (top-k is
+  *    idempotent over duplicates). Batch keys (the `batchKey` param)
+  *    only bound log GROWTH under replay, never correctness.
+  *  - [[compact]] folds the log back to its top-k. On a
+  *    [[VersionedParquetSink]] it is a SERIALIZABLE rewrite
+  *    (`rewriteSnapshot`): a concurrent absorb forces a retry that
+  *    re-derives from the fresh snapshot, so nothing is lost; on plain
+  *    sinks run it quiesced.
+  *
+  * Log growth between compactions is ≤ k rows per batch — bounded and
+  * tiny relative to the data; a daily compact keeps reads O(k).
+  * Property-tested in SampleIndexSpec (sequential-union equivalence,
+  * out-of-order replay convergence, checkpoint-loss streaming replay,
+  * compaction under interleaved absorbs).
   */
 object SampleIndex {
 
-  /** Merges `batch` (must carry `idCol` and `wtCol`) into the persisted
-    * reservoir table and returns the resulting sample size (≤ k). The
-    * reservoir stores the batch's columns plus `es_key`. */
+  /** Appends `batch`'s top-k candidates (batch must carry `idCol` and
+    * `wtCol`; the log stores them plus `es_key`). Pass `batchKey` to
+    * make replayed appends no-ops — optional: [[sample]] is correct
+    * without it, the key only bounds log growth. */
   def absorb(spark: SparkSession, sink: TableSink, batch: DataFrame, k: Int,
       table: String = "reservoir", idCol: String = "doc_id",
-      wtCol: String = "wt", salt: String = ""): Long = {
+      wtCol: String = "wt", salt: String = "",
+      batchKey: Option[String] = None): Unit = {
     val keyed = batch
       .withColumn("es_key", Sampling.esKey(col(idCol), col(wtCol), salt))
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
-    val merged =
-      if (sink.exists(spark, table)) sink.read(spark, table).unionByName(keyed)
-      else keyed
-    val next = merged
+    batchKey match {
+      case Some(bk) => sink.appendOnce(keyed, table, bk); ()
+      case None => sink.append(keyed, table)
+    }
+  }
+
+  /** The current sample: top-k over the candidate log (per-id dedup
+    * guards without-replacement under replayed candidates). */
+  def sample(spark: SparkSession, sink: TableSink, k: Int,
+      table: String = "reservoir", idCol: String = "doc_id"): DataFrame =
+    sink.read(spark, table)
       .dropDuplicates(idCol)
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
-      // the 2k-row merge must not lazily re-read the table it is about
-      // to overwrite
-      .localCheckpoint(true)
-    sink.overwrite(next, table)
-    next.count()
+
+  /** Folds the candidate log to its current top-k. Serializable on a
+    * versioned sink (see object doc); `localCheckpoint` keeps the plain
+    * sink's overwrite from lazily re-reading the table it replaces. */
+  def compact(spark: SparkSession, sink: TableSink, k: Int,
+      table: String = "reservoir", idCol: String = "doc_id"): Unit = {
+    def topK(df: DataFrame): DataFrame = df
+      .dropDuplicates(idCol)
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+    sink match {
+      case v: VersionedParquetSink =>
+        v.rewriteSnapshot(spark, table, "sample-compact")(topK)
+        ()
+      case _ =>
+        sink.overwrite(topK(sink.read(spark, table)).localCheckpoint(true),
+          table)
+    }
   }
 
   /** Continuous ingestion: stream document files (JSON lines with
     * doc_id/text), weight each doc by its text length, and fold every
-    * micro-batch into the reservoir. No batch keys — see the object doc
-    * for why replay converges without them. */
+    * micro-batch into the reservoir. Batch keys are content-derived
+    * (the DedupIndex recipe) so a replayed batch appends nothing — but
+    * see the object doc: the sample stays correct even when checkpoint
+    * loss RE-BATCHES files and the keys never match. */
   def streamSampled(spark: SparkSession, docsDir: String, sink: TableSink,
       checkpoint: String, k: Int,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -78,9 +114,11 @@ object SampleIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val prepped = batch.select(col("doc_id"),
           greatest(length(col("text")), lit(1)).as("wt"))
-        if (!prepped.isEmpty) {
-          absorb(batch.sparkSession, sink, prepped, k)
-          ()
+        val sig = prepped.agg(count(lit(1)),
+          sum(crc32(concat_ws("", col("doc_id"), col("wt"))))).head()
+        if (sig.getLong(0) > 0) {
+          absorb(batch.sparkSession, sink, prepped, k,
+            batchKey = Some(s"sample-${sig.getLong(0)}-${sig.getLong(1)}"))
         }
       }
       .start()

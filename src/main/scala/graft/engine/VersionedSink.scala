@@ -2386,6 +2386,17 @@ final class VersionedParquetSink(basePath: String,
     * current snapshot, write it to a unique dir, commit with
     * `compacts = baseVersion` (supersedes what it was derived from), and
     * retry from a FRESH snapshot when the serializability check aborts. */
+  /** Serializable read-modify-write for engine-internal maintenance
+    * (SampleIndex.compact): derives the new content from the CURRENT
+    * snapshot via `transform` and, when a concurrent commit wins the
+    * race, RE-DERIVES from a fresh snapshot — unlike overwrite(df),
+    * whose caller-computed frame would go stale, nothing a concurrent
+    * writer appended can be lost. */
+  private[engine] def rewriteSnapshot(spark: SparkSession, table: String,
+      opName: String, commitKey: Option[String] = None)(
+      transform: DataFrame => DataFrame): Long =
+    rewriteWith(spark, table, opName, commitKey, transform)
+
   private def rewriteWith(spark: SparkSession, table: String, opName: String,
       commitKey: Option[String],
       transform: DataFrame => DataFrame): Long =

@@ -8,10 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.{SampleIndex, Sampling, VersionedParquetSink}
 
 /** engine/SampleIndex.scala: the persisted streaming weighted reservoir
-  * held to its algebra — incremental absorption equals the one-shot
-  * batch sample over the union (top-k distributes over union for A-Res
-  * keys), replay converges without idempotency keys, and checkpoint
-  * loss needs no healing protocol. */
+  * held to its algebra — the candidate log's top-k view equals the
+  * one-shot batch sample over the union (top-k distributes over union
+  * for A-Res keys), replay converges withOUT idempotency keys,
+  * checkpoint loss needs no healing protocol, and compaction
+  * interleaved with absorbs loses nothing (serializable rewrite). */
 class SampleIndexSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -25,8 +26,8 @@ class SampleIndexSpec extends AnyFunSuite {
     Sampling.weightedTopK(docsDf(rows), col("doc_id"), col("wt"), K)
       .collect().map(_.getLong(0)).sorted.toSeq
 
-  private def reservoirIds(sink: VersionedParquetSink): Seq[Long] =
-    sink.read(spark, "reservoir").collect()
+  private def sampleIds(sink: VersionedParquetSink): Seq[Long] =
+    SampleIndex.sample(spark, sink, K).collect()
       .map(_.getAs[Long]("doc_id")).sorted.toSeq
 
   test("incremental absorption equals the one-shot sample over the union") {
@@ -36,30 +37,77 @@ class SampleIndexSpec extends AnyFunSuite {
     all.grouped(70).foreach { chunk =>
       SampleIndex.absorb(spark, sink, docsDf(chunk), K)
     }
-    assert(reservoirIds(sink) == batchSample(all),
+    assert(sampleIds(sink) == batchSample(all),
       "incremental reservoir diverged from the batch sample")
+    // log growth is bounded by k per batch
+    assert(sink.read(spark, "reservoir").count() <= 5L * K)
   }
 
-  test("absorbing the same batch twice is a no-op (replay convergence)") {
+  test("keyless replay never corrupts the sample; keys bound log growth") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("six_replay"))
     val b1 = (1L to 50L).map(i => i -> (i % 7 + 1))
     val b2 = (51L to 90L).map(i => i -> (i % 11 + 1))
-    SampleIndex.absorb(spark, sink, docsDf(b1), K)
+    SampleIndex.absorb(spark, sink, docsDf(b1), K, batchKey = Some("b1"))
+    SampleIndex.absorb(spark, sink, docsDf(b2), K, batchKey = Some("b2"))
+    val before = sampleIds(sink)
+    val logBefore = sink.read(spark, "reservoir").count()
+    // keyed replay: appendOnce no-ops, the log does not grow
+    SampleIndex.absorb(spark, sink, docsDf(b2), K, batchKey = Some("b2"))
+    assert(sink.read(spark, "reservoir").count() == logBefore)
+    // UNKEYED out-of-order replay (checkpoint-loss re-batching): the log
+    // grows but the sample is unchanged — duplicate rows are identical
     SampleIndex.absorb(spark, sink, docsDf(b2), K)
-    val before = reservoirIds(sink)
-    SampleIndex.absorb(spark, sink, docsDf(b2), K) // replay
-    SampleIndex.absorb(spark, sink, docsDf(b1), K) // out-of-order replay
-    assert(reservoirIds(sink) == before, "replay changed the reservoir")
+    SampleIndex.absorb(spark, sink, docsDf(b1), K)
+    assert(sampleIds(sink) == before, "replay changed the sample")
     assert(before == batchSample(b1 ++ b2))
   }
 
-  test("size bound: never more than k rows, fewer when input is small") {
-    val sink = new VersionedParquetSink(TestSpark.tmpDir("six_small"))
-    SampleIndex.absorb(spark, sink, docsDf(Seq(1L -> 5L, 2L -> 3L)), K)
-    assert(sink.read(spark, "reservoir").count() == 2)
-    SampleIndex.absorb(spark, sink,
-      docsDf((3L to 200L).map(_ -> 4L)), K)
+  test("compaction folds the log to k rows and preserves the sample; " +
+    "absorbs after compaction keep composing") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("six_compact"))
+    val b1 = (1L to 120L).map(i => i -> (i % 13 + 1))
+    val b2 = (121L to 240L).map(i => i -> (i % 17 + 1))
+    SampleIndex.absorb(spark, sink, docsDf(b1), K)
+    SampleIndex.absorb(spark, sink, docsDf(b2), K)
+    val before = sampleIds(sink)
+    SampleIndex.compact(spark, sink, K)
     assert(sink.read(spark, "reservoir").count() == K.toLong)
+    assert(sampleIds(sink) == before, "compaction changed the sample")
+    // post-compaction absorb still composes exactly
+    val b3 = (241L to 360L).map(i => i -> (i % 19 + 1))
+    SampleIndex.absorb(spark, sink, docsDf(b3), K)
+    assert(sampleIds(sink) == batchSample(b1 ++ b2 ++ b3))
+  }
+
+  test("compaction racing concurrent absorbs loses nothing (serializable)") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("six_race"))
+    SampleIndex.absorb(spark, sink,
+      docsDf((1L to 60L).map(i => i -> (i % 5 + 1))), K)
+    // interleave: 4 absorbing writers race 3 compactions
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val absorbs = (0 until 4).map { t =>
+      scala.concurrent.Future {
+        val rows = (1L to 30L).map(i => (1000L * (t + 1) + i) -> (i % 7 + 1))
+        SampleIndex.absorb(spark, sink, docsDf(rows), K)
+      }
+    }
+    val compacts = (0 until 3).map { _ =>
+      scala.concurrent.Future(SampleIndex.compact(spark, sink, K))
+    }
+    import scala.concurrent.duration._
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(absorbs ++ compacts), 300.seconds)
+    pool.shutdown()
+    // final compact quiesced, then the sample must equal the one-shot
+    // sample over EVERYTHING any writer contributed
+    SampleIndex.compact(spark, sink, K)
+    val all = (1L to 60L).map(i => i -> (i % 5 + 1)) ++
+      (0 until 4).flatMap(t =>
+        (1L to 30L).map(i => (1000L * (t + 1) + i) -> (i % 7 + 1)))
+    assert(sampleIds(sink) == batchSample(all),
+      "a concurrent absorb's contribution was lost")
   }
 
   test("streaming ingestion: micro-batches fold in; checkpoint loss converges") {
@@ -76,9 +124,9 @@ class SampleIndexSpec extends AnyFunSuite {
         .mkString("\n").getBytes)
     SampleIndex.streamSampled(spark, docsDir, sink, ckpt, K)
       .awaitTermination()
-    val first = reservoirIds(sink)
+    val first = sampleIds(sink)
     assert(first.size == K)
-    // the reservoir equals the batch sample with the SAME weights
+    // the sample equals the batch sample with the SAME weights
     val want = batchSample(
       (1L to 40L).map(i => i -> (i % 9 + 1) * 10) ++
         (41L to 80L).map(i => i -> (i % 5 + 1) * 25))
@@ -86,11 +134,15 @@ class SampleIndexSpec extends AnyFunSuite {
     // restart with the same checkpoint: offsets hold, nothing changes
     SampleIndex.streamSampled(spark, docsDir, sink, ckpt, K)
       .awaitTermination()
-    assert(reservoirIds(sink) == first)
-    // checkpoint LOST: every file replays — idempotent merge converges
+    assert(sampleIds(sink) == first)
+    val logAfter = sink.read(spark, "reservoir").count()
+    // checkpoint LOST: files replay — content keys no-op the appends
+    // (same per-file batches), and the sample converges regardless
     SampleIndex.streamSampled(spark, docsDir, sink,
       TestSpark.tmpDir("six_ck2"), K).awaitTermination()
-    assert(reservoirIds(sink) == first,
-      "checkpoint-loss replay changed the reservoir")
+    assert(sampleIds(sink) == first,
+      "checkpoint-loss replay changed the sample")
+    assert(sink.read(spark, "reservoir").count() == logAfter,
+      "keyed appends re-appended on an identical replay")
   }
 }
