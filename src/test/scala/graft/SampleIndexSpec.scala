@@ -110,6 +110,23 @@ class SampleIndexSpec extends AnyFunSuite {
       "a concurrent absorb's contribution was lost")
   }
 
+  test("compaction + vacuum reclaim the log's superseded storage") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("six_vac"))
+    (0 until 6).foreach { t =>
+      SampleIndex.absorb(spark, sink,
+        docsDf((1L to 40L).map(i => (100L * t + i) -> (i % 9 + 1))), K)
+    }
+    val before = sampleIds(sink)
+    SampleIndex.compact(spark, sink, K)
+    // the compaction commit supersedes the six appended log segments;
+    // an includeSuperseded vacuum reclaims them and the sample survives
+    val reclaimed = sink.vacuum(spark, "reservoir", graceMs = 0L,
+      includeSuperseded = true)
+    assert(reclaimed >= 6, s"expected >=6 superseded dirs, got $reclaimed")
+    assert(sampleIds(sink) == before, "vacuum changed the sample")
+    assert(sink.read(spark, "reservoir").count() == K.toLong)
+  }
+
   test("streaming ingestion: micro-batches fold in; checkpoint loss converges") {
     val docsDir = TestSpark.tmpDir("six_in")
     val ckpt = TestSpark.tmpDir("six_ck")
