@@ -50,6 +50,15 @@ object Cms {
       .groupBy(col("e.r").as("r"), col("e.b").as("b"))
       .agg(sum("e.n").as("cnt"))
 
+  /** Merges any number of same-shape sketches bucket-wise (pass their
+    * UNION) — the linearity that makes CMS the 100 TB counting sketch:
+    * build one 1024-row sketch per day/partition/source, store them,
+    * and answer any window by adding the relevant sketches, never
+    * re-touching the data. cms(A ⊎ B) = merge(cms(A) ∪ cms(B)) exactly
+    * (property-tested in CmsSpec). */
+  def merge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("r", "b").agg(sum("cnt").as("cnt"))
+
   /** Point estimates for the keys of `probes` (any DataFrame with a
     * string `key` column): min over depth of the hashed bucket's count.
     * The sketch side is ≤ depth × width rows — broadcast it. */

@@ -90,6 +90,27 @@ class CmsSpec extends AnyFunSuite {
     assert(whole.keys == keys)
   }
 
+  test("merge of per-day sketches answers the whole window exactly") {
+    // the production pattern: one sketch per day, windows answered by
+    // bucket-wise addition without re-touching the data
+    val days = Seq(corpus(29, 200, 150), corpus(31, 200, 150),
+      corpus(37, 200, 150))
+    val merged = Cms.merge(
+      days.map(d => Cms.build(countsOf(d))).reduce(_ unionByName _))
+    val whole = Cms.build(countsOf(days.flatten))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Int]("b")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(toMap(merged) == toMap(whole))
+    // and estimates over the merged sketch match estimates over the whole
+    val counts = countsOf(days.flatten)
+    val a = Cms.estimate(merged, counts).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("est_n")).toMap
+    val b = Cms.estimate(whole, counts).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("est_n")).toMap
+    assert(a == b)
+  }
+
   test("sketch size is depth x width at most, regardless of vocab") {
     val rows = Cms.build(countsOf(corpus(23, 5000, 100))).count()
     assert(rows <= Cms.Depth.toLong * Cms.Width)
