@@ -144,6 +144,25 @@ class CurationPipelineSpec extends AnyFunSuite {
     val cdf = sink.changesBetween(spark, "train", -1L, toV)
     assert(cdf.filter(col("_change_type") === "insert").count() ==
       out.count())
+
+    // 7. held-out eval sample: a size-12 weighted reservoir (weight =
+    // token count) drawn from the landed training set through the
+    // incremental sampling index — keyed, so a replayed batch appends
+    // nothing, and the draw equals the one-shot weighted top-k
+    val pool = out.select(col("doc_id"), col("n_tok").as("wt"))
+    graft.engine.SampleIndex.absorb(spark, sink, pool, 12,
+      table = "eval_sample", batchKey = Some("eval-1"))
+    graft.engine.SampleIndex.absorb(spark, sink, pool, 12,
+      table = "eval_sample", batchKey = Some("eval-1")) // replay no-ops
+    val got = graft.engine.SampleIndex
+      .sample(spark, sink, 12, table = "eval_sample")
+      .collect().map(_.getAs[Long]("doc_id")).toSeq.sorted
+    val want = graft.engine.Sampling
+      .weightedTopK(pool, col("doc_id"), col("wt"), 12)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == want, "eval sample diverged from the one-shot draw")
+    val trainIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(trainIds.contains), "eval doc not in the train set")
     out.unpersist()
   }
 }
