@@ -139,7 +139,10 @@ object ScaleProbe {
     // stratified sampling (source-keyed window, group-limit-pruned) and
     // tokenizer application (corpus explode + word-keyed vocab join;
     // pays BPE training per run via the q_bpe invalidation)
-    "q_weighted_strata", "q_bpe_apply")
+    "q_weighted_strata", "q_bpe_apply",
+    // Stupid Backoff held-out scoring: the q_lm_score topology plus
+    // word-keyed backoff joins — model tables grow with the vocab
+    "q_sbo_score")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

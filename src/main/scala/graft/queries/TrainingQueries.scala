@@ -454,6 +454,104 @@ object TrainingQueries {
                     FROM lp GROUP BY doc_id)
              SELECT doc_id, lm_score FROM sc ORDER BY lm_score, doc_id LIMIT 25""")),
 
+    // Stupid Backoff LM scoring on a HELD-OUT split (Brants et al.
+    // 2007 — the web-scale LM: no discounting to normalize, just
+    // relative frequencies with a 0.4 backoff): train bigram/unigram
+    // tables on doc_id % 10 != 0, score the held-out 10%'s bigrams as
+    //   S = cb/cu          when the bigram was seen in training,
+    //   S = 0.4*(c2+1)/(N+1)  otherwise (add-one floors unseen words),
+    // so the BACKOFF path actually fires (q_lm_score scores in-corpus,
+    // where every bigram is known by construction). Each ln(S) is ONE
+    // ln over the identical operation tree in both engines, 1e-6-
+    // floored into DECIMAL before the sum (the q_dsir/q_lm_score
+    // rule); per-doc mean over occurrences recovered as sum(l*c)/
+    // sum(c) from the (doc, bigram, c) aggregate. Every join is
+    // bigram-/word-keyed over pre-aggregated (distinct-key) inputs;
+    // N is a 1-row broadcast scalar. Bottom-25 = the most-surprising
+    // held-out docs, the quality-filter readout.
+    Q("q_sbo_score",
+      (s, d) => {
+        def bigramsOf(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("bg",
+            expr("filter(zip_with(ws, slice(ws, 2, size(ws)), " +
+              "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
+          .select(col("doc_id"), explode(col("bg")).as("bigram"))
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val eval_ = docs.filter(col("doc_id") % 10 === 0)
+        val tb = bigramsOf(train).groupBy("bigram").agg(count(lit(1)).as("cb"))
+        val tu = tb.withColumn("w1", expr("split(bigram, ' ')[0]"))
+          .groupBy("w1").agg(sum("cb").as("cu"))
+        // unigram counts over ALL train tokens (not just bigram heads:
+        // the last token of each doc counts too)
+        val tw = train
+          .select(explode(split(col("text"), " ")).as("w2"))
+          .filter(col("w2") =!= "")
+          .groupBy("w2").agg(count(lit(1)).as("c2"))
+        val n1 = tw.agg((sum("c2") + 1).cast("double").as("n1"))
+        val evalBg = bigramsOf(eval_)
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          .withColumn("w1", expr("split(bigram, ' ')[0]"))
+          .withColumn("w2", expr("split(bigram, ' ')[1]"))
+        evalBg
+          .join(tb, Seq("bigram"), "left")
+          .join(tu, Seq("w1"), "left")
+          .join(tw, Seq("w2"), "left")
+          .crossJoin(broadcast(n1))
+          .withColumn("sv",
+            when(col("cb").isNotNull,
+              col("cb").cast("double") / col("cu"))
+              .otherwise(lit(0.4) *
+                (coalesce(col("c2"), lit(0L)) + 1).cast("double") / col("n1")))
+          .withColumn("l",
+            (floor(log(col("sv")) * 1000000 + 0.5) / 1000000)
+              .cast("decimal(18,6)"))
+          .groupBy("doc_id")
+          .agg(r4(sum(col("l") * col("c")).cast("double") / sum("c"))
+            .as("sbo_score"))
+          .orderBy("sbo_score", "doc_id")
+          .limit(25)
+      },
+      Some("""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws,
+             len(str_split(text, ' ')) AS nw FROM documents),
+             tbg AS (SELECT ws[t.i] || ' ' || ws[t.i + 1] AS bigram
+                     FROM w CROSS JOIN range(1, 4096) t(i)
+                     WHERE doc_id % 10 <> 0 AND t.i <= nw - 1),
+             tb AS (SELECT bigram, count(*) AS cb FROM tbg GROUP BY 1),
+             tu AS (SELECT str_split(bigram, ' ')[1] AS w1,
+                      CAST(sum(cb) AS BIGINT) AS cu FROM tb GROUP BY 1),
+             tw AS (SELECT w2, count(*) AS c2 FROM (
+                      SELECT unnest(str_split(text, ' ')) AS w2
+                      FROM documents WHERE doc_id % 10 <> 0)
+                    WHERE w2 <> '' GROUP BY 1),
+             n1 AS (SELECT (CAST(sum(c2) AS BIGINT) + 1)::DOUBLE AS n1 FROM tw),
+             ebg AS (SELECT doc_id,
+                       ws[t.i] || ' ' || ws[t.i + 1] AS bigram,
+                       count(*) AS c
+                     FROM w CROSS JOIN range(1, 4096) t(i)
+                     WHERE doc_id % 10 = 0 AND t.i <= nw - 1
+                     GROUP BY 1, 2),
+             lp AS (
+               SELECT e.doc_id, e.c,
+                 CAST(floor(ln(
+                   CASE WHEN tb.cb IS NOT NULL
+                        THEN tb.cb::DOUBLE / tu.cu
+                        ELSE 0.4::DOUBLE *
+                          (coalesce(tw.c2, 0) + 1)::DOUBLE / n1.n1 END)
+                   * 1000000 + 0.5::DOUBLE) / 1000000 AS DECIMAL(18,6)) AS l
+               FROM ebg e
+               LEFT JOIN tb ON e.bigram = tb.bigram
+               LEFT JOIN tu ON str_split(e.bigram, ' ')[1] = tu.w1
+               LEFT JOIN tw ON str_split(e.bigram, ' ')[2] = tw.w2
+               CROSS JOIN n1),
+             sc AS (SELECT doc_id,
+                      floor(CAST(SUM(l * c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                        * 10000 + 0.5::DOUBLE) / 10000 AS sbo_score
+                    FROM lp GROUP BY doc_id)
+             SELECT doc_id, sbo_score FROM sc
+             ORDER BY sbo_score, doc_id LIMIT 25""")),
+
     // Per-group exact median (linear-interpolated, the SQL
     // percentile_cont contract): corpus length profile per language.
     // Computed from the (lang, n_chars, count) HISTOGRAM via

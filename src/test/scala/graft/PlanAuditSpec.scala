@@ -543,6 +543,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"explode re-evaluated instead of riding the cache:\n$p")
   }
 
+  test("sbo score: model joins keyed over aggregates; only the 1-row " +
+    "total broadcasts unkeyed") {
+    // the three model joins (bigram, head, unigram) must stay equi-keyed
+    // over pre-aggregated inputs; the only unkeyed join allowed is the
+    // 1-row N scalar broadcast (the q_tfidf shape) — a cartesian
+    // anywhere else would cross the eval stream with the model
+    val p = plan("q_sbo_score")
+    assert(!p.contains("CartesianProduct"), s"sbo went all-pairs:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"more than the scalar broadcast is unkeyed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"bottom-k became a sort:\n$p")
+  }
+
   test("weighted sample: row-local keys + TakeOrderedAndProject, no shuffle") {
     // the A-Res key is computed per row and selection is a top-k: the
     // plan must be per-partition heaps merged at the driver — a global
