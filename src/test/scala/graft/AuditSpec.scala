@@ -237,6 +237,31 @@ class AuditSpec extends AnyFunSuite {
       s"unrelated salads paired: $pairs")
   }
 
+  // ---- Stupid Backoff ----------------------------------------------------
+
+  test("q_sbo_score: in-model held-out text scores 0; unseen text pays " +
+    "the exact backoff penalty") {
+    // train split (doc_id % 10 != 0): every head is followed by exactly
+    // one word, so every seen bigram has S = cb/cu = 1 -> ln 0. Held-out
+    // doc 10 uses only seen bigrams -> score exactly 0; doc 20 is all
+    // unseen words -> every bigram backs off to S = 0.4*(0+1)/(N+1)
+    // with N = 36 training tokens, i.e. ln(0.4/37) r4'd
+    val dir = fixtureDir(
+      (1L to 9L).map(i => (i, "alpha beta gamma delta", "en", "sa")) ++
+        Seq((10L, "alpha beta gamma delta", "en", "sa"),
+          (20L, "zork quux blivet frobnitz", "en", "sa")))
+    val got = SparkEntry.queries("q_sbo_score")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("sbo_score"))
+      .toMap
+    assert(got.keySet == Set(10L, 20L))
+    assert(got(10L) == 0.0, s"seen-bigram doc scored ${got(10L)}")
+    val wantPenalty =
+      math.floor(math.floor(math.log(0.4 / 37.0) * 1e6 + 0.5) / 1e6
+        * 1e4 + 0.5) / 1e4
+    assert(got(20L) == wantPenalty,
+      s"backoff penalty ${got(20L)} != $wantPenalty")
+  }
+
   // ---- calibration ------------------------------------------------------
 
   /** 40 distinct tokens, 4 of them stopwords: every quality-score term
