@@ -708,23 +708,31 @@ object ExtendedQueries {
     // bounds its own sketch within 1% of its own exact value.
     Q("q_approx_percentile",
       (s, d) => {
-        // ONE exact-percentile buffer and ONE GK sketch for all three
-        // quantiles (array form), unpacked per-quantile afterwards — six
-        // independent aggregates would sort/sketch the column six times
-        def ex(i: Int): Column = element_at(col("exa"), i)
+        // Exact side from the (value, count) histogram via
+        // ExactPercentile.fromCounts — the last raw-value exact
+        // `percentile` buffer in the registry is gone (near-continuous
+        // decimal -> O(distinct) executor heap in one buffer; the
+        // histogram form keeps that mass a distributed aggregate,
+        // bit-identical interpolation, same oracle). ONE GK sketch for
+        // all three quantiles (array form).
+        def ex(n: String): Column = col(n)
         def ap(i: Int): Column = element_at(col("apa"), i).cast("double")
-        def within(i: Int): Column = abs(ap(i) - ex(i)) / ex(i) <= lit(0.01)
-        Tables.orders(s, d).agg(
-          expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("exa"),
+        def within(i: Int, n: String): Column =
+          abs(ap(i) - ex(n)) / ex(n) <= lit(0.01)
+        val exact = ExactPercentile.overHistogram(
+          Tables.orders(s, d), Seq.empty, "o_totalprice",
+          Seq(("ep50", 0.5), ("ep95", 0.95), ("ep99", 0.99)))
+        val approx = Tables.orders(s, d).agg(
           percentile_approx(col("o_totalprice"),
-            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("apa"),
-          count(lit(1)).as("n"))
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("apa"))
+        exact.crossJoin(approx) // 1 row x 1 row
           .select(
-            r4(ex(1)).as("p50"), r4(ex(2)).as("p95"), r4(ex(3)).as("p99"),
+            r4(ex("ep50")).as("p50"), r4(ex("ep95")).as("p95"),
+            r4(ex("ep99")).as("p99"),
             col("n"),
-            within(1).as("p50_within_1pct"),
-            within(2).as("p95_within_1pct"),
-            within(3).as("p99_within_1pct"))
+            within(1, "ep50").as("p50_within_1pct"),
+            within(2, "ep95").as("p95_within_1pct"),
+            within(3, "ep99").as("p99_within_1pct"))
       },
       Some("""SELECT
                floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5::DOUBLE) / 10000 AS p50,
@@ -781,21 +789,28 @@ object ExtendedQueries {
     // (deterministic 16-bit md5 u, exactly representable over 2^16, so
     // DuckDB replays the identical ln) and selection is top-k:
     // TakeOrderedAndProject, zero corpus shuffles at any size
-    // (plan-pinned). ln mantissas are irrational -> plain round.
+    // (plan-pinned). Keys are TINY NEGATIVE doubles (top keys at
+    // sf0.01 sit at -1e-6..-1e-4) that round to ZERO — exactly the
+    // signed-zero divergence: DuckDB's C round(-1.7e-5, 4) emits -0.0
+    // while Spark's BigDecimal round emits +0.0 (CORRECTNESS_r09 hash
+    // fail). So the key is r4-FLOORED on both engines — floor output
+    // is an integer-valued double, never -0.0 (x*1e4+0.5 = -0.0 is
+    // impossible: -0.5 + 0.5 = +0.0 in IEEE round-to-nearest).
     Q("q_weighted_sample",
       (s, d) => graft.engine.Sampling.weightedTopK(
           Tables.documents(s, d).select(col("doc_id"), col("source"),
             greatest(col("n_chars"), lit(1)).as("wt")),
           col("doc_id"), col("wt"), 20)
         .select(col("doc_id"), col("source"), col("wt"),
-          round(col("es_key"), 4).as("es_key")),
+          r4(col("es_key")).as("es_key")),
       Some(s"""WITH t AS (SELECT doc_id, source,
                greatest(n_chars, 1) AS wt,
                ln((${hex4("md5(doc_id::VARCHAR)")} + 1)::DOUBLE
                    / 65536.0::DOUBLE)
                  / greatest(n_chars, 1)::DOUBLE AS k
              FROM documents)
-             SELECT doc_id, source, wt, round(k, 4) AS es_key
+             SELECT doc_id, source, wt,
+               floor(k * 10000 + 0.5::DOUBLE) / 10000 AS es_key
              FROM t ORDER BY k DESC, doc_id LIMIT 20""")),
 
     // Stratified weighted sampling: 5 docs PER SOURCE by the same A-Res
@@ -803,7 +818,8 @@ object ExtendedQueries {
     // per-source counterpart of q_weighted_sample (q_sample_group is
     // its unweighted ancestor). One shuffle on source; WindowGroupLimit
     // prunes each partition to k rows pre-sort, so per-source state is
-    // O(k) at any corpus size.
+    // O(k) at any corpus size. Same r4-floor signed-zero rule as
+    // q_weighted_sample (tiny negative keys round to -0.0 in DuckDB).
     Q("q_weighted_strata",
       (s, d) => {
         val base = Tables.documents(s, d)
@@ -816,7 +832,7 @@ object ExtendedQueries {
         base.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("source"), col("doc_id"), col("wt"),
-            round(col("es_key"), 4).as("es_key"))
+            r4(col("es_key")).as("es_key"))
           .orderBy("source", "doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, source,
@@ -828,7 +844,8 @@ object ExtendedQueries {
              r AS (SELECT source, doc_id, wt, k,
                row_number() OVER (PARTITION BY source
                  ORDER BY k DESC, doc_id) AS rn FROM t)
-             SELECT source, doc_id, wt, round(k, 4) AS es_key
+             SELECT source, doc_id, wt,
+               floor(k * 10000 + 0.5::DOUBLE) / 10000 AS es_key
              FROM r WHERE rn <= 5 ORDER BY source, doc_id""")),
 
     // Count-Min sketch audit (engine/Cms.scala, Cormode-Muthukrishnan):

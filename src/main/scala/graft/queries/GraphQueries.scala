@@ -146,7 +146,7 @@ object GraphQueries {
        |b AS (SELECT vec_id, e, nrm, cell FROM m WHERE label = 1),
        |p AS MATERIALIZED (
        |  SELECT a.cell, a.vec_id AS sid, b.vec_id AS tid,
-       |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+       |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) + 0.0 AS sim
        |  FROM a JOIN b ON a.cell = b.cell)""".stripMargin
 
   val all: Seq[Q] = Seq(

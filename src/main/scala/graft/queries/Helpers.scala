@@ -13,7 +13,18 @@ import org.apache.spark.sql.functions._
   *    and RATIONAL-arithmetic scores (ratios of small ints) land there;
   *    floor/mult/add are bit-identical IEEE ops in both engines.
   *    Irrational-mantissa scores (cosines, ln) keep plain round():
-  *    boundary hits are measure-zero.
+  *    boundary hits are measure-zero. SIGNED-ZERO RULE (the r9
+  *    q_weighted_sample hash fail): DuckDB's C round emits -0.0 for a
+  *    tiny negative operand while Spark's BigDecimal-based Round emits
+  *    +0.0 — BigDecimal has no signed zero — so the two engines publish
+  *    different bit patterns for the same "0.0". r4 is immune (floor
+  *    output is integer-valued, and x*1e4+0.5 can never be -0.0 because
+  *    -0.5 + 0.5 = +0.0 in IEEE); every plain-round oracle site whose
+  *    operand can be negative AND whose value is EMITTED (not merely
+  *    ranked/filtered — DuckDB ORDER BY and comparisons treat
+  *    -0.0 = +0.0) appends `+ 0.0` on the DuckDB side, which maps
+  *    -0.0 -> +0.0 and is the bit-identity on every other double. The
+  *    Spark side needs no mirror term: its round already canonicalizes.
   *  - [[ntz]]: Spark TimestampType is UTC-adjusted and parquet-dumps
   *    tz-aware; DuckDB emits naive timestamps — NTZ keeps the same UTC
   *    wall-clock and compares clean.

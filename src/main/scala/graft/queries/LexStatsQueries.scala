@@ -134,7 +134,7 @@ object LexStatsQueries {
                    WHERE cb.cb >= $PmiMinCount)
              SELECT bigram, cb,
                round(ln((cb::DOUBLE * n::DOUBLE * n::DOUBLE) /
-                 (b::DOUBLE * c1::DOUBLE * c2::DOUBLE)), 4) AS pmi
+                 (b::DOUBLE * c1::DOUBLE * c2::DOUBLE)), 4) + 0.0 AS pmi
              FROM j ORDER BY pmi DESC, bigram LIMIT 20""")),
 
     // In-document stutter collapse: drop every word equal to its

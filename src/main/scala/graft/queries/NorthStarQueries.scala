@@ -468,7 +468,7 @@ object NorthStarQueries {
              $kmeansCte,
              scored AS (
                SELECT n.vec_id, c.cell,
-                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) + 0.0 AS sim
                FROM n CROSS JOIN c),
              asn AS (
                SELECT vec_id, cell FROM (
@@ -478,7 +478,7 @@ object NorthStarQueries {
              m AS (SELECT n.vec_id, n.e, n.nrm, n.label, asn.cell
                    FROM n JOIN asn USING (vec_id))
              SELECT a.vec_id AS d1, b.vec_id AS d2,
-               round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+               round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) + 0.0 AS sim
              FROM m a JOIN m b ON a.label = b.label AND a.cell = b.cell
                AND a.vec_id < b.vec_id
              WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
@@ -508,7 +508,7 @@ object NorthStarQueries {
              q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
              scored AS (
                SELECT q_id, n.vec_id,
-                 round(list_dot_product(qe, n.e) / (qn * n.nrm), 4) AS sim
+                 round(list_dot_product(qe, n.e) / (qn * n.nrm), 4) + 0.0 AS sim
                FROM q JOIN n ON n.vec_id <> q.q_id),
              ranked AS (
                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
@@ -551,7 +551,7 @@ object NorthStarQueries {
              q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, bucket FROM b WHERE vec_id < 5),
              scored AS (
                SELECT q_id, b.vec_id,
-                 round(list_dot_product(qe, b.e) / (qn * b.nrm), 4) AS sim
+                 round(list_dot_product(qe, b.e) / (qn * b.nrm), 4) + 0.0 AS sim
                FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id),
              ranked AS (
                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
@@ -582,7 +582,7 @@ object NorthStarQueries {
              $kmeansCte,
              scored AS (
                SELECT n.vec_id, c.cell,
-                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) + 0.0 AS sim
                FROM n CROSS JOIN c),
              ranked AS (
                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
@@ -626,7 +626,7 @@ object NorthStarQueries {
                    FROM assigned WHERE vec_id >= 100 AND vec_id < 105),
              cand AS (
                SELECT q_id, a.vec_id,
-                 round(list_dot_product(qe, a.e) / (qn * a.nrm), 4) AS sim
+                 round(list_dot_product(qe, a.e) / (qn * a.nrm), 4) + 0.0 AS sim
                FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.q_id),
              ranked AS (
                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
@@ -666,7 +666,7 @@ object NorthStarQueries {
                  FROM q CROSS JOIN c) WHERE pr <= 2),
              cand AS (
                SELECT q_id, a.vec_id,
-                 round(list_dot_product(qe, a.e) / (qn * a.nrm), 4) AS sim
+                 round(list_dot_product(qe, a.e) / (qn * a.nrm), 4) + 0.0 AS sim
                FROM probe p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
              ranked AS (
                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
@@ -700,7 +700,7 @@ object NorthStarQueries {
              $kmeansCte,
              scored AS (
                SELECT n.vec_id, c.cell,
-                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) + 0.0 AS sim
                FROM n CROSS JOIN c),
              assigned AS (
                SELECT vec_id, cell, sim FROM (
@@ -752,7 +752,7 @@ object NorthStarQueries {
              $kmeansCte,
              scored AS (
                SELECT n.vec_id, c.cell,
-                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) AS sim
+                 round(list_dot_product(n.e, ce) / (n.nrm * cn), 4) + 0.0 AS sim
                FROM n CROSS JOIN c),
              rk AS (SELECT vec_id, cell, sim,
                  row_number() OVER (PARTITION BY vec_id
@@ -870,7 +870,7 @@ object NorthStarQueries {
                FROM q JOIN bk v ON q.t = v.t AND q.bucket = v.bucket AND v.vec_id <> q.q_id),
              scored AS (
                SELECT c.q_id, c.vec_id,
-                 round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+                 round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) + 0.0 AS sim
                FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.vec_id),
              ranked AS (
                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn

@@ -169,7 +169,7 @@ object PqQueries {
        |cand AS (
        |  SELECT l1.q_id, enc.vec_id,
        |    round((l1.dp1 + l2.dp2) /
-       |      (l1.qn * sqrt(l1.cn1 * l1.cn1 + l2.cn2 * l2.cn2)), 4) AS sim
+       |      (l1.qn * sqrt(l1.cn1 * l1.cn1 + l2.cn2 * l2.cn2)), 4) + 0.0 AS sim
        |  FROM enc
        |  JOIN lut1 l1 ON enc.code1 = l1.code1
        |  JOIN lut2 l2 ON l2.q_id = l1.q_id AND enc.code2 = l2.code2
@@ -202,7 +202,7 @@ object PqQueries {
              $pqCtes
              SELECT enc.vec_id, code1, code2,
                round(list_dot_product(n.e, ce1 || ce2) /
-                 (n.nrm * sqrt(list_dot_product(ce1 || ce2, ce1 || ce2))), 4) AS recon_sim
+                 (n.nrm * sqrt(list_dot_product(ce1 || ce2, ce1 || ce2))), 4) + 0.0 AS recon_sim
              FROM enc JOIN n ON enc.vec_id = n.vec_id
              ORDER BY enc.vec_id""")),
 

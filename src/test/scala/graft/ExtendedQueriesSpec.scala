@@ -174,6 +174,29 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("published es_key never carries a -0.0 bit pattern (r9 hash fail)") {
+    import spark.implicits._
+    // A heavy weight drives ln(u)/w into (-5e-5, 0): DuckDB's C round
+    // emits -0.0 there while Spark's BigDecimal round emits +0.0 — the
+    // r9 q_weighted_sample/q_weighted_strata oracle-hash regression.
+    // Both engines now publish via the r4 floor form, whose output can
+    // never be -0.0; pin that on a key that rounds to exactly zero.
+    val tiny = Seq((1L, 10000000L)).toDF("doc_id", "wt")
+      .select(graft.queries.Helpers.r4(
+        graft.engine.Sampling.esKey(col("doc_id"), col("wt"))).as("k"))
+      .head().getAs[Double]("k")
+    assert(tiny == 0.0, s"expected a key rounding to zero, got $tiny")
+    assert(java.lang.Double.doubleToRawLongBits(tiny) == 0L,
+      "r4 of a tiny negative key must be +0.0, not -0.0")
+    // and the full published artifacts are -0.0-free
+    for (q <- Seq("q_weighted_sample", "q_weighted_strata")) {
+      val bad = run(q).collect().count(r =>
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("es_key"))
+          == java.lang.Double.doubleToRawLongBits(-0.0))
+      assert(bad == 0, s"$q published $bad -0.0 es_key values")
+    }
+  }
+
   test("weighted sample: without replacement, heavy weights dominate") {
     import spark.implicits._
     // 100 light docs (w=1) + 5 heavy (w=10000): a heavy doc misses only

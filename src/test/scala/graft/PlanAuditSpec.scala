@@ -178,8 +178,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // percentiles from the (group, value, count) histogram
     // (ExactPercentile): the plan carries Window + aggregates, and the
     // Percentile aggregate function appears NOWHERE.
+    // q_approx_percentile's EXACT comparator side also rides the
+    // histogram (its GK sketch prints as percentile_approx — the
+    // "percentile(" literal below does not match it)
     Seq("q_percentile", "q_median_group", "q_len_trim", "q_mad_outlier",
-      "q_daily_p95")
+      "q_daily_p95", "q_approx_percentile")
       .foreach { q =>
         val lp = SparkEntry.queries(q)(spark, sf)
           .queryExecution.optimizedPlan.toString

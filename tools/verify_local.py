@@ -13,6 +13,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -58,8 +59,22 @@ def main(sf_dir: str, out_dir: str) -> int:
                 n_fail += 1
                 continue
             if w.equals(g):
-                print(f"PASS {name} ({len(g)} rows)")
-                n_pass += 1
+                # pandas equals treats -0.0 == +0.0, but the driver's
+                # value HASH distinguishes them (the r9 q_weighted_sample
+                # fail) — flag any signed-zero divergence explicitly.
+                sz = []
+                for c in w.columns:
+                    if pd.api.types.is_float_dtype(w[c]):
+                        d = np.signbit(w[c].to_numpy()) != np.signbit(g[c].to_numpy())
+                        d &= ~(np.isnan(w[c].to_numpy()) & np.isnan(g[c].to_numpy()))
+                        if d.any():
+                            sz.append((c, int(d.sum())))
+                if sz:
+                    print(f"FAIL {name}: signed-zero divergence {sz}")
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({len(g)} rows)")
+                    n_pass += 1
             else:
                 neq = (w != g) & ~(w.isna() & g.isna())
                 bad = neq.any(axis=1)
