@@ -116,8 +116,11 @@ object BloomIndex {
     val cols = physCols.filter(f => supported(f.dataType))
     if (cols.isEmpty) {
       // nothing indexable in this dir (e.g. the column predates it):
-      // stamp it anyway so the steady-state re-check stays one probe
-      val hfs = new Path(dataDir).getFileSystem(
+      // stamp it anyway so the steady-state re-check stays one probe.
+      // The marker's FileSystem resolves from bloomOut, NOT dataDir: a
+      // clone-local build over an inherited dir may read from a
+      // different filesystem than the one its sidecars live on.
+      val hfs = new Path(bloomOut).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       hfs.create(successMarkAt(bloomOut), true).close()
       return
@@ -161,7 +164,10 @@ object BloomIndex {
           }
         }
       }
-    val hfs = new Path(dataDir).getFileSystem(
+    // marker through bloomOut's FileSystem (matches the per-task
+    // sidecar writes above) — dataDir may live on another filesystem
+    // when a clone builds sidecars for an inherited source dir
+    val hfs = new Path(bloomOut).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val out = hfs.create(successMarkAt(bloomOut), true)
     out.close()

@@ -70,9 +70,15 @@ object Cms {
       .select(col("*"), col("h.r").as("r"), col("h.b").as("b"))
       .drop("h")
     hashed
-      // reserved name: the probe side may legitimately carry a `cnt`
+      // reserved name: the probe side may legitimately carry a `cnt`.
+      // LEFT join + coalesce-to-0: a bucket the sketch never wrote is
+      // an EMPTY bucket (count 0), not a missing depth row — an inner
+      // join would drop it, weakening the min-over-depth bound and
+      // losing entirely-absent probe keys from the output instead of
+      // answering est_n = 0.
       .join(broadcast(sketch.withColumnRenamed("cnt", "__cms_cnt")),
-        Seq("r", "b"))
+        Seq("r", "b"), "left")
+      .withColumn("__cms_cnt", coalesce(col("__cms_cnt"), lit(0L)))
       .groupBy(probes.columns.map(col): _*)
       .agg(min("__cms_cnt").as("est_n"))
   }

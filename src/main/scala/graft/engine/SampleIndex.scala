@@ -60,12 +60,29 @@ object SampleIndex {
     }
   }
 
+  /** Deterministic per-id dedup of the candidate log: keep the MAX
+    * es_key row (ties — same clamped weight, hence same key — broken by
+    * the remaining columns descending, a total order). A bare
+    * dropDuplicates keeps an ARBITRARY survivor: if the same doc_id is
+    * ever absorbed with a different weight (a re-crawl changed the text
+    * length in [[streamSampled]]), the surviving key — and hence the
+    * top-k — would depend on partitioning. The window runs over the
+    * log, which is O(k x batches) and compacted, never the corpus. */
+  private def bestPerId(df: DataFrame, idCol: String): DataFrame = {
+    val tieBreak = df.columns.filterNot(c => c == idCol || c == "es_key")
+      .map(col(_).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("es_key").desc +: tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** The current sample: top-k over the candidate log (per-id dedup
     * guards without-replacement under replayed candidates). */
   def sample(spark: SparkSession, sink: TableSink, k: Int,
       table: String = "reservoir", idCol: String = "doc_id"): DataFrame =
-    sink.read(spark, table)
-      .dropDuplicates(idCol)
+    bestPerId(sink.read(spark, table), idCol)
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
 
@@ -74,8 +91,7 @@ object SampleIndex {
     * sink's overwrite from lazily re-reading the table it replaces. */
   def compact(spark: SparkSession, sink: TableSink, k: Int,
       table: String = "reservoir", idCol: String = "doc_id"): Unit = {
-    def topK(df: DataFrame): DataFrame = df
-      .dropDuplicates(idCol)
+    def topK(df: DataFrame): DataFrame = bestPerId(df, idCol)
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
     sink match {

@@ -62,6 +62,26 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("absent probe keys survive the lookup: empty bucket counts as 0") {
+    // A tiny sketch leaves most buckets unwritten. A probe key that was
+    // never inserted must (a) stay in the output and (b) let its empty
+    // buckets participate in the min — inner-joining the sketch would
+    // drop those depth rows, inflating est_n to the min over only the
+    // COLLIDING buckets (or losing the key entirely).
+    val counts = Seq(("only", 5L)).toDF("w", "cnt")
+    val sketch = Cms.build(counts)
+    assert(sketch.count() == Cms.Depth) // most buckets absent
+    val probes = Seq("only", "never-seen").toDF("w")
+    val est = Cms.estimate(sketch, probes).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("est_n")).toMap
+    assert(est("only") == 5L)
+    // "never-seen" hashes to at least one empty bucket with width 256
+    // and 4 occupied cells unless all 4 collide (they don't, seeded)
+    assert(est.contains("never-seen"), "absent key dropped from output")
+    assert(est("never-seen") == 0L,
+      s"absent key must estimate 0, got ${est("never-seen")}")
+  }
+
   test("error bound: P[over > (e/width) * N] <= e^-depth") {
     val tokens = corpus(13, 2000, 500)
     val n = tokens.size.toDouble

@@ -43,6 +43,32 @@ class SampleIndexSpec extends AnyFunSuite {
     assert(sink.read(spark, "reservoir").count() <= 5L * K)
   }
 
+  test("re-absorbed id with a CHANGED weight resolves to max es_key, " +
+      "absorb-order-independently") {
+    // A re-crawl can change a doc's length, so the same doc_id lands in
+    // the log twice with different weights (different es_key). The
+    // survivor must be the max-key row regardless of which absorb came
+    // first — an arbitrary dropDuplicates survivor made the top-k
+    // partitioning-dependent.
+    def build(order: Seq[Seq[(Long, Long)]]): (Seq[Long], Long) = {
+      val sink = new VersionedParquetSink(
+        TestSpark.tmpDir(s"six_rewt_${order.hashCode}"))
+      order.foreach(b => SampleIndex.absorb(spark, sink, docsDf(b), K))
+      val s = SampleIndex.sample(spark, sink, K).collect()
+      (s.map(_.getAs[Long]("doc_id")).sorted.toSeq,
+        s.find(_.getAs[Long]("doc_id") == 7L)
+          .map(_.getAs[Long]("wt")).getOrElse(-1L))
+    }
+    val others = (100L to 120L).map(_ -> 50L)
+    val light = Seq(7L -> 1L)    // tiny weight: key far below zero
+    val heavy = Seq(7L -> 99999L) // huge weight: key near zero (wins)
+    val (idsA, wtA) = build(Seq(others, light, heavy))
+    val (idsB, wtB) = build(Seq(others, heavy, light))
+    assert(idsA == idsB, "sample depends on absorb order")
+    assert(wtA == 99999L && wtB == 99999L,
+      s"survivor must carry the max-key weight, got $wtA / $wtB")
+  }
+
   test("keyless replay never corrupts the sample; keys bound log growth") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("six_replay"))
     val b1 = (1L to 50L).map(i => i -> (i % 7 + 1))
