@@ -116,8 +116,17 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map(n => "\"" + esc(n) + "\"")
         .mkString(""","failed":[""", ",", "]")
+    // Per-query regression flag: the driver's budget is ~1 s/query with
+    // a 2x gate, so any steady-state (min-of-runs) time above 2 s gets
+    // NAMED instead of hiding inside a growing total. Known shared-cost
+    // heads (q_winnow_pairs ~1.9 s) sit under the line; a new entry
+    // here is a regression to explain or fix, not jitter (the min-of-2
+    // protocol already absorbs the ~0.2 s scheduling band).
+    val overBudget = results.collect { case (k, v) if v > 2.0 => k }
+    val overField = overBudget.map(n => "\"" + esc(n) + "\"")
+      .mkString(""","over_budget":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField,"sf":"${esc(sfDir)}"}"""
     // stdout gets wrapped by sbt ("[info] {...}") and interleaved with log
     // noise, which made the round-1 report unparseable downstream — so the
     // authoritative copy goes to a file; stdout stays for humans.
@@ -128,7 +137,8 @@ object Bench {
     // parseable line (same metric/value as the full report).
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
-        s""""n_failed":${failed.size},"sf":"${esc(sfDir)}"}"""
+        s""""n_failed":${failed.size},"n_over_budget":${overBudget.size},""" +
+        s""""sf":"${esc(sfDir)}"}"""
     println(summary)
     val outPath = sys.env.getOrElse("BENCH_OUT", "/root/repo/bench_result.json")
     try {

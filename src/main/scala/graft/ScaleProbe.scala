@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * "ratio":r}},...} on stdout and in SCALE_PROBE_OUT (default
   * /root/repo/scale_probe.json). `ratio` is t10/t1 — ~10 means linear,
   * >~14 (exponent > ~1.15) flags a super-linear plan.
+  *
+  * PARAMETERIZED-FORM runs: the cell-blocked embedding queries
+  * (q_dedup_embed / q_embed_contam / q_mutual_nn / q_margin_nn) carry a
+  * fixed-k ORACLE literal, so a plain probe measures the fixed-cell
+  * artifact (per-cell membership grows with the corpus — 83-432x at
+  * 100x), not the production plan. Re-probe them with
+  * `GRAFT_CELLS_PER=200` (k = ceil(nVecs/200): 10/100/1000 cells at
+  * 1x/10x/100x — NorthStarQueries.ivfK) and a separate
+  * SCALE_PROBE_OUT (scale_probe_param*.json) so the artifact
+  * documentation in the main files is preserved. Measured r10:
+  * 2.3-5.3x at 10x in that form.
   */
 object ScaleProbe {
 

@@ -50,15 +50,23 @@ object SampleIndex {
       table: String = "reservoir", idCol: String = "doc_id",
       wtCol: String = "wt", salt: String = "",
       batchKey: Option[String] = None): Unit = {
-    val keyed = batch
-      .withColumn("es_key", Sampling.esKey(col(idCol), col(wtCol), salt))
-      .orderBy(col("es_key").desc, col(idCol).asc)
-      .limit(k)
+    val keyed = candidates(batch, k, idCol, wtCol, salt)
     batchKey match {
       case Some(bk) => sink.appendOnce(keyed, table, bk); ()
       case None => sink.append(keyed, table)
     }
   }
+
+  /** One batch's keyed top-k candidate rows WITHOUT appending them —
+    * the composable form: the flagship stream hands these to the SAME
+    * `multiAppendOnce` transaction that commits the corpus tables, so
+    * the reservoir absorbs a batch iff that batch landed. */
+  def candidates(batch: DataFrame, k: Int, idCol: String = "doc_id",
+      wtCol: String = "wt", salt: String = ""): DataFrame =
+    batch
+      .withColumn("es_key", Sampling.esKey(col(idCol), col(wtCol), salt))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
 
   /** Deterministic per-id dedup of the candidate log: keep the MAX
     * es_key row (ties — same clamped weight, hence same key — broken by

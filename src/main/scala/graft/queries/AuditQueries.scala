@@ -461,7 +461,9 @@ object AuditQueries {
     // re-derived per run — cell-boundedness asserted in
     // ContaminationSpec), exactly the q_semdedup/SemDedup split; a
     // fixed-k 100x probe measures the quantizer-staleness artifact,
-    // not the plan. Per-cell report:
+    // not the plan. Setting GRAFT_CELLS_PER (NorthStarQueries.ivfK)
+    // runs THIS registry form with the parameterized k ∝ corpus — how
+    // ScaleProbe measures the production shape. Per-cell report:
     // eval/train populations, contaminated eval vectors, hit mass, max
     // similarity. Cosines are round()ed (irrational-mantissa rule)
     // before the >= tau compare on BOTH engines.

@@ -236,7 +236,9 @@ object GraphQueries {
     // trained-IVF cell (the bitext-mining candidate set). The oracle's
     // fixed k makes the parameterized engine path
     // (Contamination.scala's k = n/target rule) the 100-TB form, same
-    // as q_embed_contam / q_semdedup.
+    // as q_embed_contam / q_semdedup; GRAFT_CELLS_PER
+    // (NorthStarQueries.ivfK) runs this form with k ∝ corpus — the
+    // shape ScaleProbe measures. Applies to q_margin_nn below too.
     Q("q_mutual_nn",
       (s, d) => GraphMetrics.mutualTopOne(bitextSide(s, d, 0), bitextSide(s, d, 1))
         .select(col("cell"), col("sid").as("src_id"),

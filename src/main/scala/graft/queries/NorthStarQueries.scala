@@ -125,11 +125,32 @@ object NorthStarQueries {
     * cardinality of the synthetic corpus. */
   val IvfK = 10
   val IvfIters = 2
+
+  /** Cell count actually used to train: the fixed [[IvfK]] literal by
+    * default — the oracle replays k-means as literal SQL CTEs, so the
+    * correctness gate pins the sf-scale k — or, when `GRAFT_CELLS_PER`
+    * is set (a target cell SIZE), k = ceil(nVecs / target): the
+    * parameterized rule the engine paths already apply
+    * (Contamination / SemDedup / AnnIndex — k ∝ corpus keeps per-cell
+    * membership bounded as data grows; under a FIXED k the within-cell
+    * pair term of every cell-blocked query goes quadratic in fill, the
+    * measured 100x-probe artifact on q_embed_contam / q_dedup_embed /
+    * q_mutual_nn / q_margin_nn). ScaleProbe sets GRAFT_CELLS_PER so the
+    * embedding family is probed in this production form; the driver's
+    * oracle run never sets it (a data-dependent k has no DuckDB literal
+    * mirror). */
+  private[queries] def ivfK(s: SparkSession, d: String): Int =
+    sys.env.get("GRAFT_CELLS_PER").map(_.trim).filter(_.nonEmpty) match {
+      case Some(t) =>
+        math.max(1, math.ceil(emb(s, d).count().toDouble / t.toInt).toInt)
+      case None => IvfK
+    }
+
   private[queries] val centCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame =
     memoize(centCache, s, d) {
-      graft.engine.KMeans.train(s, emb(s, d), IvfK, IvfIters)
+      graft.engine.KMeans.train(s, emb(s, d), ivfK(s, d), IvfIters)
     }
 
   /** IVF cell assignment (vec_id, emb, nrm, cell), memoized+cached:

@@ -51,7 +51,25 @@ object CorpusMonitor {
     * still returns the recomputed count — the append itself no-ops). */
   def appendStats(spark: SparkSession, sink: VersionedParquetSink,
       batch: DataFrame, batchKey: String,
-      statsTable: String = "corpus_stats"): Long = {
+      statsTable: String = "corpus_stats"): Long =
+    statsRows(spark, sink, batch, batchKey, statsTable) match {
+      case None => 0L
+      case Some(rows) =>
+        val n = rows.count()
+        sink.appendOnce(rows, statsTable, batchKey)
+        n
+    }
+
+  /** One batch's per-lang stats rows WITHOUT appending them — the
+    * composable form: the flagship stream hands these to the SAME
+    * `multiAppendOnce` transaction that commits raw/curated/actors, so
+    * the monitor log can never run ahead of (or behind) the corpus it
+    * describes. None for an empty batch. The prior-share read excludes
+    * `batchKey`, so a crash-replayed batch recomputes byte-identical
+    * rows (the appendStats contract, unchanged). */
+  def statsRows(spark: SparkSession, sink: VersionedParquetSink,
+      batch: DataFrame, batchKey: String,
+      statsTable: String = "corpus_stats"): Option[DataFrame] = {
     val perLang = annotated(batch)
       .groupBy(col("lang"))
       .agg(
@@ -63,7 +81,7 @@ object CorpusMonitor {
           countDistinct(col("__fp")).cast("double") / count(lit(1)))
           .as("dup_rate"))
     val total = perLang.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
-    if (total == 0L) return 0L
+    if (total == 0L) return None
 
     // prior cumulative per-lang doc counts from the log EXCLUDING this
     // key: deterministic whether or not this batch's append already
@@ -95,9 +113,7 @@ object CorpusMonitor {
       .withColumn("batch_key", lit(batchKey))
       .select("batch_key", "lang", "n_docs", "n_tokens", "mean_chars",
         "quality_rate", "dup_rate", "share", "prior_share", "drift")
-    val n = rows.count()
-    sink.appendOnce(rows, statsTable, batchKey)
-    n
+    Some(rows)
   }
 
   /** The monitor as a streaming sink: ride any streaming frame of

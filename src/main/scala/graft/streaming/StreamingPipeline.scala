@@ -35,14 +35,25 @@ object StreamingPipeline {
     * @param vacuumAfterCompact additionally reclaim the superseded
     *   pre-compaction directories right after each compaction — bounds
     *   TOTAL storage for an unbounded run at the documented cost of
-    *   truncating time travel to the latest compaction. */
+    *   truncating time travel to the latest compaction.
+    * @param monitorStats also maintain a `corpus_stats` per-batch
+    *   language-mix/quality/drift log (streaming/CorpusMonitor) INSIDE
+    *   the same per-batch transaction — the monitor can never describe
+    *   a corpus state that didn't commit. Versioned sink only (the
+    *   prior-share read needs keyed history); ignored otherwise.
+    * @param reservoirK also maintain a size-k weighted reservoir over
+    *   everything ingested (engine/SampleIndex, weight = curated text
+    *   length) riding the same transaction — a ready-made eval sample
+    *   that is exactly as fresh as the corpus. Versioned sink only. */
   def stream(spark: SparkSession, feedsDir: String, sink: TableSink,
       checkpoint: String,
       watermark: String = "7 days",
       analyzer: Analyze.TextAnalyzer = Analyze.RuleBasedAnalyzer,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Option[Int] = None,
-      vacuumAfterCompact: Boolean = false): StreamingQuery = {
+      vacuumAfterCompact: Boolean = false,
+      monitorStats: Boolean = false,
+      reservoirK: Option[Int] = None): StreamingQuery = {
 
     val entries = spark.readStream
       .schema(Schemas.feedEntry)
@@ -85,10 +96,32 @@ object StreamingPipeline {
             // per-table at-least-once, the reference's own contract.
             val curated = Curate(cached)
             val analyzed = Analyze.withAnalysis(cached.sparkSession, curated, analyzer)
+            // round-9 members ride the SAME transaction: corpus-stats
+            // monitor rows + reservoir candidates land with (or not at
+            // all alongside) the corpus tables they describe
+            val extras: Seq[(DataFrame, String)] = sink match {
+              case v: graft.engine.VersionedParquetSink
+                  if monitorStats || reservoirK.isDefined =>
+                val docs = curated.select(col("id").as("doc_id"),
+                  concat_ws(" ", col("title"), col("description")).as("text"),
+                  col("category").as("lang"))
+                val statsW =
+                  if (!monitorStats) Seq.empty
+                  else CorpusMonitor.statsRows(cached.sparkSession, v, docs,
+                    s"batch-$batchId").map(_ -> "corpus_stats").toSeq
+                val resW = reservoirK.toSeq.map { k =>
+                  graft.engine.SampleIndex.candidates(
+                    docs.select(col("doc_id"),
+                      greatest(length(col("text")), lit(1)).as("wt")),
+                    k) -> "reservoir"
+                }
+                statsW ++ resW
+              case _ => Seq.empty
+            }
             sink.multiAppendOnce(Seq(
               cached -> "raw",
               curated -> "curated",
-              Analyze.explodeActors(analyzed) -> "actors"),
+              Analyze.explodeActors(analyzed) -> "actors") ++ extras,
               s"batch-$batchId")
             // periodic OPTIMIZE: only meaningful on the versioned sink
             // (the plain parquet sink appends files, not directories);

@@ -145,4 +145,81 @@ class FlagshipCatalogSpec extends AnyFunSuite {
         .head().getLong(0) == 3L)
     } finally server.stop(0)
   }
+
+  test("monitor + reservoir ride the SAME per-batch txn as the corpus " +
+      "tables; re-ingest appends to none of the five") {
+    import org.apache.spark.sql.functions._
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed.rss", (x: HttpExchange) => {
+      val b = rssXml.getBytes(StandardCharsets.UTF_8)
+      x.sendResponseHeaders(200, b.length)
+      x.getResponseBody.write(b)
+      x.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/feed.rss"
+      val feedsDir = TestSpark.tmpDir("flagx_feeds")
+      assert(RssFetcher.fetchOnce(
+        Seq(FeedSpec(url, "Politics")), feedsDir).entriesWritten == 3)
+      val base = TestSpark.tmpDir("flagx_store")
+      val sink = new VersionedParquetSink(base)
+      val ckpt = TestSpark.tmpDir("flagx_ckpt")
+      val K = 2
+      StreamingPipeline.stream(spark, feedsDir, sink, ckpt,
+        monitorStats = true, reservoirK = Some(K))
+        .awaitTermination()
+
+      // ONE txn key across all five tables (the round-9 members
+      // included): monitor rows and reservoir candidates cannot land
+      // without the corpus tables, nor the corpus without them
+      val tables = Seq("raw", "curated", "actors", "corpus_stats",
+        "reservoir")
+      val keys = tables.map { t =>
+        t -> sink.history(spark, t).select("commitKey").collect()
+          .map(_.getString(0)).filter(k =>
+            k != null && k.startsWith("batch-")).toSet
+      }.toMap
+      keys.foreach { case (t, ks) =>
+        assert(ks.nonEmpty, s"$t not committed by the txn")
+      }
+      assert(keys.values.toSet.size == 1,
+        s"tables committed under different txn keys: $keys")
+
+      // the monitor log describes exactly the curated corpus
+      val curated = sink.read(spark, "curated")
+      val stats = sink.read(spark, "corpus_stats")
+      assert(stats.agg(sum("n_docs")).head().getLong(0) == 3L)
+      val perLang = stats.groupBy("lang").agg(sum("n_docs").as("n"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+      val wantLang = curated.groupBy("category").count().collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+      assert(perLang == wantLang, s"monitor mix $perLang != $wantLang")
+
+      // the reservoir equals the one-shot weighted sample over the
+      // same curated docs (weight = text length, the stream's rule)
+      val docs = curated.select(col("id").as("doc_id"),
+        greatest(length(concat_ws(" ", col("title"),
+          col("description"))), lit(1)).as("wt"))
+      val want = graft.engine.Sampling
+        .weightedTopK(docs, col("doc_id"), col("wt"), K)
+        .collect().map(_.getString(0)).sorted.toSeq
+      val got = graft.engine.SampleIndex.sample(spark, sink, K)
+        .collect().map(_.getAs[String]("doc_id")).sorted.toSeq
+      assert(got == want, s"reservoir $got != one-shot $want")
+
+      // re-ingest: the stream's dedup drops everything — no new
+      // commits on ANY of the five tables
+      val before = tables.map(t =>
+        t -> sink.history(spark, t).count()).toMap
+      RssFetcher.fetchOnce(Seq(FeedSpec(url, "Politics")), feedsDir)
+      StreamingPipeline.stream(spark, feedsDir, sink, ckpt,
+        monitorStats = true, reservoirK = Some(K))
+        .awaitTermination()
+      tables.foreach { t =>
+        assert(sink.history(spark, t).count() == before(t),
+          s"re-ingest committed to $t")
+      }
+    } finally server.stop(0)
+  }
 }

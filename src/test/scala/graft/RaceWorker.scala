@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.{SampleIndex, VersionedParquetSink}
+
+/** Child-process entry point for [[MultiJvmRaceSpec]]: one writer /
+  * compactor role per OS PROCESS, so the commit-claim protocol is
+  * exercised where threads cannot share memory, locks, or JVM-level
+  * atomics — rename-based claims are process-atomic in theory; this is
+  * where that theory meets the filesystem. Test-scope only (not part of
+  * the library jar).
+  *
+  * args: basePath role workerId nBatches
+  *  - sample-writer:    absorb nBatches of 50 weighted docs each into
+  *    the shared reservoir (distinct content + distinct batch keys)
+  *  - sample-compactor: fold the reservoir nBatches times while the
+  *    writers are running (serializable rewrite under contention)
+  *  - append-writer:    appendOnce nBatches of 20 rows with per-writer
+  *    keys — every batch must land exactly once
+  *  - key-racer:        appendOnce the SAME nBatches (identical keys
+  *    AND content) as every other racer — each key must apply exactly
+  *    once across all processes
+  */
+object RaceWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, role, idStr, nStr) = args
+    val id = idStr.toInt
+    val n = nStr.toInt
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"race-$role-$id")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sink = new VersionedParquetSink(dir)
+    role match {
+      case "sample-writer" =>
+        (1 to n).foreach { b =>
+          val base = id.toLong * 1000000L + b.toLong * 1000L
+          val rows = (0L until 50L).map(i => (base + i, 1L + (base + i) % 500))
+          SampleIndex.absorb(spark, sink, rows.toDF("doc_id", "wt"),
+            MultiJvmRaceSpec.K, batchKey = Some(s"w$id-b$b"))
+        }
+      case "sample-compactor" =>
+        (1 to n).foreach { _ =>
+          SampleIndex.compact(spark, sink, MultiJvmRaceSpec.K)
+          Thread.sleep(100)
+        }
+      case "append-writer" =>
+        (1 to n).foreach { b =>
+          val rows = (0 until 20).map(i => (id, b, i))
+          sink.appendOnce(rows.toDF("w", "b", "i"), "t", s"w$id-b$b")
+        }
+      case "key-racer" =>
+        // identical keys AND identical content across every racer: the
+        // claim protocol decides who applies each; losers must no-op
+        (1 to n).foreach { b =>
+          val rows = (0 until 20).map(i => (0, b, i))
+          sink.appendOnce(rows.toDF("w", "b", "i"), "t", s"shared-b$b")
+        }
+      case other => sys.error(s"unknown role $other")
+    }
+    spark.stop()
+  }
+}
