@@ -37,10 +37,35 @@ object KMeans {
 
   /** Train k centroids over `vecs` (columns `vec_id`, `emb: array<double>`,
     * `nrm`). Returns (cell, c_emb, c_nrm) with cells 0..k-1 numbered in
-    * init-hash order. */
-  def train(spark: SparkSession, vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    * init-hash order.
+    *
+    * `trainCap`: train on the `cap` vectors with the smallest
+    * `md5(vec_id)` instead of the full corpus — the standard quantizer
+    * practice (FAISS trains nlist centroids on a bounded sample) that
+    * turns the per-iteration O(N·k) assignment into O(cap·k), the term
+    * that dominates large-k training (measured: k=1000 over 200k
+    * vectors spends minutes per iteration in the assignment window).
+    * The hash-top-cap sample is DETERMINISTIC and order-independent
+    * (the same rule as the init pick, which is automatically a subset
+    * of it), so capped training is still bit-reproducible — it is just
+    * a DIFFERENT quantizer than full-corpus training, which is why the
+    * oracle-mirrored default (cap = None) trains on everything.
+    * Callers assign the full corpus against the returned centroids as
+    * before; only the update loop sees the sample. */
+  def train(spark: SparkSession, vecs: DataFrame, k: Int, iters: Int,
+      trainCap: Option[Int] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(spark)
-    val hashed = vecs.select(md5(col("vec_id").cast("string")).as("hk"),
+    require(trainCap.forall(_ >= k),
+      s"trainCap must be >= k (need $k init vectors)")
+    val trainSet = trainCap match {
+      case Some(cap) =>
+        vecs.select(md5(col("vec_id").cast("string")).as("__hk"),
+            col("vec_id"), col("emb"), col("nrm"))
+          .orderBy("__hk").limit(cap)
+          .drop("__hk")
+      case None => vecs
+    }
+    val hashed = trainSet.select(md5(col("vec_id").cast("string")).as("hk"),
       col("emb"))
     // top-k by hash (TakeOrderedAndProject); the row_number window then
     // runs over k rows only — never the corpus
@@ -65,7 +90,7 @@ object KMeans {
       val withNrm = cents.withColumn("c_nrm",
         sqrt(expr("graft_dot(c_emb, c_emb)")))
       val wAssign = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
-      val assigned = vecs.join(broadcast(withNrm))
+      val assigned = trainSet.join(broadcast(withNrm))
         .withColumn("sim",
           round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
         .withColumn("rn", row_number().over(wAssign))

@@ -150,7 +150,14 @@ object NorthStarQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame =
     memoize(centCache, s, d) {
-      graft.engine.KMeans.train(s, emb(s, d), ivfK(s, d), IvfIters)
+      // GRAFT_TRAIN_CAP (opt-in, probes only — the oracle unrolls
+      // FULL-corpus training): cap the k-means training sample at
+      // max(cap, k) hash-top vectors, the FAISS practice that keeps
+      // large-k training O(cap*k) instead of O(N*k) per iteration
+      val k = ivfK(s, d)
+      val cap = sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
+        .filter(_.nonEmpty).map(c => math.max(c.toInt, k))
+      graft.engine.KMeans.train(s, emb(s, d), k, IvfIters, cap)
     }
 
   /** IVF cell assignment (vec_id, emb, nrm, cell), memoized+cached:

@@ -28,6 +28,43 @@ class KMeansSpec extends AnyFunSuite {
         .collect()(r.getInt(0)).getSeq[Double](1)))
   }
 
+  test("trainCap: cap >= n is bit-identical to full training; cap < n " +
+      "is deterministic and trains on the hash-top sample") {
+    val v = emb("/root/testdata/sf0.001")
+    val n = v.count().toInt
+    val full = KMeans.train(spark, v, k = 4, iters = 2).orderBy("cell")
+      .collect().map(_.toString).toSeq
+    // cap covering the corpus: the sample IS the corpus, same quantizer
+    val covered = KMeans.train(spark, v, k = 4, iters = 2,
+      trainCap = Some(n + 10)).orderBy("cell")
+      .collect().map(_.toString).toSeq
+    assert(covered == full, "cap >= n must not change the quantizer")
+    // a real cap: deterministic across runs, still k cells of dim 64,
+    // and a DIFFERENT quantizer than full-corpus training
+    val s1 = KMeans.train(spark, v, k = 4, iters = 2,
+      trainCap = Some(n / 2)).orderBy("cell").collect()
+    val s2 = KMeans.train(spark, v, k = 4, iters = 2,
+      trainCap = Some(n / 2)).orderBy("cell").collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq)
+    assert(s1.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(s1.forall(_.getSeq[Double](1).length == 64))
+    assert(s1.map(_.toString).toSeq != full,
+      "half-corpus sample should move at least one update mean")
+    // init subset rule: the capped init picks the same 4 hash-top
+    // vectors as full training (sample is hash-prefix-closed), so the
+    // iters=0 form is cap-invariant
+    val init0 = KMeans.train(spark, v, k = 4, iters = 0).orderBy("cell")
+      .collect().map(_.toString).toSeq
+    val initC = KMeans.train(spark, v, k = 4, iters = 0,
+      trainCap = Some(n / 2)).orderBy("cell")
+      .collect().map(_.toString).toSeq
+    assert(initC == init0, "capped init diverged from the hash-top rule")
+    // guard: cap below k is rejected loudly
+    intercept[IllegalArgumentException] {
+      KMeans.train(spark, v, k = 4, iters = 1, trainCap = Some(2))
+    }
+  }
+
   private def bruteTop5(d: String): Set[(Long, Long)] = {
     val e = emb(d)
     val qq = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)

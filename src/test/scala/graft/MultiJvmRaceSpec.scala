@@ -96,6 +96,25 @@ class MultiJvmRaceSpec extends AnyFunSuite {
     perB.foreach(r => assert(r.getAs[Long]("n") == 20L))
   }
 
+  test("identity allocation across 3 PROCESSES: every id unique, " +
+      "every row present") {
+    val dir = TestSpark.tmpDir("mjvm_ident")
+    val sink = new VersionedParquetSink(dir)
+    sink.append(Seq("seed").toDF("v"), "t")
+    sink.setIdentityColumn(spark, "t", "id")
+    val writers = 3
+    val batches = 4
+    val ps = (1 to writers).map(i => launch(dir, "identity-writer", i, batches))
+    await(ps, dir)
+    val rows = sink.read(spark, "t").collect()
+    val ids = rows.flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Long]))
+    assert(rows.length == 1 + writers * batches * 5,
+      s"lost appends: ${rows.length}")
+    assert(ids.length == writers * batches * 5, s"unassigned ids")
+    assert(ids.distinct.length == ids.length,
+      s"identity collision across processes: ${ids.sorted.toSeq}")
+  }
+
   test("reservoir: 3 writer PROCESSES racing a compactor PROCESS equals " +
       "the one-shot sample") {
     val dir = TestSpark.tmpDir("mjvm_sample")

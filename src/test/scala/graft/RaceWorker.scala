@@ -55,6 +55,14 @@ object RaceWorker {
           val rows = (0 until 20).map(i => (id, b, i))
           sink.appendOnce(rows.toDF("w", "b", "i"), "t", s"w$id-b$b")
         }
+      case "identity-writer" =>
+        // plain appends to a GENERATED ALWAYS AS IDENTITY table: the
+        // allocation pins its base version and must retry on conflict —
+        // across processes a stale pin that survived would mint
+        // duplicate ids (the r9 phantom-commit shape, identity edition)
+        (1 to n).foreach { b =>
+          sink.append((0 until 5).map(i => s"w$id-b$b-r$i").toDF("v"), "t")
+        }
       case "key-racer" =>
         // identical keys AND identical content across every racer: the
         // claim protocol decides who applies each; losers must no-op
