@@ -55,6 +55,25 @@ object RaceWorker {
           val rows = (0 until 20).map(i => (id, b, i))
           sink.appendOnce(rows.toDF("w", "b", "i"), "t", s"w$id-b$b")
         }
+      case "churn-writer" =>
+        // plain appends against a log-retention-enabled table while a
+        // maintainer process checkpoints/retires markers underneath —
+        // the cross-process form of SoakSpec's retention soak (whose
+        // in-JVM run caught the r9 phantom-commit data loss)
+        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5)
+        (1 to n).foreach { b =>
+          churnSink.append(
+            (0 until 5).map(i => ((id.toLong * 1000 + b) * 10 + i,
+              s"w$id-b$b-r$i")).toDF("n", "v"), "t")
+        }
+      case "churn-maintainer" =>
+        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5)
+        (1 to n).foreach { _ =>
+          // the retention prop makes vacuum run vacuumLog; data dirs
+          // are protected by the 1h deleted-file retention
+          churnSink.vacuum(spark, "t", graceMs = 3600000L)
+          Thread.sleep(150)
+        }
       case "identity-writer" =>
         // plain appends to a GENERATED ALWAYS AS IDENTITY table: the
         // allocation pins its base version and must retry on conflict —
