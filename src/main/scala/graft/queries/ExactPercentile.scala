@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   * single buffer ever materializes it — the q_ntile
   * window-over-aggregate treatment generalized to percentile_cont.
   *
+  * Parallelism bound: the cumsum window partitions by the GROUP, so
+  * each group's histogram sorts in one (spillable) task — groups are
+  * the parallelism unit, same as any per-group sort. That is the right
+  * trade everywhere percentiles are grouped (q_daily_p95's hundreds of
+  * (type, day) cells); the single global-percentile consumer
+  * (q_approx_percentile's exact comparator) accepts a one-task cumsum
+  * over its value histogram, which is still strictly better than the
+  * `percentile` aggregate it replaced: a sort-based window SPILLS,
+  * an in-memory value→count aggregation buffer cannot. A truly
+  * distributed global exact percentile needs a range-partitioned
+  * prefix-sum — out of contract here because Spark's own Percentile
+  * semantics (what the oracle pins) are defined by this exact
+  * interpolation over one ordered pass.
+  *
   * Determinism: the interpolation replicates Spark Percentile's
   * operation tree node for node — `position = p * (N - 1)` (0-based),
   * `lower = floor(position)`, `higher = ceil(position)`, result
