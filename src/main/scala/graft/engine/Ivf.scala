@@ -58,4 +58,64 @@ object Ivf {
       .filter(col("rn") <= k)
       .select("q_id", "vec_id", "sim")
   }
+
+  /** Two-level cell assignment — the fix for large-k assignment cost.
+    *
+    * Flat assignment scores every vector against all k centroids: an
+    * O(N·k) pass that dominates once k scales with the corpus (the
+    * cell-bounded rule k = N/target makes it O(N²/target) — measured
+    * as the 100x-probe wall in scale_probe_param_100x.json). Here the
+    * k centroids are themselves clustered into g ≈ ceil(√k)
+    * super-centroids (k-means ON THE CENTROIDS — k rows, driver-scale)
+    * and each vector scores g supers plus only the member centroids of
+    * its `superProbes` nearest super-cells: O(N·√k·(1+superProbes)),
+    * the standard two-level IVF shape (IMI/IVF-HNSW family).
+    *
+    * The assignment is APPROXIMATE: a vector whose true nearest
+    * centroid lives outside its probed super-cells is assigned to the
+    * best centroid it saw (boundary effect, recall lever =
+    * `superProbes`; with superProbes >= g the result is bit-identical
+    * to flat assignment — property-tested). Fine for the engine ANN /
+    * dedup-blocking paths where cells only gate candidate generation;
+    * NOT used by the oracle-mirrored registry queries, whose DuckDB
+    * mirror pins flat assignment.
+    *
+    * Determinism: same rounded-cosine + cell-asc tie-break tree as
+    * flat assignment at every level; KMeans is deterministic.
+    * Input `vecs`: (vec_id, emb, nrm); `cents`: (cell, c_emb, c_nrm).
+    * Returns (vec_id, emb, nrm, cell). */
+  def assignHierarchical(spark: SparkSession, vecs: DataFrame,
+      cents: DataFrame, superProbes: Int = 2): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(spark)
+    val k = cents.count().toInt
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val centVecs = cents.select(col("cell").as("vec_id"),
+      col("c_emb").as("emb"), col("c_nrm").as("nrm"))
+    val supers = KMeans.train(spark, centVecs, g, iters = 2)
+      .select(col("cell").as("sc"), col("c_emb").as("s_emb"),
+        col("c_nrm").as("s_nrm"))
+    // each centroid's home super-cell (k x g rows — tiny)
+    val wc = Window.partitionBy("cell").orderBy(desc("ssim"), asc("sc"))
+    val centSc = cents.crossJoin(broadcast(supers))
+      .withColumn("ssim", round(expr("graft_dot(c_emb, s_emb)") /
+        (col("c_nrm") * col("s_nrm")), 4))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select("sc", "cell", "c_emb", "c_nrm")
+    // vectors: top `superProbes` super-cells, then only their members
+    val wv = Window.partitionBy("vec_id").orderBy(desc("ssim"), asc("sc"))
+    val vecSc = vecs.crossJoin(broadcast(supers))
+      .withColumn("ssim", round(expr("graft_dot(emb, s_emb)") /
+        (col("nrm") * col("s_nrm")), 4))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= superProbes)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("sc"))
+    val wa = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    vecSc.join(broadcast(centSc), Seq("sc"))
+      .withColumn("csim", round(expr("graft_dot(emb, c_emb)") /
+        (col("nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select("vec_id", "emb", "nrm", "cell")
+  }
 }

@@ -65,6 +65,51 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  private def flatAssign(v: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("csim", round(expr("graft_dot(emb, c_emb)") /
+        (col("nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  test("hierarchical assignment: bit-identical to flat when all super-" +
+      "cells are probed; deterministic and high-agreement when not") {
+    val v = emb("/root/testdata/sf0.1")
+    val cents = KMeans.train(spark, v, k = 10, iters = 2)
+    val flat = flatAssign(v, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // superProbes >= g (g = ceil(sqrt(10)) = 4): every centroid is
+    // visible to every vector -> identical argmax tree -> identical
+    val full = graft.engine.Ivf
+      .assignHierarchical(spark, v, cents, superProbes = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toMap
+    assert(full == flat, "probing all super-cells must equal flat")
+    // superProbes = 2 of 4: approximate — every vector still assigned
+    // exactly once, deterministically, and boundary misses are bounded
+    val h1 = graft.engine.Ivf
+      .assignHierarchical(spark, v, cents, superProbes = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toMap
+    val h2 = graft.engine.Ivf
+      .assignHierarchical(spark, v, cents, superProbes = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toMap
+    assert(h1 == h2, "hierarchical assignment nondeterministic")
+    assert(h1.keySet == flat.keySet, "vectors lost or duplicated")
+    assert(h1.values.forall(c => c >= 0 && c < 10))
+    val agree = h1.count { case (id, c) => flat(id) == c }
+    val rate = agree.toDouble / flat.size
+    // isotropic corpus = the boundary-effect worst case; probing half
+    // the super-cells still has to keep a solid majority exact
+    assert(rate >= 0.55, f"agreement $rate%.3f too low for probes=2")
+    System.err.println(f"[kmeans] hierarchical agreement@2 = $rate%.3f")
+  }
+
   private def bruteTop5(d: String): Set[(Long, Long)] = {
     val e = emb(d)
     val qq = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
