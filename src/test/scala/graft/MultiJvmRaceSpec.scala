@@ -130,8 +130,10 @@ class MultiJvmRaceSpec extends AnyFunSuite {
       "graft.deletedFileRetentionDuration" -> "1h"))
     val writers = 3
     val batches = 12
-    val ps = (1 to writers).map(i => launch(dir, "churn-writer", i, batches)) :+
-      launch(dir, "churn-maintainer", 0, 30)
+    val nClones = 6
+    val ps = (1 to writers).map(i => launch(dir, "churn-writer", i, batches)) ++
+      Seq(launch(dir, "churn-maintainer", 0, 30),
+        launch(dir, "churn-cloner", 9, nClones))
     await(ps, dir)
     val vs = sink.versions(spark, "t")
     assert(vs == vs.sorted && vs.last + 1 >= (writers * batches).toLong,
@@ -153,6 +155,12 @@ class MultiJvmRaceSpec extends AnyFunSuite {
     assert(ns == expected,
       s"lost/duplicated rows under cross-process retention: " +
         s"${ns.length} of ${expected.length}")
+    // every clone pinned mid-churn by the cloner PROCESS still reads
+    // its snapshot after all the retirement that followed
+    (1 to nClones).foreach { b =>
+      assert(sink.read(spark, s"clone_w9_$b").count() >= 1L,
+        s"clone_w9_$b broken after cross-process retention churn")
+    }
   }
 
   test("reservoir: 3 writer PROCESSES racing a compactor PROCESS equals " +

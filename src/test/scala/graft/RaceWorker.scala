@@ -74,6 +74,18 @@ object RaceWorker {
           churnSink.vacuum(spark, "t", graceMs = 3600000L)
           Thread.sleep(150)
         }
+      case "churn-cloner" =>
+        // pin snapshots mid-churn from a separate process and read each
+        // clone back immediately: a clone taken while another process
+        // retires markers must still resolve its pinned snapshot
+        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5)
+        (1 to n).foreach { b =>
+          val cname = s"clone_w${id}_$b"
+          churnSink.cloneShallow(spark, "t", cname)
+          val cnt = churnSink.read(spark, cname).count()
+          require(cnt >= 1L, s"$cname read $cnt rows at pin time")
+          Thread.sleep(200)
+        }
       case "identity-writer" =>
         // plain appends to a GENERATED ALWAYS AS IDENTITY table: the
         // allocation pins its base version and must retry on conflict —
