@@ -89,6 +89,45 @@ object Ivf {
     graft.GraftExtensions.ensureRegistered(spark)
     val k = cents.count().toInt
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val (supers, centSc) = superMembership(spark, cents, g)
+    // Probe only super-cells that WON at least one centroid: KMeans
+    // keeps a stale centroid for an empty cell, so a super-cell can
+    // have zero members (clustered/duplicate centroids trigger it) —
+    // and a vector whose every probed super-cell were member-less
+    // would lose all rows in the member join and silently vanish.
+    // Restricting the probe list to live super-cells makes coverage
+    // structural: every probed super-cell yields >= 1 candidate, and
+    // at least one live super-cell always exists because every
+    // centroid is assigned to exactly one. (A vector ranking an empty
+    // super-cell above a live one now probes the next LIVE one
+    // instead — strictly more candidates, i.e. closer to flat.)
+    val liveSupers = supers.join(
+      centSc.select("sc").distinct(), Seq("sc"))
+    // vectors: top `superProbes` super-cells, then only their members
+    val wv = Window.partitionBy("vec_id").orderBy(desc("ssim"), asc("sc"))
+    val vecSc = vecs.crossJoin(broadcast(liveSupers))
+      .withColumn("ssim", round(expr("graft_dot(emb, s_emb)") /
+        (col("nrm") * col("s_nrm")), 4))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= superProbes)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("sc"))
+    val wa = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    vecSc.join(broadcast(centSc), Seq("sc"))
+      .withColumn("csim", round(expr("graft_dot(emb, c_emb)") /
+        (col("nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select("vec_id", "emb", "nrm", "cell")
+  }
+
+  /** The super-level structures of [[assignHierarchical]]: `g`
+    * super-centroids trained ON the k centroids (k rows — driver
+    * scale) and each centroid's home super-cell. Exposed private[graft]
+    * so the spec can assert the empty-super-cell case (a super-cell
+    * that wins no centroid) is both reachable and harmless.
+    * Returns (supers(sc, s_emb, s_nrm), centSc(sc, cell, c_emb, c_nrm)). */
+  private[graft] def superMembership(spark: SparkSession,
+      cents: DataFrame, g: Int): (DataFrame, DataFrame) = {
     val centVecs = cents.select(col("cell").as("vec_id"),
       col("c_emb").as("emb"), col("c_nrm").as("nrm"))
     val supers = KMeans.train(spark, centVecs, g, iters = 2)
@@ -102,20 +141,6 @@ object Ivf {
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") === 1)
       .select("sc", "cell", "c_emb", "c_nrm")
-    // vectors: top `superProbes` super-cells, then only their members
-    val wv = Window.partitionBy("vec_id").orderBy(desc("ssim"), asc("sc"))
-    val vecSc = vecs.crossJoin(broadcast(supers))
-      .withColumn("ssim", round(expr("graft_dot(emb, s_emb)") /
-        (col("nrm") * col("s_nrm")), 4))
-      .withColumn("rn", row_number().over(wv))
-      .filter(col("rn") <= superProbes)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("sc"))
-    val wa = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
-    vecSc.join(broadcast(centSc), Seq("sc"))
-      .withColumn("csim", round(expr("graft_dot(emb, c_emb)") /
-        (col("nrm") * col("c_nrm")), 4))
-      .withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select("vec_id", "emb", "nrm", "cell")
+    (supers, centSc)
   }
 }

@@ -57,12 +57,19 @@ object KMeans {
     graft.GraftExtensions.ensureRegistered(spark)
     require(trainCap.forall(_ >= k),
       s"trainCap must be >= k (need $k init vectors)")
+    // The capped sample is CACHED: the update loop references trainSet
+    // once per iteration, and uncached each iteration would re-run the
+    // full-corpus hash top-cap (an O(N log cap) pass) — eroding the
+    // O(cap·k)/iter win the cap exists to buy. cap is bounded (caller
+    // chooses it), so the cached block set is too; unpersisted before
+    // return. The uncapped path stays uncached — callers own `vecs`.
     val trainSet = trainCap match {
       case Some(cap) =>
         vecs.select(md5(col("vec_id").cast("string")).as("__hk"),
             col("vec_id"), col("emb"), col("nrm"))
           .orderBy("__hk").limit(cap)
           .drop("__hk")
+          .cache()
       case None => vecs
     }
     val hashed = trainSet.select(md5(col("vec_id").cast("string")).as("hk"),
@@ -110,6 +117,9 @@ object KMeans {
       cents = materialize(cents.join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("m_emb"), col("c_emb")).as("c_emb")))
     }
+    // centroids are already driver-resident (materialize collects each
+    // round), so the sample's cached blocks are no longer referenced
+    if (trainCap.isDefined) trainSet.unpersist()
     cents.withColumn("c_nrm", sqrt(expr("graft_dot(c_emb, c_emb)")))
   }
 

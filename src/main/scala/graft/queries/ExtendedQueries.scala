@@ -714,7 +714,11 @@ object ExtendedQueries {
         // decimal -> O(distinct) executor heap in one buffer; the
         // histogram form keeps that mass a distributed aggregate,
         // bit-identical interpolation, same oracle). ONE GK sketch for
-        // all three quantiles (array form).
+        // all three quantiles (array form). NOTE: overHistogram's `n`
+        // is the NON-NULL count of o_totalprice (a histogram never
+        // sees nulls), so the oracle mirrors it as
+        // count(o_totalprice), not count(*) — on a nullable column
+        // the two diverge.
         def ex(n: String): Column = col(n)
         def ap(i: Int): Column = element_at(col("apa"), i).cast("double")
         def within(i: Int, n: String): Column =
@@ -738,7 +742,7 @@ object ExtendedQueries {
                floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5::DOUBLE) / 10000 AS p50,
                floor(quantile_cont(o_totalprice, 0.95) * 10000 + 0.5::DOUBLE) / 10000 AS p95,
                floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5::DOUBLE) / 10000 AS p99,
-               count(*) AS n,
+               count(o_totalprice) AS n,
                abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
                  / quantile_cont(o_totalprice, 0.5) <= 0.01 AS p50_within_1pct,
                abs(approx_quantile(o_totalprice, 0.95) - quantile_cont(o_totalprice, 0.95))

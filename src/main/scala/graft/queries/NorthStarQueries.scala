@@ -142,7 +142,15 @@ object NorthStarQueries {
   private[queries] def ivfK(s: SparkSession, d: String): Int =
     sys.env.get("GRAFT_CELLS_PER").map(_.trim).filter(_.nonEmpty) match {
       case Some(t) =>
-        math.max(1, math.ceil(emb(s, d).count().toDouble / t.toInt).toInt)
+        // validate up front: a malformed/non-positive value would
+        // otherwise surface as a NumberFormatException (or a
+        // divide-by-zero-shaped Int overflow) deep inside memoized
+        // centroid training, far from the misconfiguration
+        val target = t.toIntOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"GRAFT_CELLS_PER must be a positive integer " +
+              s"(target cell size), got '$t'"))
+        math.max(1, math.ceil(emb(s, d).count().toDouble / target).toInt)
       case None => IvfK
     }
 
@@ -156,7 +164,9 @@ object NorthStarQueries {
       // large-k training O(cap*k) instead of O(N*k) per iteration
       val k = ivfK(s, d)
       val cap = sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
-        .filter(_.nonEmpty).map(c => math.max(c.toInt, k))
+        .filter(_.nonEmpty).map(c => math.max(c.toIntOption
+          .filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+            s"GRAFT_TRAIN_CAP must be a positive integer, got '$c'")), k))
       graft.engine.KMeans.train(s, emb(s, d), k, IvfIters, cap)
     }
 

@@ -110,6 +110,51 @@ class KMeansSpec extends AnyFunSuite {
     System.err.println(f"[kmeans] hierarchical agreement@2 = $rate%.3f")
   }
 
+  test("hierarchical assignment: empty super-cells (clustered/duplicate " +
+      "centroids) cannot drop vectors — probes restrict to live super-cells") {
+    import spark.implicits._
+    // 5 centroids at only TWO distinct points: the 3 super-cells
+    // trained on them must tie somewhere, and ties break asc(sc), so
+    // at least one super-cell wins zero centroids (KMeans keeps the
+    // stale init vector for empty cells). Pre-fix, a vector probing a
+    // member-less super-cell lost those rows in the member join — with
+    // superProbes=1 that was a SILENT row drop.
+    val p = Seq(1.0, 0.0, 0.0, 0.0)
+    val q = Seq(0.0, 1.0, 0.0, 0.0)
+    val cents = Seq((0, p), (1, p), (2, p), (3, q), (4, q))
+      .toDF("cell", "c_emb")
+      .withColumn("c_nrm", sqrt(expr("graft_dot(c_emb, c_emb)")))
+    val (_, centSc) = graft.engine.Ivf.superMembership(spark, cents, 3)
+    val liveSc = centSc.select("sc").distinct().count()
+    assert(liveSc < 3, s"expected an empty super-cell, got $liveSc live of 3")
+    val vecs = Seq(
+      (0L, Seq(0.9, 0.1, 0.05, 0.0)), (1L, Seq(0.1, 0.9, 0.0, 0.05)),
+      (2L, Seq(0.7, 0.7, 0.1, 0.0)), (3L, Seq(0.6, 0.8, 0.0, 0.0)),
+      (4L, Seq(1.0, 0.0, 0.0, 0.0)), (5L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (6L, Seq(0.5, 0.5, 0.5, 0.5)), (7L, Seq(0.99, 0.01, 0.0, 0.0)))
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+    for (probes <- Seq(1, 2, 3)) {
+      val a = graft.engine.Ivf.assignHierarchical(spark, vecs, cents, probes)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      assert(a.map(_._1).toSet == (0L to 7L).toSet && a.length == 8,
+        s"probes=$probes: vectors lost or duplicated: ${a.toSeq.sorted}")
+      assert(a.forall { case (_, c) => c >= 0 && c < 5 })
+    }
+    // vectors with a STRICT nearest point must agree with flat even at
+    // probe-1 (tied vectors — cos to p == cos to q, ids 2 and 6 — may
+    // legitimately break the tie at the super level instead of the
+    // cell level; that is the documented approximation, not a bug)
+    val strict = Set(0L, 1L, 3L, 4L, 5L, 7L)
+    val flat = flatAssign(vecs, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val h = graft.engine.Ivf.assignHierarchical(spark, vecs, cents, 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toMap
+    assert(strict.forall(id => h(id) == flat(id)),
+      s"strict-nearest vectors diverged from flat: h=$h flat=$flat")
+  }
+
   private def bruteTop5(d: String): Set[(Long, Long)] = {
     val e = emb(d)
     val qq = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
