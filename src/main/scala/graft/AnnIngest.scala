@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Production ingest for the embedding family: build (or append to) a
+  * persisted [[graft.engine.AnnIndex]] over a corpus's embeddings table
+  * so that the registry's embedding queries (q_dedup_embed,
+  * q_embed_contam, q_mutual_nn, q_margin_nn, …) read PERSISTED cell
+  * assignments via `GRAFT_ANN_DIR` instead of training + assigning a
+  * quantizer per session — the amortized path that keeps the per-query
+  * marginal cost flat as the corpus grows (each vector is assigned
+  * once, at ingest, in O(batch·√k) via two-level assignment).
+  *
+  * Env contract (mirrors the registry's parameterized form):
+  *  - SPARK_GRAFT_SF_DIR   corpus directory (embeddings.parquet)
+  *  - GRAFT_ANN_DIR        index root (required) — the value the
+  *                         registry later reads
+  *  - GRAFT_CELLS_PER      target cell size; k = ceil(N / target)
+  *                         (default 200 — the k ∝ corpus rule)
+  *  - GRAFT_SUPER_PROBES   two-level assignment probes (default 2);
+  *                         "flat" forces O(N·k) flat assignment
+  *  - GRAFT_TRAIN_CAP      sampled-training cap (optional)
+  */
+object AnnIngest {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val root = sys.env.getOrElse("GRAFT_ANN_DIR",
+      throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
+    val cellsPer = sys.env.get("GRAFT_CELLS_PER").map(_.trim)
+      .filter(_.nonEmpty).map(_.toInt).getOrElse(200)
+    val superProbes = sys.env.get("GRAFT_SUPER_PROBES").map(_.trim)
+      .filter(_.nonEmpty) match {
+      case Some("flat") => None
+      case Some(p) => Some(p.toInt)
+      case None => Some(2)
+    }
+    val cap = sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
+      .filter(_.nonEmpty).map(_.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vectors = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val n = vectors.count()
+    val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
+    val capK = cap.map(c => math.max(c, k))
+    System.err.println(s"[ann-ingest] n=$n k=$k superProbes=$superProbes " +
+      s"trainCap=$capK -> $root")
+    val t0 = System.nanoTime()
+    val sink = new graft.engine.VersionedParquetSink(root)
+    graft.engine.AnnIndex.build(spark, sink, "ann", vectors, dim = 64,
+      kCoarse = k, m = 2, subK = 16, iters = 2,
+      superProbes = superProbes, trainCap = capK)
+    System.err.println(f"[ann-ingest] built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

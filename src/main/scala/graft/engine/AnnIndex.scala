@@ -31,6 +31,29 @@ object AnnIndex {
 
   private def tbl(prefix: String, part: String) = s"${prefix}_$part"
 
+  /** Coarse-cell assignment for ingest: flat (score all k centroids —
+    * the oracle-mirrored rule, O(batch·k)) when `superProbes` is None,
+    * or two-level via [[Ivf.assignHierarchical]] (O(batch·√k·(1+p)))
+    * when Some(p) — the production setting once k scales with the
+    * corpus (the k ∝ N cell-size rule makes flat ingest O(N²/target)).
+    * Cells only gate candidate generation, so a hierarchical
+    * assignment is a recall trade (boundary effect, lever = p), never
+    * a correctness one; with p >= g (g = ceil(√k) super-cells) the two
+    * are bit-identical. Use ONE mode per index generation — mixing
+    * modes across appends still searches correctly but makes cell
+    * populations reflect two rules. */
+  private def assignCells(spark: SparkSession, vectors: DataFrame,
+      coarse: DataFrame, superProbes: Option[Int]): DataFrame =
+    superProbes match {
+      case None => Pq.assignCells(spark, vectors, coarse)
+      case Some(p) =>
+        val vecs = vectors.select(col("id").as("vec_id"),
+            col("vec").cast("array<double>").as("emb"))
+          .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+        Ivf.assignHierarchical(spark, vecs, coarse, p)
+          .select(col("vec_id").as("id"), col("cell"))
+    }
+
   private def loadModel(spark: SparkSession, sink: TableSink,
       prefix: String): (Pq.Model, DataFrame) = {
     val coarse = sink.read(spark, tbl(prefix, "centroids"))
@@ -47,15 +70,16 @@ object AnnIndex {
     * (id, vec) with `dim`-wide vectors. */
   def build(spark: SparkSession, sink: TableSink, prefix: String,
       vectors: DataFrame, dim: Int, kCoarse: Int, m: Int, subK: Int,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, superProbes: Option[Int] = None,
+      trainCap: Option[Int] = None): Unit = {
     val model = Pq.train(spark, vectors, dim, m, subK, iters)
     val coarse = KMeans.train(spark,
       vectors.select(col("id").as("vec_id"),
           col("vec").cast("array<double>").as("emb"))
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
-      kCoarse, iters)
+      kCoarse, iters, trainCap)
     val encoded = Pq.encode(spark, vectors, model)
-      .join(Pq.assignCells(spark, vectors, coarse), "id")
+      .join(assignCells(spark, vectors, coarse, superProbes), "id")
       .select("id", "cell", "codes")
     val books = model.codebooks.zipWithIndex.map { case (cb, i) =>
       cb.select(lit(i).as("sub"), col("cell"), col("c_emb"), col("c_nrm"))
@@ -71,10 +95,11 @@ object AnnIndex {
     * append it — O(batch) work, keyed for exactly-once replay. Returns
     * false when `batchKey` already landed (the replay no-op). */
   def append(spark: SparkSession, sink: TableSink, prefix: String,
-      newVectors: DataFrame, batchKey: String): Boolean = {
+      newVectors: DataFrame, batchKey: String,
+      superProbes: Option[Int] = None): Boolean = {
     val (model, coarse) = loadModel(spark, sink, prefix)
     val encoded = Pq.encode(spark, newVectors, model)
-      .join(Pq.assignCells(spark, newVectors, coarse), "id")
+      .join(assignCells(spark, newVectors, coarse, superProbes), "id")
       .select("id", "cell", "codes")
     sink.appendOnce(encoded, tbl(prefix, "vectors"),
       s"$prefix-append-$batchKey")
@@ -91,7 +116,8 @@ object AnnIndex {
   def streamAppend(spark: SparkSession, vecsDir: String, sink: TableSink,
       prefix: String, dim: Int, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      superProbes: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
@@ -112,7 +138,8 @@ object AnnIndex {
             col("vec").cast("string"))))).head()
         if (sig.getLong(0) > 0) {
           append(batch.sparkSession, sink, prefix, batch,
-            batchKey = s"${sig.getLong(0)}-${sig.getLong(1)}")
+            batchKey = s"${sig.getLong(0)}-${sig.getLong(1)}",
+            superProbes = superProbes)
           ()
         }
       }
@@ -144,15 +171,16 @@ object AnnIndex {
     * the raw vectors; the index stores only codes). */
   def retrain(spark: SparkSession, sink: TableSink, prefix: String,
       vectors: DataFrame, dim: Int, kCoarse: Int, m: Int, subK: Int,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, superProbes: Option[Int] = None,
+      trainCap: Option[Int] = None): Unit = {
     val model = Pq.train(spark, vectors, dim, m, subK, iters)
     val coarse = KMeans.train(spark,
       vectors.select(col("id").as("vec_id"),
           col("vec").cast("array<double>").as("emb"))
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
-      kCoarse, iters)
+      kCoarse, iters, trainCap)
     val encoded = Pq.encode(spark, vectors, model)
-      .join(Pq.assignCells(spark, vectors, coarse), "id")
+      .join(assignCells(spark, vectors, coarse, superProbes), "id")
       .select("id", "cell", "codes")
     val books = model.codebooks.zipWithIndex.map { case (cb, i) =>
       cb.select(lit(i).as("sub"), col("cell"), col("c_emb"), col("c_nrm"))

@@ -154,20 +154,56 @@ object NorthStarQueries {
       case None => IvfK
     }
 
+  /** The persisted-index root, when set: `GRAFT_ANN_DIR` names a
+    * [[graft.engine.VersionedParquetSink]] holding an
+    * [[graft.engine.AnnIndex]] built with prefix "ann" over THIS
+    * corpus. With it set, the embedding family reads the quantizer and
+    * cell assignments the index PERSISTED AT INGEST (each vector
+    * assigned once, O(batch·k) amortized — the production path at
+    * k ∝ corpus) instead of training + assigning per session. The
+    * driver's oracle runs never set it: the DuckDB mirror replays
+    * fixed-k flat training as literal SQL, so oracle mode keeps the
+    * in-session path byte-identical to before. */
+  private[queries] def annDir: Option[String] =
+    sys.env.get("GRAFT_ANN_DIR").map(_.trim).filter(_.nonEmpty)
+
+  /** Quantizer read from a persisted AnnIndex (cell, c_emb, c_nrm) —
+    * the GRAFT_ANN_DIR form of [[trainedCentroids]]. */
+  private[graft] def annCentroids(s: SparkSession, root: String): DataFrame =
+    new graft.engine.VersionedParquetSink(root).read(s, "ann_centroids")
+      .select(col("cell"), col("c_emb"), col("c_nrm"))
+
+  /** Cell assignments read from a persisted AnnIndex, re-joined with
+    * the corpus embeddings (the index stores only (id, cell, codes);
+    * queries need the vectors) — the GRAFT_ANN_DIR form of
+    * [[ivfAssigned]]. One co-partitioned join on vec_id replaces the
+    * O(N·k) assignment pass. */
+  private[graft] def annAssigned(s: SparkSession, d: String,
+      root: String): DataFrame = {
+    val cells = new graft.engine.VersionedParquetSink(root)
+      .read(s, "ann_vectors").select(col("id").as("vec_id"), col("cell"))
+    emb(s, d).join(cells, "vec_id")
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+  }
+
   private[queries] val centCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame =
     memoize(centCache, s, d) {
-      // GRAFT_TRAIN_CAP (opt-in, probes only — the oracle unrolls
-      // FULL-corpus training): cap the k-means training sample at
-      // max(cap, k) hash-top vectors, the FAISS practice that keeps
-      // large-k training O(cap*k) instead of O(N*k) per iteration
-      val k = ivfK(s, d)
-      val cap = sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
-        .filter(_.nonEmpty).map(c => math.max(c.toIntOption
-          .filter(_ > 0).getOrElse(throw new IllegalArgumentException(
-            s"GRAFT_TRAIN_CAP must be a positive integer, got '$c'")), k))
-      graft.engine.KMeans.train(s, emb(s, d), k, IvfIters, cap)
+      annDir match {
+        case Some(root) => annCentroids(s, root)
+        case None =>
+          // GRAFT_TRAIN_CAP (opt-in, probes only — the oracle unrolls
+          // FULL-corpus training): cap the k-means training sample at
+          // max(cap, k) hash-top vectors, the FAISS practice that keeps
+          // large-k training O(cap*k) instead of O(N*k) per iteration
+          val k = ivfK(s, d)
+          val cap = sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
+            .filter(_.nonEmpty).map(c => math.max(c.toIntOption
+              .filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+                s"GRAFT_TRAIN_CAP must be a positive integer, got '$c'")), k))
+          graft.engine.KMeans.train(s, emb(s, d), k, IvfIters, cap)
+      }
     }
 
   /** IVF cell assignment (vec_id, emb, nrm, cell), memoized+cached:
@@ -178,16 +214,22 @@ object NorthStarQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame =
     memoize(ivfCache, s, d) {
-      val e = emb(s, d)
-      val cents = trainedCentroids(s, d)
-        .select(col("cell"), col("c_emb"), col("c_nrm"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
-      e.join(broadcast(cents))
-        .withColumn("csim",
-          round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+      annDir match {
+        case Some(root) => annAssigned(s, d, root)
+        case None =>
+          val e = emb(s, d)
+          val cents = trainedCentroids(s, d)
+            .select(col("cell"), col("c_emb"), col("c_nrm"))
+          val w = Window.partitionBy("vec_id")
+            .orderBy(desc("csim"), asc("cell"))
+          e.join(broadcast(cents))
+            .withColumn("csim",
+              round(expr("graft_dot(emb, c_emb)") /
+                (col("nrm") * col("c_nrm")), 4))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+      }
     }
 
   /** SRP-LSH geometry: 8 hyperplanes over the 64-dim embeddings. Each

@@ -109,6 +109,91 @@ class AnnIndexSpec extends AnyFunSuite {
       .count() == 55)
   }
 
+  test("hierarchical ingest: bit-identical to flat at superProbes >= g; " +
+      "probe-1 still covers every vector; full-probe search is " +
+      "assignment-invariant") {
+    val seed = vectors(0 until 60, 16)
+    val flatSink = new VersionedParquetSink(TestSpark.tmpDir("annh_flat"))
+    AnnIndex.build(spark, flatSink, "ann", seed, dim = 16,
+      kCoarse = 4, m = 2, subK = 16)
+    // g = ceil(sqrt(4)) = 2: probing both super-cells sees every
+    // centroid, so the two-level argmax tree collapses to flat's
+    val fullSink = new VersionedParquetSink(TestSpark.tmpDir("annh_full"))
+    AnnIndex.build(spark, fullSink, "ann", seed, dim = 16,
+      kCoarse = 4, m = 2, subK = 16, superProbes = Some(2))
+    def rows(s: VersionedParquetSink) =
+      s.read(spark, "ann_vectors").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+        .sortBy(_._1).toSeq
+    assert(rows(fullSink) == rows(flatSink),
+      "superProbes >= g ingest must equal flat ingest bit-for-bit")
+
+    // probe-1 two-level: approximate cells, but NEVER lost vectors
+    val p1Sink = new VersionedParquetSink(TestSpark.tmpDir("annh_p1"))
+    AnnIndex.build(spark, p1Sink, "ann", seed, dim = 16,
+      kCoarse = 4, m = 2, subK = 16, superProbes = Some(1))
+    val p1 = rows(p1Sink)
+    assert(p1.map(_._1) == (0L until 60L).toSeq, "vectors lost/duplicated")
+    assert(p1.forall { case (_, c, _) => c >= 0 && c < 4 })
+    // codes don't depend on cells — byte-identical across modes
+    assert(p1.map(r => r._1 -> r._3).toMap ==
+      rows(flatSink).map(r => r._1 -> r._3).toMap)
+
+    // probing ALL coarse cells makes search assignment-invariant:
+    // every vector is a candidate whatever cell it sits in, so the
+    // approximate ingest cannot change full-probe results
+    def hits(s: VersionedParquetSink) =
+      AnnIndex.search(spark, s, "ann", vectors(0 until 3, 16),
+        probes = 4, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits(p1Sink) == hits(flatSink))
+  }
+
+  test("registry path: a persisted index built with the registry's " +
+      "quantizer parameters reproduces the in-session assignment") {
+    import graft.engine.{KMeans, Tables}
+    val d = "/root/testdata/sf0.001"
+    graft.GraftExtensions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
+    val root = TestSpark.tmpDir("annreg")
+    AnnIndex.build(spark, new VersionedParquetSink(root), "ann",
+      Tables.embeddings(spark, d).select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec")),
+      dim = 64, kCoarse = 10, m = 2, subK = 16, iters = 2)
+    // annCentroids == the registry's own full-corpus training
+    val trained = KMeans.train(spark, e, k = 10, iters = 2)
+      .orderBy("cell").collect().map(_.toString).toSeq
+    val persisted = graft.queries.NorthStarQueries
+      .annCentroids(spark, root).orderBy("cell")
+      .collect().map(_.toString).toSeq
+    assert(persisted == trained,
+      "persisted quantizer diverged from in-session training")
+    // annAssigned == the flat in-session assignment rule
+    val cents = KMeans.train(spark, e, k = 10, iters = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    val flat = e.crossJoin(broadcast(cents))
+      .withColumn("csim", round(expr("graft_dot(emb, c_emb)") /
+        (col("nrm") * col("c_nrm")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ann = graft.queries.NorthStarQueries
+      .annAssigned(spark, d, root)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toMap
+    assert(ann == flat, "persisted assignment diverged from in-session")
+    // and the joined shape carries the full (vec_id, emb, nrm, cell)
+    // contract the registry consumers expect
+    val cols = graft.queries.NorthStarQueries
+      .annAssigned(spark, d, root).columns.toSeq
+    assert(cols == Seq("vec_id", "emb", "nrm", "cell"))
+  }
+
   test("retrain swaps generations atomically per table; history survives") {
     val sink = new VersionedParquetSink(TestSpark.tmpDir("annidx2"))
     AnnIndex.build(spark, sink, "ann", vectors(0 until 40, 8),
