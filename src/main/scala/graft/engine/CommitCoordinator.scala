@@ -1,0 +1,74 @@
+package graft.engine
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The single coordination primitive the commit protocol rides on:
+  * atomically publish a small file at an exact path IF AND ONLY IF
+  * nothing exists there — a filesystem compare-and-swap on absence.
+  * Every exactly-once property in [[VersionedParquetSink]] reduces to
+  * this one operation: version-number claims (`<n>.commit` markers,
+  * so two writers can never both own version n), keyed idempotency
+  * (the marker CARRIES the key, so claim atomicity is dedup
+  * atomicity), multi-table transaction manifests (`_txn/<key>.json` is
+  * the commit point), and clone marker publication.
+  *
+  * Contract of [[publishIfAbsent]]:
+  *  - returns true  — `body` is now durably at `target`; the caller
+  *    won the claim. At most one concurrent caller per `target` may
+  *    ever see true.
+  *  - returns false — a COMPETITOR's file owns `target` (it existed
+  *    before or won the race); the caller must re-read state and
+  *    retry/complete the winner's work. The implementation owns
+  *    cleanup of any temporary bytes it wrote.
+  *  - throws        — the store failed in a way "lost the race" cannot
+  *    explain (permissions, broken filesystem): failing loudly beats
+  *    spinning on a store that will never accept a claim.
+  *
+  * Implementations for other stores (the protocol note, in the
+  * DeltaLogMirror style): the primitive is exactly a CONDITIONAL PUT.
+  *  - S3: `PutObject` with `If-None-Match: *` (supported since 2024) —
+  *    returns 412 when the key exists; map 412 to false, success to
+  *    true. No temp object needed: S3 PUTs are already all-or-nothing.
+  *  - GCS: `insert` with `ifGenerationMatch=0` — 412 when the object
+  *    exists.
+  *  - Azure Blob / ADLS: `Put Blob` with `If-None-Match: *`, or rely on
+  *    ABFS's atomic rename (hierarchical namespace) via the default
+  *    implementation below.
+  *  - DynamoDB/JDBC-style coordinators (what delta-rs / Delta's
+  *    S3DynamoDBLogStore do for pre-conditional-PUT S3): a conditional
+  *    `PutItem` on the marker path as primary key, then write the file
+  *    body best-effort (readers resolve the winner from the table).
+  * Whatever the store, the mapping is mechanical because the calling
+  * protocol never needs read-after-list consistency of the CLAIM —
+  * winners re-validate visibility against the manifest afterwards (the
+  * phantom-claim guard in the commit loop).
+  */
+trait CommitCoordinator {
+  def publishIfAbsent(f: FileSystem, target: Path, body: Array[Byte]): Boolean
+}
+
+/** Default coordinator: temp-write in the target's directory, then
+  * exists-check + atomic rename — correct on any filesystem whose
+  * rename does not replace an existing destination (local, HDFS, ABFS;
+  * the cross-process races in MultiJvmRaceSpec pin exactly this
+  * implementation with the filesystem as the only channel). The
+  * rename-failed-but-nothing-there case throws: an unexplained rename
+  * failure means a broken store, and treating it as a lost race would
+  * spin forever. */
+object RenameCommitCoordinator extends CommitCoordinator {
+  override def publishIfAbsent(f: FileSystem, target: Path,
+      body: Array[Byte]): Boolean = {
+    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(body) finally out.close()
+    if (!f.exists(target) && f.rename(tmp, target)) true
+    else {
+      f.delete(tmp, false)
+      if (!f.exists(target)) throw new java.io.IOException(
+        s"failed to publish $target (rename failed, no competing file)")
+      false
+    }
+  }
+}

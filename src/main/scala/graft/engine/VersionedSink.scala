@@ -63,7 +63,12 @@ import org.apache.spark.sql.types.StructType
   * remain for read-heavy tables where per-scan mask joins aren't wanted.
   */
 final class VersionedParquetSink(basePath: String,
-    checkpointInterval: Int = 10) extends TableSink {
+    checkpointInterval: Int = 10,
+    // the store's publish-if-absent primitive (see [[CommitCoordinator]]);
+    // swap for a conditional-PUT implementation on object stores whose
+    // rename is not atomic-no-replace
+    coordinator: CommitCoordinator = RenameCommitCoordinator)
+    extends TableSink {
   require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
 
   private def tableDir(table: String) = s"$basePath/$table"
@@ -861,16 +866,13 @@ final class VersionedParquetSink(basePath: String,
     val staged = pending.map { case (df, t) =>
       stageAppend(df, t, manifest(spark, t), allowEvolution = false) }
     f.mkdirs(new Path(txnDir))
-    val tmp = new Path(s"$txnDir/.tmp-${UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(VersionedParquetSink.Staged.renderTxn(txnKey, staged)
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, new Path(s"$txnDir/${txnFileName(txnKey)}"))) {
+    if (!coordinator.publishIfAbsent(f,
+        new Path(s"$txnDir/${txnFileName(txnKey)}"),
+        VersionedParquetSink.Staged.renderTxn(txnKey, staged)
+          .getBytes(StandardCharsets.UTF_8))) {
       // a concurrent writer of the SAME logical batch owns the commit
       // point (or a crashed one left it): discard OUR staging and
       // complete THEIRS
-      f.delete(tmp, false)
       staged.foreach(s =>
         f.delete(new Path(s"${tableDir(s.table)}/${s.unique}"), true))
       recoverTransactions(spark)
@@ -1271,11 +1273,6 @@ final class VersionedParquetSink(basePath: String,
               if (rewriteOnlyConflict)
                 entries.lastOption.flatMap(_.schemaDdl).getOrElse(schemaDdl)
               else schemaDdl
-            // Write the FULL marker body to a temp file, then atomically
-            // rename it to <n>.commit. create-then-write would make an
-            // EMPTY marker visible first — readers would throw on it and
-            // a same-key committer would see "no key" and double-commit.
-            val tmp = new Path(s"${commitDir(table)}/.tmp-${UUID.randomUUID()}")
             // constraints travel commit-to-commit like schema: inherit
             // the latest set unless this commit explicitly changes it
             val effConstraints: Option[String] = newConstraints
@@ -1295,22 +1292,20 @@ final class VersionedParquetSink(basePath: String,
               .getOrElse(entries.lastOption.flatMap(_.props))
             val propsField = effProps.map(p =>
               s""","propsB64":"${b64enc(p)}"""").getOrElse("")
-            val out = f.create(tmp, true)
-            try {
-              out.write(
-                s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField$genField$propsField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
-                  .getBytes(StandardCharsets.UTF_8))
-            } finally out.close()
+            // The claim itself is the coordinator's publish-if-absent
+            // (temp-write + atomic rename here; conditional PUT on
+            // object stores): the FULL body lands atomically, so an
+            // EMPTY marker is never visible — readers would throw on
+            // one and a same-key committer would double-commit. The
+            // coordinator throws (not "lost") when the store fails in
+            // a way a competing marker cannot explain.
             val marker = new Path(s"${commitDir(table)}/$attempt.commit")
-            if (!f.exists(marker) && f.rename(tmp, marker)) Some(Some(attempt))
-            else {
-              f.delete(tmp, false)
-              // a competing marker explains the failed rename; anything
-              // else (permissions, broken fs) must fail loudly, not spin
-              if (!f.exists(marker)) throw new java.io.IOException(
-                s"failed to commit marker $marker (rename failed, no competing marker)")
-              None // lost the race; retry at the next version
-            }
+            val body =
+              s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField$genField$propsField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
+                .getBytes(StandardCharsets.UTF_8)
+            if (coordinator.publishIfAbsent(f, marker, body))
+              Some(Some(attempt))
+            else None // lost the race; retry at the next version
           }
         }
       claimed match {
@@ -2574,16 +2569,11 @@ final class VersionedParquetSink(basePath: String,
       val newDir = "../" + abs.stripPrefix(s"$basePath/")
       val body = e.raw.replace(s""""dir":"${e.dir}"""",
         s""""dir":"$newDir"""")
-      val tmp = new Path(s"${commitDir(target)}/.tmp-${UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try out.write(body.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
       val marker = new Path(s"${commitDir(target)}/${e.version}.commit")
-      if (f.exists(marker) || !f.rename(tmp, marker)) {
-        f.delete(tmp, false)
+      if (!coordinator.publishIfAbsent(f, marker,
+          body.getBytes(StandardCharsets.UTF_8)))
         throw new java.io.IOException(s"clone target '$target' gained " +
           s"commits concurrently (marker v${e.version})")
-      }
     }
     // external interop: mirror the cloned manifest into the clone's own
     // _delta_log (add actions carry absolute URIs for the cross-table
