@@ -125,8 +125,28 @@ object Bench {
     val overBudget = results.collect { case (k, v) if v > 2.0 => k }
     val overField = overBudget.map(n => "\"" + esc(n) + "\"")
       .mkString(""","over_budget":[""", ",", "]")
+    // Per-query regression attribution (machine-generated, so jitter vs
+    // regression stops being argued from memory): compare against the
+    // previous FULL run's snapshot and name any query whose
+    // steady-state grew BOTH >1.5x and >0.3 s — the two-sided gate
+    // keeps the ~0.2 s scheduling-jitter band on sub-second queries
+    // from flagging noise while still catching a 0.4 -> 0.8 s doubling.
+    val prevPath = sys.env.getOrElse("BENCH_PREV", "/root/repo/bench_prev.json")
+    val prevQ: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), java.nio.charset.StandardCharsets.UTF_8)
+      """"(q_[a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val regressed = results.collect {
+      case (k, v) if v >= 0 && prevQ.get(k).exists(p =>
+        p >= 0 && v > 1.5 * p && v - p > 0.3) => (k, prevQ(k), v)
+    }
+    val regField = regressed.map { case (k, p, v) =>
+      f"""{"name":"${esc(k)}","prev":$p%.3f,"cur":$v%.3f}"""
+    }.mkString(""","regressed":[""", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField,"sf":"${esc(sfDir)}"}"""
     // stdout gets wrapped by sbt ("[info] {...}") and interleaved with log
     // noise, which made the round-1 report unparseable downstream — so the
     // authoritative copy goes to a file; stdout stays for humans.
@@ -138,7 +158,7 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},""" +
         s""""n_failed":${failed.size},"n_over_budget":${overBudget.size},""" +
-        s""""sf":"${esc(sfDir)}"}"""
+        s""""n_regressed":${regressed.size},"sf":"${esc(sfDir)}"}"""
     println(summary)
     val outPath = sys.env.getOrElse("BENCH_OUT", "/root/repo/bench_result.json")
     try {
@@ -147,6 +167,17 @@ object Bench {
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // Roll the snapshot ONLY after a full-set, zero-failure run at the
+    // standard tier: a subset/profiling run or a broken build must not
+    // become the next round's comparison base.
+    if (only.isEmpty && failed.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(prevPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not roll $prevPath: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
