@@ -163,6 +163,134 @@ class MultiJvmRaceSpec extends AnyFunSuite {
     }
   }
 
+  test("ChunkIndex across PROCESSES: writers sharing content x live " +
+      "replayer x compactor — lossless reassembly, zero dangling " +
+      "manifests") {
+    import MultiJvmRaceSpec._
+    val dir = TestSpark.tmpDir("mjvm_chunk")
+    val ps = (1 to ChunkWriters).map(i =>
+      launch(dir, "chunk-writer", i, ChunkBatches)) ++ Seq(
+      launch(dir, "chunk-replayer", 9, ChunkBatches),
+      launch(dir, "chunk-compactor", 0, 6))
+    await(ps, dir)
+    val sink = new VersionedParquetSink(dir)
+    // the user contract: every ingested doc reassembles byte-identical,
+    // replays added nothing
+    val back = graft.engine.ChunkIndex.reassemble(spark, sink)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (w <- 1 to ChunkWriters; b <- 1 to ChunkBatches)
+      assert(back.get(chunkDocId(w, b)).contains(chunkDocText(w, b)),
+        s"doc ($w,$b) lost or corrupted under the cross-process race")
+    assert(back.size == ChunkWriters * ChunkBatches, s"extra docs: $back")
+    // each manifest (doc, chunk) landed exactly once despite the replay
+    assert(sink.read(spark, "cdc_manifest").groupBy("doc_id", "chunk")
+      .count().filter("count > 1").count() == 0L,
+      "duplicated manifest rows")
+    // ZERO dangling manifests: every address a manifest references must
+    // resolve in the store (the store-first keyed-commit invariant)
+    assert(sink.read(spark, "cdc_manifest").select("hash")
+      .join(sink.read(spark, "cdc_store").select("hash"),
+        Seq("hash"), "left_anti").count() == 0L,
+      "manifest rows referencing unstored chunks")
+    // the shared run content-address-deduplicated ACROSS processes
+    val addrs = sink.read(spark, "cdc_store").select("hash")
+      .distinct().count()
+    val mrows = sink.read(spark, "cdc_manifest").count()
+    assert(addrs < mrows, s"no cross-process sharing: $addrs of $mrows")
+  }
+
+  test("SpanIndex across PROCESSES: 2 writers x compactor, then a " +
+      "replayer PROCESS — equals the sequential per-writer reference") {
+    import MultiJvmRaceSpec._
+    val dir = TestSpark.tmpDir("mjvm_span")
+    val ps = (1 to SpanWriters).map(i =>
+      launch(dir, "span-writer", i, SpanBatches)) :+
+      launch(dir, "span-compactor", 0, 6)
+    await(ps, dir)
+    val sink = new VersionedParquetSink(dir)
+    def corpusMap = sink.read(spark, "clean_corpus")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def spanRows = sink.read(spark, "span_index")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val (docsBefore, spansBefore) = (corpusMap, spanRows)
+    // post-hoc replay from a separate process: identical keys AND
+    // content — both tables must be bit-unchanged
+    await(Seq(launch(dir, "span-replayer", 9, SpanBatches)), dir)
+    assert(corpusMap == docsBefore, "replay changed the cleaned corpus")
+    assert(spanRows == spansBefore, "replay changed the span index")
+    // writers used DISJOINT vocab, so the raced result must equal each
+    // writer's isolated sequential run (index-driven masking included)
+    val refDocs = scala.collection.mutable.Map.empty[Long, String]
+    val refSpans = Seq.newBuilder[(String, Long)]
+    (1 to SpanWriters).foreach { w =>
+      val ref = new VersionedParquetSink(TestSpark.tmpDir(s"mjvm_spanref$w"))
+      (1 to SpanBatches).foreach { b =>
+        graft.engine.SpanIndex.appendCleaned(spark, ref,
+          spanDocs(w, b).toDF("doc_id", "text"),
+          batchKey = Some(s"span-w$w-b$b"))
+      }
+      refDocs ++= ref.read(spark, "clean_corpus").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      refSpans ++= ref.read(spark, "span_index").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    }
+    assert(docsBefore == refDocs.toMap,
+      "cross-process cleaning diverged from the sequential reference")
+    assert(spansBefore == refSpans.result().sorted,
+      "cross-process span index diverged from the sequential reference")
+  }
+
+  test("DedupIndex across PROCESSES: 2 writers x compactor, then a " +
+      "replayer PROCESS — equals the sequential per-writer reference") {
+    import MultiJvmRaceSpec._
+    val dir = TestSpark.tmpDir("mjvm_dedup")
+    val ps = (1 to DedupWriters).map(i =>
+      launch(dir, "dedup-writer", i, DedupBatches)) :+
+      launch(dir, "dedup-compactor", 0, 6)
+    await(ps, dir)
+    val sink = new VersionedParquetSink(dir)
+    def corpusMap = sink.read(spark, "corpus")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def fpRows = sink.read(spark, "dedup_fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    def sigCount = sink.read(spark, "dedup_sig").count()
+    val (docsBefore, fpBefore, sigBefore) = (corpusMap, fpRows, sigCount)
+    await(Seq(launch(dir, "dedup-replayer", 9, DedupBatches)), dir)
+    assert(corpusMap == docsBefore, "replay changed the corpus")
+    assert(fpRows == fpBefore, "replay changed the fingerprint index")
+    assert(sigCount == sigBefore, "replay changed the signature index")
+    // disjoint content across writers: the raced result must equal the
+    // union of isolated sequential runs — same survivors, same index
+    val refDocs = scala.collection.mutable.Map.empty[Long, String]
+    val refFps = Seq.newBuilder[(Long, String)]
+    var refSigs = 0L
+    (1 to DedupWriters).foreach { w =>
+      val ref = new VersionedParquetSink(TestSpark.tmpDir(s"mjvm_dedupref$w"))
+      (1 to DedupBatches).foreach { b =>
+        graft.engine.DedupIndex.appendDeduped(spark, ref,
+          dedupDocs(w, b).toDF("doc_id", "text"),
+          batchKey = Some(s"dedup-w$w-b$b"))
+      }
+      refDocs ++= ref.read(spark, "corpus").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      refFps ++= ref.read(spark, "dedup_fp").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      refSigs += ref.read(spark, "dedup_sig").count()
+    }
+    assert(docsBefore == refDocs.toMap,
+      "cross-process dedup diverged from the sequential reference")
+    assert(fpBefore == refFps.result().sorted,
+      "cross-process fingerprint index diverged from the reference")
+    assert(sigBefore == refSigs,
+      "cross-process signature index diverged from the reference")
+    // and exactly-once structurally: one fp row per exact-distinct doc,
+    // every corpus doc covered by the index
+    assert(fpBefore.map(_._1).distinct.size == fpBefore.size,
+      "duplicate fingerprint rows")
+    assert(docsBefore.keySet.subsetOf(fpBefore.map(_._1).toSet),
+      "corpus rows missing their index entries")
+  }
+
   test("reservoir: 3 writer PROCESSES racing a compactor PROCESS equals " +
       "the one-shot sample") {
     val dir = TestSpark.tmpDir("mjvm_sample")
@@ -202,4 +330,57 @@ class MultiJvmRaceSpec extends AnyFunSuite {
 
 object MultiJvmRaceSpec {
   val K = 10
+
+  /** Deterministic content for the content-index races — shared between
+    * the spec and the RaceWorker processes so both sides generate
+    * byte-identical documents from (writer, batch) coordinates alone
+    * (scala.util.Random is seed-stable across JVMs). */
+  private def salad(vocab: IndexedSeq[String], seed: Int, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+  private val baseVocab = Vector("red", "blue", "green", "gold", "iron",
+    "wolf", "moon", "star", "rain", "leaf", "sand", "snow", "fire", "dust")
+
+  // --- chunk race: every writer's docs embed ONE shared run (the
+  // cross-process content-address-sharing case) around writer-unique
+  // prose, so the store must dedup across OS processes
+  val ChunkWriters = 2
+  val ChunkBatches = 4
+  private lazy val chunkShared = salad(baseVocab, 7777, 120)
+  def chunkDocId(w: Int, b: Int): Long = w.toLong * 1000 + b
+  def chunkDocText(w: Int, b: Int): String =
+    s"${salad(baseVocab, w * 100 + b, 80)} $chunkShared " +
+      salad(baseVocab, w * 100 + b + 50, 40)
+
+  // --- span race: writer-DISJOINT vocab, so cross-writer cleaning can
+  // never depend on process interleaving; each writer's batches repeat
+  // the writer's own boilerplate run, making index-driven masking a
+  // per-writer sequential (= deterministic) computation
+  val SpanWriters = 2
+  val SpanBatches = 4
+  private def spanVocab(w: Int) = (1 to 14).map(i => s"w${w}t$i").toVector
+  def spanBoiler(w: Int): String =
+    (1 to 10).map(i => s"w${w}boil$i").mkString(" ")
+  def spanDocId(w: Int, b: Int, i: Int): Long = (w * 100L + b) * 10L + i
+  def spanDocs(w: Int, b: Int): Seq[(Long, String)] = Seq(
+    (spanDocId(w, b, 0),
+      s"${salad(spanVocab(w), b * 31 + w, 20)} ${spanBoiler(w)} " +
+        salad(spanVocab(w), b * 31 + w + 7, 12)),
+    (spanDocId(w, b, 1), salad(spanVocab(w), b * 31 + w + 13, 24)))
+
+  // --- dedup race: writer-disjoint vocab + doc space; each batch has a
+  // fresh doc, an exact repeat of the writer's batch-1 doc (index-driven
+  // exact drop once batch 1 landed), and an in-batch duplicate pair
+  val DedupWriters = 2
+  val DedupBatches = 4
+  private def dedupVocab(w: Int) = (1 to 14).map(i => s"d${w}v$i").toVector
+  def dedupDocId(w: Int, b: Int, i: Int): Long = (w * 100L + b) * 10L + i
+  def dedupDocs(w: Int, b: Int): Seq[(Long, String)] = {
+    val fresh = salad(dedupVocab(w), b * 97 + w, 60)
+    val dupOfFirst = salad(dedupVocab(w), 97 + w, 60)
+    val pair = salad(dedupVocab(w), b * 97 + w + 31, 50)
+    Seq((dedupDocId(w, b, 0), fresh), (dedupDocId(w, b, 1), dupOfFirst),
+      (dedupDocId(w, b, 2), pair), (dedupDocId(w, b, 3), pair))
+  }
 }

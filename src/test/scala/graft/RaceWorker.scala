@@ -94,6 +94,77 @@ object RaceWorker {
         (1 to n).foreach { b =>
           sink.append((0 until 5).map(i => s"w$id-b$b-r$i").toDF("v"), "t")
         }
+      case "chunk-writer" =>
+        (1 to n).foreach { b =>
+          graft.engine.ChunkIndex.append(spark, sink,
+            Seq((MultiJvmRaceSpec.chunkDocId(id, b),
+              MultiJvmRaceSpec.chunkDocText(id, b))).toDF("doc_id", "text"),
+            batchKey = Some(s"chunk-w$id-b$b"))
+          ()
+        }
+      case "chunk-replayer" =>
+        // re-submits writer 1's keys WITH IDENTICAL CONTENT while the
+        // writers are still running: whichever process wins a table's
+        // keyed claim, each (key, table) applies exactly once, and a
+        // replay-computed store append can only OMIT hashes that are
+        // already committed (the anti-join reads visible state only)
+        (1 to n).foreach { b =>
+          graft.engine.ChunkIndex.append(spark, sink,
+            Seq((MultiJvmRaceSpec.chunkDocId(1, b),
+              MultiJvmRaceSpec.chunkDocText(1, b))).toDF("doc_id", "text"),
+            batchKey = Some(s"chunk-w1-b$b"))
+          Thread.sleep(100)
+        }
+      case "span-writer" =>
+        (1 to n).foreach { b =>
+          graft.engine.SpanIndex.appendCleaned(spark, sink,
+            MultiJvmRaceSpec.spanDocs(id, b).toDF("doc_id", "text"),
+            batchKey = Some(s"span-w$id-b$b"))
+          ()
+        }
+      case "span-replayer" =>
+        // post-hoc replay (launched after the writers finish): the
+        // cleaned text of a replayed batch depends on the index state
+        // it reads, so only a replay of COMMITTED keys is semantically
+        // a no-op — exactly the crash-replay contract
+        (1 to n).foreach { b =>
+          graft.engine.SpanIndex.appendCleaned(spark, sink,
+            MultiJvmRaceSpec.spanDocs(1, b).toDF("doc_id", "text"),
+            batchKey = Some(s"span-w1-b$b"))
+          ()
+        }
+      case "dedup-writer" =>
+        (1 to n).foreach { b =>
+          graft.engine.DedupIndex.appendDeduped(spark, sink,
+            MultiJvmRaceSpec.dedupDocs(id, b).toDF("doc_id", "text"),
+            batchKey = Some(s"dedup-w$id-b$b"))
+          ()
+        }
+      case "dedup-replayer" =>
+        (1 to n).foreach { b =>
+          graft.engine.DedupIndex.appendDeduped(spark, sink,
+            MultiJvmRaceSpec.dedupDocs(1, b).toDF("doc_id", "text"),
+            batchKey = Some(s"dedup-w1-b$b"))
+          ()
+        }
+      case "chunk-compactor" | "span-compactor" | "dedup-compactor" =>
+        // OPTIMIZE + retention churn under live cross-process keyed
+        // appends: content-neutral rewrites must never perturb the
+        // index protocols
+        val tables = role match {
+          case "chunk-compactor" => Seq("cdc_store", "cdc_manifest")
+          case "span-compactor" => Seq("clean_corpus", "span_index")
+          case _ => Seq("corpus", "dedup_fp", "dedup_sig")
+        }
+        (1 to n).foreach { _ =>
+          tables.foreach { t =>
+            try { sink.compact(spark, t); () }
+            catch { case _: Exception => () } // table may not exist yet
+            try { sink.vacuum(spark, t, graceMs = 3600000L); () }
+            catch { case _: Exception => () }
+          }
+          Thread.sleep(150)
+        }
       case "key-racer" =>
         // identical keys AND identical content across every racer: the
         // claim protocol decides who applies each; losers must no-op
