@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *  - GRAFT_SUPER_PROBES   two-level assignment probes (default 2);
   *                         "flat" forces O(N·k) flat assignment
   *  - GRAFT_TRAIN_CAP      sampled-training cap (optional)
+  *  - GRAFT_ANN_APPEND     when set to n: instead of building, append n
+  *                         synthetic new vectors (derived from the
+  *                         corpus rows, shifted ids) against the FROZEN
+  *                         quantizers and print the wall time — the
+  *                         O(batch) marginal-ingest measurement
   */
 object AnnIngest {
   def main(args: Array[String]): Unit = {
@@ -53,17 +58,35 @@ object AnnIngest {
     val vectors = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("vec"))
-    val n = vectors.count()
-    val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
-    val capK = cap.map(c => math.max(c, k))
-    System.err.println(s"[ann-ingest] n=$n k=$k superProbes=$superProbes " +
-      s"trainCap=$capK -> $root")
-    val t0 = System.nanoTime()
     val sink = new graft.engine.VersionedParquetSink(root)
-    graft.engine.AnnIndex.build(spark, sink, "ann", vectors, dim = 64,
-      kCoarse = k, m = 2, subK = 16, iters = 2,
-      superProbes = superProbes, trainCap = capK)
-    System.err.println(f"[ann-ingest] built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    sys.env.get("GRAFT_ANN_APPEND").map(_.trim).filter(_.nonEmpty) match {
+      case Some(nStr) =>
+        // marginal-ingest measurement: a fresh batch encodes + assigns
+        // against the persisted (frozen) quantizers in O(batch) — cost
+        // must track the BATCH size, not the index size
+        val batchN = nStr.toInt
+        val maxId = vectors.agg(max("id")).head().getLong(0)
+        val batch = vectors.limit(batchN)
+          .select((col("id") + maxId + 1).as("id"), col("vec"))
+        val t0 = System.nanoTime()
+        val landed = graft.engine.AnnIndex.append(spark, sink, "ann",
+          batch, batchKey = s"probe-append-$batchN",
+          superProbes = superProbes)
+        System.err.println(f"[ann-ingest] append n=$batchN landed=$landed " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case None =>
+        val n = vectors.count()
+        val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
+        val capK = cap.map(c => math.max(c, k))
+        System.err.println(s"[ann-ingest] n=$n k=$k superProbes=$superProbes " +
+          s"trainCap=$capK -> $root")
+        val t0 = System.nanoTime()
+        graft.engine.AnnIndex.build(spark, sink, "ann", vectors, dim = 64,
+          kCoarse = k, m = 2, subK = 16, iters = 2,
+          superProbes = superProbes, trainCap = capK)
+        System.err.println(
+          f"[ann-ingest] built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -182,8 +182,20 @@ object NorthStarQueries {
       root: String): DataFrame = {
     val cells = new graft.engine.VersionedParquetSink(root)
       .read(s, "ann_vectors").select(col("id").as("vec_id"), col("cell"))
-    emb(s, d).join(cells, "vec_id")
+    val joined = emb(s, d).join(cells, "vec_id")
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+      .cache()
+    // Staleness guard: the inner join would otherwise SILENTLY drop
+    // corpus vectors the index has not ingested (an index built over a
+    // different or older corpus) — every downstream blocking/dedup
+    // result would be quietly wrong. One count pair per memoized build.
+    val nCorpus = emb(s, d).count()
+    val nJoined = joined.count()
+    require(nJoined == nCorpus,
+      s"AnnIndex at '$root' covers $nJoined of $nCorpus corpus vectors; " +
+        "re-ingest (graft.AnnIngest) before pointing GRAFT_ANN_DIR at " +
+        "this corpus")
+    joined
   }
 
   private[queries] val centCache =

@@ -192,6 +192,19 @@ class AnnIndexSpec extends AnyFunSuite {
     val cols = graft.queries.NorthStarQueries
       .annAssigned(spark, d, root).columns.toSeq
     assert(cols == Seq("vec_id", "emb", "nrm", "cell"))
+
+    // a STALE index (built over a subset of the corpus) fails loudly
+    // instead of silently dropping the uncovered vectors
+    val staleRoot = TestSpark.tmpDir("annstale")
+    AnnIndex.build(spark, new VersionedParquetSink(staleRoot), "ann",
+      Tables.embeddings(spark, d).filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec")),
+      dim = 64, kCoarse = 5, m = 2, subK = 16, iters = 1)
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.NorthStarQueries.annAssigned(spark, d, staleRoot)
+    }
+    assert(ex.getMessage.contains("re-ingest"))
   }
 
   test("retrain swaps generations atomically per table; history survives") {
