@@ -142,11 +142,24 @@ class AnnIndexSpec extends AnyFunSuite {
     // probing ALL coarse cells makes search assignment-invariant:
     // every vector is a candidate whatever cell it sits in, so the
     // approximate ingest cannot change full-probe results
-    def hits(s: VersionedParquetSink) =
+    def hits(s: VersionedParquetSink, probes: Int) =
       AnnIndex.search(spark, s, "ann", vectors(0 until 3, 16),
-        probes = 4, k = 5).collect()
+        probes = probes, k = 5).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(hits(p1Sink) == hits(flatSink))
+    assert(hits(p1Sink, 4) == hits(flatSink, 4))
+
+    // recall@probes bound: partial-probe search over the hierarchical
+    // ingest must stay within reach of the flat ingest's recall — the
+    // probe-1 assignment is a recall trade at the CELL level, never a
+    // collapse (deterministic fixtures, so a fixed floor is stable)
+    val truth = hits(flatSink, 4)
+    def recall(s: VersionedParquetSink) =
+      hits(s, 2).intersect(truth).size.toDouble / truth.size
+    val (rFlat, rHier) = (recall(flatSink), recall(p1Sink))
+    assert(rHier >= rFlat - 0.25 && rHier >= 0.3,
+      f"partial-probe recall collapsed: hier=$rHier%.2f flat=$rFlat%.2f")
+    System.err.println(
+      f"[annidx] recall@2of4: flat=$rFlat%.2f hier(p1)=$rHier%.2f")
   }
 
   test("registry path: a persisted index built with the registry's " +
