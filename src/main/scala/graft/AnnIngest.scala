@@ -32,16 +32,21 @@ object AnnIngest {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val root = sys.env.getOrElse("GRAFT_ANN_DIR",
       throw new IllegalArgumentException("GRAFT_ANN_DIR is required"))
+    def positiveInt(env: String, v: String): Int =
+      v.toIntOption.filter(_ > 0).getOrElse(throw
+        new IllegalArgumentException(
+          s"$env must be a positive integer, got '$v'"))
     val cellsPer = sys.env.get("GRAFT_CELLS_PER").map(_.trim)
-      .filter(_.nonEmpty).map(_.toInt).getOrElse(200)
+      .filter(_.nonEmpty).map(positiveInt("GRAFT_CELLS_PER", _))
+      .getOrElse(200)
     val superProbes = sys.env.get("GRAFT_SUPER_PROBES").map(_.trim)
       .filter(_.nonEmpty) match {
       case Some("flat") => None
-      case Some(p) => Some(p.toInt)
+      case Some(p) => Some(positiveInt("GRAFT_SUPER_PROBES", p))
       case None => Some(2)
     }
     val cap = sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
-      .filter(_.nonEmpty).map(_.toInt)
+      .filter(_.nonEmpty).map(positiveInt("GRAFT_TRAIN_CAP", _))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,13 +69,19 @@ object AnnIngest {
         // marginal-ingest measurement: a fresh batch encodes + assigns
         // against the persisted (frozen) quantizers in O(batch) — cost
         // must track the BATCH size, not the index size
-        val batchN = nStr.toInt
-        val maxId = vectors.agg(max("id")).head().getLong(0)
+        val batchN = positiveInt("GRAFT_ANN_APPEND", nStr)
+        // fresh ids derive from the INDEX's current max, not the
+        // corpus's: successive probe appends share the corpus but the
+        // index grows, and a corpus-based shift would write the same
+        // shifted ids twice (duplicate index entries that distinct
+        // batch keys cannot dedup)
+        val maxId = sink.read(spark, "ann_vectors").agg(max("id"))
+          .head().getLong(0)
         val batch = vectors.limit(batchN)
           .select((col("id") + maxId + 1).as("id"), col("vec"))
         val t0 = System.nanoTime()
         val landed = graft.engine.AnnIndex.append(spark, sink, "ann",
-          batch, batchKey = s"probe-append-$batchN",
+          batch, batchKey = s"probe-append-$batchN-${maxId + 1}",
           superProbes = superProbes)
         System.err.println(f"[ann-ingest] append n=$batchN landed=$landed " +
           f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -135,15 +135,24 @@ object Bench {
     val prevQ: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)), java.nio.charset.StandardCharsets.UTF_8)
-      """"(q_[a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+      // compare only a SAME-TIER baseline: a full run at another
+      // corpus (100x probes, sf0.01) must neither flag everything as
+      // regressed nor mask real regressions — a mismatched snapshot
+      // yields zero comparisons and the next same-tier roll heals it
+      val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!prevSf.contains(sfDir)) Map.empty
+      else """"(q_[a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     val regressed = results.collect {
       case (k, v) if v >= 0 && prevQ.get(k).exists(p =>
         p >= 0 && v > 1.5 * p && v - p > 0.3) => (k, prevQ(k), v)
     }
+    // plain Double interpolation, NOT f"%.3f": the latter is
+    // default-locale-sensitive and renders a decimal comma on e.g.
+    // de_DE JVMs — malformed JSON
     val regField = regressed.map { case (k, p, v) =>
-      f"""{"name":"${esc(k)}","prev":$p%.3f,"cur":$v%.3f}"""
+      s"""{"name":"${esc(k)}","prev":$p,"cur":$v}"""
     }.mkString(""","regressed":[""", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField,"sf":"${esc(sfDir)}"}"""

@@ -65,6 +65,19 @@ object AnnIndex {
     (Pq.Model(m, subDim, books), coarse)
   }
 
+  /** Corpus-fingerprint row for `<prefix>_meta`: (n, fpsum), fpsum =
+    * sum of crc32 over the canonical "id,vec-as-double-array-string"
+    * form. ADDITIVE — per-append rows sum to the fingerprint of
+    * everything ingested — so readers (the registry's annAssigned)
+    * can recompute the same aggregate over their corpus and fail
+    * loudly on CONTENT drift (same ids, re-embedded vectors), which a
+    * count-coverage check cannot see. */
+  private[engine] def fingerprintRow(vectors: DataFrame): DataFrame =
+    vectors.agg(count(lit(1)).as("n"),
+      coalesce(sum(crc32(concat_ws(",", col("id"),
+        col("vec").cast("array<double>").cast("string")))), lit(0L))
+        .as("fpsum"))
+
   /** Train quantizers on the seed corpus, encode it, and publish the
     * whole index as ONE cross-table transaction. `vectors` carries
     * (id, vec) with `dim`-wide vectors. */
@@ -87,7 +100,8 @@ object AnnIndex {
     require(sink.multiAppendOnce(Seq(
       coarse.select("cell", "c_emb", "c_nrm") -> tbl(prefix, "centroids"),
       books -> tbl(prefix, "codebooks"),
-      encoded -> tbl(prefix, "vectors")),
+      encoded -> tbl(prefix, "vectors"),
+      fingerprintRow(vectors) -> tbl(prefix, "meta")),
       txnKey = s"$prefix-build"), s"index '$prefix' already built")
   }
 
@@ -101,8 +115,15 @@ object AnnIndex {
     val encoded = Pq.encode(spark, newVectors, model)
       .join(assignCells(spark, newVectors, coarse, superProbes), "id")
       .select("id", "cell", "codes")
-    sink.appendOnce(encoded, tbl(prefix, "vectors"),
+    val landed = sink.appendOnce(encoded, tbl(prefix, "vectors"),
       s"$prefix-append-$batchKey")
+    // ALWAYS attempt the meta append, even on a keyed vectors replay:
+    // a crash between the two table writes must heal on replay (each
+    // table's keyed append fills in independently — the SpanIndex
+    // two-table recipe)
+    sink.appendOnce(fingerprintRow(newVectors), tbl(prefix, "meta"),
+      s"$prefix-append-$batchKey:meta")
+    landed
   }
 
   /** Continuous ingestion: stream vector files (JSON lines with
@@ -189,5 +210,6 @@ object AnnIndex {
       tbl(prefix, "centroids"))
     sink.overwrite(books, tbl(prefix, "codebooks"))
     sink.overwrite(encoded, tbl(prefix, "vectors"))
+    sink.overwrite(fingerprintRow(vectors), tbl(prefix, "meta"))
   }
 }

@@ -49,11 +49,22 @@ trait CommitCoordinator {
   def publishIfAbsent(f: FileSystem, target: Path, body: Array[Byte]): Boolean
 }
 
-/** Default coordinator: temp-write in the target's directory, then
-  * exists-check + atomic rename — correct on any filesystem whose
-  * rename does not replace an existing destination (local, HDFS, ABFS;
-  * the cross-process races in MultiJvmRaceSpec pin exactly this
-  * implementation with the filesystem as the only channel). The
+/** Default coordinator: temp-write in the target's directory, then an
+  * atomic claim of the target path.
+  *
+  * On LOCAL filesystems the claim is a HARD LINK (`link(2)`): POSIX
+  * `rename(2)` REPLACES an existing destination, so the historical
+  * exists-check + rename is check-then-act with a (narrow) lost-claim
+  * window across processes — two claimants could in principle both
+  * "win" and the second body would replace the first. `link(2)` fails
+  * with EEXIST atomically in the kernel, making the claim a true CAS
+  * on absence, with the full body visible at the target in one step.
+  * (The cross-process races in MultiJvmRaceSpec pin exactly this
+  * implementation with the filesystem as the only channel.)
+  *
+  * On non-local stores (HDFS, ABFS — whose rename is atomic
+  * no-replace) and on filesystems without hard links, the claim falls
+  * back to exists-check + rename. The
   * rename-failed-but-nothing-there case throws: an unexplained rename
   * failure means a broken store, and treating it as a lost race would
   * spin forever. */
@@ -63,6 +74,29 @@ object RenameCommitCoordinator extends CommitCoordinator {
     val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(body) finally out.close()
+    val qTarget = f.makeQualified(target)
+    if (qTarget.toUri.getScheme == "file") {
+      val linkAt = java.nio.file.Paths.get(qTarget.toUri.getPath)
+      val existing = java.nio.file.Paths.get(
+        f.makeQualified(tmp).toUri.getPath)
+      val linked: Option[Boolean] =
+        try {
+          java.nio.file.Files.createLink(linkAt, existing)
+          Some(true)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => Some(false)
+          case _: UnsupportedOperationException => None // no hard links
+          case _: java.nio.file.FileSystemException => None
+        }
+      linked match {
+        case Some(won) => f.delete(tmp, false); won
+        case None => renameClaim(f, tmp, target)
+      }
+    } else renameClaim(f, tmp, target)
+  }
+
+  private def renameClaim(f: FileSystem, tmp: Path,
+      target: Path): Boolean =
     if (!f.exists(target) && f.rename(tmp, target)) true
     else {
       f.delete(tmp, false)
@@ -70,5 +104,4 @@ object RenameCommitCoordinator extends CommitCoordinator {
         s"failed to publish $target (rename failed, no competing file)")
       false
     }
-  }
 }

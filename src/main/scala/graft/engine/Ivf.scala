@@ -86,6 +86,10 @@ object Ivf {
     * Returns (vec_id, emb, nrm, cell). */
   def assignHierarchical(spark: SparkSession, vecs: DataFrame,
       cents: DataFrame, superProbes: Int = 2): DataFrame = {
+    // probes <= 0 would filter EVERY probe row and silently assign
+    // nothing — the silent-row-loss class this method is hardened
+    // against; fail at the misconfiguration instead
+    require(superProbes >= 1, s"superProbes must be >= 1, got $superProbes")
     graft.GraftExtensions.ensureRegistered(spark)
     val k = cents.count().toInt
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)

@@ -180,8 +180,9 @@ object NorthStarQueries {
     * O(N·k) assignment pass. */
   private[graft] def annAssigned(s: SparkSession, d: String,
       root: String): DataFrame = {
-    val cells = new graft.engine.VersionedParquetSink(root)
-      .read(s, "ann_vectors").select(col("id").as("vec_id"), col("cell"))
+    val sink = new graft.engine.VersionedParquetSink(root)
+    val cells = sink.read(s, "ann_vectors")
+      .select(col("id").as("vec_id"), col("cell"))
     val joined = emb(s, d).join(cells, "vec_id")
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
       .cache()
@@ -195,6 +196,25 @@ object NorthStarQueries {
       s"AnnIndex at '$root' covers $nJoined of $nCorpus corpus vectors; " +
         "re-ingest (graft.AnnIngest) before pointing GRAFT_ANN_DIR at " +
         "this corpus")
+    // Content-drift guard: a re-embedded corpus keeps its vec_ids, so
+    // coverage alone would pass while every cell was computed from the
+    // OLD vectors. The index's additive (n, fpsum) meta rows sum to
+    // the fingerprint of everything it ingested; when that count
+    // EQUALS the corpus count, the fingerprints must match (a strict
+    // superset index — extra ingested docs — cannot be attributed
+    // either way, so it is checked for coverage only).
+    if (sink.exists(s, "ann_meta")) {
+      val m = sink.read(s, "ann_meta")
+        .agg(sum("n").cast("long"), sum("fpsum").cast("long")).head()
+      if (m.getLong(0) == nCorpus) {
+        val fp = emb(s, d).agg(coalesce(sum(crc32(concat_ws(",",
+          col("vec_id"), col("emb").cast("string")))), lit(0L))).head()
+        require(fp.getLong(0) == m.getLong(1),
+          s"AnnIndex at '$root' was built from different vector CONTENT " +
+            "for the same ids (re-embedded corpus?); re-ingest " +
+            "(graft.AnnIngest) before pointing GRAFT_ANN_DIR here")
+      }
+    }
     joined
   }
 

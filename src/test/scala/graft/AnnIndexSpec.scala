@@ -218,6 +218,19 @@ class AnnIndexSpec extends AnyFunSuite {
       graft.queries.NorthStarQueries.annAssigned(spark, d, staleRoot)
     }
     assert(ex.getMessage.contains("re-ingest"))
+
+    // CONTENT drift (same vec_ids, re-embedded values) passes the
+    // coverage count but must fail the fingerprint check
+    val driftRoot = TestSpark.tmpDir("anndrift")
+    AnnIndex.build(spark, new VersionedParquetSink(driftRoot), "ann",
+      Tables.embeddings(spark, d).select(col("vec_id").as("id"),
+        expr("transform(cast(embedding as array<double>), x -> x * 2.0)")
+          .as("vec")),
+      dim = 64, kCoarse = 5, m = 2, subK = 16, iters = 1)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.queries.NorthStarQueries.annAssigned(spark, d, driftRoot)
+    }
+    assert(ex2.getMessage.contains("CONTENT"))
   }
 
   test("retrain swaps generations atomically per table; history survives") {

@@ -88,6 +88,38 @@ class CommitCoordinatorSpec extends AnyFunSuite {
       .forall(co.names.contains), s"claims missing: ${co.names}")
   }
 
+  test("default coordinator: 32 concurrent claimants on one target — " +
+      "exactly one winner, winner's body at the target") {
+    // direct hammer on the primitive (no sink, no in-JVM claim lock in
+    // front of it): the hard-link claim must admit exactly one winner,
+    // and the losers' bodies must never replace the winner's — the
+    // property plain POSIX rename (which REPLACES) cannot give
+    val dir = TestSpark.tmpDir("coord4")
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new Path(dir, "v0.commit")
+    val winners = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 32).map { i =>
+      new Thread(() => {
+        start.await()
+        if (RenameCommitCoordinator.publishIfAbsent(f, target,
+          s"body-$i".getBytes("UTF-8"))) { winners.add(i); () }
+      })
+    }
+    threads.foreach(_.start()); start.countDown()
+    threads.foreach(_.join())
+    assert(winners.size == 1, s"winners: $winners")
+    val in = f.open(target)
+    val body = new Array[Byte](f.getFileStatus(target).getLen.toInt)
+    try in.readFully(body) finally in.close()
+    assert(new String(body, "UTF-8") == s"body-${winners.peek()}",
+      "a loser's body replaced the winner's")
+    val litter = f.listStatus(new Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith(".tmp-"))
+    assert(litter.isEmpty, s"temp litter: ${litter.toSeq}")
+  }
+
   test("default coordinator: absence CAS semantics on one target") {
     val f = new Path(TestSpark.tmpDir("coord3"))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
