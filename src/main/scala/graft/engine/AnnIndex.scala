@@ -168,12 +168,16 @@ object AnnIndex {
   }
 
   /** IVF-PQ search over the PERSISTED index: probe `probes` coarse
-    * cells per query, ADC-score their members from codes. */
+    * cells per query, ADC-score their members from codes.
+    * `superProbes = Some(p)` routes the probe stage through two-level
+    * cell selection (O(√k) per query instead of O(k) — the large-k
+    * production setting, same flag semantics as ingest). */
   def search(spark: SparkSession, sink: TableSink, prefix: String,
-      queries: DataFrame, probes: Int, k: Int): DataFrame = {
+      queries: DataFrame, probes: Int, k: Int,
+      superProbes: Option[Int] = None): DataFrame = {
     val (model, coarse) = loadModel(spark, sink, prefix)
     Pq.searchIvf(spark, sink.read(spark, tbl(prefix, "vectors")),
-      coarse, model, queries, probes, k)
+      coarse, model, queries, probes, k, superProbes)
   }
 
   /** Per-cell population (cell, n_vectors) plus the skew readout the

@@ -98,18 +98,50 @@ object Pq {
     * [[assignCells]]. */
   def searchIvf(spark: SparkSession, encoded: DataFrame,
       coarse: DataFrame, model: Model, queries: DataFrame,
-      probes: Int, k: Int): DataFrame = {
+      probes: Int, k: Int, superProbes: Option[Int] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(spark)
     val q = queries.select(col("id").as("q_id"),
         col("vec").cast("array<double>").as("q_vec"))
       .withColumn("qn", sqrt(expr("graft_dot(q_vec, q_vec)")))
     val wProbe = Window.partitionBy("q_id").orderBy(desc("csim"), asc("cell"))
-    val probed = q.join(broadcast(coarse))
-      .withColumn("csim",
-        round(expr("graft_dot(q_vec, c_emb)") / (col("qn") * col("c_nrm")), 4))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= probes)
-      .select(col("q_id").as("pq_id"), col("cell"))
+    // Probe-list stage. Flat (None) scores every query against all k
+    // coarse cells — O(Q·k), fine for request batches but the last
+    // O(·k) surface once BOTH the corpus and k grow. Some(p) goes
+    // two-level, the [[Ivf.assignHierarchical]] shape on the query
+    // side: score g ≈ √k super-cells, then only the member cells of
+    // the p nearest — O(Q·√k·(1+p)). Approximate (the probed cell
+    // list is drawn from p super-cells; recall lever = p); with p
+    // covering every live super-cell the probe list is bit-identical
+    // to flat, property-tested in AnnIndexSpec.
+    val probed = superProbes match {
+      case None =>
+        q.join(broadcast(coarse))
+          .withColumn("csim",
+            round(expr("graft_dot(q_vec, c_emb)") /
+              (col("qn") * col("c_nrm")), 4))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= probes)
+          .select(col("q_id").as("pq_id"), col("cell"))
+      case Some(p) =>
+        require(p >= 1, s"superProbes must be >= 1, got $p")
+        val kCells = coarse.count().toInt
+        val g = math.max(1, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+        val (supers, centSc) = Ivf.superMembership(spark, coarse, g)
+        val live = supers.join(centSc.select("sc").distinct(), Seq("sc"))
+        val wS = Window.partitionBy("q_id").orderBy(desc("ssim"), asc("sc"))
+        val qSc = q.crossJoin(broadcast(live))
+          .withColumn("ssim", round(expr("graft_dot(q_vec, s_emb)") /
+            (col("qn") * col("s_nrm")), 4))
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= p)
+          .select("q_id", "q_vec", "qn", "sc")
+        qSc.join(broadcast(centSc), Seq("sc"))
+          .withColumn("csim", round(expr("graft_dot(q_vec, c_emb)") /
+            (col("qn") * col("c_nrm")), 4))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= probes)
+          .select(col("q_id").as("pq_id"), col("cell"))
+    }
     val scoped = encoded.join(broadcast(probed), Seq("cell"))
       .select(col("id"), col("codes"), col("pq_id"))
     // ADC over the scoped candidates: reuse [[search]]'s LUT machinery

@@ -162,6 +162,30 @@ class AnnIndexSpec extends AnyFunSuite {
       f"[annidx] recall@2of4: flat=$rFlat%.2f hier(p1)=$rHier%.2f")
   }
 
+  test("two-level query probing: bit-identical to flat probing when " +
+      "super-probes cover the super-cells; probe-1 still answers " +
+      "every query") {
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("annqp"))
+    AnnIndex.build(spark, sink, "ann", vectors(0 until 60, 16),
+      dim = 16, kCoarse = 4, m = 2, subK = 16)
+    val qs = vectors(0 until 4, 16)
+    def hits(sp: Option[Int]) =
+      AnnIndex.search(spark, sink, "ann", qs, probes = 2, k = 5,
+        superProbes = sp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // g = ceil(sqrt(4)) = 2: probing both super-cells sees every live
+    // cell, so the probe list — and therefore the full result, scores
+    // included — must equal flat probing exactly
+    assert(hits(Some(2)) == hits(None),
+      "covering super-probes must reproduce flat probing bit-for-bit")
+    // p=1 is approximate but must still answer every query with k hits
+    val p1 = AnnIndex.search(spark, sink, "ann", qs, probes = 2, k = 5,
+      superProbes = Some(1))
+    assert(p1.groupBy("q_id").count().collect()
+      .forall(_.getLong(1) == 5L), "probe-1 lost queries or hits")
+    assert(p1.select("q_id").distinct().count() == 4)
+  }
+
   test("registry path: a persisted index built with the registry's " +
       "quantizer parameters reproduces the in-session assignment") {
     import graft.engine.{KMeans, Tables}
