@@ -43,16 +43,42 @@ object AnnIndex {
     * modes across appends still searches correctly but makes cell
     * populations reflect two rules. */
   private def assignCells(spark: SparkSession, vectors: DataFrame,
-      coarse: DataFrame, superProbes: Option[Int]): DataFrame =
+      coarse: DataFrame, superProbes: Option[Int],
+      superStructs: Option[(DataFrame, DataFrame)] = None): DataFrame =
     superProbes match {
       case None => Pq.assignCells(spark, vectors, coarse)
       case Some(p) =>
         val vecs = vectors.select(col("id").as("vec_id"),
             col("vec").cast("array<double>").as("emb"))
           .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)")))
-        Ivf.assignHierarchical(spark, vecs, coarse, p)
+        Ivf.assignHierarchical(spark, vecs, coarse, p, superStructs)
           .select(col("vec_id").as("id"), col("cell"))
     }
+
+  /** The two-level probe structures, derived ONCE from the trained
+    * coarse quantizer and persisted with the index: `<prefix>_supers`
+    * (sc, s_emb, s_nrm — g ≈ √k rows) and `<prefix>_cellmap`
+    * (sc, cell, c_emb, c_nrm — k rows). Deterministic functions of the
+    * centroids, so persisting them only amortizes the per-call
+    * super-quantizer training that would otherwise dominate
+    * small-batch appends and searches. */
+  private def superTables(spark: SparkSession,
+      coarse: DataFrame): (DataFrame, DataFrame) = {
+    val k = coarse.count().toInt
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    Ivf.superMembership(spark, coarse.select("cell", "c_emb", "c_nrm"), g)
+  }
+
+  /** Persisted super-structures, when the index carries them (indexes
+    * built before this table pair existed fall back to per-call
+    * derivation — bit-identical, just slower). */
+  private def loadSupers(spark: SparkSession, sink: TableSink,
+      prefix: String): Option[(DataFrame, DataFrame)] =
+    if (sink.exists(spark, tbl(prefix, "supers")) &&
+        sink.exists(spark, tbl(prefix, "cellmap")))
+      Some((sink.read(spark, tbl(prefix, "supers")),
+        sink.read(spark, tbl(prefix, "cellmap"))))
+    else None
 
   private def loadModel(spark: SparkSession, sink: TableSink,
       prefix: String): (Pq.Model, DataFrame) = {
@@ -91,8 +117,10 @@ object AnnIndex {
           col("vec").cast("array<double>").as("emb"))
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
       kCoarse, iters, trainCap)
+    val (supers, cellmap) = superTables(spark, coarse)
     val encoded = Pq.encode(spark, vectors, model)
-      .join(assignCells(spark, vectors, coarse, superProbes), "id")
+      .join(assignCells(spark, vectors, coarse, superProbes,
+        Some((supers, cellmap))), "id")
       .select("id", "cell", "codes")
     val books = model.codebooks.zipWithIndex.map { case (cb, i) =>
       cb.select(lit(i).as("sub"), col("cell"), col("c_emb"), col("c_nrm"))
@@ -101,6 +129,8 @@ object AnnIndex {
       coarse.select("cell", "c_emb", "c_nrm") -> tbl(prefix, "centroids"),
       books -> tbl(prefix, "codebooks"),
       encoded -> tbl(prefix, "vectors"),
+      supers -> tbl(prefix, "supers"),
+      cellmap -> tbl(prefix, "cellmap"),
       fingerprintRow(vectors) -> tbl(prefix, "meta")),
       txnKey = s"$prefix-build"), s"index '$prefix' already built")
   }
@@ -113,7 +143,8 @@ object AnnIndex {
       superProbes: Option[Int] = None): Boolean = {
     val (model, coarse) = loadModel(spark, sink, prefix)
     val encoded = Pq.encode(spark, newVectors, model)
-      .join(assignCells(spark, newVectors, coarse, superProbes), "id")
+      .join(assignCells(spark, newVectors, coarse, superProbes,
+        loadSupers(spark, sink, prefix)), "id")
       .select("id", "cell", "codes")
     val landed = sink.appendOnce(encoded, tbl(prefix, "vectors"),
       s"$prefix-append-$batchKey")
@@ -177,7 +208,8 @@ object AnnIndex {
       superProbes: Option[Int] = None): DataFrame = {
     val (model, coarse) = loadModel(spark, sink, prefix)
     Pq.searchIvf(spark, sink.read(spark, tbl(prefix, "vectors")),
-      coarse, model, queries, probes, k, superProbes)
+      coarse, model, queries, probes, k, superProbes,
+      superProbes.flatMap(_ => loadSupers(spark, sink, prefix)))
   }
 
   /** Per-cell population (cell, n_vectors) plus the skew readout the
@@ -204,8 +236,10 @@ object AnnIndex {
           col("vec").cast("array<double>").as("emb"))
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
       kCoarse, iters, trainCap)
+    val (supers, cellmap) = superTables(spark, coarse)
     val encoded = Pq.encode(spark, vectors, model)
-      .join(assignCells(spark, vectors, coarse, superProbes), "id")
+      .join(assignCells(spark, vectors, coarse, superProbes,
+        Some((supers, cellmap))), "id")
       .select("id", "cell", "codes")
     val books = model.codebooks.zipWithIndex.map { case (cb, i) =>
       cb.select(lit(i).as("sub"), col("cell"), col("c_emb"), col("c_nrm"))
@@ -214,6 +248,8 @@ object AnnIndex {
       tbl(prefix, "centroids"))
     sink.overwrite(books, tbl(prefix, "codebooks"))
     sink.overwrite(encoded, tbl(prefix, "vectors"))
+    sink.overwrite(supers, tbl(prefix, "supers"))
+    sink.overwrite(cellmap, tbl(prefix, "cellmap"))
     sink.overwrite(fingerprintRow(vectors), tbl(prefix, "meta"))
   }
 }

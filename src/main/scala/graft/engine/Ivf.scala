@@ -85,15 +85,23 @@ object Ivf {
     * Input `vecs`: (vec_id, emb, nrm); `cents`: (cell, c_emb, c_nrm).
     * Returns (vec_id, emb, nrm, cell). */
   def assignHierarchical(spark: SparkSession, vecs: DataFrame,
-      cents: DataFrame, superProbes: Int = 2): DataFrame = {
+      cents: DataFrame, superProbes: Int = 2,
+      superStructs: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // probes <= 0 would filter EVERY probe row and silently assign
     // nothing — the silent-row-loss class this method is hardened
     // against; fail at the misconfiguration instead
     require(superProbes >= 1, s"superProbes must be >= 1, got $superProbes")
     graft.GraftExtensions.ensureRegistered(spark)
-    val k = cents.count().toInt
-    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val (supers, centSc) = superMembership(spark, cents, g)
+    // `superStructs` short-circuits the super-quantizer derivation:
+    // (supers, centSc) are a pure deterministic function of `cents`,
+    // so a persisted copy (AnnIndex stores them at build time) is
+    // bit-identical to recomputing — and recomputing trains a k-means
+    // on every call, which dominates small-batch assignment cost
+    val (supers, centSc) = superStructs.getOrElse {
+      val k = cents.count().toInt
+      val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      superMembership(spark, cents, g)
+    }
     // Probe only super-cells that WON at least one centroid: KMeans
     // keeps a stale centroid for an empty cell, so a super-cell can
     // have zero members (clustered/duplicate centroids trigger it) —

@@ -98,7 +98,8 @@ object Pq {
     * [[assignCells]]. */
   def searchIvf(spark: SparkSession, encoded: DataFrame,
       coarse: DataFrame, model: Model, queries: DataFrame,
-      probes: Int, k: Int, superProbes: Option[Int] = None): DataFrame = {
+      probes: Int, k: Int, superProbes: Option[Int] = None,
+      superStructs: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     graft.GraftExtensions.ensureRegistered(spark)
     val q = queries.select(col("id").as("q_id"),
         col("vec").cast("array<double>").as("q_vec"))
@@ -124,9 +125,14 @@ object Pq {
           .select(col("q_id").as("pq_id"), col("cell"))
       case Some(p) =>
         require(p >= 1, s"superProbes must be >= 1, got $p")
-        val kCells = coarse.count().toInt
-        val g = math.max(1, math.ceil(math.sqrt(kCells.toDouble)).toInt)
-        val (supers, centSc) = Ivf.superMembership(spark, coarse, g)
+        // persisted super-structures (AnnIndex stores them at build
+        // time) skip the per-search super-quantizer derivation — a
+        // deterministic function of `coarse`, so bit-identical either way
+        val (supers, centSc) = superStructs.getOrElse {
+          val kCells = coarse.count().toInt
+          val g = math.max(1, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+          Ivf.superMembership(spark, coarse, g)
+        }
         val live = supers.join(centSc.select("sc").distinct(), Seq("sc"))
         val wS = Window.partitionBy("q_id").orderBy(desc("ssim"), asc("sc"))
         val qSc = q.crossJoin(broadcast(live))
