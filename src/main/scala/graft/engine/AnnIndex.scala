@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   *  - `<prefix>_centroids`: (cell, c_emb, c_nrm) — the coarse quantizer
   *  - `<prefix>_codebooks`: (sub, cell, c_emb, c_nrm) — PQ sub-codebooks
   *  - `<prefix>_vectors`:   (id, cell, codes) — the encoded corpus
+  *  - `<prefix>_supers`:    (sc, s_emb, s_nrm) — g ≈ √k super-centroids
+  *  - `<prefix>_cellmap`:   (sc, cell, c_emb, c_nrm) — each centroid's
+  *    home super-cell (the two-level probe/assign structures, a pure
+  *    deterministic function of the centroids, persisted so appends
+  *    and searches don't re-train them per call)
+  *  - `<prefix>_meta`:      (n, fpsum) — additive corpus fingerprint
+  *    rows (content-drift detection for registry readers)
   *
-  * [[build]] lands all three in ONE cross-table transaction (a reader
+  * [[build]] lands all six in ONE cross-table transaction (a reader
   * can never observe quantizers without their corpus or vice versa);
   * [[append]] is keyed per batch, so a crash-replayed micro-batch
   * encodes exactly once; [[retrain]] re-fits on the current corpus and
@@ -55,30 +62,36 @@ object AnnIndex {
           .select(col("vec_id").as("id"), col("cell"))
     }
 
-  /** The two-level probe structures, derived ONCE from the trained
-    * coarse quantizer and persisted with the index: `<prefix>_supers`
-    * (sc, s_emb, s_nrm — g ≈ √k rows) and `<prefix>_cellmap`
-    * (sc, cell, c_emb, c_nrm — k rows). Deterministic functions of the
-    * centroids, so persisting them only amortizes the per-call
-    * super-quantizer training that would otherwise dominate
-    * small-batch appends and searches. */
-  private def superTables(spark: SparkSession,
-      coarse: DataFrame): (DataFrame, DataFrame) = {
-    val k = coarse.count().toInt
-    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    Ivf.superMembership(spark, coarse.select("cell", "c_emb", "c_nrm"), g)
+  /** Centroid-set fingerprint (count, crc32 sum over "cell,c_emb") —
+    * k rows, trivial to compute; lets [[loadSupers]] detect a
+    * cellmap that no longer matches the live centroids. */
+  private def coarseFp(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      coalesce(sum(crc32(concat_ws(",", col("cell"),
+        col("c_emb").cast("string")))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
-  /** Persisted super-structures, when the index carries them (indexes
-    * built before this table pair existed fall back to per-call
-    * derivation — bit-identical, just slower). */
+  /** Persisted super-structures, when the index carries them AND they
+    * still describe `coarse`: a crash between retrain's per-table
+    * rewrites (or a reader racing one) can leave generation-N
+    * centroids next to generation-N-1 supers/cellmap, and both
+    * generations number cells 0..k-1 — a stale map would join cleanly
+    * and probe cells chosen by the OLD quantizer's geometry, silently.
+    * The cellmap carries each centroid's (cell, c_emb), so validating
+    * its fingerprint against the live centroids catches any desync;
+    * on mismatch (and for indexes built before the table pair
+    * existed) callers fall back to re-deriving from the live
+    * centroids — bit-identical, just slower, and self-healing. */
   private def loadSupers(spark: SparkSession, sink: TableSink,
-      prefix: String): Option[(DataFrame, DataFrame)] =
+      prefix: String, coarse: DataFrame): Option[(DataFrame, DataFrame)] =
     if (sink.exists(spark, tbl(prefix, "supers")) &&
-        sink.exists(spark, tbl(prefix, "cellmap")))
-      Some((sink.read(spark, tbl(prefix, "supers")),
-        sink.read(spark, tbl(prefix, "cellmap"))))
-    else None
+        sink.exists(spark, tbl(prefix, "cellmap"))) {
+      val cellmap = sink.read(spark, tbl(prefix, "cellmap"))
+      if (coarseFp(cellmap) == coarseFp(coarse))
+        Some((sink.read(spark, tbl(prefix, "supers")), cellmap))
+      else None
+    } else None
 
   private def loadModel(spark: SparkSession, sink: TableSink,
       prefix: String): (Pq.Model, DataFrame) = {
@@ -117,7 +130,8 @@ object AnnIndex {
           col("vec").cast("array<double>").as("emb"))
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
       kCoarse, iters, trainCap)
-    val (supers, cellmap) = superTables(spark, coarse)
+    val (supers, cellmap) = Ivf.deriveSupers(spark,
+      coarse.select("cell", "c_emb", "c_nrm"))
     val encoded = Pq.encode(spark, vectors, model)
       .join(assignCells(spark, vectors, coarse, superProbes,
         Some((supers, cellmap))), "id")
@@ -144,7 +158,8 @@ object AnnIndex {
     val (model, coarse) = loadModel(spark, sink, prefix)
     val encoded = Pq.encode(spark, newVectors, model)
       .join(assignCells(spark, newVectors, coarse, superProbes,
-        loadSupers(spark, sink, prefix)), "id")
+        superProbes.flatMap(_ => loadSupers(spark, sink, prefix, coarse))),
+        "id")
       .select("id", "cell", "codes")
     val landed = sink.appendOnce(encoded, tbl(prefix, "vectors"),
       s"$prefix-append-$batchKey")
@@ -209,7 +224,7 @@ object AnnIndex {
     val (model, coarse) = loadModel(spark, sink, prefix)
     Pq.searchIvf(spark, sink.read(spark, tbl(prefix, "vectors")),
       coarse, model, queries, probes, k, superProbes,
-      superProbes.flatMap(_ => loadSupers(spark, sink, prefix)))
+      superProbes.flatMap(_ => loadSupers(spark, sink, prefix, coarse)))
   }
 
   /** Per-cell population (cell, n_vectors) plus the skew readout the
@@ -236,7 +251,8 @@ object AnnIndex {
           col("vec").cast("array<double>").as("emb"))
         .withColumn("nrm", sqrt(expr("graft_dot(emb, emb)"))),
       kCoarse, iters, trainCap)
-    val (supers, cellmap) = superTables(spark, coarse)
+    val (supers, cellmap) = Ivf.deriveSupers(spark,
+      coarse.select("cell", "c_emb", "c_nrm"))
     val encoded = Pq.encode(spark, vectors, model)
       .join(assignCells(spark, vectors, coarse, superProbes,
         Some((supers, cellmap))), "id")

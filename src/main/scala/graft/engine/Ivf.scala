@@ -97,11 +97,8 @@ object Ivf {
     // so a persisted copy (AnnIndex stores them at build time) is
     // bit-identical to recomputing — and recomputing trains a k-means
     // on every call, which dominates small-batch assignment cost
-    val (supers, centSc) = superStructs.getOrElse {
-      val k = cents.count().toInt
-      val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-      superMembership(spark, cents, g)
-    }
+    val (supers, centSc) = superStructs.getOrElse(
+      deriveSupers(spark, cents))
     // Probe only super-cells that WON at least one centroid: KMeans
     // keeps a stale centroid for an empty cell, so a super-cell can
     // have zero members (clustered/duplicate centroids trigger it) —
@@ -130,6 +127,17 @@ object Ivf {
       .withColumn("rn", row_number().over(wa))
       .filter(col("rn") === 1)
       .select("vec_id", "emb", "nrm", "cell")
+  }
+
+  /** [[superMembership]] with the canonical g-derivation rule
+    * (g = ceil(√k) super-cells over the k centroids) — THE single
+    * definition every fallback and the persisted-table writer share,
+    * so a persisted copy is always bit-identical to re-deriving. */
+  private[graft] def deriveSupers(spark: SparkSession,
+      cents: DataFrame): (DataFrame, DataFrame) = {
+    val k = cents.count().toInt
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    superMembership(spark, cents.select("cell", "c_emb", "c_nrm"), g)
   }
 
   /** The super-level structures of [[assignHierarchical]]: `g`

@@ -128,11 +128,8 @@ object Pq {
         // persisted super-structures (AnnIndex stores them at build
         // time) skip the per-search super-quantizer derivation — a
         // deterministic function of `coarse`, so bit-identical either way
-        val (supers, centSc) = superStructs.getOrElse {
-          val kCells = coarse.count().toInt
-          val g = math.max(1, math.ceil(math.sqrt(kCells.toDouble)).toInt)
-          Ivf.superMembership(spark, coarse, g)
-        }
+        val (supers, centSc) = superStructs.getOrElse(
+          Ivf.deriveSupers(spark, coarse))
         val live = supers.join(centSc.select("sc").distinct(), Seq("sc"))
         val wS = Window.partitionBy("q_id").orderBy(desc("ssim"), asc("sc"))
         val qSc = q.crossJoin(broadcast(live))

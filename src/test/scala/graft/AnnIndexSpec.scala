@@ -184,6 +184,24 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(p1.groupBy("q_id").count().collect()
       .forall(_.getLong(1) == 5L), "probe-1 lost queries or hits")
     assert(p1.select("q_id").distinct().count() == 4)
+
+    // the backward-compat fallback (no persisted super tables —
+    // pre-supers indexes) must be BIT-identical to the persisted path:
+    // call the search engine directly with superStructs = None
+    import graft.engine.Pq
+    val coarse = sink.read(spark, "ann_centroids")
+    val books0 = sink.read(spark, "ann_codebooks")
+    val model = Pq.Model(2, 8, (0 until 2).map(i =>
+      books0.filter(col("sub") === i).select("cell", "c_emb", "c_nrm")))
+    val derived = Pq.searchIvf(spark, sink.read(spark, "ann_vectors"),
+      coarse, model, qs, probes = 2, k = 5, superProbes = Some(1),
+      superStructs = None).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val persisted = AnnIndex.search(spark, sink, "ann", qs, probes = 2,
+      k = 5, superProbes = Some(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(derived == persisted,
+      "per-call super derivation diverged from the persisted structures")
   }
 
   test("registry path: a persisted index built with the registry's " +
