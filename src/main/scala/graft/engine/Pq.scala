@@ -55,6 +55,10 @@ object Pq {
     * asc tie-break); the m per-subspace results join back on id. */
   def encode(spark: SparkSession, vectors: DataFrame,
       model: Model): DataFrame = {
+    // vanilla-session safety: withColumn analyzes EAGERLY (Spark 4),
+    // so halfAt's graft_dot must be resolvable before any sibling
+    // entry point has had a chance to register it
+    graft.GraftExtensions.ensureRegistered(spark)
     val parts = (0 until model.m).map { i =>
       val h = halfAt(vectors, i * model.subDim + 1, model.subDim)
       val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))

@@ -291,6 +291,49 @@ class MultiJvmRaceSpec extends AnyFunSuite {
       "corpus rows missing their index entries")
   }
 
+  test("AnnIndex across PROCESSES: 2 writers x live replayer on the " +
+      "vectors+meta two-table keyed append — every id exactly once, " +
+      "meta sums to the union fingerprint") {
+    import MultiJvmRaceSpec._
+    val dir = TestSpark.tmpDir("mjvm_ann")
+    val sink = new VersionedParquetSink(dir)
+    val seed = annBatch(spark, 0, 0) // ids 0..19 under (w=0,b=0)
+    graft.engine.AnnIndex.build(spark, sink, "ann", seed,
+      dim = 8, kCoarse = 3, m = 2, subK = 8)
+    val writers = 2
+    val batches = 4
+    val ps = (1 to writers).map(i => launch(dir, "ann-writer", i, batches)) :+
+      launch(dir, "ann-replayer", 9, batches)
+    await(ps, dir)
+    // every (writer, batch) id exactly once, replay added nothing
+    val ids = sink.read(spark, "ann_vectors").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val expected = ((0 until 20).map(i => i.toLong) ++ (for {
+      w <- 1 to writers; b <- 1 to batches; i <- 0 until 20
+    } yield (w * 100L + b) * 100L + i)).sorted
+    assert(ids == expected,
+      s"lost/duplicated vectors: ${ids.length} of ${expected.length}")
+    // the additive meta rows sum to the fingerprint of EVERYTHING
+    // ingested — the cross-process form of the content-drift guard
+    val union = seed.unionByName(
+      (for (w <- 1 to writers; b <- 1 to batches)
+        yield annBatch(spark, w, b)).reduce(_.unionByName(_)))
+    val want = union.agg(count(lit(1)).cast("long"),
+      coalesce(sum(crc32(concat_ws(",", col("id"),
+        col("vec").cast("array<double>").cast("string")))), lit(0L))
+        .cast("long")).head()
+    val got = sink.read(spark, "ann_meta")
+      .agg(sum("n").cast("long"), sum("fpsum").cast("long")).head()
+    assert((got.getLong(0), got.getLong(1)) ==
+      (want.getLong(0), want.getLong(1)),
+      "meta fingerprint diverged from the ingested union")
+    // the raced index still searches: k hits per query
+    val hits = graft.engine.AnnIndex.search(spark, sink, "ann",
+      annBatch(spark, 1, 1), probes = 3, k = 5, superProbes = Some(2))
+    assert(hits.groupBy("q_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
+
   test("reservoir: 3 writer PROCESSES racing a compactor PROCESS equals " +
       "the one-shot sample") {
     val dir = TestSpark.tmpDir("mjvm_sample")
@@ -368,6 +411,21 @@ object MultiJvmRaceSpec {
       s"${salad(spanVocab(w), b * 31 + w, 20)} ${spanBoiler(w)} " +
         salad(spanVocab(w), b * 31 + w + 7, 12)),
     (spanDocId(w, b, 1), salad(spanVocab(w), b * 31 + w + 13, 24)))
+
+  // --- ann race: deterministic md5-derived vectors, (writer, batch)
+  // -disjoint id spaces; dim 8 to keep child-process batches cheap
+  def annBatch(spark: org.apache.spark.sql.SparkSession, w: Int,
+      b: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 20).map { i =>
+      val id = (w * 100L + b) * 100L + i
+      (id, (0 until 8).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${id}_$j".getBytes("UTF-8"))
+        ((h(0) & 0xff) * 256 + (h(1) & 0xff)) / 65535.0 - 0.5
+      })
+    }.toDF("id", "vec")
+  }
 
   // --- dedup race: writer-disjoint vocab + doc space; each batch has a
   // fresh doc, an exact repeat of the writer's batch-1 doc (index-driven

@@ -147,6 +147,26 @@ object RaceWorker {
             batchKey = Some(s"dedup-w1-b$b"))
           ()
         }
+      case "ann-writer" =>
+        // keyed two-table append (vectors + meta fingerprint row)
+        // against FROZEN quantizers from a separate process
+        graft.GraftExtensions.ensureRegistered(spark) // graft_dot
+        (1 to n).foreach { b =>
+          graft.engine.AnnIndex.append(spark, sink, "ann",
+            MultiJvmRaceSpec.annBatch(spark, id, b),
+            batchKey = s"ann-w$id-b$b", superProbes = Some(2))
+          ()
+        }
+      case "ann-replayer" =>
+        // live same-key replay of writer 1's batches: each (key, table)
+        // must apply exactly once whichever process wins the claim
+        graft.GraftExtensions.ensureRegistered(spark) // graft_dot
+        (1 to n).foreach { b =>
+          graft.engine.AnnIndex.append(spark, sink, "ann",
+            MultiJvmRaceSpec.annBatch(spark, 1, b),
+            batchKey = s"ann-w1-b$b", superProbes = Some(2))
+          Thread.sleep(100)
+        }
       case "chunk-compactor" | "span-compactor" | "dedup-compactor" =>
         // OPTIMIZE + retention churn under live cross-process keyed
         // appends: content-neutral rewrites must never perturb the
