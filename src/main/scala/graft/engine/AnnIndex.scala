@@ -51,7 +51,10 @@ object AnnIndex {
     * populations reflect two rules. */
   private def assignCells(spark: SparkSession, vectors: DataFrame,
       coarse: DataFrame, superProbes: Option[Int],
-      superStructs: Option[(DataFrame, DataFrame)] = None): DataFrame =
+      superStructs: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // vanilla-session safety: the Some branch's withColumn(graft_dot)
+    // analyzes eagerly (Spark 4) before assignHierarchical registers
+    graft.GraftExtensions.ensureRegistered(spark)
     superProbes match {
       case None => Pq.assignCells(spark, vectors, coarse)
       case Some(p) =>
@@ -61,6 +64,7 @@ object AnnIndex {
         Ivf.assignHierarchical(spark, vecs, coarse, p, superStructs)
           .select(col("vec_id").as("id"), col("cell"))
     }
+  }
 
   /** Centroid-set fingerprint (count, crc32 sum over "cell,c_emb") —
     * k rows, trivial to compute; lets [[loadSupers]] detect a

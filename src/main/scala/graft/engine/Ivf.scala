@@ -135,6 +135,9 @@ object Ivf {
     * so a persisted copy is always bit-identical to re-deriving. */
   private[graft] def deriveSupers(spark: SparkSession,
       cents: DataFrame): (DataFrame, DataFrame) = {
+    // vanilla-session safety: superMembership's withColumn(graft_dot)
+    // analyzes eagerly and this entry point can be the first one hit
+    graft.GraftExtensions.ensureRegistered(spark)
     val k = cents.count().toInt
     val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     superMembership(spark, cents.select("cell", "c_emb", "c_nrm"), g)
