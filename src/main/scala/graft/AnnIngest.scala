@@ -102,8 +102,15 @@ object AnnIngest {
         // index grows, and a corpus-based shift would write the same
         // shifted ids twice (duplicate index entries that distinct
         // batch keys cannot dedup)
-        val maxId = sink.read(spark, "ann_vectors").agg(max("id"))
-          .head().getLong(0)
+        // max(id) over an EMPTY ann_vectors (index built over an empty
+        // corpus) is SQL NULL — read it nullably and start ids at 0
+        // instead of dying on a cryptic NullPointerException
+        val maxIdRow = sink.read(spark, "ann_vectors").agg(max("id")).head()
+        val maxId = if (maxIdRow.isNullAt(0)) {
+          System.err.println("[ann-ingest] index has no vectors; " +
+            "appending from id 0")
+          -1L
+        } else maxIdRow.getLong(0)
         val batch = vectors.limit(batchN)
           .select((col("id") + maxId + 1).as("id"), col("vec"))
         val t0 = System.nanoTime()

@@ -86,7 +86,21 @@ object RenameCommitCoordinator extends CommitCoordinator {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => Some(false)
           case _: UnsupportedOperationException => None // no hard links
-          case _: java.nio.file.FileSystemException => None
+          // Only KNOWN no-hard-link-here errnos may downgrade to the
+          // rename claim (EPERM on FAT/exFAT-style mounts, EOPNOTSUPP,
+          // EMLINK, EXDEV) — any OTHER FileSystemException means a
+          // broken store and must fail loudly per the trait contract;
+          // routing it into renameClaim would silently reopen the
+          // non-atomic exists-check window the hard link eliminates.
+          // (Reason strings come from strerror: on a non-English-locale
+          // JVM an eligible errno may rethrow instead of downgrading —
+          // loud-over-silent is the right side of that trade.)
+          case e: java.nio.file.FileSystemException =>
+            val r = Option(e.getReason).getOrElse("").toLowerCase
+            val noLinkSupport = r.contains("not permitted") ||
+              r.contains("not supported") || r.contains("too many links") ||
+              r.contains("cross-device")
+            if (noLinkSupport) None else throw e
         }
       linked match {
         case Some(won) => f.delete(tmp, false); won

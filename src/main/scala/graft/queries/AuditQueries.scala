@@ -97,7 +97,7 @@ object AuditQueries {
   private val triCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
-  private def docTrigrams(s: org.apache.spark.sql.SparkSession,
+  private[queries] def docTrigrams(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     NorthStarQueries.memoize(triCache, s, d) {
       Tables.documents(s, d)
@@ -119,7 +119,7 @@ object AuditQueries {
   private val fpCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
-  private def corpusFingerprints(s: org.apache.spark.sql.SparkSession,
+  private[queries] def corpusFingerprints(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     NorthStarQueries.memoize(fpCache, s, d) {
       graft.engine.Winnow.fingerprintGrams(Tables.documents(s, d),

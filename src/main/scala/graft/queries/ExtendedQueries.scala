@@ -37,7 +37,7 @@ object ExtendedQueries {
     * q_cms_err reads it three times (sketch build, probe set, truth). */
   private val wordCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def wordCounts(s: SparkSession, d: String): DataFrame =
+  private[queries] def wordCounts(s: SparkSession, d: String): DataFrame =
     NorthStarQueries.memoize(wordCountCache, s, d) {
       Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))

@@ -57,11 +57,11 @@ object PqQueries {
 
   /** The two trained codebooks (cell, c_emb, c_nrm), memoized like the
     * IVF centroids (every PQ query retrains them otherwise). */
-  private def codebook1(s: SparkSession, d: String): DataFrame =
+  private[queries] def codebook1(s: SparkSession, d: String): DataFrame =
     memoize(cbCache, s, d) {
       KMeans.train(s, half(s, d, 1), SubK, Iters)
     }
-  private def codebook2(s: SparkSession, d: String): DataFrame =
+  private[queries] def codebook2(s: SparkSession, d: String): DataFrame =
     memoize(cb2Cache, s, d) {
       KMeans.train(s, half(s, d, HalfDim + 1), SubK, Iters)
     }

@@ -51,7 +51,7 @@ object TokenizerQueries {
 
   /** Memoized learn() per (session, dir) — same hygiene as
     * NorthStarQueries.memoize: drop stopped sessions, keep one dir. */
-  private def learned(s: SparkSession, d: String): (Seq[Bpe.Merge], DataFrame) = {
+  private[queries] def learned(s: SparkSession, d: String): (Seq[Bpe.Merge], DataFrame) = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     import scala.jdk.CollectionConverters._
     cache.entrySet.asScala

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
@@ -31,6 +31,33 @@ object TrainingQueries {
     * classic context-window split for training corpora. */
   private val ChunkSize = 50
   private val ChunkStride = 25
+
+  /** (doc_id, bigram, c) distinct-bigram-per-doc counts over the whole
+    * corpus, memoized+cached per (session, dir) — the shingleCache
+    * pattern. q_lm_score consumes this SAME subtree three times (probe
+    * stream + bigram model + unigram model) and q_sbo_score derives its
+    * train/eval splits from it by doc_id filter; without the cache each
+    * consumer re-evaluates split+zip_with+explode over the full text
+    * column, which the r11 bench measured as essentially the whole cost
+    * of q_lm_score (2.0 s vs ~1.4 s r10-era). The cached form is the
+    * per-doc bigram AGGREGATE — smaller than the raw occurrence stream
+    * by the intra-doc repetition factor, and cache() is
+    * MEMORY_AND_DISK so eviction spills instead of recomputing. At
+    * 100 TB the uncached path remains linear (one scan per consumer);
+    * the cache is a cross-query reuse optimization, not a correctness
+    * dependency. */
+  private val docBgCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[queries] def docBigramCounts(s: SparkSession, d: String): DataFrame =
+    NorthStarQueries.memoize(docBgCache, s, d) {
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("bg",
+          expr("filter(zip_with(ws, slice(ws, 2, size(ws)), " +
+            "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
+        .select(col("doc_id"), explode(col("bg")).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+    }
 
   val all: Seq[Q] = Seq(
 
@@ -408,20 +435,14 @@ object TrainingQueries {
     // genuinely under threshold.
     Q("q_lm_score",
       (s, d) => {
-        def bigrams = Tables.documents(s, d)
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn("bg",
-            expr("filter(zip_with(ws, slice(ws, 2, size(ws)), " +
-              "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
-          .select(col("doc_id"), explode(col("bg")).as("bigram"))
-        // Pre-aggregate the probe stream to (doc_id, bigram, c) BEFORE the
-        // model joins: both joins then carry distinct bigrams per doc, not
-        // raw occurrences — shrinking each shuffle by the intra-doc
-        // repetition factor. The per-doc mean over occurrences is recovered
-        // exactly as sum(l*c)/sum(c) (l is DECIMAL, c integral, so the
-        // weighted sum equals the occurrence sum term-for-term).
-        val docBg = bigrams.groupBy("doc_id", "bigram")
-          .agg(count(lit(1)).as("c"))
+        // Pre-aggregated probe stream (doc_id, bigram, c) — memoized+
+        // cached (docBigramCounts): both model joins carry distinct
+        // bigrams per doc, not raw occurrences, and all three consumers
+        // of the bigram stream (probe + bc + uc) read ONE cached build.
+        // The per-doc mean over occurrences is recovered exactly as
+        // sum(l*c)/sum(c) (l is DECIMAL, c integral, so the weighted
+        // sum equals the occurrence sum term-for-term).
+        val docBg = docBigramCounts(s, d)
         val bc = docBg.groupBy("bigram").agg(sum("c").as("cb"))
         val uc = bc
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
@@ -471,16 +492,15 @@ object TrainingQueries {
     // held-out docs, the quality-filter readout.
     Q("q_sbo_score",
       (s, d) => {
-        def bigramsOf(df: org.apache.spark.sql.DataFrame) = df
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn("bg",
-            expr("filter(zip_with(ws, slice(ws, 2, size(ws)), " +
-              "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
-          .select(col("doc_id"), explode(col("bg")).as("bigram"))
-        val docs = Tables.documents(s, d)
-        val train = docs.filter(col("doc_id") % 10 =!= 0)
-        val eval_ = docs.filter(col("doc_id") % 10 === 0)
-        val tb = bigramsOf(train).groupBy("bigram").agg(count(lit(1)).as("cb"))
+        // Train/eval bigram streams both derive from the ONE memoized
+        // (doc_id, bigram, c) aggregate (docBigramCounts) by doc_id
+        // filter — train bigram counts are sum(c) over the train split
+        // (identical to counting raw occurrences), and the eval probe
+        // stream is the already-aggregated eval rows.
+        val docBg = docBigramCounts(s, d)
+        val train = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+        val tb = docBg.filter(col("doc_id") % 10 =!= 0)
+          .groupBy("bigram").agg(sum("c").as("cb"))
         val tu = tb.withColumn("w1", expr("split(bigram, ' ')[0]"))
           .groupBy("w1").agg(sum("cb").as("cu"))
         // unigram counts over ALL train tokens (not just bigram heads:
@@ -490,8 +510,7 @@ object TrainingQueries {
           .filter(col("w2") =!= "")
           .groupBy("w2").agg(count(lit(1)).as("c2"))
         val n1 = tw.agg((sum("c2") + 1).cast("double").as("n1"))
-        val evalBg = bigramsOf(eval_)
-          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        val evalBg = docBg.filter(col("doc_id") % 10 === 0)
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
           .withColumn("w2", expr("split(bigram, ' ')[1]"))
         evalBg
