@@ -49,6 +49,26 @@ trait CommitCoordinator {
   def publishIfAbsent(f: FileSystem, target: Path, body: Array[Byte]): Boolean
 }
 
+/** Coordinator for stores whose ONLY atomic primitive is a conditional
+  * PUT — the S3 (`If-None-Match: *`), GCS (`ifGenerationMatch=0`) and
+  * Azure (`Put Blob` + `If-None-Match: *`) shape. An adapter supplies
+  * the store's put-if-absent and the trait contract maps onto it 1:1:
+  * the PUT is all-or-nothing and carries the full body, so there is no
+  * temp file, no rename, and no exists-check anywhere in the claim —
+  * the properties object stores cannot give. `putIfAbsent` must return
+  * true iff the body now durably owns the (qualified) target, false iff
+  * a competitor's object does, and throw on store failure (the trait's
+  * fail-loudly clause). The offline emulation in the test tree
+  * (`TestCoordinators.condPut`) drives the whole sink protocol —
+  * including the cross-process races — through exactly this seam. */
+final class ConditionalPutCommitCoordinator(
+    putIfAbsent: (FileSystem, Path, Array[Byte]) => Boolean)
+    extends CommitCoordinator {
+  override def publishIfAbsent(f: FileSystem, target: Path,
+      body: Array[Byte]): Boolean =
+    putIfAbsent(f, f.makeQualified(target), body)
+}
+
 /** Default coordinator: temp-write in the target's directory, then an
   * atomic claim of the target path.
   *

@@ -1171,6 +1171,9 @@ final class VersionedParquetSink(basePath: String,
     def b64enc(s: String): String =
       Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
     var reuse = snapshot // first attempt only; retries re-read under the lock
+    // the marker body of the most recent successful claim, carried out
+    // of the claim block for the post-claim validation/checkpoint path
+    var claimedBody: Array[Byte] = null
     while (true) {
       val claimed: Option[Option[Long]] = // None=retry, Some(None)=key lost
         VersionedParquetSink.localClaimLock.synchronized {
@@ -1303,9 +1306,10 @@ final class VersionedParquetSink(basePath: String,
             val body =
               s"""{"version":$attempt,"dir":"$unique"$keyField$compField$consField$mapField$genField$propsField,"schemaB64":"${b64enc(effectiveDdl)}","ts":"${java.time.Instant.now}"}"""
                 .getBytes(StandardCharsets.UTF_8)
-            if (coordinator.publishIfAbsent(f, marker, body))
+            if (coordinator.publishIfAbsent(f, marker, body)) {
+              claimedBody = body
               Some(Some(attempt))
-            else None // lost the race; retry at the next version
+            } else None // lost the race; retry at the next version
           }
         }
       claimed match {
@@ -1321,10 +1325,29 @@ final class VersionedParquetSink(basePath: String,
           // fresh manifest. The validation read is the same manifest()
           // the mirror sync needs, so the healthy path pays nothing.
           val after = manifest(spark, table)
-          if (!after.exists(e => e.version == v && e.dir == unique)) {
+          val inListing = after.exists(e => e.version == v && e.dir == unique)
+          // LIST-lag fallback (object stores whose listing trails PUTs —
+          // the pre-2020 S3 shape the conditional-PUT coordinator
+          // emulation injects): the listing may simply not include the
+          // marker we JUST published. A point read of the exact marker
+          // path is read-after-write consistent on every store in the
+          // CommitCoordinator mapping, and the true phantom case is
+          // distinguished by the checkpoint HORIZON: a claim below it
+          // was only possible because vacuumLog retired that version's
+          // marker, and vacuumLog requires markers aged past retention —
+          // so the horizon checkpoint is an OLD file, visible even to a
+          // lagged listing. (Deployment rule this rests on: log
+          // retention must exceed the store's worst-case list lag,
+          // the same retention-vs-consistency bound Delta documents.)
+          val visible = inListing || {
+            val horizon = checkpointHorizon(spark, table)
+            horizon.forall(v > _) && markerOwned(spark, table, v, unique)
+          }
+          if (!visible) {
             f.delete(new Path(s"${commitDir(table)}/$v.commit"), false)
           } else {
-            maybeCheckpoint(spark, table, v)
+            maybeCheckpoint(spark, table, v,
+              selfRaw = Some(new String(claimedBody, StandardCharsets.UTF_8)))
             // external interop: mirror the commit (and any gap a crashed
             // writer left) into _delta_log; best-effort, never throws
             DeltaLogMirror.sync(spark, tableDir(table), after)
@@ -1346,12 +1369,26 @@ final class VersionedParquetSink(basePath: String,
     * Losing the checkpoint rename race is harmless — someone else
     * snapshotted; a writer crashing before its checkpoint just defers to
     * the next grid point. */
-  private def maybeCheckpoint(spark: SparkSession, table: String, v: Long): Unit = {
+  private def maybeCheckpoint(spark: SparkSession, table: String, v: Long,
+      selfRaw: Option[String] = None): Unit = {
     if (v % checkpointInterval != checkpointInterval - 1) return
     val f = fs(spark, commitDir(table))
-    val entries = manifest(spark, table).filter(_.version <= v)
     // entries may still be mid-race-sparse (a writer between marker and
-    // rename); checkpoint only what is durably visible NOW
+    // rename); checkpoint only what is durably visible NOW — EXCEPT the
+    // checkpointer's OWN just-committed entry, which a lagged LIST may
+    // not return yet (conditional-PUT stores): writing a checkpoint at
+    // v WITHOUT v's own line would make manifest() filter v's marker
+    // out of the tail (tail keeps only versions > checkpoint), silently
+    // losing the commit — so the claimant passes its own body and we
+    // splice it in. Under mtime-monotone list lag this keeps the
+    // snapshot gap-free: claims are listing-gated (you can only claim v
+    // after LISTING v-1), so a listing that includes v-1 includes every
+    // older version too; v itself is the only possibly-hidden entry.
+    var entries = manifest(spark, table).filter(_.version <= v)
+    if (!entries.exists(_.version == v)) selfRaw match {
+      case Some(raw) => entries = entries :+ parseCommit(v, raw)
+      case None => return // never snapshot a horizon that hides v itself
+    }
     val body = entries.map(_.raw).mkString("", "\n", "\n")
     val tmp = new Path(s"${commitDir(table)}/.cptmp-${UUID.randomUUID()}")
     val out = f.create(tmp, true)
@@ -1359,6 +1396,29 @@ final class VersionedParquetSink(basePath: String,
     if (!f.rename(tmp, new Path(s"${commitDir(table)}/$v.checkpoint")))
       f.delete(tmp, false)
   }
+
+  /** Latest checkpoint version visible in the commit-dir listing — the
+    * manifest horizon below which marker files may have been retired
+    * by [[vacuumLog]]. */
+  private def checkpointHorizon(spark: SparkSession,
+      table: String): Option[Long] = {
+    val dir = new Path(commitDir(table))
+    val f = fs(spark, commitDir(table))
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted.lastOption
+  }
+
+  /** Point read of version `v`'s marker: does it exist and carry OUR
+    * data dir? Read-after-write consistent on local filesystems and on
+    * every object store in the [[CommitCoordinator]] mapping — the
+    * LIST-lag-proof form of "is my claim visible". */
+  private def markerOwned(spark: SparkSession, table: String, v: Long,
+      unique: String): Boolean =
+    try readSmallFile(spark, s"${commitDir(table)}/$v.commit")
+      .contains(s""""dir":"$unique"""")
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** OPTIMIZE: rewrite every live data directory into ONE compacted
     * directory and commit it as the next version. Readers at or past the

@@ -28,7 +28,8 @@ class MultiJvmRaceSpec extends AnyFunSuite {
   /** Launches RaceWorker in a fresh JVM with this JVM's classpath and
     * --add-opens set (Spark 4 on JDK 17 needs them; sbt's fork injects
     * them into THIS process, so mirror whatever is present). */
-  private def launch(dir: String, role: String, id: Int, n: Int): Process = {
+  private def launch(dir: String, role: String, id: Int, n: Int,
+      env: Map[String, String] = Map.empty): Process = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toList
@@ -43,10 +44,11 @@ class MultiJvmRaceSpec extends AnyFunSuite {
       "-Xmx1g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.RaceWorker", dir, role, id.toString, n.toString)
-    new ProcessBuilder(cmd.asJava)
+    val pb = new ProcessBuilder(cmd.asJava)
       .redirectOutput(new java.io.File(s"$dir/worker-$role-$id.out"))
       .redirectErrorStream(true)
-      .start()
+    env.foreach { case (k, v) => pb.environment().put(k, v); () }
+    pb.start()
   }
 
   private def await(ps: Seq[Process], dir: String): Unit =
@@ -368,6 +370,86 @@ class MultiJvmRaceSpec extends AnyFunSuite {
       s"multi-process reservoir diverged from the one-shot sample")
     assert(sink.read(spark, "reservoir").count() == MultiJvmRaceSpec.K.toLong,
       "final compact did not fold the log to k rows")
+  }
+
+  // ---- conditional-PUT coordinator (object-store emulation) races ----
+  // Same contenders as above, but every claim in every CHILD PROCESS
+  // flows through TestCoordinators.condPut (GRAFT_TEST_COORD=condput):
+  // the cross-process proof that the protocol's exactly-once needs
+  // nothing beyond the put-if-absent primitive the S3/GCS/Azure mapping
+  // supplies — no rename atomicity, no exists-then-act, anywhere in the
+  // claim path. The `.tmp-` absence assertion pins that no process fell
+  // back to the rename coordinator's artifacts.
+  private val condEnv = Map("GRAFT_TEST_COORD" -> "condput")
+
+  private def assertCondPutArtifacts(commitsDir: java.io.File): Unit = {
+    val names = Option(commitsDir.listFiles).toSeq.flatten.map(_.getName)
+    assert(names.contains(".osstage"),
+      s"claims did not flow through the emulated store: $names")
+    assert(!names.exists(_.startsWith(".tmp-")),
+      s"rename-coordinator temp artifacts under conditional PUT: $names")
+  }
+
+  test("appendOnce + shared keys across PROCESSES through the " +
+      "conditional-PUT coordinator: every batch exactly once") {
+    val dir = TestSpark.tmpDir("mjvm_condput")
+    val writers = 3
+    val batches = 4
+    val sharedBatches = 3
+    val ps = (1 to writers).map(i =>
+      launch(dir, "append-writer", i, batches, condEnv)) ++
+      (1 to 2).map(i => launch(dir, "key-racer", 10 + i, sharedBatches, condEnv))
+    await(ps, dir)
+    val sink = new VersionedParquetSink(dir,
+      coordinator = TestCoordinators.condPut)
+    val t = sink.read(spark, "t")
+    assert(t.count() ==
+      (writers * batches + sharedBatches).toLong * 20,
+      "lost or duplicated appends through the conditional-PUT claims")
+    val perBatch = t.groupBy("w", "b").agg(count(lit(1)).as("n")).collect()
+    assert(perBatch.length == writers * batches + sharedBatches)
+    perBatch.foreach(r => assert(r.getAs[Long]("n") == 20L,
+      s"batch (${r.get(0)}, ${r.get(1)}) applied ${r.getAs[Long]("n") / 20}x"))
+    assertCondPutArtifacts(new java.io.File(s"$dir/t/_commits"))
+  }
+
+  test("log retention churn across PROCESSES through the " +
+      "conditional-PUT coordinator: markers retire, no row lost") {
+    val dir = TestSpark.tmpDir("mjvm_condchurn")
+    val sink = new VersionedParquetSink(dir, checkpointInterval = 5,
+      coordinator = TestCoordinators.condPut)
+    sink.append(Seq((0L, "seed")).toDF("n", "v"), "t")
+    sink.setProperties(spark, "t", Map(
+      "graft.logRetentionDuration" -> "0s",
+      "graft.deletedFileRetentionDuration" -> "1h"))
+    val writers = 3
+    val batches = 8
+    val nClones = 4
+    val ps = (1 to writers).map(i =>
+      launch(dir, "churn-writer", i, batches, condEnv)) ++
+      Seq(launch(dir, "churn-maintainer", 0, 20, condEnv),
+        launch(dir, "churn-cloner", 9, nClones, condEnv))
+    await(ps, dir)
+    val vs = sink.versions(spark, "t")
+    assert(vs == vs.sorted && vs.last + 1 >= (writers * batches).toLong,
+      s"version chain incoherent or short: $vs")
+    sink.vacuum(spark, "t", graceMs = 3600000L)
+    val markers = Option(new java.io.File(s"$dir/t/_commits").listFiles)
+      .toSeq.flatten.count(_.getName.endsWith(".commit"))
+    assert(markers < writers * batches,
+      s"retention retired nothing: $markers markers for ${vs.last + 1}")
+    val ns = sink.read(spark, "t").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = (0L +: (for {
+      id <- 1 to writers; b <- 1 to batches; i <- 0 until 5
+    } yield (id.toLong * 1000 + b) * 10 + i)).sorted
+    assert(ns == expected,
+      s"lost/duplicated rows under conditional-PUT retention churn: " +
+        s"${ns.length} of ${expected.length}")
+    (1 to nClones).foreach { b =>
+      assert(sink.read(spark, s"clone_w9_$b").count() >= 1L,
+        s"clone_w9_$b broken after conditional-PUT retention churn")
+    }
+    assertCondPutArtifacts(new java.io.File(s"$dir/t/_commits"))
   }
 }
 

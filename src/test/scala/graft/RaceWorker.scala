@@ -24,6 +24,15 @@ import graft.engine.{SampleIndex, VersionedParquetSink}
   *    once across all processes
   */
 object RaceWorker {
+  /** Coordinator under test: GRAFT_TEST_COORD=condput swaps every
+    * sink in this process onto the emulated object-store conditional
+    * PUT ([[TestCoordinators.condPut]]) — the race is then a
+    * cross-process exercise of the put-if-absent-only mapping. */
+  private def coord: graft.engine.CommitCoordinator =
+    if (sys.env.get("GRAFT_TEST_COORD").contains("condput"))
+      TestCoordinators.condPut
+    else graft.engine.RenameCommitCoordinator
+
   def main(args: Array[String]): Unit = {
     val Array(dir, role, idStr, nStr) = args
     val id = idStr.toInt
@@ -36,7 +45,7 @@ object RaceWorker {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val sink = new VersionedParquetSink(dir)
+    val sink = new VersionedParquetSink(dir, coordinator = coord)
     role match {
       case "sample-writer" =>
         (1 to n).foreach { b =>
@@ -60,14 +69,16 @@ object RaceWorker {
         // maintainer process checkpoints/retires markers underneath —
         // the cross-process form of SoakSpec's retention soak (whose
         // in-JVM run caught the r9 phantom-commit data loss)
-        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5)
+        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5,
+          coordinator = coord)
         (1 to n).foreach { b =>
           churnSink.append(
             (0 until 5).map(i => ((id.toLong * 1000 + b) * 10 + i,
               s"w$id-b$b-r$i")).toDF("n", "v"), "t")
         }
       case "churn-maintainer" =>
-        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5)
+        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5,
+          coordinator = coord)
         (1 to n).foreach { _ =>
           // the retention prop makes vacuum run vacuumLog; data dirs
           // are protected by the 1h deleted-file retention
@@ -78,7 +89,8 @@ object RaceWorker {
         // pin snapshots mid-churn from a separate process and read each
         // clone back immediately: a clone taken while another process
         // retires markers must still resolve its pinned snapshot
-        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5)
+        val churnSink = new VersionedParquetSink(dir, checkpointInterval = 5,
+          coordinator = coord)
         (1 to n).foreach { b =>
           val cname = s"clone_w${id}_$b"
           churnSink.cloneShallow(spark, "t", cname)

@@ -106,8 +106,24 @@ class SoakSpec extends AnyFunSuite {
     // mid-flight, and time-travel readers — the marker set is
     // CONTINUOUSLY retiring while every other actor depends on the
     // manifest being complete for its snapshot
-    val base = TestSpark.tmpDir("soak2")
-    val sink = new VersionedParquetSink(base, checkpointInterval = 5)
+    retentionSoak(TestSpark.tmpDir("soak2"),
+      b => new VersionedParquetSink(b, checkpointInterval = 5))
+  }
+
+  test("log retention soak through the conditional-PUT coordinator: " +
+      "the object-store mapping survives the same churn") {
+    // identical churn, every claim now an emulated conditional PUT
+    // (TestCoordinators.condPut) — the soak that caught the r9
+    // phantom-commit data loss, re-run against the put-if-absent-only
+    // primitive the S3/GCS/Azure mapping supplies
+    retentionSoak(TestSpark.tmpDir("soak2cp"),
+      b => new VersionedParquetSink(b, checkpointInterval = 5,
+        coordinator = TestCoordinators.condPut))
+  }
+
+  private def retentionSoak(base: String,
+      mkSink: String => VersionedParquetSink): Unit = {
+    val sink = mkSink(base)
     sink.append(Seq((0L, "seed")).toDF("n", "v"), "t")
     sink.setProperties(spark, "t", Map(
       "graft.logRetentionDuration" -> "0s", // retire aggressively
