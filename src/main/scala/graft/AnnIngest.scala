@@ -91,6 +91,63 @@ object AnnIngest {
         spark.stop()
         return
       }
+    sys.env.get("GRAFT_ANN_STREAM_REPLAY").map(_.trim).filter(_.nonEmpty)
+      .foreach { nStr =>
+        // Checkpoint-loss chaos measurement against a LARGE persisted
+        // index (VERDICT r11 #5): stream GRAFT_ANN_FILES files of n
+        // fresh vectors each into the index via streamAppend, then
+        // replay the SAME files from a fresh (lost) checkpoint — the
+        // content-keyed batch dedup must no-op every replayed batch,
+        // and both passes' wall times quantify ingest vs replay
+        // marginal cost. The index tables are SHALLOW-CLONED first
+        // (metadata-only, O(versions)), so the run never mutates the
+        // registry index the bench reads.
+        val perFile = positiveInt("GRAFT_ANN_STREAM_REPLAY", nStr)
+        val files = sys.env.get("GRAFT_ANN_FILES").map(_.trim)
+          .filter(_.nonEmpty).map(positiveInt("GRAFT_ANN_FILES", _))
+          .getOrElse(4)
+        val prefix = s"annr${System.nanoTime() / 1000000}"
+        Seq("vectors", "meta", "centroids", "codebooks", "supers",
+          "cellmap").foreach { t =>
+          sink.cloneShallow(spark, s"ann_$t", s"${prefix}_$t"); ()
+        }
+        val maxRow = sink.read(spark, s"${prefix}_vectors")
+          .agg(max("id")).head()
+        val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+        val stage = java.nio.file.Files
+          .createTempDirectory("annstage").toString
+        val src = vectors.limit(files * perFile)
+          .select((col("id") + maxId + 1).as("id"), col("vec"))
+        val lines = src.select(to_json(struct(col("id"), col("vec"))))
+          .collect().map(_.getString(0))
+        lines.grouped(perFile).zipWithIndex.foreach { case (g, i) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$stage/f$i.json"),
+            g.mkString("\n").getBytes("UTF-8"))
+          ()
+        }
+        def run(cp: String): Double = {
+          val t0 = System.nanoTime()
+          graft.engine.AnnIndex.streamAppend(spark, stage, sink, prefix,
+            dim = 64, checkpoint = cp, superProbes = superProbes)
+            .awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t1 = run(s"$stage-cp1")
+        val n1 = sink.read(spark, s"${prefix}_vectors").count()
+        val t2 = run(s"$stage-cp2") // fresh checkpoint = total loss
+        val n2 = sink.read(spark, s"${prefix}_vectors").count()
+        val dups = sink.read(spark, s"${prefix}_vectors")
+          .groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).count()
+        System.err.println(f"[ann-ingest] stream-replay files=$files " +
+          f"perFile=$perFile ingest=$t1%.1fs replayAfterCpLoss=$t2%.1fs " +
+          f"n1=$n1 n2=$n2 dupIds=$dups")
+        require(n1 == n2 && dups == 0L,
+          s"checkpoint-loss replay changed the index: n1=$n1 n2=$n2 dups=$dups")
+        spark.stop()
+        return
+      }
     sys.env.get("GRAFT_ANN_APPEND").map(_.trim).filter(_.nonEmpty) match {
       case Some(nStr) =>
         // marginal-ingest measurement: a fresh batch encodes + assigns

@@ -505,14 +505,26 @@ object CorpusStatsQueries {
     // sources expansion is a broadcast of a bounded dimension table.
     Q("q_ks_drift",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val grid0 = docs.groupBy("n_chars").agg(count(lit(1)).as("g"))
+        // ONE corpus scan: the global length histogram derives from the
+        // per-source one (sum over sources), so the plan's four
+        // consumers (grid, totals, srcCum, srcTot) all sit on the same
+        // (source, n_chars) aggregate exchange and ReuseExchange
+        // collapses the scan — r11's bench drift on this query was
+        // traced to the second documents scan the old grid0 carried.
+        // The explicit isNotNull matches the predicate the left join
+        // below infers on srcCum's branch; without it the two
+        // subtrees' scan filters differ and ReuseExchange cannot unify
+        // them (source is a required field, so no row is dropped —
+        // the oracle carries the same WHERE).
+        val srcHist = Tables.documents(s, d)
+          .filter(col("source").isNotNull)
+          .groupBy("source", "n_chars")
+          .agg(count(lit(1)).as("c"))
+        val grid0 = srcHist.groupBy("n_chars").agg(sum("c").as("g"))
         val wAll = Window.orderBy("n_chars")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val grid = grid0.withColumn("cumG", sum("g").over(wAll))
         val totals = grid0.agg(sum("g").as("N"))
-        val srcHist = docs.groupBy("source", "n_chars")
-          .agg(count(lit(1)).as("c"))
         val wSrc = Window.partitionBy("source").orderBy("n_chars")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val srcCum = srcHist.withColumn("cumS", sum("c").over(wSrc))
@@ -543,14 +555,14 @@ object CorpusStatsQueries {
           .select("source", "n_docs", "ks", "at_len")
           .orderBy("source")
       },
-      Some("""WITH g AS (SELECT n_chars, count(*) AS g
-               FROM documents GROUP BY 1),
+      Some("""WITH sh AS (SELECT source, n_chars, count(*) AS c
+               FROM documents WHERE source IS NOT NULL GROUP BY 1, 2),
+             g AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS g
+               FROM sh GROUP BY 1),
              grid AS (SELECT n_chars, sum(g) OVER (ORDER BY n_chars
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumG
                FROM g),
              tot AS (SELECT CAST(sum(g) AS BIGINT) AS N FROM g),
-             sh AS (SELECT source, n_chars, count(*) AS c
-               FROM documents GROUP BY 1, 2),
              st AS (SELECT source, CAST(sum(c) AS BIGINT) AS nS
                FROM sh GROUP BY 1),
              sc AS (SELECT source, n_chars, sum(c) OVER (

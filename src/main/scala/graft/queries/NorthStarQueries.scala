@@ -165,7 +165,27 @@ object NorthStarQueries {
     * fixed-k flat training as literal SQL, so oracle mode keeps the
     * in-session path byte-identical to before. */
   private[queries] def annDir: Option[String] =
-    sys.env.get("GRAFT_ANN_DIR").map(_.trim).filter(_.nonEmpty)
+    annDirOverride.getOrElse(
+      sys.env.get("GRAFT_ANN_DIR").map(_.trim).filter(_.nonEmpty))
+
+  /** Test seam: env is immutable in-process, so the registry-parity
+    * spec flips the embedding family between the in-session path
+    * (`Some(None)`) and a persisted index (`Some(Some(root))`) through
+    * this override. Callers MUST [[invalidateAnnCaches]] around every
+    * flip — the memo key is (session, data dir), not the index root. */
+  private[graft] var annDirOverride: Option[Option[String]] = None
+
+  /** Drops the memoized centroid/assignment tables (and their cached
+    * blocks): required when [[annDirOverride]] changes, since the
+    * cached DataFrames bake in whichever path built them. */
+  private[graft] def invalidateAnnCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    Seq(centCache, ivfCache).foreach { c =>
+      c.values.asScala.foreach(df =>
+        try df.unpersist() catch { case _: Exception => () })
+      c.clear()
+    }
+  }
 
   /** Quantizer read from a persisted AnnIndex (cell, c_emb, c_nrm) —
     * the GRAFT_ANN_DIR form of [[trainedCentroids]]. */

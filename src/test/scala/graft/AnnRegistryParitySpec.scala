@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{AnnIndex, Tables, VersionedParquetSink}
+import graft.queries.NorthStarQueries
+
+/** Registry-path VALUE-PARITY gate (VERDICT r11 #4): every query that
+  * consumes the IVF assignment must return byte-identical output
+  * whether the quantizer is trained in-session (the oracle path the
+  * driver verifies against DuckDB) or read from a persisted AnnIndex
+  * via GRAFT_ANN_DIR (the amortized production path). The registry's
+  * coverage/content-fingerprint guards check the INPUT is the same
+  * corpus; this spec closes the loop on the OUTPUT — previously parity
+  * of the actual cell assignments was by-construction only
+  * (AnnIndexSpec checks assignment-level equality; here the full query
+  * surface runs on both paths).
+  *
+  * The index is built with the registry's own quantizer parameters
+  * (flat assignment, k = ivfK, 2 iterations — AnnIngest's oracle-rule
+  * form), so any divergence is a real protocol bug, not a parameter
+  * mismatch.
+  */
+class AnnRegistryParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Every SparkEntry query whose plan reads trainedCentroids /
+    * ivfAssigned (grep-derived; GraphQueries' bitext pair rides
+    * ivfAssigned through bitextSide). */
+  private val EmbeddingQueries = Seq(
+    "q_dedup_embed", "q_semdedup", "q_embed_contam",
+    "q_mutual_nn", "q_margin_nn",
+    "q_ivf_assign", "q_ivf_search", "q_ivf_probe2", "q_ivf_cells",
+    "q_silhouette", "q_ivf_recall")
+
+  test("all embedding-family queries: registry path output-identical " +
+      "to the in-session path at sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    graft.GraftExtensions.ensureRegistered(spark)
+
+    // persisted index with the registry's quantizer parameters
+    val root = TestSpark.tmpDir("annparity")
+    AnnIndex.build(spark, new VersionedParquetSink(root), "ann",
+      Tables.embeddings(spark, d).select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec")),
+      dim = 64, kCoarse = 10, m = 2, subK = 16, iters = 2)
+
+    def runAll(): Map[String, Seq[String]] =
+      EmbeddingQueries.map { name =>
+        val rows = SparkEntry.queries(name)(spark, d)
+          .collect().map(_.toString).sorted.toSeq
+        assert(rows.nonEmpty, s"$name returned no rows")
+        name -> rows
+      }.toMap
+
+    val before = NorthStarQueries.annDirOverride
+    try {
+      NorthStarQueries.annDirOverride = Some(None) // force in-session
+      NorthStarQueries.invalidateAnnCaches()
+      val inSession = runAll()
+
+      NorthStarQueries.annDirOverride = Some(Some(root)) // registry
+      NorthStarQueries.invalidateAnnCaches()
+      val registry = runAll()
+
+      EmbeddingQueries.foreach { name =>
+        assert(registry(name) == inSession(name),
+          s"$name diverged between the in-session and registry paths " +
+            s"(first diff: ${registry(name).zip(inSession(name))
+              .find(p => p._1 != p._2)})")
+      }
+    } finally {
+      NorthStarQueries.annDirOverride = before
+      NorthStarQueries.invalidateAnnCaches()
+    }
+  }
+}

@@ -68,6 +68,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(finalPlan("q_filter_isin").contains("*(1)"))
   }
 
+  test("ks-drift: ONE documents scan — the global grid derives from " +
+      "the per-source histogram, not a second corpus read") {
+    // r11 flagged mild drift on q_ks_drift; the attribution was a
+    // second full corpus scan feeding the global length histogram.
+    // The histogram now folds out of the (source, n_chars) aggregate,
+    // so at 100 TB the query reads the corpus exactly once.
+    // AQE's executedPlan string appends an "== Initial Plan ==" section
+    // that duplicates every node — count only the final plan
+    val p = finalPlan("q_ks_drift").split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(scans == 1, s"q_ks_drift scans documents $scans times:\n" +
+      p.linesIterator.filter(_.contains("FileScan parquet")).mkString("\n"))
+    assert(reused >= 1, "srcHist exchange not reused across consumers")
+  }
+
   test("dedup family: no cartesian product anywhere in the LSH topology") {
     // every pairwise step must join on a bucket key (shingle, band+sig,
     // label, cell) — a CartesianProduct would mean an all-pairs blow-up
