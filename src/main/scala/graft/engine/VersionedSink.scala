@@ -186,6 +186,24 @@ final class VersionedParquetSink(basePath: String,
     val dir = new Path(commitDir(table))
     val f = fs(spark, commitDir(table))
     if (!f.exists(dir)) return 0
+    // ENFORCED deployment rule (was prose in the claim loop until r13):
+    // the phantom-claim guard distinguishes "my fresh marker is
+    // lag-hidden" from "I re-minted a vacuumed version" by the
+    // checkpoint horizon, which is only sound when every marker
+    // outlives the store's worst-case LIST lag — retiring markers
+    // younger than the lag re-opens the silent-commit-loss window the
+    // object-store emulation caught in r12. Refuse, loudly, instead of
+    // letting a mis-set retention disarm the guard.
+    val lagBound = storeMaxListLagMs(spark, table)
+    if (olderThanMs < lagBound)
+      throw new IllegalArgumentException(
+        s"vacuumLog(olderThanMs=${olderThanMs}ms) on '$table' is below " +
+          s"the declared store LIST lag (graft.store.maxListLag=" +
+          s"${lagBound}ms): markers must outlive the lag or a stale " +
+          "writer can re-mint a vacuumed version as a commit that " +
+          "manifest() permanently filters out (silent loss). Raise " +
+          "graft.logRetentionDuration / the olderThanMs argument, or " +
+          "lower graft.store.maxListLag if the store is stronger.")
     val sts = f.listStatus(dir).toSeq
     val cp = sts.map(_.getPath.getName).filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toLong).sorted.lastOption
@@ -1331,17 +1349,40 @@ final class VersionedParquetSink(basePath: String,
           // emulation injects): the listing may simply not include the
           // marker we JUST published. A point read of the exact marker
           // path is read-after-write consistent on every store in the
-          // CommitCoordinator mapping, and the true phantom case is
-          // distinguished by the checkpoint HORIZON: a claim below it
-          // was only possible because vacuumLog retired that version's
-          // marker, and vacuumLog requires markers aged past retention —
-          // so the horizon checkpoint is an OLD file, visible even to a
-          // lagged listing. (Deployment rule this rests on: log
-          // retention must exceed the store's worst-case list lag,
-          // the same retention-vs-consistency bound Delta documents.)
+          // CommitCoordinator mapping; the true phantom case (we
+          // re-minted a version vacuumLog retired) is distinguished by
+          // the checkpoint HORIZON — but NOT the horizon of the same
+          // lagged listing (ADVICE r12): a covering checkpoint written
+          // just before the stale claim is itself lag-hidden, and
+          // retention bounds MARKER age, not checkpoint age. So the
+          // horizon is read from a listing proven MONOTONE past our own
+          // PUT: lag is mtime-monotone (once listed, always listed;
+          // LagListFileSystem documents the model), so a listing that
+          // contains the marker we just wrote contains every file put
+          // before it — a fresh covering checkpoint cannot hide. The
+          // wait is bounded by the declared store lag
+          // (graft.store.maxListLag, enforced against retention by
+          // vacuumLog); past the bound we fall back to the freshest
+          // horizon, which the retention guard makes sound for any
+          // correctly-declared store.
           val visible = inListing || {
-            val horizon = checkpointHorizon(spark, table)
-            horizon.forall(v > _) && markerOwned(spark, table, v, unique)
+            markerOwned(spark, table, v, unique) && {
+              val lagBound = storeMaxListLagMs(spark, table, Some(after))
+              val deadline = System.currentTimeMillis() +
+                math.max(lagBound, 2000L)
+              var decided: Option[Boolean] = None
+              while (decided.isEmpty) {
+                val names = commitDirNames(spark, table)
+                val horizon = names.filter(_.endsWith(".checkpoint"))
+                  .map(_.stripSuffix(".checkpoint").toLong)
+                  .sorted.lastOption
+                if (names.contains(s"$v.commit") ||
+                    System.currentTimeMillis() >= deadline)
+                  decided = Some(horizon.forall(v > _))
+                else Thread.sleep(25L)
+              }
+              decided.get
+            }
           }
           if (!visible) {
             f.delete(new Path(s"${commitDir(table)}/$v.commit"), false)
@@ -1397,17 +1438,32 @@ final class VersionedParquetSink(basePath: String,
       f.delete(tmp, false)
   }
 
-  /** Latest checkpoint version visible in the commit-dir listing — the
-    * manifest horizon below which marker files may have been retired
-    * by [[vacuumLog]]. */
-  private def checkpointHorizon(spark: SparkSession,
-      table: String): Option[Long] = {
+  /** Raw file names in the commit dir — the claim-validation loop's
+    * repeated cheap listing (no marker-body reads). */
+  private def commitDirNames(spark: SparkSession,
+      table: String): Seq[String] = {
     val dir = new Path(commitDir(table))
     val f = fs(spark, commitDir(table))
-    if (!f.exists(dir)) None
+    if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint"))
-      .map(_.stripSuffix(".checkpoint").toLong).sorted.lastOption
+  }
+
+  /** The declared worst-case LIST lag of the underlying store, in ms:
+    * TBLPROPERTIES `graft.store.maxListLag` wins, then the session conf
+    * `spark.graft.store.maxListLag`, default `0s` (strong LIST — local
+    * filesystems, HDFS, and post-2020 S3). Duration strings in Spark's
+    * time-string shape (`0s`, `5m`, `1h`). This is the bound
+    * [[vacuumLog]] enforces retention against and the claim-validation
+    * loop waits out before trusting a listing's checkpoint horizon. */
+  private def storeMaxListLagMs(spark: SparkSession, table: String,
+      entries: Option[Seq[Commit]] = None): Long = {
+    val props = VersionedParquetSink.Constraints.parse(
+      entries.getOrElse(manifest(spark, table))
+        .lastOption.flatMap(_.props)).toMap
+    props.get("graft.store.maxListLag")
+      .orElse(spark.conf.getOption("spark.graft.store.maxListLag"))
+      .map(org.apache.spark.network.util.JavaUtils.timeStringAsMs)
+      .getOrElse(0L)
   }
 
   /** Point read of version `v`'s marker: does it exist and carry OUR

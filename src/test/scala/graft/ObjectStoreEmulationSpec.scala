@@ -155,4 +155,101 @@ class ObjectStoreEmulationSpec extends AnyFunSuite {
       LagListFileSystem.lagMs.set(0L)
     }
   }
+
+  test("retention-vs-list-lag guard: vacuumLog refuses a retention " +
+      "below the declared store LIST lag, before the silent-loss " +
+      "window can open") {
+    val base = TestSpark.tmpDir("osemu_guard")
+    val sink = condSink(base, cpInterval = 2)
+    (0 until 5).foreach { b =>
+      sink.append(Seq((b.toLong, "x")).toDF("n", "v"), "t")
+    }
+    sink.setProperties(spark, "t", Map(
+      "graft.store.maxListLag" -> "10m",
+      "graft.logRetentionDuration" -> "1m"))
+    // a direct call below the bound refuses...
+    val ex = intercept[IllegalArgumentException](
+      sink.vacuumLog(spark, "t", 60000L))
+    assert(ex.getMessage.contains("maxListLag"), ex.getMessage)
+    // ...and the vacuum maintenance pass (which honors the
+    // logRetentionDuration TBLPROPERTIES) propagates the refusal —
+    // a mis-set retention must not silently disarm the phantom guard
+    intercept[IllegalArgumentException](
+      sink.vacuum(spark, "t", graceMs = 0L))
+    // retention at the bound is accepted (nothing old enough to die
+    // here; the point is the guard does not fire)
+    assert(sink.vacuumLog(spark, "t", 600000L) == 0)
+    // the session-conf fallback covers tables that never declared the
+    // property (store-level deployment config)
+    val sink2 = condSink(TestSpark.tmpDir("osemu_guard2"))
+    sink2.append(Seq((1L, "x")).toDF("n", "v"), "t")
+    spark.conf.set("spark.graft.store.maxListLag", "5m")
+    try intercept[IllegalArgumentException](
+      sink2.vacuumLog(spark, "t", 0L))
+    finally spark.conf.unset("spark.graft.store.maxListLag")
+  }
+
+  test("READ paths under LIST lag: snapshot reads, time travel, " +
+      "format(\"graft\") scans, CDF, and DV-masked reads are " +
+      "prefix-consistent — stale at worst, never torn") {
+    LagListFileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val local = TestSpark.tmpDir("osemu_readlag")
+    val base = "lag:" + local
+    LagListFileSystem.lagMs.set(300L)
+    try {
+      val sink = condSink(base, cpInterval = 3)
+      (0 until 6).foreach { b =>
+        sink.append((0 until 10).map(i => (b, i)).toDF("b", "i"), "t")
+      }
+      // merge-on-read DV: masks batch 2's even rows (5 of its 10)
+      sink.deleteVectored(spark, "t",
+        col("b") === 2 && col("i") % 2 === 0)
+      // Immediately, inside the lag window: every read must reflect a
+      // PREFIX of the commit chain (lag is mtime-monotone and claims
+      // are listing-gated, so a visible version implies every older
+      // one) — complete batches only, never a torn batch, and the DV
+      // either fully applies or not at all.
+      def assertPrefix(rows: Seq[(Int, Long)], what: String): Unit = {
+        val m = rows.toMap
+        val bs = m.keys.toSeq.sorted
+        assert(bs == (0 until bs.size), s"$what: non-prefix batches $bs")
+        bs.foreach { b =>
+          assert(m(b) == 10L || (b == 2 && m(b) == 5L),
+            s"$what: torn batch $b (${m(b)} rows)")
+        }
+      }
+      assertPrefix(sink.read(spark, "t").groupBy("b").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq,
+        "sink.read")
+      assertPrefix(spark.read.format("graft").load(s"$base/t")
+        .groupBy("b").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq,
+        "format(graft)")
+      // version chain visible under lag is a clean prefix, and time
+      // travel inside it resolves exactly
+      val vs = sink.versions(spark, "t")
+      assert(vs == (0L until vs.size.toLong), s"non-prefix chain: $vs")
+      assert(vs.nonEmpty, "no version visible despite monotone lag")
+      if (vs.size >= 2)
+        assert(sink.readAt(spark, "t", 1L).count() == 20L)
+      // CDF over the visible range: appends report complete batches
+      val cdfTo = math.min(vs.last, 5L)
+      if (cdfTo >= 1L) {
+        val ins = sink.changesBetween(spark, "t", 0L, cdfTo)
+          .filter(col("_change_type") === "insert")
+        assert(ins.count() == 10L * cdfTo, "torn CDF range under lag")
+      }
+      // past the lag window: the full chain, DV applied
+      Thread.sleep(500L)
+      assert(sink.read(spark, "t").count() == 55L)
+      assert(sink.read(spark, "t")
+        .filter(col("b") === 2 && col("i") % 2 === 0).count() == 0L,
+        "DV mask not applied after lag window")
+      assert(sink.readAt(spark, "t", 2L).count() == 30L)
+      assert(sink.changesBetween(spark, "t", 0L, 5L)
+        .filter(col("_change_type") === "insert").count() == 50L)
+    } finally {
+      LagListFileSystem.lagMs.set(0L)
+    }
+  }
 }
