@@ -67,14 +67,70 @@ object Chunker {
 
   /** Reassembled chunks: (idCol, chunk, start_pos, n_tokens, text,
     * hash) — `hash` is md5 of the chunk text, the dedup-store content
-    * address. */
+    * address.
+    *
+    * Entirely ROW-LOCAL (r13, the q_cdc_chunk 2 s head): boundary
+    * positions, chunk spans, and chunk texts are all computed inside
+    * array lambdas over the one tokenized row — no per-token explode,
+    * no per-doc window shuffle, no collect_list reassembly. The only
+    * explode is per CHUNK (≈ tokens/modulus rows), and each chunk row
+    * carries only its own text slice, so data volume stays linear in
+    * corpus tokens. Boundaries are bit-identical to [[cdcTokens]] (the
+    * same gram build and md5 rule), so the DuckDB oracle and the
+    * ChunkerSpec locality contracts are unchanged. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-      k: Int, modulus: Int): DataFrame =
-    cdcTokens(df, idCol, textCol, k, modulus)
-      .groupBy(col(idCol), col("chunk"))
-      .agg(min("pos").as("start_pos"), count(lit(1)).as("n_tokens"),
-        concat_ws(" ", transform(array_sort(
-          collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok"))).as("text"))
+      k: Int, modulus: Int): DataFrame = {
+    require(k >= 2 && k <= 8, s"kgram width $k out of range")
+    require(modulus >= 2, s"modulus $modulus out of range")
+    val zips = (2 to k).map { i =>
+      s"slice(ws, $i, size(ws)), (x, y) -> concat(x, ' ', y)"
+    }
+    val gramExpr = zips.foldLeft("ws") { (acc, z) => s"zip_with($acc, $z)" }
+    val flagExpr =
+      s"transform(filter($gramExpr, e -> e IS NOT NULL), " +
+        s"g -> CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 4), 16, 10) " +
+        s"AS INT) % $modulus = 0)"
+    // boundary AFTER token t (1-based) iff the gram ENDING at t flags:
+    // fl is indexed by gram start = t-k+1; only defined for t >= k
+    // (sequence(a, b) with a > b counts DOWN, hence the size guard)
+    val boundaryPos =
+      s"IF(size(ws) >= $k, " +
+        s"filter(sequence($k, size(ws)), t -> " +
+        s"element_at(fl, CAST(t - ${k - 1} AS INT))), " +
+        "CAST(array() AS ARRAY<INT>))"
+    // chunk starts: 1 plus each boundary+1; a boundary at the last
+    // token must not open an empty chunk
+    val startsExpr =
+      s"filter(concat(array(1), transform($boundaryPos, p -> p + 1)), " +
+        "s -> s <= size(ws))"
+    // spans: chunk j runs from starts[j] to starts[j+1]-1 (or doc end);
+    // try_element_at returns null past the end (ANSI element_at throws)
+    val chunksExpr =
+      "transform(sequence(1, size(st)), j -> named_struct(" +
+        "'start', element_at(st, j), " +
+        "'n', coalesce(try_element_at(st, CAST(j + 1 AS INT)), " +
+        "size(ws) + 1) - element_at(st, j), " +
+        "'txt', concat_ws(' ', slice(ws, element_at(st, j), " +
+        "coalesce(try_element_at(st, CAST(j + 1 AS INT)), size(ws) + 1) " +
+        "- element_at(st, j)))))"
+    // ws/fl/st are LET-BOUND via single-element-array lambdas: chained
+    // withColumn projections would collapse and re-inline the md5 flag
+    // build into every downstream reference — interpreted higher-order
+    // lambdas get no common-subexpression elimination, and the first
+    // cut of this rewrite re-hashed the whole gram stream once per
+    // chunk-span lookup (24 s instead of 0.5 at sf0.1). Each binding
+    // evaluates its expression exactly once per row; the triple
+    // flatten unwraps the three singleton-array nests.
+    val boundExpr =
+      s"flatten(flatten(flatten(transform(array(split(`$textCol`, ' ')), ws -> " +
+        s"transform(array($flagExpr), fl -> " +
+        s"transform(array($startsExpr), st -> $chunksExpr))))))"
+    df.select(col(idCol), posexplode(expr(boundExpr)))
+      .toDF(idCol, "chunk0", "ck")
+      .select(col(idCol), col("chunk0").cast("long").as("chunk"),
+        col("ck.start").cast("long").as("start_pos"),
+        col("ck.n").cast("long").as("n_tokens"),
+        col("ck.txt").as("text"))
       .withColumn("hash", md5(col("text").cast("binary")))
+  }
 }

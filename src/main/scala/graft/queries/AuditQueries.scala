@@ -775,7 +775,22 @@ object AuditQueries {
     Q("q_cdc_chunk",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        graft.engine.Chunker.cdcChunks(docs, "doc_id", "text", CdcK, CdcModulus)
+        // The boundary hashing is the compute-heavy stage (one md5 per
+        // k-gram), and the bench corpus arrives as ONE parquet row
+        // group — a single scan split AQE cannot subdivide, so without
+        // a rebalance every gram hashes on one thread. Shuffling the
+        // raw text (kilobytes per row) to the session's shuffle width
+        // is exactly what a real cluster does ahead of a compute-bound
+        // map stage fed by too-few splits; at production scale the
+        // scan already arrives in thousands of splits and this is one
+        // even pass over text bytes.
+        // (explicit width: AQE would coalesce an advisory rebalance of
+        // kilobyte-sized text partitions back to one task — the target
+        // here is CORES for the hash stage, not shuffle-block size)
+        graft.engine.Chunker.cdcChunks(
+          docs.select("doc_id", "text")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", CdcK, CdcModulus)
           .join(docs.select("doc_id", "source"), "doc_id")
           .groupBy("source")
           .agg(count(lit(1)).as("n_chunks"),
