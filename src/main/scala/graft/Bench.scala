@@ -100,17 +100,52 @@ object Bench {
     // the box evicted blocks mid-run. Build costs stay observable via
     // the stderr log; SPARK_GRAFT_PREWARM=0 opts out (e.g. for probes
     // that want to TIME the builds, like ScaleProbe's cold protocol).
+    // residency audit results for the report JSON: -1 = prewarm skipped
+    var prewarmMemMb = -1.0
+    var prewarmDiskMb = -1.0
+    var prewarmCapMb = -1.0
+    var prewarmOverflow = false
     if (!sys.env.get("SPARK_GRAFT_PREWARM").map(_.trim).contains("0")) {
       val times = graft.queries.Prewarm.shared(spark, sfDir)
       System.err.println("[bench] prewarm " + times.map { case (n, t) =>
         f"$n=$t%.2fs" }.mkString(" "))
-      // residency audit: the whole shared-cache block set must fit the
-      // driver heap with headroom, or mid-run eviction (the r11 failure
-      // mode) is guaranteed rather than environmental
-      val cachedMb = spark.sparkContext.getRDDStorageInfo
-        .map(i => i.memSize + i.diskSize).sum / 1e6
-      System.err.println(f"[bench] prewarm cached total $cachedMb%.0f MB")
+      // Residency audit — ACTIONABLE, not just logged (VERDICT r12): the
+      // whole shared-cache block set must fit storage memory with
+      // headroom, or mid-run eviction (the r11 failure mode) is
+      // guaranteed rather than environmental. Any disk-resident block
+      // means MEMORY_AND_DISK already spilled — headroom is ALREADY
+      // gone — and >80% of unified memory leaves none for execution.
+      // The `prewarm_overflow` field makes a future cache-set growth
+      // regression a named in-run signal instead of "cache weather".
+      prewarmMemMb = spark.sparkContext.getRDDStorageInfo
+        .map(_.memSize).sum / 1e6
+      prewarmDiskMb = spark.sparkContext.getRDDStorageInfo
+        .map(_.diskSize).sum / 1e6
+      prewarmCapMb = spark.sparkContext.getExecutorMemoryStatus
+        .values.map(_._1).sum / 1e6
+      prewarmOverflow =
+        prewarmDiskMb > 0.0 || prewarmMemMb > 0.8 * prewarmCapMb
+      System.err.println(
+        f"[bench] prewarm cached mem $prewarmMemMb%.0f MB disk " +
+          f"$prewarmDiskMb%.0f MB of $prewarmCapMb%.0f MB capacity" +
+          (if (prewarmOverflow) " — PREWARM_OVERFLOW: shared cache " +
+            "set no longer fits storage memory with headroom; expect " +
+            "mid-run eviction re-charging build costs to queries"
+          else ""))
     }
+
+    // ANN mode (VERDICT r12 #6): with GRAFT_ANN_DIR set, the embedding
+    // family reads the PERSISTED index (the amortized production path)
+    // instead of training in-session — so this run times exactly that
+    // family and rolls its own per-tier snapshot, keeping the registry
+    // path on the same per-round regression trend as the oracle path.
+    // Build the index first with graft.AnnIngest at the same sf dir.
+    val annDirEnv = sys.env.get("GRAFT_ANN_DIR").map(_.trim)
+      .filter(_.nonEmpty)
+    val annMode = annDirEnv.isDefined
+    if (annMode)
+      System.err.println(s"[bench] ANN mode: registry at " +
+        s"${annDirEnv.get}, queries limited to the embedding family")
 
     // optional comma-separated subset for local profiling runs (same
     // parsing as Verify: trimmed, empties dropped, blank value = no filter)
@@ -118,6 +153,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => !annMode ||
+        graft.queries.NorthStarQueries.EmbeddingFamily.contains(n))
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> exec(n))
 
@@ -128,8 +165,9 @@ object Bench {
     // legacy un-tiered bench_prev.json is read as a fallback (still
     // sf-guarded) so the first tiered run inherits its baseline.
     val tier = new java.io.File(sfDir).getName
+    val modePrefix = if (annMode) "ann_" else ""
     val prevPath = sys.env.getOrElse("BENCH_PREV",
-      s"/root/repo/bench_prev_$tier.json")
+      s"/root/repo/bench_${modePrefix}prev_$tier.json")
     def readPrev(path: String): Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
@@ -142,7 +180,8 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val prevQ: Map[String, Double] = {
       val tiered = readPrev(prevPath)
-      if (tiered.nonEmpty) tiered else readPrev("/root/repo/bench_prev.json")
+      if (tiered.nonEmpty || annMode) tiered
+      else readPrev("/root/repo/bench_prev.json")
     }
 
     // Flag predicates. Over-budget: the driver's budget is ~1 s/query
@@ -182,8 +221,15 @@ object Bench {
     }
     val overBudget = finalResults.collect { case (k, v) if v > 2.0 => k }
     val overTransient = overFirst.filterNot(overBudget.contains)
+    // A flag survives when the published (min) time regresses — OR when
+    // the CONFIRM pass alone does (ADVICE r12): publishing min over two
+    // passes gives flagged queries a second sample unflagged ones never
+    // get, so a regression that reproduces marginally on confirm could
+    // duck under the gate via the min. If it reproduced, it's real.
     val regressed = finalResults.collect {
-      case (k, v) if v >= 0 && prevQ.get(k).exists(isRegression(_, v)) =>
+      case (k, v) if v >= 0 && prevQ.get(k).exists(p =>
+          isRegression(p, v) ||
+            confirm.get(k).exists(c => c >= 0 && isRegression(p, c))) =>
         (k, prevQ(k), v)
     }
     val regTransient = regFirst.filterNot(n => regressed.exists(_._1 == n))
@@ -211,14 +257,26 @@ object Bench {
     // plain Double interpolation, NOT f"%.3f": the latter is
     // default-locale-sensitive and renders a decimal comma on e.g.
     // de_DE JVMs — malformed JSON
+    // both pass times travel with every surviving flag (ADVICE r12), so
+    // the report shows whether the regression held on the re-run too
     val regField = regressed.map { case (k, p, v) =>
-      s"""{"name":"${esc(k)}","prev":$p,"cur":$v}"""
+      s"""{"name":"${esc(k)}","prev":$p,"cur":$v""" +
+        s""","first":${results.toMap.apply(k)}""" +
+        confirm.get(k).map(c => s""","confirm":$c""").getOrElse("") + "}"
     }.mkString(""","regressed":[""", ",", "]") +
       regTransient.map { n =>
         s"""{"name":"${esc(n)}","first":${results.toMap.apply(n)},"confirm":${confirm(n)}}"""
       }.mkString(""","regressed_transient":[""", ",", "]")
+    val prewarmField =
+      if (prewarmCapMb < 0) ""
+      else s""","prewarm_overflow":$prewarmOverflow""" +
+        s""","prewarm_cached_mem_mb":${math.round(prewarmMemMb)}""" +
+        s""","prewarm_cached_disk_mb":${math.round(prewarmDiskMb)}""" +
+        s""","prewarm_capacity_mb":${math.round(prewarmCapMb)}"""
+    val annField =
+      annDirEnv.map(r => s""","ann_dir":"${esc(r)}"""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField$prewarmField$annField,"sf":"${esc(sfDir)}"}"""
     // stdout gets wrapped by sbt ("[info] {...}") and interleaved with log
     // noise, which made the round-1 report unparseable downstream — so the
     // authoritative copy goes to a file; stdout stays for humans.
@@ -232,9 +290,11 @@ object Bench {
         s""""n_failed":${failed.size},"n_over_budget":${overBudget.size},""" +
         s""""n_over_budget_transient":${overTransient.size},""" +
         s""""n_regressed":${regressed.size},""" +
-        s""""n_regressed_transient":${regTransient.size},"sf":"${esc(sfDir)}"}"""
+        s""""n_regressed_transient":${regTransient.size},""" +
+        s""""prewarm_overflow":$prewarmOverflow,"sf":"${esc(sfDir)}"}"""
     println(summary)
-    val outPath = sys.env.getOrElse("BENCH_OUT", "/root/repo/bench_result.json")
+    val outPath = sys.env.getOrElse("BENCH_OUT",
+      s"/root/repo/bench_${modePrefix}result.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),

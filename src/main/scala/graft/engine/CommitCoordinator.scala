@@ -120,7 +120,16 @@ object RenameCommitCoordinator extends CommitCoordinator {
             val noLinkSupport = r.contains("not permitted") ||
               r.contains("not supported") || r.contains("too many links") ||
               r.contains("cross-device")
-            if (noLinkSupport) None else throw e
+            if (noLinkSupport) {
+              // name WHICH strerror string routed us into the rename
+              // claim (ADVICE r12): "not permitted" also covers
+              // immutable-file/security-policy EPERMs, so a downgrade
+              // on an unexpected mount should be traceable in the log
+              System.err.println(
+                s"[commit] hard-link claim downgraded to rename at " +
+                  s"${target.getParent}: '${e.getReason}'")
+              None
+            } else throw e
         }
       linked match {
         case Some(won) => f.delete(tmp, false); won

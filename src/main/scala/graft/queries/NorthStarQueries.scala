@@ -171,9 +171,29 @@ object NorthStarQueries {
   /** Test seam: env is immutable in-process, so the registry-parity
     * spec flips the embedding family between the in-session path
     * (`Some(None)`) and a persisted index (`Some(Some(root))`) through
-    * this override. Callers MUST [[invalidateAnnCaches]] around every
-    * flip — the memo key is (session, data dir), not the index root. */
+    * this override. The ann-dependent memo keys BAKE IN the active
+    * index root ([[annMemoKey]]), so a flip can never alias a stale
+    * entry; [[invalidateAnnCaches]] additionally releases the old
+    * path's cached blocks promptly. */
   private[graft] var annDirOverride: Option[Option[String]] = None
+
+  /** Every SparkEntry query whose plan consumes the IVF quantizer
+    * (trainedCentroids / ivfAssigned) — the set that switches to the
+    * persisted index under GRAFT_ANN_DIR. One definition, consumed by
+    * the registry parity spec AND Bench's ANN mode. */
+  private[graft] val EmbeddingFamily: Seq[String] = Seq(
+    "q_dedup_embed", "q_semdedup", "q_embed_contam",
+    "q_mutual_nn", "q_margin_nn",
+    "q_ivf_assign", "q_ivf_search", "q_ivf_probe2", "q_ivf_cells",
+    "q_silhouette", "q_ivf_recall")
+
+  /** Memo key for ann-path-DEPENDENT caches: the active index root is
+    * part of the key (ADVICE r12 — a plain (session, dir) key lets an
+    * annDirOverride flip serve the other path's cached plan), and the
+    * memoize eviction rule ("new dir evicts the session's other dirs")
+    * then also unpersists the stale path's blocks on a flip. */
+  private def annMemoKey(d: String): String =
+    annDir.map(r => s"$d\u0000$r").getOrElse(d)
 
   /** Drops the memoized centroid/assignment tables (and their cached
     * blocks): required when [[annDirOverride]] changes, since the
@@ -241,7 +261,7 @@ object NorthStarQueries {
   private[queries] val centCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame =
-    memoize(centCache, s, d) {
+    memoize(centCache, s, annMemoKey(d)) {
       annDir match {
         case Some(root) => annCentroids(s, root)
         case None =>
@@ -265,7 +285,7 @@ object NorthStarQueries {
   private[queries] val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame =
-    memoize(ivfCache, s, d) {
+    memoize(ivfCache, s, annMemoKey(d)) {
       annDir match {
         case Some(root) => annAssigned(s, d, root)
         case None =>

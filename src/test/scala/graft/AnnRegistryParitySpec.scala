@@ -26,13 +26,9 @@ class AnnRegistryParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Every SparkEntry query whose plan reads trainedCentroids /
-    * ivfAssigned (grep-derived; GraphQueries' bitext pair rides
-    * ivfAssigned through bitextSide). */
-  private val EmbeddingQueries = Seq(
-    "q_dedup_embed", "q_semdedup", "q_embed_contam",
-    "q_mutual_nn", "q_margin_nn",
-    "q_ivf_assign", "q_ivf_search", "q_ivf_probe2", "q_ivf_cells",
-    "q_silhouette", "q_ivf_recall")
+    * ivfAssigned — the ONE canonical list (also consumed by Bench's
+    * ANN mode), defined next to the registry plumbing it gates. */
+  private val EmbeddingQueries = NorthStarQueries.EmbeddingFamily
 
   test("all embedding-family queries: registry path output-identical " +
       "to the in-session path at sf0.01") {

@@ -84,6 +84,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(reused >= 1, "srcHist exchange not reused across consumers")
   }
 
+  test("ks-drift: documents.source is non-null at every oracle tier, " +
+      "so the global grid's isNotNull rewrite is provably a no-op") {
+    // ADVICE r12: the r12 ks-drift rewrite derives the global length
+    // grid from the per-source histogram, which excludes NULL-source
+    // rows — and the DuckDB oracle was changed in lockstep, so the
+    // parity gate could not catch a semantic change if source were
+    // ever null. Pin the data contract the rewrite rests on.
+    for (tier <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val nulls = spark.read
+        .parquet(s"/root/testdata/$tier/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("source").isNull)
+        .count()
+      assert(nulls == 0L,
+        s"$tier/documents has $nulls null-source rows; q_ks_drift's " +
+          "histogram-derived global grid silently drops them — " +
+          "revisit CorpusStatsQueries' grid derivation AND its oracle")
+    }
+  }
+
   test("dedup family: no cartesian product anywhere in the LSH topology") {
     // every pairwise step must join on a bucket key (shingle, band+sig,
     // label, cell) — a CartesianProduct would mean an all-pairs blow-up
