@@ -163,6 +163,18 @@ object ScaleProbe {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       s"/tmp/graft_scale${factor}x")
+    // ANN mode (NOTES r12 candidate): GRAFT_ANN_PROBE=1 probes the 11
+    // embedding-family queries through the PERSISTED-index registry path
+    // (the production default) instead of in-session training — an
+    // AnnIndex is built per corpus tier (untimed: assignment is the
+    // amortized ingest cost) and the timed runs measure the query-side
+    // marginal: index read + one co-partitioned join. k follows the
+    // k ∝ corpus rule (GRAFT_CELLS_PER, default 200), so this is the
+    // parameterized form BY CONSTRUCTION — no fixed-k artifact caveat.
+    // Embedding synthesis aliases above 64x (vector shifts cycle mod
+    // dims), so run this mode at factor ≤ 10 like the param probe.
+    val annProbe = sys.env.get("GRAFT_ANN_PROBE").map(_.trim)
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -178,10 +190,36 @@ object ScaleProbe {
 
     generateIfMissing(spark, src, out, factor)
 
+    // ANN mode: one persisted index per corpus tier, built (once) with
+    // k = ceil(n / cellsPer). The build is untimed on purpose — it is
+    // the amortized ingest cost; the probe measures the per-QUERY
+    // marginal against the frozen index, which is what grows with the
+    // corpus in a deployment.
+    val annRoots: Map[String, String] =
+      if (!annProbe) Map.empty
+      else Seq(src, out).map { dir =>
+        dir -> ensureAnnIndex(spark, dir,
+          "/tmp/graft_ann_probe_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      }.toMap
+    // Flip the registry seam only when the ACTIVE tier changes: the
+    // per-dir memoized assignment survives execOnce's min-of-two pair
+    // (steady-state measurement), and the ann-keyed memo + invalidation
+    // guarantee a tier flip can never serve the other tier's plan.
+    var annActive: Option[String] = None
+    def annSelect(dir: String): Unit = if (annProbe) {
+      val root = annRoots(dir)
+      if (!annActive.contains(root)) {
+        graft.queries.NorthStarQueries.annDirOverride = Some(Some(root))
+        graft.queries.NorthStarQueries.invalidateAnnCaches()
+        annActive = Some(root)
+      }
+    }
+
     def execOnce(name: String, dir: String): Double = {
       // BPE queries memoize the trained tokenizer per (session, dir);
       // drop it so each timed run pays training (see ProbeQueries note)
       if (name.startsWith("q_bpe")) graft.queries.TokenizerQueries.invalidate()
+      annSelect(dir)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
@@ -192,14 +230,18 @@ object ScaleProbe {
     def exec(name: String, dir: String): Double =
       math.min(execOnce(name, dir), execOnce(name, dir))
 
-    // warmup both dirs (codegen, collation init, parquet reader)
-    exec("q_dedup_exact", src)
-    exec("q_dedup_exact", out)
+    // warmup both dirs (codegen, collation init, parquet reader); ANN
+    // mode additionally pays the index-open + graft_dot codegen once
+    if (annProbe) { exec("q_ivf_cells", src); exec("q_ivf_cells", out) }
+    else { exec("q_dedup_exact", src); exec("q_dedup_exact", out) }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    val rows = ProbeQueries.filter(n => only.forall(_.contains(n))).map { q =>
+    val probeSet =
+      if (annProbe) graft.queries.NorthStarQueries.EmbeddingFamily
+      else ProbeQueries
+    val rows = probeSet.filter(n => only.forall(_.contains(n))).map { q =>
       val t1 = exec(q, src)
       val t10 = exec(q, out)
       val ratio = if (t1 > 0) t10 / t1 else -1.0
@@ -209,15 +251,50 @@ object ScaleProbe {
     val qs = rows.map { case (q, (t1, t10, r)) =>
       f""""$q":{"t1":$t1%.3f,"t10":$t10%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"factor":$factor,"src":"$src","queries":$qs}"""
+    val annField = if (annProbe) """"ann":true,""" else ""
+    val json = s"""{"factor":$factor,$annField"src":"$src","queries":$qs}"""
     println(json)
-    val outPath = sys.env.getOrElse("SCALE_PROBE_OUT", "/root/repo/scale_probe.json")
+    val outPath = sys.env.getOrElse("SCALE_PROBE_OUT",
+      if (annProbe) "/root/repo/scale_probe_ann.json"
+      else "/root/repo/scale_probe.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[probe] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Builds (once) a persisted AnnIndex over `dir`'s embeddings under
+    * `root`, k = ceil(n / GRAFT_CELLS_PER default 200) — the same build
+    * `graft.AnnIngest` runs in production (dim/m/subK/iters pinned to
+    * its defaults so probe and deployment measure the same index
+    * shape). A root whose vector count already covers the corpus is
+    * reused (re-runs are free); anything else is rebuilt from scratch
+    * rather than trusted (annAssigned would reject it anyway). */
+  private def ensureAnnIndex(spark: SparkSession, dir: String,
+      root: String): String = {
+    val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    val n = vectors.count()
+    val cellsPer = sys.env.get("GRAFT_CELLS_PER").map(_.trim)
+      .filter(_.nonEmpty).map(_.toInt).getOrElse(200)
+    val sink = new graft.engine.VersionedParquetSink(root)
+    val covered = sink.exists(spark, "ann_vectors") &&
+      sink.read(spark, "ann_vectors").count() == n
+    if (!covered) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
+      System.err.println(s"[probe] building AnnIndex n=$n k=$k -> $root")
+      val t0 = System.nanoTime()
+      graft.engine.AnnIndex.build(spark, new graft.engine.VersionedParquetSink(root),
+        "ann", vectors, dim = 64, kCoarse = k, m = 2, subK = 16, iters = 2,
+        superProbes = Some(2))
+      System.err.println(
+        f"[probe] index built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    root
   }
 
   /** Per-replica length-preserving character map: independent rotations

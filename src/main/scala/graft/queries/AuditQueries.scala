@@ -769,8 +769,9 @@ object AuditQueries {
     // fixed-width q_chunk lacks, tested in ChunkerSpec). Per-source
     // report: chunk count, content-distinct chunks (the dedup-store
     // address space), token mass, uniqueness rate, mean chunk length
-    // (≈ modulus by construction). Row-local flags + one per-doc
-    // window cumsum + bounded (doc, chunk) reassembly — linear, no
+    // (≈ modulus by construction). Entirely row-local since the r13
+    // rewrite (boundaries, spans, and chunk texts inside array lambdas;
+    // the only explode is per CHUNK) — linear, no window shuffle, no
     // joins except the doc→source attach.
     Q("q_cdc_chunk",
       (s, d) => {

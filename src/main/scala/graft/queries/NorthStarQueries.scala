@@ -195,12 +195,30 @@ object NorthStarQueries {
   private def annMemoKey(d: String): String =
     annDir.map(r => s"$d\u0000$r").getOrElse(d)
 
+  /** Registry of every ann-path-DEPENDENT memo map (ADVICE r12): a
+    * memo whose entries bake in the active index path must be CREATED
+    * through [[annScopedCache]], so [[invalidateAnnCaches]] iterates
+    * all of them structurally — a future memo added elsewhere cannot
+    * be silently missed on an [[annDirOverride]] flip. (The
+    * [[annMemoKey]] keying already prevents cross-path ALIASING even
+    * for a missed cache; this registry additionally guarantees prompt
+    * block release and a clean parity-spec flip.) */
+  private val annScopedCaches = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]]()
+  private def annScopedCache(): java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame] = {
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+    annScopedCaches.add(m)
+    m
+  }
+
   /** Drops the memoized centroid/assignment tables (and their cached
     * blocks): required when [[annDirOverride]] changes, since the
     * cached DataFrames bake in whichever path built them. */
   private[graft] def invalidateAnnCaches(): Unit = {
     import scala.jdk.CollectionConverters._
-    Seq(centCache, ivfCache).foreach { c =>
+    annScopedCaches.asScala.foreach { c =>
       c.values.asScala.foreach(df =>
         try df.unpersist() catch { case _: Exception => () })
       c.clear()
@@ -258,8 +276,7 @@ object NorthStarQueries {
     joined
   }
 
-  private[queries] val centCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[queries] val centCache = annScopedCache()
   private[queries] def trainedCentroids(s: SparkSession, d: String): DataFrame =
     memoize(centCache, s, annMemoKey(d)) {
       annDir match {
@@ -282,8 +299,7 @@ object NorthStarQueries {
     * q_ivf_search consumes it TWICE (query side + probe side) — uncached
     * the most expensive stage (N x k dot products + a window over the
     * corpus) would run twice per execution. */
-  private[queries] val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[queries] val ivfCache = annScopedCache()
   private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame =
     memoize(ivfCache, s, annMemoKey(d)) {
       annDir match {

@@ -719,13 +719,19 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("cdc chunking: row-local boundaries; only the doc->source attach joins") {
-    // boundary flags are computed inside a per-row lambda and chunk ids
-    // by one per-doc window — a refactor that joins tokens against a
-    // boundary table (or goes cartesian) would shuffle the token stream
-    // twice at 100 TB
+    // boundaries, spans, and chunk texts are all computed inside array
+    // lambdas over the one tokenized row (the r13 rewrite of the 2 s
+    // head): the ONLY explode is per chunk and there is NO per-doc
+    // window — a refactor that reintroduces a token-level explode, a
+    // cumsum window, or a boundary-table join would shuffle the whole
+    // token stream (twice) at 100 TB
     val p = plan("q_cdc_chunk")
     assert(!p.contains("CartesianProduct"), s"cdc chunking went all-pairs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$p")
+    assert(!p.contains("Window ["), s"cdc chunking regrew a window shuffle:\n$p")
+    val gens = p.linesIterator.count(_.contains("Generate "))
+    assert(gens == 1,
+      s"cdc chunking should explode exactly once (per chunk), found $gens:\n$p")
   }
 
   test("winnow: one per-doc window pass, no join, no cartesian") {
