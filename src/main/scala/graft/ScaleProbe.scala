@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    consonant maps, length-preserving so n_chars stays consistent) —
   *    replicas share no shingles, so near-dup structure is replica-local
   *    and pair counts scale linearly;
-  *  - embeddings: per-replica circular shift of the 64-dim vector
+  *  - embeddings: per-replica circular shift of the 64-dim vector,
+  *    composed with whole-vector negation for replicas >= 64
   *    (norm-preserving, direction-scrambling — no cross-replica cosine
-  *    near-dups);
+  *    near-dups; 128 distinct isometries cover every allowed factor);
   *  - events: user_id/event_id remapped per replica (10x users, same
   *    per-user event distribution).
   *
@@ -171,8 +172,8 @@ object ScaleProbe {
     // marginal: index read + one co-partitioned join. k follows the
     // k ∝ corpus rule (GRAFT_CELLS_PER, default 200), so this is the
     // parameterized form BY CONSTRUCTION — no fixed-k artifact caveat.
-    // Embedding synthesis aliases above 64x (vector shifts cycle mod
-    // dims), so run this mode at factor ≤ 10 like the param probe.
+    // The shift+negation embedding synthesis below is alias-free to 125
+    // replicas, so this mode runs at every factor the probe allows.
     val annProbe = sys.env.get("GRAFT_ANN_PROBE").map(_.trim)
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -286,11 +287,19 @@ object ScaleProbe {
     if (!covered) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
-      System.err.println(s"[probe] building AnnIndex n=$n k=$k -> $root")
+      // quantizer training is SAMPLED (GRAFT_TRAIN_CAP, default 20000 —
+      // the recipe the r12 100x registry baseline was built with):
+      // uncapped k-means is O(N·k)/iteration, ~minutes at k=1000 over
+      // 200k vectors, and the probe measures the QUERY-side marginal,
+      // not training — bounded-sample training is the production ingest
+      // practice (FAISS trains nlist centroids on a sample)
+      val cap = math.max(k, sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
+        .filter(_.nonEmpty).map(_.toInt).getOrElse(20000))
+      System.err.println(s"[probe] building AnnIndex n=$n k=$k cap=$cap -> $root")
       val t0 = System.nanoTime()
       graft.engine.AnnIndex.build(spark, new graft.engine.VersionedParquetSink(root),
         "ann", vectors, dim = 64, kCoarse = k, m = 2, subK = 16, iters = 2,
-        superProbes = Some(2))
+        superProbes = Some(2), trainCap = Some(cap))
       System.err.println(
         f"[probe] index built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
@@ -316,7 +325,10 @@ object ScaleProbe {
       out: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_READY"))) return
+    // marker renamed when the embedding synthesis changed (r13,
+    // shift-only -> shift+negation): a corpus left by the OLD generator
+    // regenerates instead of silently carrying >64x replica aliases
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$out/_READY_iso128"))) return
     System.err.println(s"[probe] generating ${factor}x corpus under $out")
     val reps = spark.range(factor).toDF("r")
 
@@ -332,10 +344,16 @@ object ScaleProbe {
         textCol.as("text"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // NOTE: shifts alias at factor > 64 (shift cycles mod dims) — the
-    // embedding-family queries are only probed at the 10x tier; the
-    // >10x tiers probe the document-family queries, whose synthesis
-    // (charMap) stays unique to 125 replicas
+    // Per-replica isometry = circular shift COMPOSED WITH whole-vector
+    // negation for replicas >= 64: shifts alone cycle mod dims (64
+    // variants — replicas i and i+64 would be verbatim copies, a
+    // cross-replica exact-dup clique), and negation doubles the family
+    // to 128 distinct norm-preserving maps, covering every factor the
+    // require(factor <= 125) bound allows. The only structured
+    // cross-replica pairs are the antipodal i/i+64 ones (cosine -1 —
+    // maximally FAR for every near-dup / top-k query), so similarity
+    // structure stays replica-local at 100x exactly like charMap keeps
+    // it for documents.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
     val dims = 64
@@ -346,7 +364,8 @@ object ScaleProbe {
           if (shift == 0) col("embedding")
           else concat(slice(col("embedding"), shift + 1, dims - shift),
             slice(col("embedding"), 1, shift))
-        when(col("r") === i, shifted).otherwise(acc)
+        val iso = if (i < 64) shifted else transform(shifted, x => -x)
+        when(col("r") === i, iso).otherwise(acc)
     }
     emb.crossJoin(reps).select(
         (col("vec_id") + col("r") * maxVec).as("vec_id"),
@@ -366,6 +385,6 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    fs.create(new org.apache.hadoop.fs.Path(s"$out/_READY"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$out/_READY_iso128"), true).close()
   }
 }

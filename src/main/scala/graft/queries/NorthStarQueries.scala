@@ -735,14 +735,21 @@ object NorthStarQueries {
     // (k << N) and the output is the partition key for IVF search.
     Q("q_ivf_assign",
       (s, d) => {
-        val e = emb(s, d)
+        // Rides the SHARED assignment table (ivfAssigned) instead of
+        // re-running its own N x k argmax window: in-session the window
+        // runs once (memoized, shared with the whole IVF family); under
+        // GRAFT_ANN_DIR the cells come from the persisted index — the
+        // r13 100x ANN probe measured the redundant window at 247 s
+        // (ratio 661/two decades) vs O(N) here. `sim` is recomputed for
+        // the ASSIGNED cell only (one broadcast join + one dot per
+        // vector) with the identical r4 expression, so the output is
+        // bit-equal to the window's rn=1 row on both paths.
         val cents = trainedCentroids(s, d)
-        val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cell"))
-        e.join(broadcast(cents))
+          .select(col("cell"), col("c_emb"), col("c_nrm"))
+        ivfAssigned(s, d)
+          .join(broadcast(cents), Seq("cell"))
           .withColumn("sim",
             round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
           .select("vec_id", "cell", "sim")
           .orderBy("vec_id")
       },
@@ -895,7 +902,17 @@ object NorthStarQueries {
       (s, d) => {
         val cents = trainedCentroids(s, d)
           .select(col("cell"), col("c_emb"), col("c_nrm"))
-        val sims = emb(s, d).crossJoin(broadcast(cents))
+        // The N x k scoring against ALL centroids is the semantic cost
+        // of exact top-2 (the second-best cell can be anywhere) — but
+        // the corpus can arrive as ONE parquet split, which would put
+        // every dot product on a single task (the q_cdc_chunk disease;
+        // the r13 100x ANN probe measured 268 s single-task vs ~9 s
+        // rebalanced). Shuffling the vectors to core width ahead of a
+        // compute-bound broadcast stage is one even pass; at production
+        // scale the scan already arrives in thousands of splits.
+        val sims = emb(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(cents))
           .withColumn("sim",
             round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))
         val w = Window.partitionBy("vec_id")
