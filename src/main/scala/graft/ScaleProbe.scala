@@ -177,7 +177,16 @@ object ScaleProbe {
     val annProbe = sys.env.get("GRAFT_ANN_PROBE").map(_.trim)
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MAX_PARTITION_BYTES (e.g. "4m"): scan-split size for
+    // split-packing experiments. The synthetic corpora are SMALL in
+    // bytes (a 100x documents table is ~tens of MB), so under the
+    // default 128 MB target the whole table bin-packs into ONE scan
+    // split and every row-local map pass runs single-task at BOTH
+    // tiers — the measured ratio is then raw data growth, not the
+    // plan (a production 100 TB scan arrives in thousands of splits).
+    // Setting this to corpus_bytes/cores reproduces the deployment
+    // split shape without touching any query.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -186,7 +195,10 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").map(_.trim)
+      .filter(_.nonEmpty)
+      .foreach(v => builder.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     generateIfMissing(spark, src, out, factor)
