@@ -60,6 +60,18 @@ class AnnRegistryParitySpec extends AnyFunSuite {
       NorthStarQueries.invalidateAnnCaches()
       val registry = runAll()
 
+      // Registry-mode PLAN pin (r13): the whole point of the persisted
+      // assignment is that no query re-runs the N x k argmax — the
+      // first 100x ANN probe caught q_ivf_assign doing exactly that
+      // (247 s, ratio 661/two decades). With the override active its
+      // plan must contain NO window at all (assignment read + one
+      // broadcast join on the assigned cell).
+      val assignPlan = SparkEntry.queries("q_ivf_assign")(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!assignPlan.contains("Window ["),
+        s"q_ivf_assign regrew an argmax window in registry mode:\n" +
+          assignPlan.take(2000))
+
       EmbeddingQueries.foreach { name =>
         assert(registry(name) == inSession(name),
           s"$name diverged between the in-session and registry paths " +
