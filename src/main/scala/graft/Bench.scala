@@ -92,6 +92,31 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    // Box calibration (VERDICT r13 #3): regression baselines cross
+    // boxes — the r13 driver run (contended, median 1.14x inflation)
+    // compared against an idle-box snapshot and flagged 14 queries of
+    // which only 3 were real. A fixed CPU-bound probe timed in THIS
+    // run, persisted with the snapshot, lets the gate normalize for
+    // box provenance: the prev run's calib travels with its numbers,
+    // and the allowance scales by curCalib/prevCalib (relax-only,
+    // capped) so `regressed` measures plans, not boxes. The probe is
+    // pure compute over range() — no I/O, no shuffle — sized ~0.5 s
+    // on an idle 32-thread box, i.e. the same resource (CPU across all
+    // cores) whose contention inflates the query times.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 32L << 20, 1, spark.sparkContext.defaultParallelism)
+        .selectExpr("sum(crc32(cast(id as string))) as s")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = try { calibrateOnce(); math.min(calibrateOnce(), calibrateOnce()) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+        -1.0
+      }
+    System.err.println(f"[bench] box calibration: $calib%.3f s")
+
     // Prewarm the cross-query memoized tables (shingles, dedup pairs,
     // IVF/PQ quantizers, winnow fingerprints, bigram model input, BPE
     // merges) UNTIMED, so the first timed consumer of a shared cache is
@@ -168,21 +193,42 @@ object Bench {
     val modePrefix = if (annMode) "ann_" else ""
     val prevPath = sys.env.getOrElse("BENCH_PREV",
       s"/root/repo/bench_${modePrefix}prev_$tier.json")
-    def readPrev(path: String): Map[String, Double] = try {
+    def readPrev(path: String): (Map[String, Double], Option[Double]) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
       // compare only a SAME-TIER baseline: a mismatched snapshot yields
       // zero comparisons and the next same-tier roll heals it
       val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) Map.empty
-      else """"(q_[a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
-    val prevQ: Map[String, Double] = {
+      if (!prevSf.contains(sfDir)) (Map.empty, None)
+      else {
+        val qs = """"(q_[a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val c = """"calib":(-?[0-9][0-9.eE+-]*)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).filter(_ > 0)
+        (qs, c)
+      }
+    } catch { case _: Throwable => (Map.empty, None) }
+    val (prevQ: Map[String, Double], prevCalib: Option[Double]) = {
       val tiered = readPrev(prevPath)
-      if (tiered.nonEmpty || annMode) tiered
+      if (tiered._1.nonEmpty || annMode) tiered
       else readPrev("/root/repo/bench_prev.json")
     }
+
+    // Box-provenance scale (VERDICT r13 #3): when both runs carry a
+    // calibration figure, the gate's allowance stretches by the box
+    // slowdown ratio — relax-only (a FASTER current box must not
+    // loosen the gate; real regressions still have to clear the
+    // un-scaled thresholds) and capped at 3x so a pathological calib
+    // sample can never mask a genuine plan regression outright. A
+    // legacy snapshot without "calib" gets scale 1.0 (r13 behavior);
+    // the roll below writes this run's figure so the NEXT comparison
+    // is box-aware.
+    val boxScale: Double = (for { p <- prevCalib; if calib > 0 }
+      yield math.min(math.max(calib / p, 1.0), 3.0)).getOrElse(1.0)
+    if (boxScale != 1.0)
+      System.err.println(f"[bench] box scale vs snapshot: $boxScale%.2fx " +
+        f"(calib $calib%.3f s vs prev ${prevCalib.getOrElse(-1.0)}%.3f s)")
 
     // Flag predicates. Over-budget: the driver's budget is ~1 s/query
     // with a 2x gate, so any steady-state time above 2 s gets NAMED
@@ -190,9 +236,12 @@ object Bench {
     // >1.5x and >0.3 s vs the previous full same-tier run — the
     // two-sided gate keeps the ~0.2 s scheduling-jitter band on
     // sub-second queries from flagging noise while still catching a
-    // 0.4 -> 0.8 s doubling.
+    // 0.4 -> 0.8 s doubling. Both thresholds are normalized by
+    // boxScale, so a contended driver run against an idle-box
+    // snapshot flags plan changes, not the box.
     def isRegression(prev: Double, cur: Double): Boolean =
-      prev >= 0 && cur > 1.5 * prev && cur - prev > 0.3
+      prev >= 0 && cur > 1.5 * prev * boxScale &&
+        cur - prev * boxScale > 0.3
     val overFirst = results.collect { case (k, v) if v > 2.0 => k }
     val regFirst = results.collect {
       case (k, v) if v >= 0 && prevQ.get(k).exists(isRegression(_, v)) => k
@@ -275,8 +324,12 @@ object Bench {
         s""","prewarm_capacity_mb":${math.round(prewarmCapMb)}"""
     val annField =
       annDirEnv.map(r => s""","ann_dir":"${esc(r)}"""").getOrElse("")
+    // calib travels with the report AND the rolled snapshot (it is the
+    // denominator of the next run's box scale); boxScale documents what
+    // this run's comparisons were normalized by
+    val calibField = s""","calib":$calib,"box_scale":$boxScale"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField$prewarmField$annField,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField$prewarmField$annField$calibField,"sf":"${esc(sfDir)}"}"""
     // stdout gets wrapped by sbt ("[info] {...}") and interleaved with log
     // noise, which made the round-1 report unparseable downstream — so the
     // authoritative copy goes to a file; stdout stays for humans.

@@ -282,36 +282,64 @@ object ScaleProbe {
     * `root`, k = ceil(n / GRAFT_CELLS_PER default 200) — the same build
     * `graft.AnnIngest` runs in production (dim/m/subK/iters pinned to
     * its defaults so probe and deployment measure the same index
-    * shape). A root whose vector count already covers the corpus is
-    * reused (re-runs are free); anything else is rebuilt from scratch
-    * rather than trusted (annAssigned would reject it anyway). */
+    * shape). Reuse requires (ADVICE r13) the index to match on ALL of:
+    * corpus COUNT, corpus CONTENT (the index's additive ann_meta
+    * (n, fpsum) fingerprint recomputed over the live embeddings — a
+    * stale index surviving a same-count corpus regeneration at the
+    * same root must rebuild here, not abort at annAssigned's require
+    * deep inside query timing), and the (k, cap) TRAINING RECIPE (a
+    * probe-local `_recipe` marker written at build time — a changed
+    * GRAFT_CELLS_PER/GRAFT_TRAIN_CAP would otherwise silently reuse an
+    * index trained with the old k, skewing timings). Any mismatch, or
+    * a pre-marker legacy root, rebuilds from scratch. */
   private def ensureAnnIndex(spark: SparkSession, dir: String,
       root: String): String = {
     val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"),
         col("embedding").cast("array<double>").as("vec"))
-    val n = vectors.count()
+    // one pass over the embeddings: count + the SAME canonical
+    // fingerprint AnnIndex.fingerprintRow persists per ingest batch
+    val fpRow = vectors.agg(count(lit(1)),
+      coalesce(sum(crc32(concat_ws(",", col("id"),
+        col("vec").cast("array<double>").cast("string")))), lit(0L))).head()
+    val (n, fp) = (fpRow.getLong(0), fpRow.getLong(1))
     val cellsPer = sys.env.get("GRAFT_CELLS_PER").map(_.trim)
       .filter(_.nonEmpty).map(_.toInt).getOrElse(200)
+    val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
+    val cap = math.max(k, sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
+      .filter(_.nonEmpty).map(_.toInt).getOrElse(20000))
+    val recipe = s"n=$n fp=$fp k=$k cap=$cap superProbes=2"
+    val recipePath = java.nio.file.Paths.get(root, "_recipe")
     val sink = new graft.engine.VersionedParquetSink(root)
     val covered = sink.exists(spark, "ann_vectors") &&
-      sink.read(spark, "ann_vectors").count() == n
+      sink.exists(spark, "ann_meta") && {
+        val m = sink.read(spark, "ann_meta")
+          .agg(sum("n").cast("long"), sum("fpsum").cast("long")).head()
+        m.getLong(0) == n && m.getLong(1) == fp
+      } && {
+        val stored = try new String(java.nio.file.Files.readAllBytes(
+            recipePath), java.nio.charset.StandardCharsets.UTF_8).trim
+          catch { case _: Throwable => "" }
+        if (stored != recipe && stored.nonEmpty)
+          System.err.println(s"[probe] index recipe changed " +
+            s"('$stored' -> '$recipe'); rebuilding")
+        stored == recipe
+      }
     if (!covered) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-      val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
       // quantizer training is SAMPLED (GRAFT_TRAIN_CAP, default 20000 —
       // the recipe the r12 100x registry baseline was built with):
       // uncapped k-means is O(N·k)/iteration, ~minutes at k=1000 over
       // 200k vectors, and the probe measures the QUERY-side marginal,
       // not training — bounded-sample training is the production ingest
       // practice (FAISS trains nlist centroids on a sample)
-      val cap = math.max(k, sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
-        .filter(_.nonEmpty).map(_.toInt).getOrElse(20000))
       System.err.println(s"[probe] building AnnIndex n=$n k=$k cap=$cap -> $root")
       val t0 = System.nanoTime()
       graft.engine.AnnIndex.build(spark, new graft.engine.VersionedParquetSink(root),
         "ann", vectors, dim = 64, kCoarse = k, m = 2, subK = 16, iters = 2,
         superProbes = Some(2), trainCap = Some(cap))
+      java.nio.file.Files.write(recipePath,
+        (recipe + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(
         f"[probe] index built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }

@@ -48,6 +48,27 @@ private[graft] object Helpers {
     * and oracle SQL of q_lang_id / q_quality_score / q_text_clean. */
   val enStopwords = "('the', 'a', 'of', 'to', 'in', 'and')"
 
+  /** Rebalance `df` to core width ONLY when the scan arrives narrower
+    * than the session's parallelism (VERDICT r13 #2): a compute-bound
+    * stage (per-gram hashing, N×k dot products) fed by a one-row-group
+    * parquet split would run on a single task — AQE cannot subdivide a
+    * scan split — so a narrow input pays one even shuffle of its bytes
+    * to fan the compute out. When the scan already arrives at or above
+    * core width (the production thousands-of-splits case), the
+    * repartition would be a pointless extra full pass over corpus
+    * bytes, so it is skipped. Width is read from the physical scan
+    * (`df.rdd.getNumPartitions` — planning only; no job runs, and none
+    * of the call sites have exchanges below them that AQE would need
+    * to materialize). Explicit width, not a rebalance hint: AQE would
+    * coalesce an advisory shuffle of kilobyte-sized partitions back to
+    * one task — the target is CORES for the compute stage, not
+    * shuffle-block size. */
+  def rebalanceIfNarrow(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** DuckDB-side parse of the first 4 hex chars of `h` -> 0..65535 (no
     * conv() there); the Spark mirror is conv(substring(h,1,4),16,10). */
   def hex4(h: String): String =

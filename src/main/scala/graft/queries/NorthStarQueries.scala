@@ -742,8 +742,15 @@ object NorthStarQueries {
         // r13 100x ANN probe measured the redundant window at 247 s
         // (ratio 661/two decades) vs O(N) here. `sim` is recomputed for
         // the ASSIGNED cell only (one broadcast join + one dot per
-        // vector) with the identical r4 expression, so the output is
-        // bit-equal to the window's rn=1 row on both paths.
+        // vector) with the identical r4 expression. For a FLAT-assigned
+        // index (AnnIngest's default; the oracle path always) the
+        // output is bit-equal to the window's rn=1 row. For a
+        // hierarchically-assigned index (superProbes set) stored cells
+        // can differ from the flat argmax near cell boundaries — the
+        // query then reports the index's ACTUAL assignment and the
+        // cosine to THAT cell (the operationally true readout: it
+        // describes the cells search will probe), not the flat
+        // maximum; AnnRegistryParitySpec pins both contracts.
         val cents = trainedCentroids(s, d)
           .select(col("cell"), col("c_emb"), col("c_nrm"))
         ivfAssigned(s, d)
@@ -907,11 +914,12 @@ object NorthStarQueries {
         // the corpus can arrive as ONE parquet split, which would put
         // every dot product on a single task (the q_cdc_chunk disease;
         // the r13 100x ANN probe measured 268 s single-task vs ~9 s
-        // rebalanced). Shuffling the vectors to core width ahead of a
-        // compute-bound broadcast stage is one even pass; at production
-        // scale the scan already arrives in thousands of splits.
-        val sims = emb(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+        // rebalanced). The shuffle to core width is CONDITIONAL on the
+        // observed scan width (Helpers.rebalanceIfNarrow, VERDICT r13
+        // #2): a one-split scan pays one even pass over the vectors; a
+        // scan already at core width (production's thousands of
+        // splits) skips the rebalance entirely.
+        val sims = Helpers.rebalanceIfNarrow(emb(s, d))
           .crossJoin(broadcast(cents))
           .withColumn("sim",
             round(expr("graft_dot(emb, c_emb)") / (col("nrm") * col("c_nrm")), 4))

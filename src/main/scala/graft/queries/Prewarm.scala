@@ -36,6 +36,7 @@ object Prewarm {
     "scoredPairs" -> (() => NorthStarQueries.scoredPairs(s, d)),
     "docTrigrams" -> (() => AuditQueries.docTrigrams(s, d)),
     "corpusFingerprints" -> (() => AuditQueries.corpusFingerprints(s, d)),
+    "winnowPairs" -> (() => AuditQueries.winnowPairs(s, d)),
     "wordCounts" -> (() => ExtendedQueries.wordCounts(s, d)),
     "pqCodebook1" -> (() => PqQueries.codebook1(s, d)),
     "pqCodebook2" -> (() => PqQueries.codebook2(s, d)),

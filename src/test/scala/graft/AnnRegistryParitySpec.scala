@@ -83,4 +83,61 @@ class AnnRegistryParitySpec extends AnyFunSuite {
       NorthStarQueries.invalidateAnnCaches()
     }
   }
+
+  test("q_ivf_assign on a hierarchically-assigned index reports the " +
+      "index's ACTUAL stored assignment (ADVICE r13): cell = stored " +
+      "cell, sim = cosine to that cell, one row per vector") {
+    // A superProbes-built index (AnnIngest's GRAFT_SUPER_PROBES path;
+    // ScaleProbe's ensureAnnIndex uses Some(2)) can assign boundary
+    // vectors to a different cell than the flat argmax — registry-mode
+    // q_ivf_assign must then report the STORED assignment (the cells
+    // search actually probes), not silently recompute the flat max.
+    val d = "/root/testdata/sf0.001"
+    graft.GraftExtensions.ensureRegistered(spark)
+    val root = TestSpark.tmpDir("annhier")
+    val vectors = Tables.embeddings(spark, d).select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    AnnIndex.build(spark, new VersionedParquetSink(root), "ann",
+      vectors, dim = 64, kCoarse = 10, m = 2, subK = 16, iters = 2,
+      superProbes = Some(2))
+
+    val before = NorthStarQueries.annDirOverride
+    try {
+      NorthStarQueries.annDirOverride = Some(Some(root))
+      NorthStarQueries.invalidateAnnCaches()
+      val out = SparkEntry.queries("q_ivf_assign")(spark, d)
+
+      // plan pin: the persisted assignment means no argmax window even
+      // when that assignment came from the hierarchical rule
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("Window ["),
+        s"q_ivf_assign regrew an argmax window in registry mode:\n${p.take(2000)}")
+
+      val got = out.collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2)))).toMap
+
+      // expected, wired independently from the raw index tables: the
+      // stored (id, cell) joined to its centroid, sim recomputed with
+      // the same round(dot/(nrm*c_nrm), 4) rule
+      val sink = new VersionedParquetSink(root)
+      val expected = sink.read(spark, "ann_vectors")
+        .select(col("id").as("vec_id"), col("cell"))
+        .join(sink.read(spark, "ann_centroids"), "cell")
+        .join(vectors.select(col("id").as("vec_id"), col("vec")), "vec_id")
+        .select(col("vec_id"), col("cell"),
+          round(expr("graft_dot(vec, c_emb)") /
+            (sqrt(expr("graft_dot(vec, vec)")) * col("c_nrm")), 4).as("sim"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2)))).toMap
+
+      assert(got.size == vectors.count(),
+        s"expected one row per vector, got ${got.size}")
+      assert(got == expected,
+        s"registry q_ivf_assign diverged from the stored assignment " +
+          s"(first diff: ${got.find(kv => expected.get(kv._1) != Some(kv._2))})")
+    } finally {
+      NorthStarQueries.annDirOverride = before
+      NorthStarQueries.invalidateAnnCaches()
+    }
+  }
 }

@@ -711,8 +711,16 @@ class PlanAuditSpec extends AnyFunSuite {
   test("winnow pairs: candidate join keyed on the fingerprint hash") {
     // the MOSS pair join must keep its content-hash equi key and never
     // go cartesian — the df cap bounds volume only if the join blocks
-    // on the fingerprint
-    val p = plan("q_winnow_pairs")
+    // on the fingerprint. The pair table is memoized+cached (r14), so
+    // the invariant is pinned on the BUILDER plan (the plan that fills
+    // the cache), not on the consumer's InMemoryTableScan read.
+    val df = graft.queries.AuditQueries.winnowPairs(spark, sf)
+    val qe = df.queryExecution
+    val p = qe.withCachedData.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.getOrElse(qe.executedPlan.toString)
+    assert(p.contains("Join"), s"pair self-join missing from builder:\n$p")
     assert(!p.contains("CartesianProduct"), s"winnow pairs went all-pairs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"pair join lost its fingerprint key:\n$p")
@@ -789,6 +797,38 @@ class PlanAuditSpec extends AnyFunSuite {
       // src x tgt pair join must be hash/merge-keyed on cell
       assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
         p.contains("ShuffledHashJoin"), s"$q pair join lost its cell key:\n$p")
+    }
+  }
+
+  // NOTE: this test runs LAST in the suite on purpose — it touches a
+  // second data dir, and the memoize eviction rule ("one dir per
+  // session") drops the sf-dir cache entries; any test after it would
+  // silently rebuild them.
+  test("core-width rebalance is conditional on observed scan width " +
+      "(r13 #2): narrow scan shuffles to cores, wide scan does not") {
+    // Narrow case first (the shipped sf fixture is one row group per
+    // table): the compute-bound stages MUST fan out to core width —
+    // a one-split scan would hash every gram / score every vector on
+    // a single task (the r13 100x probe measured 268 s vs ~9 s).
+    for (q <- Seq("q_cdc_chunk", "q_silhouette")) {
+      val np = plan(q)
+      assert(np.contains("RoundRobinPartitioning"),
+        s"$q lost its narrow-scan rebalance:\n$np")
+    }
+    // Wide case: the same queries against the SAME data written as
+    // >= cores parquet files (the production thousands-of-splits
+    // shape) must skip the rebalance — it would be a pointless extra
+    // full pass over corpus bytes at scale.
+    val wide = TestSpark.tmpDir("widesf")
+    val cores = spark.sparkContext.defaultParallelism
+    for (t <- Seq("documents", "embeddings"))
+      spark.read.parquet(s"$sf/$t.parquet").repartition(2 * cores)
+        .write.mode("overwrite").parquet(s"$wide/$t.parquet")
+    for (q <- Seq("q_cdc_chunk", "q_silhouette")) {
+      val wp = SparkEntry.queries(q)(spark, wide)
+        .queryExecution.executedPlan.toString
+      assert(!wp.contains("RoundRobinPartitioning"),
+        s"$q still rebalances an already-wide scan:\n$wp")
     }
   }
 }
