@@ -187,8 +187,12 @@ object Bench {
     // sf dir's basename, so a full clean run at another tier (100x
     // probe corpus, sf0.01 spot checks) can never overwrite this
     // tier's baseline and zero out the next run's comparisons. The
-    // legacy un-tiered bench_prev.json is read as a fallback (still
-    // sf-guarded) so the first tiered run inherits its baseline.
+    // legacy un-tiered bench_prev.json fallback (the r11->r12
+    // migration bridge) is GONE: every tier has rolled calibrated
+    // snapshots since, and the fallback meant a missing/unparseable
+    // tiered snapshot silently compared against years-old
+    // calibration-free provenance — misleading flags are worse than
+    // "no comparison this run, next roll heals it".
     val tier = new java.io.File(sfDir).getName
     val modePrefix = if (annMode) "ann_" else ""
     val prevPath = sys.env.getOrElse("BENCH_PREV",
@@ -209,11 +213,8 @@ object Bench {
         (qs, c)
       }
     } catch { case _: Throwable => (Map.empty, None) }
-    val (prevQ: Map[String, Double], prevCalib: Option[Double]) = {
-      val tiered = readPrev(prevPath)
-      if (tiered._1.nonEmpty || annMode) tiered
-      else readPrev("/root/repo/bench_prev.json")
-    }
+    val (prevQ: Map[String, Double], prevCalib: Option[Double]) =
+      readPrev(prevPath)
 
     // Box-provenance scale (VERDICT r13 #3): when both runs carry a
     // calibration figure, the gate's allowance stretches by the box
