@@ -197,52 +197,33 @@ object Bench {
     val modePrefix = if (annMode) "ann_" else ""
     val prevPath = sys.env.getOrElse("BENCH_PREV",
       s"/root/repo/bench_${modePrefix}prev_$tier.json")
-    def readPrev(path: String): (Map[String, Double], Option[Double]) = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      // compare only a SAME-TIER baseline: a mismatched snapshot yields
-      // zero comparisons and the next same-tier roll heals it
-      val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) (Map.empty, None)
-      else {
-        val qs = """"(q_[a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val c = """"calib":(-?[0-9][0-9.eE+-]*)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).filter(_ > 0)
-        (qs, c)
-      }
+    // Parsing + gate arithmetic live in BenchGate (spec-pinned; the
+    // r14 gate-demo outcomes are BenchGateSpec assertions).
+    val (prevQ: Map[String, Double], prevCalib: Option[Double]) = try {
+      BenchGate.parseSnapshot(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)),
+        java.nio.charset.StandardCharsets.UTF_8), sfDir)
     } catch { case _: Throwable => (Map.empty, None) }
-    val (prevQ: Map[String, Double], prevCalib: Option[Double]) =
-      readPrev(prevPath)
 
     // Box-provenance scale (VERDICT r13 #3): when both runs carry a
     // calibration figure, the gate's allowance stretches by the box
-    // slowdown ratio — relax-only (a FASTER current box must not
-    // loosen the gate; real regressions still have to clear the
-    // un-scaled thresholds) and capped at 3x so a pathological calib
-    // sample can never mask a genuine plan regression outright. A
+    // slowdown ratio (relax-only, capped — see BenchGate.boxScale). A
     // legacy snapshot without "calib" gets scale 1.0 (r13 behavior);
     // the roll below writes this run's figure so the NEXT comparison
     // is box-aware.
-    val boxScale: Double = (for { p <- prevCalib; if calib > 0 }
-      yield math.min(math.max(calib / p, 1.0), 3.0)).getOrElse(1.0)
+    val boxScale: Double = BenchGate.boxScale(calib, prevCalib)
     if (boxScale != 1.0)
       System.err.println(f"[bench] box scale vs snapshot: $boxScale%.2fx " +
         f"(calib $calib%.3f s vs prev ${prevCalib.getOrElse(-1.0)}%.3f s)")
 
     // Flag predicates. Over-budget: the driver's budget is ~1 s/query
     // with a 2x gate, so any steady-state time above 2 s gets NAMED
-    // instead of hiding inside a growing total. Regression: grew BOTH
-    // >1.5x and >0.3 s vs the previous full same-tier run — the
-    // two-sided gate keeps the ~0.2 s scheduling-jitter band on
-    // sub-second queries from flagging noise while still catching a
-    // 0.4 -> 0.8 s doubling. Both thresholds are normalized by
-    // boxScale, so a contended driver run against an idle-box
-    // snapshot flags plan changes, not the box.
+    // instead of hiding inside a growing total. Regression: the
+    // boxScale-normalized two-sided gate (BenchGate.isRegression), so
+    // a contended driver run against an idle-box snapshot flags plan
+    // changes, not the box.
     def isRegression(prev: Double, cur: Double): Boolean =
-      prev >= 0 && cur > 1.5 * prev * boxScale &&
-        cur - prev * boxScale > 0.3
+      BenchGate.isRegression(prev, cur, boxScale)
     val overFirst = results.collect { case (k, v) if v > 2.0 => k }
     val regFirst = results.collect {
       case (k, v) if v >= 0 && prevQ.get(k).exists(isRegression(_, v)) => k

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the box-normalized regression-gate contract (VERDICT r13 #3).
+  * The r14 live demos — an idle-box snapshot must produce zero false
+  * flags, a genuine 3x regression must flag despite relax-only
+  * scaling — are encoded here as permanent unit assertions over the
+  * extracted arithmetic, so a future edit to the gate cannot silently
+  * reintroduce either failure mode. */
+class BenchGateSpec extends AnyFunSuite {
+
+  // a snapshot in the EXACT roll format Bench writes (compact, no
+  // whitespace), including a regression-entry object whose "name" and
+  // "prev" fields must NOT pollute the parsed baseline
+  private val snap =
+    """{"metric":"total","value":76.7,"unit":"sec","queries":{"q_scan":0.2,""" +
+      """"q_topk":0.35,"q_sbo_score":1.31},"over_budget":[],""" +
+      """"regressed":[{"name":"q_fake","prev":9.9,"cur":19.9}],""" +
+      """"calib":0.302,"box_scale":1.0,"sf":"/root/testdata/sf0.1"}"""
+
+  test("parseSnapshot: same-tier snapshot yields queries + calib") {
+    val (qs, c) = BenchGate.parseSnapshot(snap, "/root/testdata/sf0.1")
+    assert(qs == Map("q_scan" -> 0.2, "q_topk" -> 0.35, "q_sbo_score" -> 1.31))
+    assert(c.contains(0.302))
+  }
+
+  test("parseSnapshot: regression-entry objects do not pollute the baseline") {
+    val (qs, _) = BenchGate.parseSnapshot(snap, "/root/testdata/sf0.1")
+    assert(!qs.contains("q_fake"),
+      "the flag list's name/prev fields leaked into the query baseline")
+  }
+
+  test("parseSnapshot: tier mismatch yields NO comparisons (not a partial set)") {
+    assert(BenchGate.parseSnapshot(snap, "/root/testdata/sf0.01") ==
+      (Map.empty, None))
+  }
+
+  test("parseSnapshot: legacy snapshot without calib parses queries, calib None") {
+    val legacy = """{"queries":{"q_scan":0.2},"sf":"/root/testdata/sf0.1"}"""
+    val (qs, c) = BenchGate.parseSnapshot(legacy, "/root/testdata/sf0.1")
+    assert(qs == Map("q_scan" -> 0.2) && c.isEmpty)
+  }
+
+  test("parseSnapshot: a failed calibration (-1.0) is treated as absent") {
+    val bad = """{"queries":{"q_scan":0.2},"calib":-1.0,"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchGate.parseSnapshot(bad, "/root/testdata/sf0.1")._2.isEmpty)
+  }
+
+  test("boxScale: relax-only — a faster current box clamps to 1.0") {
+    assert(BenchGate.boxScale(0.15, Some(0.30)) == 1.0)
+  }
+
+  test("boxScale: slower box scales by the calibration ratio, capped at 3x") {
+    assert(math.abs(BenchGate.boxScale(0.45, Some(0.30)) - 1.5) < 1e-9)
+    assert(BenchGate.boxScale(3.0, Some(0.30)) == 3.0) // 10x -> cap
+  }
+
+  test("boxScale: missing or failed calibration on either side degrades to 1.0") {
+    assert(BenchGate.boxScale(0.30, None) == 1.0)
+    assert(BenchGate.boxScale(-1.0, Some(0.30)) == 1.0)
+    assert(BenchGate.boxScale(0.30, Some(-1.0)) == 1.0)
+  }
+
+  test("isRegression: the same-box contract is unchanged at scale 1") {
+    assert(BenchGate.isRegression(0.4, 0.81, 1.0))   // 0.4 -> 0.8 doubling
+    assert(!BenchGate.isRegression(0.1, 0.25, 1.0))  // jitter band: delta < 0.3
+    assert(!BenchGate.isRegression(0.4, 0.55, 1.0))  // < 1.5x
+    assert(!BenchGate.isRegression(-1.0, 5.0, 1.0))  // failed prev never compares
+  }
+
+  test("isRegression: the r14 demo outcomes — idle snapshot does not flag, " +
+      "a 3x regression flags despite the relaxed gate") {
+    // demo (a): prev measured on a 2x-faster box (snapshot 0.65 s,
+    // calib ratio -> scale ~2); current steady state 1.35 s is the SAME
+    // plan under contention — must NOT flag
+    val idleScale = BenchGate.boxScale(0.30, Some(0.151))
+    assert(!BenchGate.isRegression(0.65, 1.35, idleScale))
+    // demo (c): same-protocol 3x growth with a 1.42x-relaxed gate —
+    // must STILL flag (relax-only scaling cannot mask a real regression)
+    assert(BenchGate.isRegression(0.50, 1.50, 1.42))
+  }
+}
