@@ -210,10 +210,12 @@ object Bench {
     // slowdown ratio (relax-only, capped — see BenchGate.boxScale). A
     // legacy snapshot without "calib" gets scale 1.0 (r13 behavior);
     // the roll below writes this run's figure so the NEXT comparison
-    // is box-aware.
-    val boxScale: Double = BenchGate.boxScale(calib, prevCalib)
-    if (boxScale != 1.0)
-      System.err.println(f"[bench] box scale vs snapshot: $boxScale%.2fx " +
+    // is box-aware. This start-probe scale picks the CANDIDATES; the
+    // confirmed-flag gate below re-derives the scale from a SECOND
+    // probe timed at the confirmation pass (VERDICT r14 #4).
+    val startScale: Double = BenchGate.boxScale(calib, prevCalib)
+    if (startScale != 1.0)
+      System.err.println(f"[bench] box scale vs snapshot: $startScale%.2fx " +
         f"(calib $calib%.3f s vs prev ${prevCalib.getOrElse(-1.0)}%.3f s)")
 
     // Flag predicates. Over-budget: the driver's budget is ~1 s/query
@@ -222,12 +224,31 @@ object Bench {
     // boxScale-normalized two-sided gate (BenchGate.isRegression), so
     // a contended driver run against an idle-box snapshot flags plan
     // changes, not the box.
-    def isRegression(prev: Double, cur: Double): Boolean =
-      BenchGate.isRegression(prev, cur, boxScale)
     val overFirst = results.collect { case (k, v) if v > 2.0 => k }
     val regFirst = results.collect {
-      case (k, v) if v >= 0 && prevQ.get(k).exists(isRegression(_, v)) => k
+      case (k, v) if v >= 0 &&
+        prevQ.get(k).exists(BenchGate.isRegression(_, v, startScale)) => k
     }
+
+    // Second calibration probe, timed AT the confirmation pass (VERDICT
+    // r14 #4): the start probe is blind to a burst that begins after
+    // it — the r14 driver run carried 29 transient flags at a MATCHED
+    // start calib. The confirmed-flag gate normalizes by the max of the
+    // two probes (BenchGate.gateCalib), so bursty contention between
+    // the passes relaxes the gate instead of minting confirmed flags;
+    // both figures are stamped in the report.
+    val calibConfirm = try math.min(calibrateOnce(), calibrateOnce())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] confirm calibration failed: ${e.getMessage}")
+        -1.0
+      }
+    val boxScale: Double =
+      BenchGate.boxScale(BenchGate.gateCalib(calib, calibConfirm), prevCalib)
+    if (boxScale != startScale)
+      System.err.println(f"[bench] confirm-pass calib $calibConfirm%.3f s " +
+        f"raises gate scale $startScale%.2fx -> $boxScale%.2fx")
+    def isRegression(prev: Double, cur: Double): Boolean =
+      BenchGate.isRegression(prev, cur, boxScale)
 
     // CONFIRMATION pass (r11 directive): every first-pass flag is
     // re-timed at END of run, after all 160 queries have churned the
@@ -306,10 +327,17 @@ object Bench {
         s""","prewarm_capacity_mb":${math.round(prewarmCapMb)}"""
     val annField =
       annDirEnv.map(r => s""","ann_dir":"${esc(r)}"""").getOrElse("")
-    // calib travels with the report AND the rolled snapshot (it is the
-    // denominator of the next run's box scale); boxScale documents what
-    // this run's comparisons were normalized by
-    val calibField = s""","calib":$calib,"box_scale":$boxScale"""
+    // calib (the run-START probe) travels with the report AND the
+    // rolled snapshot (it is the denominator of the next run's box
+    // scale); calib_confirm is the confirmation-pass probe and boxScale
+    // documents what the confirmed flags were normalized by
+    // (max-of-both — VERDICT r14 #4). rolled records whether this run
+    // became the tier's comparison base (VERDICT r14 #2).
+    val nFlags = overBudget.size + overTransient.size +
+      regressed.size + regTransient.size
+    val rolled = BenchGate.shouldRoll(only.isEmpty, failed.size, nFlags)
+    val calibField = s""","calib":$calib,"calib_confirm":$calibConfirm""" +
+      s""","box_scale":$boxScale,"rolled":$rolled"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField$prewarmField$annField$calibField,"sf":"${esc(sfDir)}"}"""
     // stdout gets wrapped by sbt ("[info] {...}") and interleaved with log
@@ -337,18 +365,23 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // Roll the snapshot ONLY after a full-set, zero-failure run — and
-    // only into THIS tier's per-tier file, so a subset/profiling run, a
-    // broken build, or a full run at another corpus tier can never
+    // Roll the snapshot ONLY after a full-set, zero-failure, CALM run
+    // (BenchGate.shouldRoll; VERDICT r14 #2) — and only into THIS
+    // tier's per-tier file, so a subset/profiling run, a broken build,
+    // a full run at another corpus tier, or a contended window (the r14
+    // driver run rolled its 32-flag numbers into the baseline, muting
+    // the next round's gate on exactly the noisiest queries) can never
     // become (or destroy) this tier's comparison base.
-    if (only.isEmpty && failed.isEmpty) {
+    if (rolled) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(prevPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not roll $prevPath: ${e.getMessage}")
       }
-    }
+    } else if (only.isEmpty && failed.isEmpty)
+      System.err.println(s"[bench] NOT rolling $prevPath: $nFlags flags > " +
+        s"${BenchGate.MaxRollFlags} (contended window); prior snapshot kept")
     spark.stop()
   }
 }

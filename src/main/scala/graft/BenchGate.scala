@@ -57,4 +57,41 @@ private[graft] object BenchGate {
     * 0.4 -> 0.8 s doubling on the same box. */
   def isRegression(prev: Double, cur: Double, scale: Double): Boolean =
     prev >= 0 && cur > 1.5 * prev * scale && cur - prev * scale > 0.3
+
+  /** The calibration figure the CONFIRMED-flag gate normalizes by
+    * (VERDICT r14 #4): the max of the run-start and confirmation-pass
+    * probes. One probe at run start normalizes SUSTAINED slowdown but
+    * is blind to a burst that starts after it — the r14 driver run
+    * carried 29 transient flags at a matched start calib. Re-timing the
+    * probe at the confirmation pass and gating on the max makes a
+    * mid-run burst visible to the gate instead of inferred from flag
+    * counts. A failed probe (<= 0) on either side degrades to the
+    * other; both failed degrades to -1 (boxScale then yields 1.0). */
+  def gateCalib(start: Double, confirm: Double): Double =
+    (start > 0, confirm > 0) match {
+      case (true, true)  => math.max(start, confirm)
+      case (true, false) => start
+      case (false, true) => confirm
+      case _             => -1.0
+    }
+
+  /** Max combined flag count (over-budget + regressed, confirmed +
+    * transient) a run may carry and still roll itself into the tier's
+    * comparison snapshot. Calm full runs on this box carry 0-5
+    * transient flags; the r14 driver's contended window carried 32 and
+    * rolled itself into the baseline, so the NEXT run compared against
+    * inflated numbers on exactly the queries that were noisiest —
+    * relax-only box scaling cannot repair inflation that is IN the
+    * baseline. 8 clears every calm run observed across r11-r14 with
+    * headroom while rejecting anything like the r14 window. */
+  val MaxRollFlags = 8
+
+  /** Contention-aware roll decision (VERDICT r14 #2): a run may become
+    * the tier's comparison base only when it is the FULL query set
+    * (subset runs measure mid-weight queries ~1.5x above full-run
+    * steady state — less block-store warmth), zero queries failed, and
+    * the run was calm (total flags <= [[MaxRollFlags]]). A skipped roll
+    * leaves the prior snapshot in place; the next calm window rolls. */
+  def shouldRoll(fullSet: Boolean, nFailed: Int, nFlags: Int): Boolean =
+    fullSet && nFailed == 0 && nFlags <= MaxRollFlags
 }

@@ -308,14 +308,30 @@ object ScaleProbe {
     val k = math.max(1, math.ceil(n.toDouble / cellsPer).toInt)
     val cap = math.max(k, sys.env.get("GRAFT_TRAIN_CAP").map(_.trim)
       .filter(_.nonEmpty).map(_.toInt).getOrElse(20000))
-    val recipe = s"n=$n fp=$fp k=$k cap=$cap superProbes=2"
+    // single source of truth for the hierarchical-index shape: the
+    // recipe marker and the build call below both read THIS val, so a
+    // future shape change cannot leave a stale index silently passing
+    // the recipe check (ADVICE r14 #2)
+    val superProbes = 2
+    val recipe = s"n=$n fp=$fp k=$k cap=$cap superProbes=$superProbes"
     val recipePath = java.nio.file.Paths.get(root, "_recipe")
     val sink = new graft.engine.VersionedParquetSink(root)
     val covered = sink.exists(spark, "ann_vectors") &&
       sink.exists(spark, "ann_meta") && {
-        val m = sink.read(spark, "ann_meta")
-          .agg(sum("n").cast("long"), sum("fpsum").cast("long")).head()
-        m.getLong(0) == n && m.getLong(1) == fp
+        // any failure here — including an EMPTY ann_meta from a
+        // partial/corrupt prior build, where sum() returns null and
+        // getLong would NPE — means "not covered": fall through to a
+        // rebuild instead of crashing the probe (ADVICE r14 #1)
+        try {
+          val m = sink.read(spark, "ann_meta")
+            .agg(sum("n").cast("long"), sum("fpsum").cast("long")).head()
+          !m.isNullAt(0) && !m.isNullAt(1) &&
+            m.getLong(0) == n && m.getLong(1) == fp
+        } catch { case e: Exception =>
+          System.err.println(s"[probe] ann_meta check failed " +
+            s"(${e.getMessage}); rebuilding")
+          false
+        }
       } && {
         val stored = try new String(java.nio.file.Files.readAllBytes(
             recipePath), java.nio.charset.StandardCharsets.UTF_8).trim
@@ -337,7 +353,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       graft.engine.AnnIndex.build(spark, new graft.engine.VersionedParquetSink(root),
         "ann", vectors, dim = 64, kCoarse = k, m = 2, subK = 16, iters = 2,
-        superProbes = Some(2), trainCap = Some(cap))
+        superProbes = Some(superProbes), trainCap = Some(cap))
       java.nio.file.Files.write(recipePath,
         (recipe + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(

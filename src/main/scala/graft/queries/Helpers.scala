@@ -62,9 +62,28 @@ private[graft] object Helpers {
     * to materialize). Explicit width, not a rebalance hint: AQE would
     * coalesce an advisory shuffle of kilobyte-sized partitions back to
     * one task — the target is CORES for the compute stage, not
-    * shuffle-block size. */
+    * shuffle-block size.
+    *
+    * GUARD (ADVICE r14 #3): reading `df.rdd` is planning-only ONLY for
+    * an exchange-free plan — under AQE a plan with an exchange below
+    * this point would materialize query stages (run real jobs) just to
+    * read the width. Instead of resting that safety on call-site
+    * discipline, the input's optimized plan is checked against the
+    * scan+narrow-ops whitelist (leaf / Project / Filter — the only
+    * shapes a width probe makes sense for anyway); anything else fails
+    * loudly at the new call site instead of silently executing stages. */
   def rebalanceIfNarrow(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val offending = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !(p.isInstanceOf[LeafNode] || p.isInstanceOf[Project] ||
+        p.isInstanceOf[Filter]) => p.nodeName
+    }
+    require(offending.isEmpty,
+      s"rebalanceIfNarrow input must be an exchange-free scan+narrow plan " +
+        s"(leaf/Project/Filter); found ${offending.getOrElse("")} — reading " +
+        s"its physical width would materialize query stages under AQE; " +
+        s"rebalance upstream of the ${offending.getOrElse("")} instead")
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
   }

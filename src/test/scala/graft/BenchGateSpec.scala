@@ -80,4 +80,63 @@ class BenchGateSpec extends AnyFunSuite {
     // must STILL flag (relax-only scaling cannot mask a real regression)
     assert(BenchGate.isRegression(0.50, 1.50, 1.42))
   }
+
+  test("gateCalib: the confirmed-flag gate sees the max of both probes " +
+      "(VERDICT r14 #4 — the burst the start probe misses)") {
+    // the r14 failure shape: start probe matched the snapshot (0.291 vs
+    // 0.292) but the window was bursty; a confirm-pass probe at 0.60
+    // must be the one the gate normalizes by
+    assert(BenchGate.gateCalib(0.291, 0.60) == 0.60)
+    assert(BenchGate.gateCalib(0.60, 0.291) == 0.60) // order-insensitive
+    val burstScale =
+      BenchGate.boxScale(BenchGate.gateCalib(0.291, 0.60), Some(0.292))
+    assert(burstScale > 2.0, s"burst did not relax the gate: $burstScale")
+    // a same-plan 2.1x transient (the r14 q_assortativity shape:
+    // prev 1.50, confirm 3.12 in a window whose confirm probe shows
+    // the burst) no longer mints a CONFIRMED flag...
+    assert(!BenchGate.isRegression(1.50, 3.12, burstScale))
+    // ...while a calm window (both probes matched) still flags it
+    val calmScale =
+      BenchGate.boxScale(BenchGate.gateCalib(0.291, 0.293), Some(0.292))
+    assert(BenchGate.isRegression(1.50, 3.12, calmScale))
+  }
+
+  test("gateCalib: a failed probe on either side degrades to the other; " +
+      "both failed degrades to scale 1.0") {
+    assert(BenchGate.gateCalib(-1.0, 0.30) == 0.30)
+    assert(BenchGate.gateCalib(0.30, -1.0) == 0.30)
+    assert(BenchGate.boxScale(
+      BenchGate.gateCalib(-1.0, -1.0), Some(0.30)) == 1.0)
+  }
+
+  test("shouldRoll: a contended full run must NOT become the comparison " +
+      "base (VERDICT r14 #2 — the r14 driver window)") {
+    // the r14 driver run: full set, zero failures, 1+10+2+19 = 32 flags
+    // — rolled itself into the baseline and muted the next gate on
+    // exactly the noisiest queries; must be rejected
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 32))
+    // calm full runs (0-5 flags observed r11-r14) roll
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0))
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 5))
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0,
+      nFlags = BenchGate.MaxRollFlags))
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0,
+      nFlags = BenchGate.MaxRollFlags + 1))
+  }
+
+  test("shouldRoll: subset runs and failed runs never roll, however calm") {
+    assert(!BenchGate.shouldRoll(fullSet = false, nFailed = 0, nFlags = 0))
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 1, nFlags = 0))
+  }
+
+  test("parseSnapshot: the r15 roll format (calib_confirm + rolled fields) " +
+      "parses calib from the start probe only") {
+    val r15 = """{"metric":"total","value":80.0,"unit":"sec","queries":""" +
+      """{"q_scan":0.2},"calib":0.30,"calib_confirm":0.55,""" +
+      """"box_scale":1.83,"rolled":true,"sf":"/root/testdata/sf0.1"}"""
+    val (qs, c) = BenchGate.parseSnapshot(r15, "/root/testdata/sf0.1")
+    assert(qs == Map("q_scan" -> 0.2))
+    assert(c.contains(0.30),
+      "calib_confirm must not shadow the start-probe calib")
+  }
 }

@@ -800,10 +800,6 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  // NOTE: this test runs LAST in the suite on purpose — it touches a
-  // second data dir, and the memoize eviction rule ("one dir per
-  // session") drops the sf-dir cache entries; any test after it would
-  // silently rebuild them.
   test("core-width rebalance is conditional on observed scan width " +
       "(r13 #2): narrow scan shuffles to cores, wide scan does not") {
     // Narrow case first (the shipped sf fixture is one row group per
@@ -818,17 +814,44 @@ class PlanAuditSpec extends AnyFunSuite {
     // Wide case: the same queries against the SAME data written as
     // >= cores parquet files (the production thousands-of-splits
     // shape) must skip the rebalance — it would be a pointless extra
-    // full pass over corpus bytes at scale.
+    // full pass over corpus bytes at scale. Touching the wide dir
+    // evicts the session's sf-dir memo entries ("one dir per session"),
+    // so the finally re-invokes the sf-dir plans to restore them
+    // (ADVICE r14 #4) — the test no longer depends on running last in
+    // the suite, and a later-added test sees warm caches either way.
     val wide = TestSpark.tmpDir("widesf")
     val cores = spark.sparkContext.defaultParallelism
     for (t <- Seq("documents", "embeddings"))
       spark.read.parquet(s"$sf/$t.parquet").repartition(2 * cores)
         .write.mode("overwrite").parquet(s"$wide/$t.parquet")
-    for (q <- Seq("q_cdc_chunk", "q_silhouette")) {
-      val wp = SparkEntry.queries(q)(spark, wide)
-        .queryExecution.executedPlan.toString
-      assert(!wp.contains("RoundRobinPartitioning"),
-        s"$q still rebalances an already-wide scan:\n$wp")
+    try {
+      for (q <- Seq("q_cdc_chunk", "q_silhouette")) {
+        val wp = SparkEntry.queries(q)(spark, wide)
+          .queryExecution.executedPlan.toString
+        assert(!wp.contains("RoundRobinPartitioning"),
+          s"$q still rebalances an already-wide scan:\n$wp")
+      }
+    } finally {
+      // planning against sf re-runs the memoized builders, evicting the
+      // wide-dir entries and re-registering the sf-dir cached tables
+      for (q <- Seq("q_cdc_chunk", "q_silhouette")) plan(q)
     }
+  }
+
+  test("rebalanceIfNarrow rejects non-scan inputs loudly (ADVICE r14 #3): " +
+      "an exchange below the width probe would materialize query stages") {
+    import org.apache.spark.sql.functions._
+    // scan + filter + project (the whitelisted shape) passes
+    val ok = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 0).select("doc_id", "text")
+    graft.queries.Helpers.rebalanceIfNarrow(ok) // must not throw
+    // an aggregate below the probe point must fail at CALL time — under
+    // AQE, reading its physical width would run the shuffle stages
+    val agg = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count()
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Helpers.rebalanceIfNarrow(agg)
+    }
+    assert(e.getMessage.contains("Aggregate"), e.getMessage)
   }
 }
