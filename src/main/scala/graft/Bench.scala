@@ -335,7 +335,8 @@ object Bench {
     // became the tier's comparison base (VERDICT r14 #2).
     val nFlags = overBudget.size + overTransient.size +
       regressed.size + regTransient.size
-    val rolled = BenchGate.shouldRoll(only.isEmpty, failed.size, nFlags)
+    val rolled = BenchGate.shouldRoll(only.isEmpty, failed.size, nFlags,
+      BenchGate.gateCalib(calib, calibConfirm), prevCalib)
     val calibField = s""","calib":$calib,"calib_confirm":$calibConfirm""" +
       s""","box_scale":$boxScale,"rolled":$rolled"""
     val json =
@@ -380,8 +381,10 @@ object Bench {
         System.err.println(s"[bench] could not roll $prevPath: ${e.getMessage}")
       }
     } else if (only.isEmpty && failed.isEmpty)
-      System.err.println(s"[bench] NOT rolling $prevPath: $nFlags flags > " +
-        s"${BenchGate.MaxRollFlags} (contended window); prior snapshot kept")
+      System.err.println(s"[bench] NOT rolling $prevPath ($nFlags flags, " +
+        f"gate calib ${BenchGate.gateCalib(calib, calibConfirm)}%.3f vs " +
+        f"snapshot ${prevCalib.getOrElse(-1.0)}%.3f): contended window; " +
+        "prior snapshot kept")
     spark.stop()
   }
 }

@@ -86,12 +86,34 @@ private[graft] object BenchGate {
     * headroom while rejecting anything like the r14 window. */
   val MaxRollFlags = 8
 
+  /** Max ratio of this run's gate calibration to the SNAPSHOT's by
+    * which a run may still replace the snapshot. Flag counts alone
+    * cannot catch SUSTAINED contention: boxScale correctly suppresses
+    * the flags a slower window would otherwise mint, so a 1.5x-slower
+    * run can arrive flag-clean and would roll its inflated numbers
+    * over a faster box's baseline (observed live while building r15:
+    * calib 0.26 -> 0.355 rolled flag-free). A baseline should only be
+    * replaced by a run whose box was at least comparably fast; runs on
+    * a visibly slower box keep the prior snapshot and rely on boxScale
+    * for their own comparisons. 1.25 sits above back-to-back same-box
+    * calib drift (<= ~1.2 observed r14-r15) and below the 1.5x gate
+    * threshold the inflation would erode. */
+  val MaxRollCalibRatio = 1.25
+
   /** Contention-aware roll decision (VERDICT r14 #2): a run may become
     * the tier's comparison base only when it is the FULL query set
     * (subset runs measure mid-weight queries ~1.5x above full-run
-    * steady state — less block-store warmth), zero queries failed, and
-    * the run was calm (total flags <= [[MaxRollFlags]]). A skipped roll
-    * leaves the prior snapshot in place; the next calm window rolls. */
-  def shouldRoll(fullSet: Boolean, nFailed: Int, nFlags: Int): Boolean =
-    fullSet && nFailed == 0 && nFlags <= MaxRollFlags
+    * steady state — less block-store warmth), zero queries failed, the
+    * run was calm (total flags <= [[MaxRollFlags]] — the bursty-window
+    * mode), and its box was not visibly slower than the snapshot's
+    * (gateCalib <= [[MaxRollCalibRatio]] x the snapshot's calib — the
+    * sustained-contention mode flag counts cannot see). A skipped roll
+    * leaves the prior snapshot in place; the next calm window rolls.
+    * Missing calibration on either side skips the calib criterion (a
+    * legacy snapshot must remain replaceable). */
+  def shouldRoll(fullSet: Boolean, nFailed: Int, nFlags: Int,
+      gateCalib: Double = -1.0, prevCalib: Option[Double] = None): Boolean =
+    fullSet && nFailed == 0 && nFlags <= MaxRollFlags &&
+      prevCalib.filter(_ > 0).forall(p =>
+        gateCalib <= 0 || gateCalib <= MaxRollCalibRatio * p)
 }

@@ -129,6 +129,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 1, nFlags = 0))
   }
 
+  test("shouldRoll: a flag-clean run on a visibly slower box must NOT " +
+      "replace a faster box's baseline (sustained contention is invisible " +
+      "to flag counts because boxScale suppresses the flags)") {
+    // the live r15 observation: calib 0.26 baseline, then a 0.355/0.432
+    // window arrived flag-clean (box_scale 1.66 absorbed the slowdown)
+    // and would have rolled its inflated numbers over the baseline
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 1,
+      gateCalib = 0.432, prevCalib = Some(0.260)))
+    // same-box drift (<= ~1.2 observed back-to-back) still rolls
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 1,
+      gateCalib = 0.30, prevCalib = Some(0.260)))
+    // a FASTER box always rolls (the healing direction)
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.21, prevCalib = Some(0.355)))
+    // missing calibration on either side skips the criterion — a legacy
+    // snapshot must remain replaceable, a failed probe must not wedge
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.50, prevCalib = None))
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = -1.0, prevCalib = Some(0.260)))
+  }
+
   test("parseSnapshot: the r15 roll format (calib_confirm + rolled fields) " +
       "parses calib from the start probe only") {
     val r15 = """{"metric":"total","value":80.0,"unit":"sec","queries":""" +
