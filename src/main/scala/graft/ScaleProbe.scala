@@ -317,22 +317,8 @@ object ScaleProbe {
     val recipePath = java.nio.file.Paths.get(root, "_recipe")
     val sink = new graft.engine.VersionedParquetSink(root)
     val covered = sink.exists(spark, "ann_vectors") &&
-      sink.exists(spark, "ann_meta") && {
-        // any failure here — including an EMPTY ann_meta from a
-        // partial/corrupt prior build, where sum() returns null and
-        // getLong would NPE — means "not covered": fall through to a
-        // rebuild instead of crashing the probe (ADVICE r14 #1)
-        try {
-          val m = sink.read(spark, "ann_meta")
-            .agg(sum("n").cast("long"), sum("fpsum").cast("long")).head()
-          !m.isNullAt(0) && !m.isNullAt(1) &&
-            m.getLong(0) == n && m.getLong(1) == fp
-        } catch { case e: Exception =>
-          System.err.println(s"[probe] ann_meta check failed " +
-            s"(${e.getMessage}); rebuilding")
-          false
-        }
-      } && {
+      sink.exists(spark, "ann_meta") &&
+      annMetaCovered(spark, sink, n, fp) && {
         val stored = try new String(java.nio.file.Files.readAllBytes(
             recipePath), java.nio.charset.StandardCharsets.UTF_8).trim
           catch { case _: Throwable => "" }
@@ -361,6 +347,25 @@ object ScaleProbe {
     }
     root
   }
+
+  /** True iff the persisted index's additive ann_meta fingerprint
+    * matches the live corpus (count n + content fpsum). Null- and
+    * failure-safe (ADVICE r14 #1): an EMPTY ann_meta left by a
+    * partial/corrupt prior build makes sum() return null — getLong
+    * there would NPE mid-probe — and any read failure means the same
+    * thing; both report "not covered" so the caller rebuilds. */
+  private[graft] def annMetaCovered(spark: SparkSession,
+      sink: graft.engine.VersionedParquetSink, n: Long, fp: Long): Boolean =
+    try {
+      val m = sink.read(spark, "ann_meta")
+        .agg(sum("n").cast("long"), sum("fpsum").cast("long")).head()
+      !m.isNullAt(0) && !m.isNullAt(1) &&
+        m.getLong(0) == n && m.getLong(1) == fp
+    } catch { case e: Exception =>
+      System.err.println(s"[probe] ann_meta check failed " +
+        s"(${e.getMessage}); rebuilding")
+      false
+    }
 
   /** Per-replica length-preserving character map: independent rotations
     * of three disjoint letter groups (5 x 5 x 5 = 125 distinct maps), so

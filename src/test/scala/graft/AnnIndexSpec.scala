@@ -296,4 +296,25 @@ class AnnIndexSpec extends AnyFunSuite {
     // the pre-retrain index generation is still time-travelable
     assert(sink.readAt(spark, "ann_centroids", 0).count() == 3)
   }
+
+  test("probe reuse gate: an EMPTY or mismatched ann_meta reads as " +
+      "'not covered' instead of crashing (ADVICE r14 #1)") {
+    // empty ann_meta = the partial/corrupt-prior-build shape: sum()
+    // over zero rows returns null, which must mean rebuild, not NPE
+    val sink = new VersionedParquetSink(TestSpark.tmpDir("annmeta"))
+    val empty = spark.range(0).select(col("id").as("n"), col("id").as("fpsum"))
+    sink.append(empty, "ann_meta")
+    assert(!ScaleProbe.annMetaCovered(spark, sink, 10L, 99L))
+
+    // a matching additive fingerprint (rows sum to (n, fp)) is covered
+    sink.append(Seq((6L, 40L), (4L, 59L)).toDF("n", "fpsum"), "ann_meta")
+    assert(ScaleProbe.annMetaCovered(spark, sink, 10L, 99L))
+    // count or content drift both read as not covered
+    assert(!ScaleProbe.annMetaCovered(spark, sink, 11L, 99L))
+    assert(!ScaleProbe.annMetaCovered(spark, sink, 10L, 98L))
+
+    // a missing table (read throws) also degrades to not covered
+    val bare = new VersionedParquetSink(TestSpark.tmpDir("annmeta2"))
+    assert(!ScaleProbe.annMetaCovered(spark, bare, 10L, 99L))
+  }
 }
