@@ -225,9 +225,23 @@ object Bench {
     // a contended driver run against an idle-box snapshot flags plan
     // changes, not the box.
     val overFirst = results.collect { case (k, v) if v > 2.0 => k }
+    // Candidate sweep uses the probe scale CLAMPED by the run's own
+    // 160-query median ratio vs the snapshot (BenchGate.candidateScale)
+    // — observed live this round: a probe reading 2.83x on the fastest
+    // full run on record (median ratio 0.93) would have made a genuine
+    // 2x regression invisible (never collected, so never re-timed).
+    // Candidates are cheap (one re-run at end); the CONFIRMED gate
+    // below keeps the max-of-probes scale (see candidateScale's doc
+    // for why clamping that too would undo the r14 burst fix).
+    val medRatio = BenchGate.medianRatio(results, prevQ)
+    val candScale = BenchGate.candidateScale(startScale, medRatio)
+    if (candScale != startScale)
+      System.err.println(f"[bench] workload median ratio " +
+        f"${medRatio.getOrElse(-1.0)}%.2f clamps candidate scale " +
+        f"$startScale%.2fx -> $candScale%.2fx")
     val regFirst = results.collect {
       case (k, v) if v >= 0 &&
-        prevQ.get(k).exists(BenchGate.isRegression(_, v, startScale)) => k
+        prevQ.get(k).exists(BenchGate.isRegression(_, v, candScale)) => k
     }
 
     // Second calibration probe, timed AT the confirmation pass (VERDICT
@@ -337,8 +351,12 @@ object Bench {
       regressed.size + regTransient.size
     val rolled = BenchGate.shouldRoll(only.isEmpty, failed.size, nFlags,
       BenchGate.gateCalib(calib, calibConfirm), prevCalib)
+    // median_ratio is the run's whole-workload speed vs the snapshot
+    // (the signal that exposed the probe/workload decoupling) — absent
+    // on subset runs with too few overlapping queries
     val calibField = s""","calib":$calib,"calib_confirm":$calibConfirm""" +
-      s""","box_scale":$boxScale,"rolled":$rolled"""
+      s""","box_scale":$boxScale,"rolled":$rolled""" +
+      medRatio.map(m => s""","median_ratio":$m""").getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedField$overField$regField$prewarmField$annField$calibField,"sf":"${esc(sfDir)}"}"""
     // stdout gets wrapped by sbt ("[info] {...}") and interleaved with log

@@ -116,4 +116,49 @@ private[graft] object BenchGate {
     fullSet && nFailed == 0 && nFlags <= MaxRollFlags &&
       prevCalib.filter(_ > 0).forall(p =>
         gateCalib <= 0 || gateCalib <= MaxRollCalibRatio * p)
+
+  /** Fewest cur-vs-snapshot overlapping queries for [[medianRatio]] to
+    * count as workload evidence: the 11-query ANN tier clears it, a
+    * handful-sized SPARK_GRAFT_ONLY subset does not. */
+  val MinMedianOverlap = 8
+
+  /** Median of cur/prev over the queries both runs measured — the
+    * run's own whole-workload box signal. 160 (or 11) independent
+    * query timings are a far more robust read of "how fast is this box
+    * for THIS workload" than one CPU-spin probe: a genuine plan
+    * regression moves a few queries and leaves the median alone, while
+    * genuine box slowdown moves the median with the probe. None when
+    * fewer than [[MinMedianOverlap]] queries overlap (subset runs) —
+    * too few samples for a workload claim. */
+  def medianRatio(cur: Seq[(String, Double)],
+      prev: Map[String, Double]): Option[Double] = {
+    val rs = cur.collect {
+      case (k, v) if v >= 0 && prev.get(k).exists(_ > 0) => v / prev(k)
+    }.sorted
+    if (rs.size < MinMedianOverlap) None
+    else if (rs.size % 2 == 1) Some(rs(rs.size / 2))
+    else Some((rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2)
+  }
+
+  /** The scale CANDIDATE selection (the first-pass flag sweep) uses:
+    * the probe-derived scale clamped by the run's own workload
+    * evidence, relax-only. Observed live (r15): a window whose CPU
+    * probe read 2.83x the snapshot's while the 160-query median ratio
+    * was 0.93 — the fastest full run on record. Under the unclamped
+    * probe scale a genuine 2x plan regression in that window would
+    * never even have been COLLECTED for confirmation (invisible, not
+    * just suppressed): 2x < the 1.5 * 2.83 candidate threshold. The
+    * clamp keeps the candidate sweep honest under a probe/workload
+    * decoupling; the CONFIRMED-flag gate deliberately stays on the
+    * max-of-probes scale (gateCalib) — clamping it too would let a
+    * burst-tail that reproduces within a contended window (the r14
+    * q_assortativity 3.12-on-both-passes shape) mint a false CONFIRMED
+    * flag, undoing VERDICT r14 #4. A real regression under a
+    * decoupled-probe window therefore surfaces as a TRANSIENT flag
+    * with matching first/confirm times this run, and confirms on the
+    * next calm window (the snapshot cannot roll meanwhile — its calib
+    * criterion rejects these same windows). */
+  def candidateScale(probeScale: Double, medianRatio: Option[Double]): Double =
+    medianRatio.map(m => math.min(probeScale, math.max(1.0, m)))
+      .getOrElse(probeScale)
 }

@@ -161,4 +161,50 @@ class BenchGateSpec extends AnyFunSuite {
     assert(c.contains(0.30),
       "calib_confirm must not shadow the start-probe calib")
   }
+
+  test("medianRatio: a few-query regression cannot move the whole-workload " +
+      "median; too few overlapping queries yields None") {
+    val prev = (1 to 20).map(i => s"q_$i" -> 0.5).toMap
+    // 18 queries at ~0.95x, two genuinely regressed 3x: median stays low
+    val cur = (1 to 20).map(i =>
+      s"q_$i" -> (if (i <= 2) 1.5 else 0.475))
+    assert(BenchGate.medianRatio(cur, prev).contains(0.95))
+    // failed queries (-1) and queries absent from the snapshot are
+    // excluded from the evidence, not counted as ratios
+    val curMixed = cur ++ Seq("q_new" -> 0.4, "q_21" -> -1.0)
+    assert(BenchGate.medianRatio(curMixed, prev).contains(0.95))
+    // a subset run below the overlap floor carries no workload claim
+    assert(BenchGate.medianRatio(cur.take(BenchGate.MinMedianOverlap - 1),
+      prev).isEmpty)
+  }
+
+  test("candidateScale: the r15 decoupled window (probe 2.83x, workload " +
+      "median 0.93) must not blind the candidate sweep to a real 2x " +
+      "regression") {
+    // the live r15 numbers: fastest full run on record (median ratio
+    // 0.93, 105/160 queries faster than the snapshot) while the CPU
+    // probe read 0.598 vs snapshot 0.211 = 2.83x
+    val clamped = BenchGate.candidateScale(2.83, Some(0.93))
+    assert(clamped == 1.0)
+    // a genuine 0.5 -> 1.0 s doubling IS a candidate under the clamp...
+    assert(BenchGate.isRegression(0.5, 1.0, clamped))
+    // ...and was INVISIBLE under the raw probe scale (the failure mode:
+    // never collected, so never re-timed, so absent from the report)
+    assert(!BenchGate.isRegression(0.5, 1.0, 2.83))
+  }
+
+  test("candidateScale: sustained contention the median corroborates " +
+      "still relaxes; a matched probe cannot be raised by the median") {
+    // probe and workload agree the box is slower: clamp to the
+    // workload's own figure (the more honest of the two)
+    assert(BenchGate.candidateScale(1.66, Some(1.13)) == 1.13)
+    // relax-only: a faster-box median (<1) clamps to 1.0, never below
+    assert(BenchGate.candidateScale(1.66, Some(0.80)) == 1.0)
+    // the r14 burst shape (start probe matched the snapshot): min()
+    // cannot RAISE the scale above the probe's 1.0 — burst handling
+    // stays with the confirm-pass gate, not the candidate sweep
+    assert(BenchGate.candidateScale(1.0, Some(1.40)) == 1.0)
+    // no workload evidence (subset run): the probe scale stands
+    assert(BenchGate.candidateScale(2.83, None) == 2.83)
+  }
 }
