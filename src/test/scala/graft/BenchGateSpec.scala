@@ -155,9 +155,11 @@ class BenchGateSpec extends AnyFunSuite {
       "parses calib from the start probe only") {
     val r15 = """{"metric":"total","value":80.0,"unit":"sec","queries":""" +
       """{"q_scan":0.2},"calib":0.30,"calib_confirm":0.55,""" +
-      """"box_scale":1.83,"rolled":true,"sf":"/root/testdata/sf0.1"}"""
+      """"box_scale":1.83,"rolled":true,"median_ratio":0.93,""" +
+      """"sf":"/root/testdata/sf0.1"}"""
     val (qs, c) = BenchGate.parseSnapshot(r15, "/root/testdata/sf0.1")
-    assert(qs == Map("q_scan" -> 0.2))
+    assert(qs == Map("q_scan" -> 0.2),
+      "median_ratio must not pollute the parsed query baseline")
     assert(c.contains(0.30),
       "calib_confirm must not shadow the start-probe calib")
   }
