@@ -117,6 +117,35 @@ object Bench {
       }
     System.err.println(f"[bench] box calibration: $calib%.3f s")
 
+    // I/O-mixed calibration probe (VERDICT r15 #2): the CPU-only probe
+    // decoupled from the 160-query workload four times across r15
+    // (probe 2.4-2.8x vs workload median 0.86-0.93, ~2.5 h, both
+    // directions) — pure crc32-over-range() exercises none of the scan
+    // path the workload actually spends in. This probe times a fixed
+    // same-tier parquet scan+agg over lineitem (numeric sums + a string
+    // length sum: file read, decompression, columnar decode, one
+    // single-stage agg — no shuffle), under the same warmup-then-min-of-2
+    // protocol. Both family figures travel in the report AND the rolled
+    // snapshot; the gate normalizes by the MAX of the family ratios
+    // (mirroring the r14 dual-pass max — each family can only RELAX),
+    // and the roll gate's calib criterion requires EVERY family to read
+    // the box comparably fast. Per-tier snapshots keep the probe
+    // comparable (same file both sides).
+    def calibrateIoOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_extendedprice) as a", "sum(l_quantity) as b",
+          "sum(length(l_returnflag)) as c")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibIo = try { calibrateIoOnce(); math.min(calibrateIoOnce(), calibrateIoOnce()) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] io calibration failed: ${e.getMessage}")
+        -1.0
+      }
+    System.err.println(f"[bench] box io calibration: $calibIo%.3f s")
+
     // Prewarm the cross-query memoized tables (shingles, dedup pairs,
     // IVF/PQ quantizers, winnow fingerprints, bigram model input, BPE
     // merges) UNTIMED, so the first timed consumer of a shared cache is
@@ -199,11 +228,16 @@ object Bench {
       s"/root/repo/bench_${modePrefix}prev_$tier.json")
     // Parsing + gate arithmetic live in BenchGate (spec-pinned; the
     // r14 gate-demo outcomes are BenchGateSpec assertions).
-    val (prevQ: Map[String, Double], prevCalib: Option[Double]) = try {
-      BenchGate.parseSnapshot(new String(java.nio.file.Files.readAllBytes(
+    val prevTxt: String = try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)),
-        java.nio.charset.StandardCharsets.UTF_8), sfDir)
-    } catch { case _: Throwable => (Map.empty, None) }
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => "" }
+    val (prevQ: Map[String, Double], prevCalib: Option[Double]) =
+      BenchGate.parseSnapshot(prevTxt, sfDir)
+    // the I/O probe figure arrived r16; a legacy snapshot without it
+    // degrades that family to scale 1.0 / criterion-skipped
+    val prevCalibIo: Option[Double] =
+      BenchGate.parseCalib(prevTxt, sfDir, "calib_io")
 
     // Box-provenance scale (VERDICT r13 #3): when both runs carry a
     // calibration figure, the gate's allowance stretches by the box
@@ -213,10 +247,15 @@ object Bench {
     // is box-aware. This start-probe scale picks the CANDIDATES; the
     // confirmed-flag gate below re-derives the scale from a SECOND
     // probe timed at the confirmation pass (VERDICT r14 #4).
-    val startScale: Double = BenchGate.boxScale(calib, prevCalib)
+    // max over the probe families: each ratio is relax-only (floored at
+    // 1.0), so a family missing on either side contributes nothing and
+    // whichever family saw the contention stretches the gate
+    val startScale: Double = math.max(BenchGate.boxScale(calib, prevCalib),
+      BenchGate.boxScale(calibIo, prevCalibIo))
     if (startScale != 1.0)
       System.err.println(f"[bench] box scale vs snapshot: $startScale%.2fx " +
-        f"(calib $calib%.3f s vs prev ${prevCalib.getOrElse(-1.0)}%.3f s)")
+        f"(calib $calib%.3f s vs prev ${prevCalib.getOrElse(-1.0)}%.3f s; " +
+        f"io $calibIo%.3f s vs prev ${prevCalibIo.getOrElse(-1.0)}%.3f s)")
 
     // Flag predicates. Over-budget: the driver's budget is ~1 s/query
     // with a 2x gate, so any steady-state time above 2 s gets NAMED
@@ -256,8 +295,15 @@ object Bench {
         System.err.println(s"[bench] confirm calibration failed: ${e.getMessage}")
         -1.0
       }
-    val boxScale: Double =
-      BenchGate.boxScale(BenchGate.gateCalib(calib, calibConfirm), prevCalib)
+    val calibIoConfirm = try math.min(calibrateIoOnce(), calibrateIoOnce())
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] confirm io calibration failed: ${e.getMessage}")
+        -1.0
+      }
+    val boxScale: Double = math.max(
+      BenchGate.boxScale(BenchGate.gateCalib(calib, calibConfirm), prevCalib),
+      BenchGate.boxScale(BenchGate.gateCalib(calibIo, calibIoConfirm),
+        prevCalibIo))
     if (boxScale != startScale)
       System.err.println(f"[bench] confirm-pass calib $calibConfirm%.3f s " +
         f"raises gate scale $startScale%.2fx -> $boxScale%.2fx")
@@ -349,12 +395,22 @@ object Bench {
     // became the tier's comparison base (VERDICT r14 #2).
     val nFlags = overBudget.size + overTransient.size +
       regressed.size + regTransient.size
+    // confirmed flags only — transients (including clamp-induced ones,
+    // ADVICE r15 #3) do not block the workload roll path
+    val nConfirmed = overBudget.size + regressed.size
     val rolled = BenchGate.shouldRoll(only.isEmpty, failed.size, nFlags,
-      BenchGate.gateCalib(calib, calibConfirm), prevCalib)
+      BenchGate.gateCalib(calib, calibConfirm), prevCalib,
+      BenchGate.gateCalib(calibIo, calibIoConfirm), prevCalibIo,
+      nConfirmed, medRatio)
     // median_ratio is the run's whole-workload speed vs the snapshot
     // (the signal that exposed the probe/workload decoupling) — absent
-    // on subset runs with too few overlapping queries
+    // on subset runs with too few overlapping queries. NOTE (ADVICE
+    // r15): it is computed from FIRST-pass times, the honest
+    // box-weather read (confirm re-runs would bias flagged queries
+    // fast), so it is deliberately NOT re-derivable from the published
+    // per-query figures, which are min-over-passes.
     val calibField = s""","calib":$calib,"calib_confirm":$calibConfirm""" +
+      s""","calib_io":$calibIo,"calib_io_confirm":$calibIoConfirm""" +
       s""","box_scale":$boxScale,"rolled":$rolled""" +
       medRatio.map(m => s""","median_ratio":$m""").getOrElse("")
     val json =
@@ -399,9 +455,14 @@ object Bench {
         System.err.println(s"[bench] could not roll $prevPath: ${e.getMessage}")
       }
     } else if (only.isEmpty && failed.isEmpty)
-      System.err.println(s"[bench] NOT rolling $prevPath ($nFlags flags, " +
+      System.err.println(s"[bench] NOT rolling $prevPath ($nFlags flags " +
+        s"of which $nConfirmed confirmed, " +
         f"gate calib ${BenchGate.gateCalib(calib, calibConfirm)}%.3f vs " +
-        f"snapshot ${prevCalib.getOrElse(-1.0)}%.3f): contended window; " +
+        f"snapshot ${prevCalib.getOrElse(-1.0)}%.3f, io " +
+        f"${BenchGate.gateCalib(calibIo, calibIoConfirm)}%.3f vs " +
+        f"${prevCalibIo.getOrElse(-1.0)}%.3f, median ratio " +
+        f"${medRatio.getOrElse(-1.0)}%.2f outside " +
+        s"${BenchGate.WorkloadRollBand}): contended window; " +
         "prior snapshot kept")
     spark.stop()
   }

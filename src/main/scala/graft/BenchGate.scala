@@ -39,6 +39,23 @@ private[graft] object BenchGate {
     }
   }
 
+  /** A single named positive-number field from a same-tier snapshot —
+    * the extraction path for the probe figures that arrived after
+    * [[parseSnapshot]]'s shape froze (currently `calib_io`, VERDICT
+    * r15 #2). Same tier gating and same failed-probe filtering as the
+    * main parse: a mismatched sf or a `-1.0` marker yields None, so a
+    * legacy snapshot without the field degrades exactly like a
+    * pre-calibration one (scale 1.0, criterion skipped). The pattern
+    * requires `":` immediately after the name, so `calib` can never
+    * match inside `calib_io`/`calib_confirm` and vice versa. */
+  def parseCalib(txt: String, sfDir: String, field: String): Option[Double] = {
+    val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (!prevSf.contains(sfDir)) None
+    else ("\"" + java.util.regex.Pattern.quote(field) +
+        """":(-?[0-9][0-9.eE+-]*)""").r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble).filter(_ > 0)
+  }
+
   /** Box-provenance scale: the ratio of this run's calibration time to
     * the snapshot's, RELAX-ONLY (a faster current box must not tighten
     * the gate below its absolute thresholds — real regressions still
@@ -100,22 +117,58 @@ private[graft] object BenchGate {
     * threshold the inflation would erode. */
   val MaxRollCalibRatio = 1.25
 
+  /** The median_ratio band inside which a full zero-CONFIRMED-flag run
+    * may roll the snapshot on workload evidence alone (VERDICT r15 #1).
+    * Lower bound 0.95 excludes abnormally FAST windows (rolling the
+    * observed 68 s / median-0.86 window would tighten the baseline ~14%
+    * below calm-box level and mint false confirmed flags on the next
+    * normal run — relax-only boxScale cannot stretch for a box merely
+    * back to normal); upper bound 1.10 excludes sustained contention
+    * (the mode [[MaxRollCalibRatio]] exists for). The r15 driver run
+    * (median 1.03, zero flags, FASTER than the snapshot in total) sits
+    * squarely inside and was the wedge this band unwedges. */
+  val WorkloadRollBand: (Double, Double) = (0.95, 1.10)
+
   /** Contention-aware roll decision (VERDICT r14 #2): a run may become
     * the tier's comparison base only when it is the FULL query set
     * (subset runs measure mid-weight queries ~1.5x above full-run
-    * steady state — less block-store warmth), zero queries failed, the
-    * run was calm (total flags <= [[MaxRollFlags]] — the bursty-window
-    * mode), and its box was not visibly slower than the snapshot's
-    * (gateCalib <= [[MaxRollCalibRatio]] x the snapshot's calib — the
-    * sustained-contention mode flag counts cannot see). A skipped roll
-    * leaves the prior snapshot in place; the next calm window rolls.
-    * Missing calibration on either side skips the calib criterion (a
-    * legacy snapshot must remain replaceable). */
+    * steady state — less block-store warmth), zero queries failed, and
+    * ONE of two evidence paths clears:
+    *
+    *  - **calm path** (r15 shape): total flags <= [[MaxRollFlags]] (the
+    *    bursty-window mode) and NO probe family reads the box visibly
+    *    slower than the snapshot's (each gate calib <=
+    *    [[MaxRollCalibRatio]] x its snapshot counterpart — the
+    *    sustained-contention mode flag counts cannot see). Missing
+    *    calibration on either side of a family skips that family's
+    *    criterion (a legacy snapshot must remain replaceable).
+    *  - **workload path** (VERDICT r15 #1): zero CONFIRMED flags and
+    *    the run's own 160-query median ratio inside
+    *    [[WorkloadRollBand]]. The CPU probe decoupled from the workload
+    *    four times across r15 (2.5 h, both directions) and wedged the
+    *    roll on a run that was faster than the snapshot; 160
+    *    independent query timings outrank one probe. Transient flags
+    *    deliberately do NOT count here (closing ADVICE r15 #3: the
+    *    candidate clamp mints extra transients under exactly the
+    *    decoupled-probe windows this path exists for), but confirmed
+    *    flags — which reproduced within the run — always block.
+    *
+    * A skipped roll leaves the prior snapshot in place; the next
+    * qualifying window rolls. Callers without median evidence (subset
+    * runs, legacy call sites) pass the defaults and get the calm path
+    * only. */
   def shouldRoll(fullSet: Boolean, nFailed: Int, nFlags: Int,
-      gateCalib: Double = -1.0, prevCalib: Option[Double] = None): Boolean =
-    fullSet && nFailed == 0 && nFlags <= MaxRollFlags &&
-      prevCalib.filter(_ > 0).forall(p =>
-        gateCalib <= 0 || gateCalib <= MaxRollCalibRatio * p)
+      gateCalib: Double = -1.0, prevCalib: Option[Double] = None,
+      gateCalibIo: Double = -1.0, prevCalibIo: Option[Double] = None,
+      nConfirmed: Int = -1, medianRatio: Option[Double] = None): Boolean = {
+    def calibOk(g: Double, p: Option[Double]): Boolean =
+      p.filter(_ > 0).forall(pv => g <= 0 || g <= MaxRollCalibRatio * pv)
+    val calm = nFlags <= MaxRollFlags &&
+      calibOk(gateCalib, prevCalib) && calibOk(gateCalibIo, prevCalibIo)
+    val workload = nConfirmed == 0 && medianRatio.exists(m =>
+      m >= WorkloadRollBand._1 && m <= WorkloadRollBand._2)
+    fullSet && nFailed == 0 && (calm || workload)
+  }
 
   /** Fewest cur-vs-snapshot overlapping queries for [[medianRatio]] to
     * count as workload evidence: the 11-query ANN tier clears it, a

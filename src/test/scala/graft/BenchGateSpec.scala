@@ -195,6 +195,104 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.isRegression(0.5, 1.0, 2.83))
   }
 
+  test("shouldRoll: workload path (VERDICT r15 #1) — the r15 driver window " +
+      "(median 1.03, zero flags, probe calib 1.53x the snapshot's) rolls") {
+    // the live wedge: 83.06 s, FASTER than the snapshot in total,
+    // median_ratio 1.03, zero flags of any kind — refused purely on the
+    // probe calib ratio 0.323/0.211 = 1.53x while the decoupled probe
+    // profile persisted on the container class (4 probes, 2.5 h)
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.323, prevCalib = Some(0.211),
+      nConfirmed = 0, medianRatio = Some(1.03)))
+    // ...and the pre-r16 call shape (no workload evidence) still
+    // refuses it — the calm path's calib criterion is unchanged
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.323, prevCalib = Some(0.211)))
+  }
+
+  test("shouldRoll: workload path — the 68 s window (median 0.86, " +
+      "abnormally FAST) is still refused, as is sustained contention " +
+      "(median above the band)") {
+    // rolling the fast window would tighten the baseline ~14% below
+    // calm-box level and mint false confirmed flags on the next normal
+    // run (NOTES r15's rejection analysis — the band's lower bound)
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.55, prevCalib = Some(0.211),
+      nConfirmed = 0, medianRatio = Some(0.86)))
+    // sustained contention the median corroborates: no roll either
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.55, prevCalib = Some(0.211),
+      nConfirmed = 0, medianRatio = Some(1.20)))
+    // band edges inclusive
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.55, prevCalib = Some(0.211),
+      nConfirmed = 0, medianRatio = Some(BenchGate.WorkloadRollBand._1)))
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.55, prevCalib = Some(0.211),
+      nConfirmed = 0, medianRatio = Some(BenchGate.WorkloadRollBand._2)))
+  }
+
+  test("shouldRoll: workload path ignores TRANSIENT flags (ADVICE r15 #3 " +
+      "— clamp-minted transients must not wedge rolls) but any CONFIRMED " +
+      "flag blocks it") {
+    // 30 transients under a decoupled-probe window, median normal: rolls
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 30,
+      gateCalib = 0.55, prevCalib = Some(0.211),
+      nConfirmed = 0, medianRatio = Some(1.02)))
+    // one confirmed flag: the workload path closes; calm path's flag
+    // count (30 > 8) and calib ratio both fail too — no roll
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 30,
+      gateCalib = 0.55, prevCalib = Some(0.211),
+      nConfirmed = 1, medianRatio = Some(1.02)))
+    // subset and failed runs never roll, whatever the evidence
+    assert(!BenchGate.shouldRoll(fullSet = false, nFailed = 0, nFlags = 0,
+      nConfirmed = 0, medianRatio = Some(1.0)))
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 1, nFlags = 0,
+      nConfirmed = 0, medianRatio = Some(1.0)))
+  }
+
+  test("shouldRoll: calm path requires EVERY probe family comparably fast " +
+      "(VERDICT r15 #2 — the I/O family joins the criterion)") {
+    // CPU probe matched but the I/O probe reads the box 1.67x slower:
+    // sustained I/O contention must not roll over a faster box's base
+    assert(!BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.21, prevCalib = Some(0.211),
+      gateCalibIo = 0.50, prevCalibIo = Some(0.30)))
+    // both families matched: rolls
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.21, prevCalib = Some(0.211),
+      gateCalibIo = 0.31, prevCalibIo = Some(0.30)))
+    // a legacy snapshot without calib_io skips the I/O criterion
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.21, prevCalib = Some(0.211),
+      gateCalibIo = 0.50, prevCalibIo = None))
+    // a failed I/O probe this run must not wedge the roll
+    assert(BenchGate.shouldRoll(fullSet = true, nFailed = 0, nFlags = 0,
+      gateCalib = 0.21, prevCalib = Some(0.211),
+      gateCalibIo = -1.0, prevCalibIo = Some(0.30)))
+  }
+
+  test("parseCalib: extracts a named probe field, tier-gated, " +
+      "failed-probe-filtered, and never cross-matches calib/calib_io") {
+    val r16 = """{"metric":"total","value":80.0,"unit":"sec","queries":""" +
+      """{"q_scan":0.2},"calib":0.30,"calib_confirm":0.55,""" +
+      """"calib_io":0.42,"calib_io_confirm":0.44,""" +
+      """"box_scale":1.0,"rolled":true,"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchGate.parseCalib(r16, "/root/testdata/sf0.1", "calib_io")
+      .contains(0.42))
+    // "calib" must still resolve to the start CPU probe, not calib_io
+    assert(BenchGate.parseCalib(r16, "/root/testdata/sf0.1", "calib")
+      .contains(0.30))
+    assert(BenchGate.parseSnapshot(r16, "/root/testdata/sf0.1")
+      ._2.contains(0.30))
+    // tier mismatch and missing/failed fields degrade to None
+    assert(BenchGate.parseCalib(r16, "/root/testdata/sf0.01", "calib_io").isEmpty)
+    assert(BenchGate.parseCalib(snap, "/root/testdata/sf0.1", "calib_io").isEmpty)
+    val failed = """{"queries":{"q_scan":0.2},"calib_io":-1.0,""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchGate.parseCalib(failed, "/root/testdata/sf0.1", "calib_io").isEmpty)
+  }
+
   test("candidateScale: sustained contention the median corroborates " +
       "still relaxes; a matched probe cannot be raised by the median") {
     // probe and workload agree the box is slower: clamp to the

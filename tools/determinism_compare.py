@@ -13,10 +13,25 @@ in hash order, so byte-identical-content files can differ by ~3 footer
 bytes run to run; part filenames also embed per-run UUIDs. Dev-side
 tool only — the product is the Scala library.
 """
+import math
 import os
 import sys
 
 import duckdb
+
+
+def canon(v):
+    """NaN-stable compare key: NaN != NaN under tuple ==, so a query
+    emitting NaN doubles would report a false divergence on identical
+    output. Maps NaN (incl. inside nested lists from array columns) to
+    a sentinel; everything else compares as itself."""
+    if isinstance(v, float) and math.isnan(v):
+        return ("__nan__",)
+    if isinstance(v, list):
+        return [canon(x) for x in v]
+    if isinstance(v, tuple):
+        return tuple(canon(x) for x in v)
+    return v
 
 
 def rows(root: str, q: str):
@@ -28,10 +43,13 @@ def rows(root: str, q: str):
         out.extend(con.execute(
             "SELECT * FROM read_parquet(?)", [os.path.join(d, p)]
         ).fetchall())
-    return out
+    return [canon(r) for r in out]
 
 
 def main():
+    if len(sys.argv) != 3:
+        print(__doc__.strip().splitlines()[2], file=sys.stderr)
+        sys.exit(2)
     a, b = sys.argv[1], sys.argv[2]
     qs = sorted(q for q in os.listdir(a)
                 if os.path.isdir(os.path.join(a, q)))
