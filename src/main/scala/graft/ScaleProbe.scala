@@ -154,7 +154,12 @@ object ScaleProbe {
     "q_weighted_strata", "q_bpe_apply",
     // Stupid Backoff held-out scoring: the q_lm_score topology plus
     // word-keyed backoff joins — model tables grow with the vocab
-    "q_sbo_score")
+    "q_sbo_score",
+    // round-16 wave: RRF hybrid fusion (two TakeOrderedAndProject arm
+    // reductions + a 100-row fusion join — expect the two arm scans to
+    // dominate, flat join cost) and the screen-agreement kappa (two
+    // row-local screens + one 5-field global aggregate, flat by design)
+    "q_rrf", "q_kappa")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

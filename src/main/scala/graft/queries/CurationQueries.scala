@@ -49,6 +49,67 @@ object CurationQueries {
   private val GopherMinAlpha = 0.8
   private val GopherMinStop = 2
 
+  /** Screen-B (q_kappa) thresholds — the second, independent quality
+    * lens: a word floor, a stopword-density floor (n_stop/n_words >=
+    * 1/[[KappaBStopDen]], spelled as an integer cross-multiplication),
+    * and a mean-word-length ceiling of [[KappaBMwl10]]/10 (again
+    * cross-multiplied — never a 0.1-step double literal). */
+  private val KappaBMinWords = 20
+  private val KappaBStopDen = 20
+  private val KappaBMwl10 = 85
+
+  /** Per-document Gopher feature columns (doc_id, n_words, sum_len,
+    * n_alpha, n_stop, mean_word_len, alpha_frac) — the shared input of
+    * q_gopher and q_kappa; [[gopherCte]] is its oracle mirror ending in
+    * the CTE `g` with the same columns. Row-local array ops over the
+    * split text (no explode), zero shuffles at any corpus size; the
+    * rational ratios go through r4 so both engines screen on identical
+    * values. */
+  private def gopherFeatures(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("n_alpha",
+        size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("ws"),
+          w => w.isin("the", "a", "of", "to", "in", "and"))).cast("long"))
+      .withColumn("mean_word_len",
+        r4(col("sum_len").cast("double") / col("n_words")))
+      .withColumn("alpha_frac",
+        r4(col("n_alpha").cast("double") / col("n_words")))
+
+  /** The combined Gopher keep decision over [[gopherFeatures]] columns;
+    * [[gopherKeepSql]] is the same predicate in the oracle dialect. */
+  private def gopherKeep: Column =
+    col("n_words") >= GopherMinWords &&
+      col("n_words") <= GopherMaxWords &&
+      col("mean_word_len") >= GopherMinMwl &&
+      col("mean_word_len") <= GopherMaxMwl &&
+      col("alpha_frac") >= GopherMinAlpha &&
+      col("n_stop") >= GopherMinStop
+
+  private val gopherKeepSql: String =
+    s"""n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+                AND mean_word_len >= $GopherMinMwl AND mean_word_len <= $GopherMaxMwl
+                AND alpha_frac >= $GopherMinAlpha AND n_stop >= $GopherMinStop"""
+
+  private val gopherCte: String =
+    """w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+             f AS (SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_len,
+                     CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(ws, x -> list_contains(['the','a','of','to','in','and'], x))) AS BIGINT) AS n_stop
+                   FROM w),
+             g AS (SELECT doc_id, n_words, sum_len, n_stop,
+                     floor(sum_len::DOUBLE / n_words * 10000 + 0.5::DOUBLE) / 10000 AS mean_word_len,
+                     floor(n_alpha::DOUBLE / n_words * 10000 + 0.5::DOUBLE) / 10000 AS alpha_frac
+                   FROM f)"""
+
   /** DSIR hashed-feature bucket count (importance features are hashed
     * unigrams; 256 buckets keep the model table broadcast-trivial at any
     * corpus size — the model is O(buckets), never O(vocab)). */
@@ -69,48 +130,81 @@ object CurationQueries {
     // shuffles at any corpus size; comparisons run on the r4-rounded
     // rationals so both engines decide flags on identical values.
     Q("q_gopher",
-      (s, d) => {
-        val ws = Tables.documents(s, d)
-          .withColumn("ws", split(col("text"), " "))
-          .withColumn("n_words", size(col("ws")).cast("long"))
-          .withColumn("sum_len",
-            aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)))
-          .withColumn("n_alpha",
-            size(filter(col("ws"), w => w.rlike("[a-z]"))).cast("long"))
-          .withColumn("n_stop",
-            size(filter(col("ws"),
-              w => w.isin("the", "a", "of", "to", "in", "and"))).cast("long"))
-          .withColumn("mean_word_len",
-            r4(col("sum_len").cast("double") / col("n_words")))
-          .withColumn("alpha_frac",
-            r4(col("n_alpha").cast("double") / col("n_words")))
-        ws.withColumn("keep",
-            col("n_words") >= GopherMinWords &&
-              col("n_words") <= GopherMaxWords &&
-              col("mean_word_len") >= GopherMinMwl &&
-              col("mean_word_len") <= GopherMaxMwl &&
-              col("alpha_frac") >= GopherMinAlpha &&
-              col("n_stop") >= GopherMinStop)
-          .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
-            "n_stop", "keep")
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
-             f AS (SELECT doc_id,
-                     CAST(len(ws) AS BIGINT) AS n_words,
-                     CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS sum_len,
-                     CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-                     CAST(len(list_filter(ws, x -> list_contains(['the','a','of','to','in','and'], x))) AS BIGINT) AS n_stop
-                   FROM w),
-             g AS (SELECT doc_id, n_words, n_stop,
-                     floor(sum_len::DOUBLE / n_words * 10000 + 0.5::DOUBLE) / 10000 AS mean_word_len,
-                     floor(n_alpha::DOUBLE / n_words * 10000 + 0.5::DOUBLE) / 10000 AS alpha_frac
-                   FROM f)
+      (s, d) => gopherFeatures(s, d)
+        .withColumn("keep", gopherKeep)
+        .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+          "n_stop", "keep")
+        .orderBy("doc_id"),
+      Some(s"""WITH $gopherCte
              SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
-               (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
-                AND mean_word_len >= $GopherMinMwl AND mean_word_len <= $GopherMaxMwl
-                AND alpha_frac >= $GopherMinAlpha AND n_stop >= $GopherMinStop) AS keep
+               ($gopherKeepSql) AS keep
              FROM g ORDER BY doc_id""")),
+
+    // Screen-agreement audit (Cohen's kappa) between two INDEPENDENT
+    // quality lenses — the Gopher rule set (screen A) and a
+    // stopword-density/word-length prose screen (screen B, integer
+    // cross-multiplications only). Running two cheap filters and
+    // checking their chance-corrected agreement is how a pipeline
+    // decides whether a second screen adds signal or just noise: kappa
+    // ~1 means redundant, ~0 means uncorrelated, negative means
+    // systematic disagreement. Determinism: both screens decide on
+    // integers or r4-rounded rationals (the q_gopher contract); the
+    // 2x2 contingency counts are exact longs; po/kappa are single
+    // divisions of exact integer numerators, r4-floored (kappa can be
+    // negative — floor(x*1e4+0.5) rounds identically in both engines
+    // and cannot emit -0.0). Scale: row-local flags then one global
+    // 5-field count aggregation — map-side combined, one row out.
+    Q("q_kappa",
+      (s, d) => {
+        val flagged = gopherFeatures(s, d)
+          .withColumn("a", gopherKeep.cast("int").cast("long"))
+          .withColumn("b",
+            (col("n_words") >= KappaBMinWords &&
+              col("n_stop") * KappaBStopDen >= col("n_words") &&
+              col("sum_len") * 10 <= col("n_words") * KappaBMwl10)
+              .cast("int").cast("long"))
+        flagged.agg(
+            count(lit(1)).as("n"),
+            sum(col("a") * col("b")).as("n11"),
+            sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+            sum((lit(1L) - col("a")) * col("b")).as("n01"),
+            sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+          .withColumn("agree", col("n11") + col("n00"))
+          .withColumn("pe_num",
+            (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .withColumn("po", r4(col("agree").cast("double") / col("n")))
+          .withColumn("kappa",
+            when(col("n") * col("n") === col("pe_num"), lit(0.0))
+              .otherwise(r4(
+                (col("n") * col("agree") - col("pe_num")).cast("double") /
+                  (col("n") * col("n") - col("pe_num")).cast("double"))))
+          .select("n", "n11", "n10", "n01", "n00", "po", "kappa")
+      },
+      Some(s"""WITH $gopherCte,
+             s AS (SELECT
+                 CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS a,
+                 CASE WHEN n_words >= $KappaBMinWords
+                   AND n_stop * $KappaBStopDen >= n_words
+                   AND sum_len * 10 <= n_words * $KappaBMwl10
+                   THEN 1 ELSE 0 END AS b
+               FROM g),
+             c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a * b) AS BIGINT) AS n11,
+                 CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+               FROM s),
+             e AS (SELECT *, n11 + n00 AS agree,
+                 (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+               FROM c)
+             SELECT n, n11, n10, n01, n00,
+               floor(agree::DOUBLE / n * 10000 + 0.5::DOUBLE) / 10000 AS po,
+               CASE WHEN n * n = pe_num THEN 0.0::DOUBLE
+                 ELSE floor((n * agree - pe_num)::DOUBLE
+                   / (n * n - pe_num)::DOUBLE * 10000 + 0.5::DOUBLE) / 10000
+                 END AS kappa
+             FROM e""")),
 
     // Temperature-based source mixing weights: per-source sampling share
     // proportional to (token mass)^0.5 — the alpha-sampling scheme used

@@ -35,6 +35,86 @@ object ExtendedQueries {
 
   /** (w, true_n) corpus word counts, memoized+cached per (session, dir):
     * q_cms_err reads it three times (sketch build, probe set, truth). */
+  /** Per-doc BM25 score (Robertson-Sparck Jones, k1 = 1.2, b = 0.75)
+    * for the fixed 3-term query — the lexical ranking arm shared by
+    * q_bm25 (top-25 report) and NorthStarQueries' q_rrf (hybrid
+    * fusion). Returns (doc_id, bm25) for every document containing at
+    * least one query term, rounded to 4 decimals; [[bm25Cte]] is its
+    * oracle mirror ending in the CTE `bm` with the same two columns.
+    * Determinism: per-term scores carry one ln (irrational mantissa →
+    * plain round, the cosine precedent); the per-doc sum is a
+    * FIXED-ORDER coalesce chain over the three pivoted term columns,
+    * never a float sum in shuffle order; len/avgdl is spelled
+    * (len*N)/totLen with exact integer numerators and ONE division,
+    * identically in both engines. Scale: the term filter cuts the
+    * explode to query-term rows only; df and the corpus totals are
+    * broadcast scalars. */
+  private[queries] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val qTerms = Seq("table", "query", "spark")
+    val docs = Tables.documents(s, d)
+    val lens = docs
+      .withColumn("len", size(split(col("text"), " ")).cast("long"))
+      .select("doc_id", "len")
+    val totals = lens.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("tot_len"))
+    val tf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("dft"))
+    val termScore = tf.join(broadcast(df_), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("dft").cast("double") +
+          lit(0.5)) / (col("dft").cast("double") + lit(0.5))))
+      .withColumn("tsc", col("idf") *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (col("len") * col("n_docs")).cast("double") /
+              col("tot_len").cast("double"))))
+    termScore.groupBy("doc_id")
+      .agg(
+        max(when(col("term") === "table", col("tsc"))).as("s1"),
+        max(when(col("term") === "query", col("tsc"))).as("s2"),
+        max(when(col("term") === "spark", col("tsc"))).as("s3"))
+      .withColumn("bm25", round(
+        coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
+          coalesce(col("s3"), lit(0.0)), 4))
+      .select("doc_id", "bm25")
+  }
+
+  /** Oracle CTE chain mirroring [[bm25Scores]]; ends in `bm(doc_id,
+    * bm25)`. Spliced into q_bm25's and q_rrf's oracle SQL. */
+  private[queries] val bm25Cte: String =
+    """lens AS (SELECT doc_id, CAST(len(str_split(text, ' '))
+                 AS BIGINT) AS len FROM documents),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len) AS BIGINT) AS tot_len FROM lens),
+             toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+                 FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                 WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
+             df AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+             sc AS (SELECT tf.doc_id, tf.term,
+                 ln(1.0::DOUBLE + (n_docs::DOUBLE - dft::DOUBLE
+                     + 0.5::DOUBLE) / (dft::DOUBLE + 0.5::DOUBLE)) *
+                   (tf::DOUBLE * 2.2::DOUBLE) /
+                   (tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE +
+                     0.75::DOUBLE * (len * n_docs)::DOUBLE
+                       / tot_len::DOUBLE)) AS tsc
+               FROM tf JOIN df ON tf.term = df.term
+               JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
+             piv AS (SELECT doc_id,
+                 max(CASE WHEN term = 'table' THEN tsc END) AS s1,
+                 max(CASE WHEN term = 'query' THEN tsc END) AS s2,
+                 max(CASE WHEN term = 'spark' THEN tsc END) AS s3
+               FROM sc GROUP BY 1),
+             bm AS (SELECT doc_id, round(coalesce(s1, 0.0::DOUBLE)
+                 + coalesce(s2, 0.0::DOUBLE)
+                 + coalesce(s3, 0.0::DOUBLE), 4) AS bm25 FROM piv)"""
+
   private val wordCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def wordCounts(s: SparkSession, d: String): DataFrame =
@@ -190,69 +270,11 @@ object ExtendedQueries {
     // the term filter cuts the explode to query-term rows only; df and
     // the corpus totals are broadcast scalars; top-25 by score.
     Q("q_bm25",
-      (s, d) => {
-        val qTerms = Seq("table", "query", "spark")
-        val docs = Tables.documents(s, d)
-        val lens = docs
-          .withColumn("len", size(split(col("text"), " ")).cast("long"))
-          .select("doc_id", "len")
-        val totals = lens.agg(count(lit(1)).as("n_docs"),
-          sum("len").as("tot_len"))
-        val tf = docs.select(col("doc_id"),
-            explode(split(col("text"), " ")).as("term"))
-          .filter(col("term").isin(qTerms: _*))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df_ = tf.groupBy("term").agg(count(lit(1)).as("dft"))
-        val termScore = tf.join(broadcast(df_), "term")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(totals))
-          .withColumn("idf", log(lit(1.0) +
-            (col("n_docs").cast("double") - col("dft").cast("double") +
-              lit(0.5)) / (col("dft").cast("double") + lit(0.5))))
-          .withColumn("tsc", col("idf") *
-            (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("len") * col("n_docs")).cast("double") /
-                  col("tot_len").cast("double"))))
-        termScore.groupBy("doc_id")
-          .agg(
-            max(when(col("term") === "table", col("tsc"))).as("s1"),
-            max(when(col("term") === "query", col("tsc"))).as("s2"),
-            max(when(col("term") === "spark", col("tsc"))).as("s3"))
-          .withColumn("bm25", round(
-            coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)) +
-              coalesce(col("s3"), lit(0.0)), 4))
-          .select("doc_id", "bm25")
-          .orderBy(desc("bm25"), asc("doc_id")).limit(25)
-      },
-      Some("""WITH lens AS (SELECT doc_id, CAST(len(str_split(text, ' '))
-                 AS BIGINT) AS len FROM documents),
-             tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(len) AS BIGINT) AS tot_len FROM lens),
-             toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
-                 FROM documents),
-             tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-                 WHERE term IN ('table', 'query', 'spark') GROUP BY 1, 2),
-             df AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
-             sc AS (SELECT tf.doc_id, tf.term,
-                 ln(1.0::DOUBLE + (n_docs::DOUBLE - dft::DOUBLE
-                     + 0.5::DOUBLE) / (dft::DOUBLE + 0.5::DOUBLE)) *
-                   (tf::DOUBLE * 2.2::DOUBLE) /
-                   (tf::DOUBLE + 1.2::DOUBLE * (0.25::DOUBLE +
-                     0.75::DOUBLE * (len * n_docs)::DOUBLE
-                       / tot_len::DOUBLE)) AS tsc
-               FROM tf JOIN df ON tf.term = df.term
-               JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN tot),
-             piv AS (SELECT doc_id,
-                 max(CASE WHEN term = 'table' THEN tsc END) AS s1,
-                 max(CASE WHEN term = 'query' THEN tsc END) AS s2,
-                 max(CASE WHEN term = 'spark' THEN tsc END) AS s3
-               FROM sc GROUP BY 1)
-             SELECT doc_id, round(coalesce(s1, 0.0::DOUBLE)
-                 + coalesce(s2, 0.0::DOUBLE)
-                 + coalesce(s3, 0.0::DOUBLE), 4) AS bm25
-             FROM piv ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+      (s, d) => bm25Scores(s, d)
+        .orderBy(desc("bm25"), asc("doc_id")).limit(25),
+      Some(s"""WITH $bm25Cte
+             SELECT doc_id, bm25
+             FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25""")),
 
     // Pivot: day x event-type count matrix with an explicit value list
     // (no extra distinct-discovery pass over the fact table). One

@@ -47,6 +47,11 @@ object NorthStarQueries {
     * bounded at any corpus size. */
   private val HammingBucketCap = 50
 
+  /** Reciprocal-rank-fusion constants (q_rrf): the canonical k = 60
+    * damping from Cormack et al., fusing each arm's top-100 list. */
+  private val RrfK = 60
+  private val RrfDepth = 100
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
@@ -726,6 +731,68 @@ object NorthStarQueries {
                FROM scored)
              SELECT q_id, vec_id, sim FROM ranked WHERE rn <= 5
              ORDER BY q_id, sim DESC, vec_id""")),
+
+    // Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, the
+    // standard hybrid-retrieval combiner): fuse the corpus's LEXICAL
+    // ranking (shared BM25 arm, ExtendedQueries.bm25Scores) with its
+    // SEMANTIC ranking (cosine vs the vec-0 query embedding; the
+    // embeddings table indexes the leading document ids, so the fusion
+    // key is doc_id = vec_id) as score = sum over arms of 1/(60+rank).
+    // Determinism: each arm ranks its ROUNDED scores with an explicit
+    // id tie-break, so ranks are cross-engine-identical integers; the
+    // fused score is a FIXED-ORDER two-term sum of exact-input double
+    // divisions, floor-rounded (rational → r4). Scale: each arm
+    // reduces to a top-100 list via TakeOrderedAndProject (distributed
+    // heap-k, never a global window over the corpus — row_number runs
+    // AFTER the limit, over 100 rows); the fusion join is two 100-row
+    // lists, broadcast-trivial at any corpus size.
+    Q("q_rrf",
+      (s, d) => {
+        val e = emb(s, d)
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+        val semTop = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("sim",
+            round(expr("graft_dot(q_emb, emb)") / (col("q_nrm") * col("nrm")), 4))
+          .orderBy(desc("sim"), asc("vec_id")).limit(RrfDepth)
+        val sem = semTop
+          .withColumn("rs",
+            row_number().over(Window.orderBy(desc("sim"), asc("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rs"))
+        val lexTop = ExtendedQueries.bm25Scores(s, d)
+          .orderBy(desc("bm25"), asc("doc_id")).limit(RrfDepth)
+        val lex = lexTop
+          .withColumn("rl",
+            row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))))
+          .select("doc_id", "rl")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", Helpers.r4(
+            coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("rs")), lit(0.0))))
+          .select("doc_id", "rrf")
+          .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+      },
+      Some(s"""WITH $embCte,
+             ${ExtendedQueries.bm25Cte},
+             qv AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+             sem AS (SELECT n.vec_id,
+                 round(list_dot_product(qe, n.e) / (qn * n.nrm), 4) + 0.0 AS sim
+               FROM n CROSS JOIN qv WHERE n.vec_id <> 0),
+             semr AS (SELECT vec_id AS doc_id, rs FROM (
+                 SELECT vec_id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id) AS rs
+                 FROM sem) WHERE rs <= $RrfDepth),
+             lexr AS (SELECT doc_id, rl FROM (
+                 SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+                 FROM bm) WHERE rl <= $RrfDepth)
+             SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               floor((coalesce(1.0::DOUBLE / ($RrfK + rl), 0.0::DOUBLE)
+                    + coalesce(1.0::DOUBLE / ($RrfK + rs), 0.0::DOUBLE))
+                 * 10000 + 0.5::DOUBLE) / 10000 AS rrf
+             FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+             ORDER BY rrf DESC, doc_id LIMIT 20""")),
 
     // IVF cell assignment: centroids come from deterministic k-means over
     // the corpus (engine/KMeans.scala; the oracle unrolls the SAME

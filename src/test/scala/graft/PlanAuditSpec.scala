@@ -30,6 +30,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q_cosine_topk").contains("WindowGroupLimit"))
   }
 
+  test("rrf fusion: both arms reduce via TakeOrderedAndProject before " +
+      "any global window ranks the 100-row lists") {
+    val p = plan("q_rrf")
+    // each arm's corpus-wide reduction is a distributed heap-k; the
+    // single-partition Window (row_number) must sit ABOVE a limit, so
+    // it only ever sees RrfDepth rows regardless of corpus size
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"an rrf arm global-sorts the corpus:\n${p.take(600)}")
+  }
+
   test("dimension joins broadcast (no shuffle on the small side)") {
     assert(plan("q_left_join").contains("BroadcastHashJoin"))
     assert(plan("q_band_join").contains("BroadcastNestedLoopJoin")) // non-equi
