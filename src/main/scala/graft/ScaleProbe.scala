@@ -159,7 +159,14 @@ object ScaleProbe {
     // reductions + a 100-row fusion join — expect the two arm scans to
     // dominate, flat join cost) and the screen-agreement kappa (two
     // row-local screens + one 5-field global aggregate, flat by design)
-    "q_rrf", "q_kappa")
+    "q_rrf", "q_kappa",
+    // round-16 second wave: per-source centroid similarity (keyed
+    // doc<->vec join + map-side-combinable (source, dim) partial sums
+    // down to |sources|*64 rows, then an |sources|^2 broadcast-trivial
+    // pairwise join) and directional containment (rides the SAME
+    // memoized LSH pair table as q_minhash_est — probes the shared
+    // candidate-join topology plus a row-local overlap projection)
+    "q_centroid_sim", "q_containment")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -272,9 +279,15 @@ object ScaleProbe {
     val annField = if (annProbe) """"ann":true,""" else ""
     val json = s"""{"factor":$factor,$annField"src":"$src","queries":$qs}"""
     println(json)
+    // Subset runs (SPARK_GRAFT_ONLY) default to a SEPARATE file: the
+    // committed full-set artifact must never be silently replaced by a
+    // partial one (observed live in r16 — a 2-query probe clobbered
+    // scale_probe.json and had to be restored from git). An explicit
+    // SCALE_PROBE_OUT still wins for both shapes.
+    val subsetSuffix = if (only.isDefined) "_subset" else ""
     val outPath = sys.env.getOrElse("SCALE_PROBE_OUT",
-      if (annProbe) "/root/repo/scale_probe_ann.json"
-      else "/root/repo/scale_probe.json")
+      if (annProbe) s"/root/repo/scale_probe_ann$subsetSuffix.json"
+      else s"/root/repo/scale_probe$subsetSuffix.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

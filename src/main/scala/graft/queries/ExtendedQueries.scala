@@ -115,6 +115,112 @@ object ExtendedQueries {
                  + coalesce(s2, 0.0::DOUBLE)
                  + coalesce(s3, 0.0::DOUBLE), 4) AS bm25 FROM piv)"""
 
+  private val minhashPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** LSH candidate pairs with the signature-agreement estimate, exact
+    * shingle intersection, and both doc sizes — columns (d1, d2, est,
+    * inter, n1, n2). The shared audit substrate of q_minhash_est
+    * (jaccard) and q_containment (overlap coefficient), memoized per
+    * (session, dir) because both queries read the same expensive
+    * candidate join; [[minhashPairCte]] is its oracle mirror ending in
+    * the CTE `pairs` with the same six columns.
+    *
+    * Scale: candidates are O(LSH pairs) — measured linear in corpus
+    * (100x probe exponent 0.94/decade) — so no broadcast hint: a
+    * shuffle join on d1 scales, and AQE broadcasts while small; the
+    * exact intersection runs only on the candidate-pruned subset of
+    * the shingle stream, never a full self-join. */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    NorthStarQueries.memoize(minhashPairCache, s, d) {
+      import graft.functions.MinHashLsh.{NumBands, NumHashes}
+      // memoized+cached upstream (NorthStarQueries.hashedShingles):
+      // feeds mins, sizes, AND both sides of the exact intersection —
+      // a bare per-call cache here would leak blocks per invocation
+      val sh = NorthStarQueries.hashedShingles(s, d)
+      // same slice-minima scheme (and the SAME constants) as the
+      // shared MinHashLsh helper — hardcoded 4/8 literals would keep
+      // auditing an old scheme if the helper were ever retuned
+      val mins = graft.functions.MinHashLsh.sliceMins(
+        sh.select("doc_id", "h"))
+      // band index is PART of the signature — without it, band 0 of
+      // one doc could spuriously match band 2 of another
+      val bands = mins.select(Seq(col("doc_id"),
+        explode(array((0 until NumBands).map(b =>
+          concat_ws("|", lit(b.toString),
+            col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bsig")) ++
+        (0 until NumHashes).map(j => col(s"m$j")): _*)
+      val cands = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          ((0 until NumHashes).map(j =>
+            when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+            .reduce(_ + _) / lit(NumHashes.toDouble)).as("est"))
+        .groupBy("d1", "d2").agg(r4(max("est")).as("est"))
+      // shingled() is distinct-per-doc by construction — no re-distinct
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("d1"), col("s"))
+        .join(cands.select("d1", "d2"), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      cands
+        .join(inter, Seq("d1", "d2"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("est"), col("inter"),
+          col("s1.n").as("n1"), col("s2.n").as("n2"))
+    }
+
+  /** Oracle CTE chain mirroring [[minhashPairs]] (assumes the
+    * shingleCteUncapped `sh` CTE precedes it); ends in `pairs(d1, d2,
+    * est, inter, n1, n2)`. */
+  private[queries] val minhashPairCte: String =
+    """hashed AS (SELECT doc_id, s, md5(s) AS h FROM sh),
+             minsig AS (
+               SELECT doc_id, j, min(substr(h, 4 * j + 1, 4)) AS mh
+               FROM hashed, unnest(range(0, 8)) AS v(j)
+               GROUP BY 1, 2),
+             wide AS (
+               SELECT doc_id,
+                 min(CASE WHEN j = 0 THEN mh END) AS m0, min(CASE WHEN j = 1 THEN mh END) AS m1,
+                 min(CASE WHEN j = 2 THEN mh END) AS m2, min(CASE WHEN j = 3 THEN mh END) AS m3,
+                 min(CASE WHEN j = 4 THEN mh END) AS m4, min(CASE WHEN j = 5 THEN mh END) AS m5,
+                 min(CASE WHEN j = 6 THEN mh END) AS m6, min(CASE WHEN j = 7 THEN mh END) AS m7
+               FROM minsig GROUP BY doc_id),
+             bands AS (
+               SELECT doc_id, b, concat_ws('|', b::VARCHAR,
+                 CASE b WHEN 0 THEN m0 WHEN 1 THEN m2 WHEN 2 THEN m4 ELSE m6 END,
+                 CASE b WHEN 0 THEN m1 WHEN 1 THEN m3 WHEN 2 THEN m5 ELSE m7 END) AS bsig,
+                 m0, m1, m2, m3, m4, m5, m6, m7
+               FROM wide, unnest(range(0, 4)) AS u(b)),
+             cands AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 floor(max(((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) +
+                   (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END)) / 8.0::DOUBLE) * 10000 + 0.5::DOUBLE) / 10000 AS est
+               FROM bands a JOIN bands b
+                 ON a.bsig = b.bsig AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             sizes AS (SELECT doc_id, count(DISTINCT s) AS n FROM sh GROUP BY 1),
+             inter AS (
+               SELECT c.d1, c.d2, count(*) AS inter
+               FROM cands c
+               JOIN sh a ON a.doc_id = c.d1
+               JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+               GROUP BY 1, 2),
+             pairs AS (
+               SELECT c.d1, c.d2, c.est, i.inter, s1.n AS n1, s2.n AS n2
+               FROM cands c
+               JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+               JOIN sizes s1 ON s1.doc_id = c.d1
+               JOIN sizes s2 ON s2.doc_id = c.d2)"""
+
   private val wordCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[queries] def wordCounts(s: SparkSession, d: String): DataFrame =
@@ -533,98 +639,43 @@ object ExtendedQueries {
     // that match) next to the EXACT jaccard computed only for those
     // pairs — the standard estimator-audit query: candidates are few, so
     // the expensive exact intersection runs on a broadcast-pruned subset
-    // of the shingle stream, never the full self-join.
+    // of the shingle stream, never the full self-join. Rides the
+    // memoized [[minhashPairs]] table shared with q_containment.
     Q("q_minhash_est",
-      (s, d) => {
-        import graft.functions.MinHashLsh.{NumBands, NumHashes}
-        // memoized+cached upstream (NorthStarQueries.hashedShingles):
-        // feeds mins, sizes, AND both sides of the exact intersection —
-        // a bare per-call cache here would leak blocks per invocation
-        val sh = NorthStarQueries.hashedShingles(s, d)
-        // same slice-minima scheme (and the SAME constants) as the
-        // shared MinHashLsh helper — hardcoded 4/8 literals would keep
-        // auditing an old scheme if the helper were ever retuned
-        val mins = graft.functions.MinHashLsh.sliceMins(
-          sh.select("doc_id", "h"))
-        // band index is PART of the signature — without it, band 0 of
-        // one doc could spuriously match band 2 of another
-        val bands = mins.select(Seq(col("doc_id"),
-          explode(array((0 until NumBands).map(b =>
-            concat_ws("|", lit(b.toString),
-              col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)).as("bsig")) ++
-          (0 until NumHashes).map(j => col(s"m$j")): _*)
-        val cands = bands.as("a")
-          .join(bands.as("b"),
-            col("a.bsig") === col("b.bsig") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            ((0 until NumHashes).map(j =>
-              when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
-              .reduce(_ + _) / lit(NumHashes.toDouble)).as("est"))
-          .groupBy("d1", "d2").agg(r4(max("est")).as("est"))
-        // shingled() is distinct-per-doc by construction — no re-distinct
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        // cands is O(LSH candidate pairs) — measured linear in corpus
-        // (100x probe exponent 0.94/decade) — so no broadcast hint: a
-        // shuffle join on d1 scales, and AQE broadcasts while small
-        val inter = sh.select(col("doc_id").as("d1"), col("s"))
-          .join(cands.select("d1", "d2"), "d1")
-          .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        cands
-          .join(inter, Seq("d1", "d2"))
-          .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-          .select(col("d1"), col("d2"), col("est"),
-            r4(col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
-              .as("jaccard"))
-          .orderBy("d1", "d2")
-      },
+      (s, d) => minhashPairs(s, d)
+        .select(col("d1"), col("d2"), col("est"),
+          r4(col("inter") / (col("n1") + col("n2") - col("inter")))
+            .as("jaccard"))
+        .orderBy("d1", "d2"),
       Some(s"""WITH ${NorthStarQueries.shingleCteUncapped},
-             hashed AS (SELECT doc_id, s, md5(s) AS h FROM sh),
-             minsig AS (
-               SELECT doc_id, j, min(substr(h, 4 * j + 1, 4)) AS mh
-               FROM hashed, unnest(range(0, 8)) AS v(j)
-               GROUP BY 1, 2),
-             wide AS (
-               SELECT doc_id,
-                 min(CASE WHEN j = 0 THEN mh END) AS m0, min(CASE WHEN j = 1 THEN mh END) AS m1,
-                 min(CASE WHEN j = 2 THEN mh END) AS m2, min(CASE WHEN j = 3 THEN mh END) AS m3,
-                 min(CASE WHEN j = 4 THEN mh END) AS m4, min(CASE WHEN j = 5 THEN mh END) AS m5,
-                 min(CASE WHEN j = 6 THEN mh END) AS m6, min(CASE WHEN j = 7 THEN mh END) AS m7
-               FROM minsig GROUP BY doc_id),
-             bands AS (
-               SELECT doc_id, b, concat_ws('|', b::VARCHAR,
-                 CASE b WHEN 0 THEN m0 WHEN 1 THEN m2 WHEN 2 THEN m4 ELSE m6 END,
-                 CASE b WHEN 0 THEN m1 WHEN 1 THEN m3 WHEN 2 THEN m5 ELSE m7 END) AS bsig,
-                 m0, m1, m2, m3, m4, m5, m6, m7
-               FROM wide, unnest(range(0, 4)) AS u(b)),
-             cands AS (
-               SELECT a.doc_id AS d1, b.doc_id AS d2,
-                 floor(max(((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) +
-                   (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) +
-                   (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) +
-                   (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) +
-                   (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) +
-                   (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) +
-                   (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) +
-                   (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END)) / 8.0::DOUBLE) * 10000 + 0.5::DOUBLE) / 10000 AS est
-               FROM bands a JOIN bands b
-                 ON a.bsig = b.bsig AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-             sizes AS (SELECT doc_id, count(DISTINCT s) AS n FROM sh GROUP BY 1),
-             inter AS (
-               SELECT c.d1, c.d2, count(*) AS inter
-               FROM cands c
-               JOIN sh a ON a.doc_id = c.d1
-               JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-               GROUP BY 1, 2)
-             SELECT c.d1, c.d2, c.est,
-               floor(i.inter::DOUBLE / (s1.n + s2.n - i.inter) * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
-             FROM cands c
-             JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
-             JOIN sizes s1 ON s1.doc_id = c.d1
-             JOIN sizes s2 ON s2.doc_id = c.d2
-             ORDER BY c.d1, c.d2""")),
+             $minhashPairCte
+             SELECT d1, d2, est,
+               floor(inter::DOUBLE / (n1 + n2 - inter) * 10000 + 0.5::DOUBLE) / 10000 AS jaccard
+             FROM pairs ORDER BY d1, d2""")),
+
+    // Directional containment (overlap coefficient) for the same LSH
+    // candidate pairs: inter/min(|A|,|B|) — the signal Jaccard MISSES
+    // when a short document is wholly quoted inside a long one (inter
+    // = |A| gives overlap 1.0 while jaccard ~ |A|/|B| can be tiny).
+    // The standard sub-document-duplication audit next to the
+    // symmetric near-dup family; `contained_doc` names the smaller
+    // side — the removal candidate under a containment policy.
+    // Shares the memoized pair table with q_minhash_est (the
+    // winnow/winnow_pairs precedent), so the BENCH pair costs one
+    // candidate join, not two.
+    Q("q_containment",
+      (s, d) => minhashPairs(s, d)
+        .select(col("d1"), col("d2"),
+          r4(col("inter") / least(col("n1"), col("n2"))).as("overlap"),
+          when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+            .as("contained_doc"))
+        .orderBy("d1", "d2"),
+      Some(s"""WITH ${NorthStarQueries.shingleCteUncapped},
+             $minhashPairCte
+             SELECT d1, d2,
+               floor(inter::DOUBLE / least(n1, n2) * 10000 + 0.5::DOUBLE) / 10000 AS overlap,
+               CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained_doc
+             FROM pairs ORDER BY d1, d2""")),
 
     // Latest state per entity (SCD-1 / upsert compaction): the newest
     // event per user wins — the read-side of every changelog. One

@@ -1208,6 +1208,68 @@ object NorthStarQueries {
                min(round(nrm, 4)) AS min_norm, max(round(nrm, 4)) AS max_norm
              FROM n GROUP BY label ORDER BY label""")),
 
+    // Per-source embedding-centroid similarity matrix: how semantically
+    // close each pair of sources is — the embedding-space counterpart
+    // of q_source_overlap's vocabulary view, and the audit that catches
+    // a source drifting into (or duplicating) another's topic space
+    // before document-level dedup would. Determinism: a centroid is a
+    // cross-row float mean — the one shape the embedding family
+    // otherwise avoids — so each dimension is first quantized to exact
+    // integer micro-units (floor(v*1e6+0.5), the r4 rule at 1e-6
+    // granularity, bit-identical in both engines) and summed as LONGs
+    // (order-independent, exact); the per-source counts then CANCEL in
+    // the cosine, so centroids are never materialized as floats at all
+    // — the cosine runs directly on the integer sum vectors via the
+    // same fixed-order dot both engines already agree on (the
+    // q_cosine_topk precedent), r4-rounded. Scale: one keyed doc↔vec
+    // join, a posexplode into (source, dim) partial sums — map-side
+    // combinable down to |sources|*64 rows at any corpus size — and an
+    // |sources|² pairwise join over a broadcast-trivial table.
+    Q("q_centroid_sim",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source")
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val sums = docs.join(vecs, col("doc_id") === col("vec_id"))
+          .select(col("source"), posexplode(col("e")).as(Seq("dim0", "v")))
+          .withColumn("qv", floor(col("v") * 1000000 + lit(0.5)).cast("long"))
+          .groupBy(col("source"), (col("dim0") + 1).as("dim"))
+          .agg(sum("qv").as("sv"))
+        val cent = sums.groupBy("source")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("sv")))),
+            x => x.getField("sv").cast("double")).as("vec"))
+        cent.as("a").join(cent.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            Helpers.r4(expr("graft_dot(a.vec, b.vec)") /
+              (sqrt(expr("graft_dot(a.vec, a.vec)")) *
+                sqrt(expr("graft_dot(b.vec, b.vec)")))).as("cos_sim"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH j AS (
+               SELECT d.source, e.embedding AS emb
+               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+             u AS (
+               SELECT source,
+                 generate_subscripts(emb, 1) AS dim,
+                 CAST(floor(unnest(emb)::DOUBLE * 1000000 + 0.5::DOUBLE)
+                   AS BIGINT) AS qv
+               FROM j),
+             sums AS (
+               SELECT source, dim, CAST(sum(qv) AS BIGINT) AS sv
+               FROM u GROUP BY 1, 2),
+             v AS (
+               SELECT source,
+                 list(sv::DOUBLE ORDER BY dim) AS vec
+               FROM sums GROUP BY 1)
+             SELECT a.source AS src_a, b.source AS src_b,
+               floor(list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec)))
+                 * 10000 + 0.5::DOUBLE) / 10000 AS cos_sim
+             FROM v a JOIN v b ON a.source < b.source
+             ORDER BY src_a, src_b""")),
+
     // Contamination-safe train/test split: documents are split by the
     // hash of their NEAR-DUP GROUP, not their own id — near-duplicates
     // can never straddle the boundary, the leak q_train_split's

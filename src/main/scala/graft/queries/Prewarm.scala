@@ -34,6 +34,7 @@ object Prewarm {
     "trainedCentroids" -> (() => NorthStarQueries.trainedCentroids(s, d)),
     "ivfAssigned" -> (() => NorthStarQueries.ivfAssigned(s, d)),
     "scoredPairs" -> (() => NorthStarQueries.scoredPairs(s, d)),
+    "minhashPairs" -> (() => ExtendedQueries.minhashPairs(s, d)),
     "docTrigrams" -> (() => AuditQueries.docTrigrams(s, d)),
     "corpusFingerprints" -> (() => AuditQueries.corpusFingerprints(s, d)),
     "winnowPairs" -> (() => AuditQueries.winnowPairs(s, d)),
