@@ -45,6 +45,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q_band_join").contains("BroadcastNestedLoopJoin")) // non-equi
   }
 
+  test("centroid similarity: partial aggregation before the (source, " +
+      "dim) exchange; the pairwise join is broadcast, not shuffled") {
+    val p = finalPlan("q_centroid_sim")
+    // the corpus-wide reduction must combine map-side — the exchange
+    // carries |sources| x dims partial sums, never exploded rows
+    assert(p.contains("partial_sum"), s"no map-side combine:\n${p.take(600)}")
+    // |sources|-row centroid table pairs via broadcast (non-equi a<b)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid pair join shuffles:\n${p.take(600)}")
+  }
+
   test("filters reach the parquet scan as pushed filters") {
     val p = plan("q_agg_pricing")
     assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator
