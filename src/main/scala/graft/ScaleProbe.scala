@@ -166,7 +166,10 @@ object ScaleProbe {
     // pairwise join) and directional containment (rides the SAME
     // memoized LSH pair table as q_minhash_est — probes the shared
     // candidate-join topology plus a row-local overlap projection)
-    "q_centroid_sim", "q_containment")
+    "q_centroid_sim", "q_containment",
+    // within-source cohesion: the centroid-sum topology plus one
+    // broadcast-join row-local scoring pass and a per-source mean
+    "q_source_cohesion")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -1270,6 +1270,71 @@ object NorthStarQueries {
              FROM v a JOIN v b ON a.source < b.source
              ORDER BY src_a, src_b""")),
 
+    // Within-source semantic cohesion — q_centroid_sim's complement:
+    // mean cosine of each source's documents to their own centroid.
+    // Low cohesion = a scattered/mixed source (or junk embeddings);
+    // together the pair answers "is each source focused, and are any
+    // two sources the same topic". Determinism: the centroid rides the
+    // same exact integer-sum representation (scale cancels in the
+    // cosine, so the un-divided sum vector IS the centroid direction);
+    // each per-doc cosine is a fixed-order dot of exact inputs, plain
+    // round (irrational); the per-source MEAN of rounded cosines goes
+    // through DECIMAL(18,4) (order-independent — the q_emb_stats
+    // precedent) with one final r4 division. Scale: centroid sums as
+    // in q_centroid_sim; the scoring pass is one broadcast join
+    // (|sources| rows) + a row-local dot + a map-side-combinable
+    // per-source mean. Each doc counts toward its own centroid
+    // (the SemDeDup cluster-cohesion convention).
+    Q("q_source_cohesion",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source")
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val j = docs.join(vecs, col("doc_id") === col("vec_id"))
+          .select("source", "e")
+        val cent = j
+          .select(col("source"), posexplode(col("e")).as(Seq("dim0", "v")))
+          .withColumn("qv", floor(col("v") * 1000000 + lit(0.5)).cast("long"))
+          .groupBy("source", "dim0").agg(sum("qv").as("sv"))
+          .groupBy("source")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim0"), col("sv")))),
+            x => x.getField("sv").cast("double")).as("cent"))
+        j.join(broadcast(cent), "source")
+          .withColumn("cos_i",
+            round(expr("graft_dot(e, cent)") /
+              (sqrt(expr("graft_dot(e, e)")) *
+                sqrt(expr("graft_dot(cent, cent)"))), 4))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            Helpers.r4(sum(col("cos_i").cast("decimal(18,4)")).cast("double") /
+              count(lit(1))).as("cohesion"))
+          .orderBy("source")
+      },
+      Some("""WITH j AS (
+               SELECT d.source, e.embedding::DOUBLE[] AS e
+               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+             u AS (
+               SELECT source, generate_subscripts(e, 1) AS dim,
+                 CAST(floor(unnest(e) * 1000000 + 0.5::DOUBLE) AS BIGINT) AS qv
+               FROM j),
+             sums AS (
+               SELECT source, dim, CAST(sum(qv) AS BIGINT) AS sv
+               FROM u GROUP BY 1, 2),
+             v AS (
+               SELECT source, list(sv::DOUBLE ORDER BY dim) AS cent
+               FROM sums GROUP BY 1),
+             c AS (
+               SELECT j.source,
+                 round(list_dot_product(j.e, v.cent)
+                   / (sqrt(list_dot_product(j.e, j.e))
+                     * sqrt(list_dot_product(v.cent, v.cent))), 4) + 0.0 AS cos_i
+               FROM j JOIN v ON j.source = v.source)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               floor(CAST(SUM(CAST(cos_i AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5::DOUBLE) / 10000 AS cohesion
+             FROM c GROUP BY source ORDER BY source""")),
+
     // Contamination-safe train/test split: documents are split by the
     // hash of their NEAR-DUP GROUP, not their own id — near-duplicates
     // can never straddle the boundary, the leak q_train_split's

@@ -60,6 +60,46 @@ class CentroidContainmentSpec extends AnyFunSuite {
     assert(first.getAs[Double]("cos_sim") == expected)
   }
 
+  test("q_source_cohesion: one row per source, cohesion in [-1,1], " +
+      "and one source matches a from-scratch recomputation") {
+    val out = run("q_source_cohesion").collect()
+    val nSources = graft.engine.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(out.length == nSources)
+    out.foreach { r =>
+      val c = r.getAs[Double]("cohesion")
+      assert(c >= -1.0 && c <= 1.0, s"cohesion $c out of range")
+    }
+    val src = out.head.getAs[String]("source")
+    val vs = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "source")
+      .join(graft.engine.Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")),
+        col("doc_id") === col("vec_id"))
+      .filter(col("source") === src)
+      .select("e").collect().map(_.getSeq[Double](0).toArray)
+    assert(out.head.getAs[Long]("n_docs") == vs.length)
+    val dims = vs.head.length
+    val cent = Array.tabulate(dims)(i =>
+      vs.map(v => math.floor(v(i) * 1000000 + 0.5)).sum)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { s += a(i) * b(i); i += 1 }; s
+    }
+    // mean of plain-rounded per-doc cosines through exact 1e-4 units
+    // (mirrors the DECIMAL(18,4) sum; inputs are away from half
+    // boundaries so floor(x*1e4+0.5) == round here)
+    val units = vs.map { v =>
+      math.floor(dot(v, cent) /
+        (math.sqrt(dot(v, v)) * math.sqrt(dot(cent, cent))) * 10000
+        + 0.5).toLong
+    }.sum
+    val expected =
+      math.floor(units.toDouble / 10000 / vs.length * 10000 + 0.5) / 10000
+    assert(out.head.getAs[Double]("cohesion") == expected)
+  }
+
   test("q_containment: overlap >= jaccard on every shared candidate " +
       "pair, and contained_doc is the smaller side") {
     val cont = run("q_containment").collect()
