@@ -169,7 +169,10 @@ object ScaleProbe {
     "q_centroid_sim", "q_containment",
     // within-source cohesion: the centroid-sum topology plus one
     // broadcast-join row-local scoring pass and a per-source mean
-    "q_source_cohesion")
+    "q_source_cohesion",
+    // duplication profile: the shared pair table + CC labeling, then
+    // two map-side-combinable aggregations to a handful of rows
+    "q_dup_cluster_hist")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -1419,6 +1419,67 @@ object NorthStarQueries {
              SELECT doc_id, min(lbl) AS group_id FROM reach
              GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Duplication profile: the histogram of near-dup cluster sizes —
+    // how much of the corpus sits in pairs vs larger dup cliques, the
+    // one-page readout a dedup policy is tuned against (a long tail of
+    // big clusters means template spam; mostly pairs means organic
+    // duplication). Singletons (docs in no cluster) are reported as
+    // size-1 clusters via exact count arithmetic, never a driver-side
+    // scalar. Integer-only — nothing to round. Scale: rides the same
+    // memoized pair table + CC labeling as q_dedup_groups, then two
+    // map-side-combinable aggregations down to a handful of rows.
+    Q("q_dup_cluster_hist",
+      (s, d) => {
+        val edges = scoredPairs(s, d)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("d1"), col("d2"))
+        val ks = graft.engine.Graph.connectedComponents(s, edges)
+          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        val hist = ks.groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+        val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+        val grouped = ks.agg(
+          coalesce(sum("cluster_size"), lit(0L)).as("n_grouped"))
+        val singles = tot.crossJoin(grouped)
+          .select(lit(1L).as("cluster_size"),
+            (col("n_total") - col("n_grouped")).as("n_clusters"))
+        hist.select("cluster_size", "n_clusters")
+          .union(singles)
+          .filter(col("n_clusters") > 0)
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             p0 AS (
+               SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+             prs AS (
+               SELECT d1, d2 FROM p0
+               JOIN sizes s1 ON s1.doc_id = d1
+               JOIN sizes s2 ON s2.doc_id = d2
+               WHERE floor(inter::DOUBLE / (s1.n + s2.n - inter) * 10000 + 0.5::DOUBLE) / 10000 >= 0.8),
+             edges AS (SELECT d1, d2 FROM prs UNION ALL SELECT d2, d1 FROM prs),
+             reach(doc_id, lbl) AS (
+               SELECT d1, d1 FROM edges
+               UNION
+               SELECT e.d2, r.lbl FROM reach r JOIN edges e ON e.d1 = r.doc_id),
+             comp AS (SELECT doc_id, min(lbl) AS group_id FROM reach
+               GROUP BY doc_id),
+             ks AS (SELECT group_id, CAST(count(*) AS BIGINT) AS cluster_size
+               FROM comp GROUP BY 1),
+             hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+               FROM ks GROUP BY 1),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+             ingrp AS (SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT)
+               AS n_grouped FROM ks),
+             singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+               (n_total - n_grouped) AS n_clusters
+               FROM tot CROSS JOIN ingrp)
+             SELECT cluster_size, n_clusters FROM
+               (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+             WHERE n_clusters > 0 ORDER BY cluster_size""")),
+
     // as-of join (engine/AsOf.scala): each click joined to the user's
     // most recent purchase at-or-before it; DuckDB's native ASOF JOIN is
     // the oracle. Right side pre-deduplicated per (user, ts) so the

@@ -100,6 +100,24 @@ class CentroidContainmentSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("cohesion") == expected)
   }
 
+  test("q_dup_cluster_hist: cluster sizes partition the corpus and " +
+      "agree with the group labeling") {
+    val hist = run("q_dup_cluster_hist").collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        r.getAs[Long]("n_clusters")).toMap
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    assert(hist.keys.forall(_ >= 1L))
+    assert(hist.map { case (k, n) => k * n }.sum == nDocs,
+      "sum of cluster_size * n_clusters must equal the corpus size")
+    // cross-check against q_dedup_groups' labeling (sizes >= 2 only)
+    val groups = run("q_dedup_groups").collect()
+      .groupBy(_.getAs[Long]("group_id")).map(_._2.length.toLong)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    groups.foreach { case (k, n) =>
+      assert(hist.get(k).contains(n), s"size-$k count mismatch")
+    }
+  }
+
   test("q_containment: overlap >= jaccard on every shared candidate " +
       "pair, and contained_doc is the smaller side") {
     val cont = run("q_containment").collect()
