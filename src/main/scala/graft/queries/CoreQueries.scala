@@ -322,7 +322,10 @@ object CoreQueries {
     // semi-structured JSON extraction (props column; the analyzer-output
     // parse path of processor.py:107-117 as a columnar op)
     Q("q_json_extract",
-      (s, d) => Tables.events(s, d)
+      // fanoutIfNarrow: per-row JSON parsing otherwise runs on the one
+      // scan task of the single-row-group events file
+      (s, d) => Helpers.fanoutIfNarrow(Tables.events(s, d),
+          col("event_id"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id"),
@@ -331,7 +334,10 @@ object CoreQueries {
 
     // full JSON parse to typed struct + aggregate over the parsed field
     Q("q_json_agg",
-      (s, d) => Tables.events(s, d)
+      // fanoutIfNarrow: from_json per row, same rationale as
+      // q_json_extract (integer sum → partitioning-invariant)
+      (s, d) => Helpers.fanoutIfNarrow(Tables.events(s, d),
+          col("event_id"))
         .select(col("event_type"),
           from_json(col("props"), lit("k INT")).getField("k").as("k"))
         .groupBy("event_type")
@@ -376,6 +382,10 @@ object CoreQueries {
     // (flag, quantity, count) histogram via ExactPercentile: no
     // per-group value→count aggregation buffer at any corpus scale.
     Q("q_percentile",
+      // NO fan-out here (r16, measured): the histogram partial
+      // aggregation is highly reductive (600k rows -> ~300), so the
+      // map-side combine on the scan task is cheaper than shipping raw
+      // rows through a fan-out exchange (0.28 s vs 0.51 s co-partitioned)
       (s, d) => ExactPercentile.overHistogram(
           Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity",
           Seq(("p50", 0.5), ("p90", 0.9)))
@@ -408,7 +418,9 @@ object CoreQueries {
     // rollup subtotals (beyond the reference's flat group-bys; NULL
     // subtotal markers need explicit NULLS FIRST to match across engines)
     Q("q_rollup",
-      (s, d) => Tables.lineitem(s, d)
+      // fanoutIfNarrow: same single-row-group rationale as q_agg_pricing
+      (s, d) => Helpers.fanoutIfNarrow(Tables.lineitem(s, d),
+          col("l_orderkey"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
@@ -439,8 +451,15 @@ object CoreQueries {
 
     // ---- headline analytics (bench drivers; TPC-H Q1/Q3 shapes)
     Q("q_agg_pricing",
-      (s, d) => Tables.lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("2001-09-01"))
+      // fanoutIfNarrow (r16): the sf-tier lineitem file is ONE parquet
+      // row group, so scan + partial DECIMAL aggregation ran on a
+      // single task; fan out to core width first (no-op on wide scans —
+      // the production case). Decimal sums are order-independent, so
+      // the result is partitioning-invariant.
+      (s, d) => Helpers.fanoutIfNarrow(
+          Tables.lineitem(s, d)
+            .filter(col("l_shipdate") <= lit("2001-09-01")),
+          col("l_orderkey"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),

@@ -50,7 +50,11 @@ object CorpusStatsQueries {
     // array_distinct), zero shuffles at any corpus size; the ratio is
     // rational so it goes through r4 floor-rounding.
     Q("q_ttr",
-      (s, d) => Tables.documents(s, d)
+      // fanoutIfNarrow (r16): split + array_distinct per doc is
+      // row-local CPU that ran on the one-task single-row-group scan;
+      // fan out to core width (no-op on wide scans)
+      (s, d) => Helpers.fanoutIfNarrow(Tables.documents(s, d),
+          col("doc_id"))
         .withColumn("ws", split(col("text"), " "))
         .withColumn("n_tok", size(col("ws")).cast("long"))
         .withColumn("n_types", size(array_distinct(col("ws"))).cast("long"))

@@ -67,7 +67,11 @@ object CurationQueries {
     * values. */
   private def gopherFeatures(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    Tables.documents(s, d)
+    // fanoutIfNarrow (r16): the feature lambdas (aggregate/filter/rlike
+    // over the word array) are row-local CPU that ran on the one-task
+    // single-row-group scan; fan out to core width (no-op on wide
+    // scans). Both consumers (q_gopher, q_kappa) inherit it.
+    Helpers.fanoutIfNarrow(Tables.documents(s, d), col("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("sum_len",
@@ -266,15 +270,26 @@ object CurationQueries {
     // DECIMAL so the per-doc weighted sum is order-independent.
     Q("q_dsir",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        // fanoutIfNarrow: the explode + per-token md5 otherwise runs on
+        // the one-task scan (r16)
+        val toks = Helpers.fanoutIfNarrow(Tables.documents(s, d),
+            col("doc_id"))
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("w"))
           .withColumn("b", Helpers.hash16(col("w")) % DsirBuckets)
-        val db = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        // ONE pass over the token stream (r16): group by (doc, lang, b)
+        // — lang is functionally dependent on doc_id, so db's groups are
+        // unchanged — and derive rb/tb by RE-AGGREGATING this table.
+        // The old form re-exploded (and re-md5'ed) the corpus three
+        // times; now the shared (doc,lang,b) exchange is built once and
+        // reused by all three consumers (sum of counts == direct count).
+        val dlb = toks.groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("c"))
+        val db = dlb.select("doc_id", "b", "c")
         val nd = db.groupBy("doc_id").agg(sum("c").as("n_tok"))
-        val rb = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-        val tb = toks.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val rb = dlb.groupBy("b").agg(sum("c").as("cr"))
+        val tb = dlb.filter(col("lang") === "en")
+          .groupBy("b").agg(sum("c").as("ct"))
         // corpus totals as a global window over the 256-row MODEL table
         // (single-partition exchange above an aggregate, the q_ntile
         // pattern) — a one-row-aggregate cross join would duplicate the
@@ -467,7 +482,11 @@ object CurationQueries {
     Q("q_pii_scrub",
       (s, d) => {
         import graft.engine.PiiScrub
-        PiiScrub.annotate(Tables.documents(s, d), "text")
+        // fanoutIfNarrow: the regex battery is row-local CPU on the
+        // one-task scan; integer sums keep the result invariant
+        PiiScrub.annotate(
+          Helpers.fanoutIfNarrow(Tables.documents(s, d), col("doc_id")),
+          "text")
           .groupBy("source").agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_email").cast("long")).as("emails"),

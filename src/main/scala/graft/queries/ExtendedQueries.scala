@@ -404,7 +404,12 @@ object ExtendedQueries {
     // one pass (Spark expands grouping sets before the single shuffle).
     // NULLS FIRST pinned — engines disagree on default null order.
     Q("q_cube",
-      (s, d) => Tables.lineitem(s, d)
+      // fanoutIfNarrow (r16): the single-row-group lineitem scan ran
+      // cube's Expand + partial DECIMAL aggregation on one task; fan
+      // out to core width (no-op on wide scans; decimal/integer
+      // aggregates are partitioning-invariant)
+      (s, d) => Helpers.fanoutIfNarrow(Tables.lineitem(s, d),
+          col("l_orderkey"))
         .cube("l_returnflag", "l_linestatus")
         .agg(dsum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))
@@ -421,7 +426,9 @@ object ExtendedQueries {
     // table (separate queries would scan it twice). grouping_id
     // disambiguates which set each output row belongs to.
     Q("q_grouping_sets",
-      (s, d) => Tables.lineitem(s, d)
+      // fanoutIfNarrow: same single-row-group rationale as q_cube
+      (s, d) => Helpers.fanoutIfNarrow(Tables.lineitem(s, d),
+          col("l_orderkey"))
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
@@ -479,7 +486,9 @@ object ExtendedQueries {
       (s, d) => {
         val q = col("l_quantity").cast("decimal(18,2)")
         val p = col("l_extendedprice").cast("decimal(18,2)")
-        Tables.lineitem(s, d)
+        // fanoutIfNarrow: six exact DECIMAL moment sums per row on the
+        // one-task scan — fan out to core width first
+        Helpers.fanoutIfNarrow(Tables.lineitem(s, d), col("l_orderkey"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(q).cast("double").as("sx"),
@@ -542,7 +551,10 @@ object ExtendedQueries {
     // standard boilerplate/spam signal (high repetition = low-quality
     // training text). Row-local arrays only, no shuffle beyond the scan.
     Q("q_repetition",
-      (s, d) => Tables.documents(s, d)
+      // fanoutIfNarrow: per-doc trigram construction + array_distinct
+      // is row-local CPU that ran on the one-task documents scan
+      (s, d) => Helpers.fanoutIfNarrow(Tables.documents(s, d),
+          col("doc_id"))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n3", greatest(size(col("toks")) - 2, lit(0)))
         .withColumn("grams", when(col("n3") > 0, expr(
@@ -758,6 +770,10 @@ object ExtendedQueries {
         // the exact count, event total, and HLL sketch (duplicate-
         // insensitive, same estimate) a 1500-row final agg
         val exact = count(lit(1)).cast("double")
+        // NO fan-out here (r16, measured 0.67 -> 1.20 s with one): a
+        // user_id-keyed fan-out co-clusters with the groupBy, which
+        // moves the whole aggregation AFTER the exchange — raw rows
+        // ship instead of the map-side-combined 1.5k per-user rows
         Tables.events(s, d)
           .groupBy("user_id").agg(count(lit(1)).as("cnt"))
           .agg(

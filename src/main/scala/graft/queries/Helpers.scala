@@ -88,6 +88,40 @@ private[graft] object Helpers {
     if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
   }
 
+  /** Hash-keyed variant of [[rebalanceIfNarrow]] (r16 optimization
+    * round, guide §2.5): fans a narrow scan out to core width by
+    * HASH-partitioning on `cols` instead of round-robin. Two reasons to
+    * prefer it when a natural high-cardinality key exists (doc_id,
+    * orderkey): (1) keyless repartition(n) first pays a per-partition
+    * LOCAL SORT of its input (sortBeforeRepartition, on by default
+    * since SPARK-23207 for retry determinism) — on the single-task
+    * scans this helper targets, that sort is serial and eats the win;
+    * hash partitioning is deterministic by value and skips it. (2) rows
+    * with equal keys land together, so a later shuffle keyed the same
+    * way is already co-partitioned. Same narrow-plan guard and same
+    * production no-op: a scan already at or above core width passes
+    * through untouched, so at real corpus scale this adds nothing.
+    * Only for consumers whose RESULT is partitioning-independent (exact
+    * aggregates through DECIMAL/integers, row-local maps, pinned-order
+    * outputs) — every current call site's query ends in a total-order
+    * sort with a unique key. */
+  def fanoutIfNarrow(df: org.apache.spark.sql.DataFrame, cols: Column*)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val offending = df.queryExecution.optimizedPlan.collectFirst {
+      case p if !(p.isInstanceOf[LeafNode] || p.isInstanceOf[Project] ||
+        p.isInstanceOf[Filter]) => p.nodeName
+    }
+    require(offending.isEmpty,
+      s"fanoutIfNarrow input must be an exchange-free scan+narrow plan " +
+        s"(leaf/Project/Filter); found ${offending.getOrElse("")} — reading " +
+        s"its physical width would materialize query stages under AQE; " +
+        s"rebalance upstream of the ${offending.getOrElse("")} instead")
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, cols: _*)
+  }
+
   /** DuckDB-side parse of the first 4 hex chars of `h` -> 0..65535 (no
     * conv() there); the Spark mirror is conv(substring(h,1,4),16,10). */
   def hex4(h: String): String =

@@ -486,7 +486,12 @@ object NorthStarQueries {
         // md5 projected before the groupBy (one hash per shingle), all 8
         // slice-minima in ONE map-side-combinable groupBy, bands derived
         // directly with no second aggregation
-        val bands = graft.functions.MinHashLsh.signatures(s, docs(s, d))
+        // fanoutIfNarrow (r16): shingling + per-shingle md5 inside
+        // signatures() is row-local CPU on the one-task scan; fanning
+        // the input out parallelizes it without touching the shared
+        // builder (the persisted DedupIndex path is unchanged)
+        val bands = graft.functions.MinHashLsh.signatures(s,
+          Helpers.fanoutIfNarrow(docs(s, d), col("doc_id")))
         bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -1709,8 +1714,12 @@ object NorthStarQueries {
     // engines agree on md5('')).
     Q("q_span_clean",
       (s, d) => {
-        val toks = docs(s, d).select(col("doc_id"),
-          split(col("text"), " ").as("ws"))
+        // fanoutIfNarrow (r16): both consumers (spans, tokPos) explode
+        // positions with per-position array_join/slice — row-local CPU
+        // that ran on the one-task single-row-group scan
+        val toks = Helpers.fanoutIfNarrow(
+          docs(s, d).select(col("doc_id"),
+            split(col("text"), " ").as("ws")), col("doc_id"))
         // (doc, i, sp): the RAW 8-token span starting at 0-based i —
         // grouping on the span text itself is exact (no hash-collision
         // caveat) and drops a per-position md5 from the hot path; the

@@ -249,15 +249,15 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
-  test("pii scrub: row-local map pass, one shuffle, map-side combine") {
-    // the scrub itself (regexp count/replace) must stay inside the scan
-    // stage: exactly ONE Exchange (the per-source aggregate), with a
-    // partial phase ahead of it — a second shuffle or a lost partial
-    // means the stage stopped being a map pass
-    // exactly two Exchanges: the per-source hash agg + the final
-    // presentation sort — a third means the scrub left the scan stage
+  test("pii scrub: row-local map pass behind the fan-out, map-side combine") {
+    // r16: the regex battery fans the narrow one-row-group scan out to
+    // core width first (fanoutIfNarrow — hash on doc_id, no-op on wide
+    // scans), then stays a map pass: exactly THREE Exchanges total —
+    // the fan-out, the per-source hash agg (with a partial phase ahead
+    // of it), and the final presentation sort. A fourth exchange means
+    // the scrub left its stage.
     val p = plan("q_pii_scrub")
-    assert("Exchange".r.findAllIn(p).length == 2, p.take(600))
+    assert("Exchange".r.findAllIn(p).length == 3, p.take(600))
     assert(p.contains("partial_"),
       "per-source scrub aggregate lost its partial (map-side) phase")
   }
@@ -414,12 +414,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-vector top-2 lost its WindowGroupLimit pruning")
   }
 
-  test("gopher filter is row-local: no hash exchange before the output sort") {
-    // every flag derives from the split-token array in place; the only
-    // exchange is the deterministic output orderBy (rangepartitioning)
+  test("gopher filter is row-local behind the fan-out: one hash exchange") {
+    // every flag derives from the split-token array in place; r16 fans
+    // the narrow one-row-group scan out to core width first
+    // (fanoutIfNarrow on doc_id — no-op on wide scans), so the plan is
+    // exactly ONE hash exchange (the fan-out) + the output orderBy
+    // (rangepartitioning); a second hash exchange means a rule stopped
+    // being row-local
     val p = plan("q_gopher")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"gopher rules should not shuffle data:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"gopher rules should not shuffle data beyond the fan-out:\n$p")
     assert(!p.contains("Generate"), s"gopher should not explode tokens:\n$p")
   }
 
@@ -493,12 +497,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
-  test("ttr is row-local: no hash exchange, no token explode") {
+  test("ttr is row-local behind the fan-out: one hash exchange, no explode") {
     // distinct-token counting runs on the split array in place
-    // (array_distinct), so the only exchange is the output orderBy
+    // (array_distinct); r16 fans the narrow scan out to core width
+    // first, so exactly ONE hash exchange (the fan-out) precedes the
+    // output orderBy
     val p = plan("q_ttr")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"ttr should not shuffle data:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"ttr should not shuffle data beyond the fan-out:\n$p")
     assert(!p.contains("Generate"), s"ttr should not explode tokens:\n$p")
   }
 
@@ -857,6 +863,39 @@ class PlanAuditSpec extends AnyFunSuite {
       // wide-dir entries and re-registering the sf-dir cached tables
       for (q <- Seq("q_cdc_chunk", "q_silhouette")) plan(q)
     }
+  }
+
+  test("fanoutIfNarrow (r16): hash fan-out on a narrow scan, no-op on a " +
+      "wide one, loud rejection of non-scan inputs") {
+    import org.apache.spark.sql.functions._
+    val cores = spark.sparkContext.defaultParallelism
+    // narrow (one-row-group fixture): fans out via HASH partitioning on
+    // the given key — never round-robin, which would pay the
+    // sort-before-repartition pass on the single scan task
+    val narrow = graft.queries.Helpers.fanoutIfNarrow(
+      spark.read.parquet(s"$sf/documents.parquet"), col("doc_id"))
+    val np = narrow.queryExecution.executedPlan.toString
+    assert(np.contains("hashpartitioning(doc_id"),
+      s"fan-out lost its hash key:\n$np")
+    assert(!np.contains("RoundRobinPartitioning"),
+      s"fan-out regressed to round-robin:\n$np")
+    assert(narrow.rdd.getNumPartitions == cores)
+    // wide input: identity — at production scan widths the helper adds
+    // nothing
+    val wideDf = spark.range(0, 1000, 1, 2 * cores)
+      .select(col("id").as("doc_id"))
+    val wide = graft.queries.Helpers.fanoutIfNarrow(wideDf, col("doc_id"))
+    assert(wide.queryExecution.optimizedPlan ==
+      wideDf.queryExecution.optimizedPlan,
+      "wide scan must pass through untouched")
+    // same guard as rebalanceIfNarrow: an exchange below the width
+    // probe would materialize query stages under AQE
+    val agg = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count()
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Helpers.fanoutIfNarrow(agg, col("source"))
+    }
+    assert(e.getMessage.contains("Aggregate"), e.getMessage)
   }
 
   test("rebalanceIfNarrow rejects non-scan inputs loudly (ADVICE r14 #3): " +
