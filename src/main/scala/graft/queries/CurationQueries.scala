@@ -281,10 +281,18 @@ object CurationQueries {
         // — lang is functionally dependent on doc_id, so db's groups are
         // unchanged — and derive rb/tb by RE-AGGREGATING this table.
         // The old form re-exploded (and re-md5'ed) the corpus three
-        // times; now the shared (doc,lang,b) exchange is built once and
-        // reused by all three consumers (sum of counts == direct count).
+        // times. Eager localCheckpoint (the GraphMetrics.pagerank
+        // materialization pattern, per query invocation — nothing
+        // persists across runs) is what makes the sharing REAL: the
+        // three consumers prune different columns, so their exchange
+        // subtrees canonicalize differently and AQE's exchange reuse
+        // never fires on them (measured: 3x the explode+agg CPU).
+        // Checkpoint partitioning (hash(doc_id) from the fan-out, which
+        // subset-satisfies this grouping) is preserved, so nd's
+        // doc-keyed re-aggregation still plans no exchange.
         val dlb = toks.groupBy("doc_id", "lang", "b")
           .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         val db = dlb.select("doc_id", "b", "c")
         val nd = db.groupBy("doc_id").agg(sum("c").as("n_tok"))
         val rb = dlb.groupBy("b").agg(sum("c").as("cr"))
@@ -299,14 +307,19 @@ object CurationQueries {
           .withColumn("ct", coalesce(col("ct"), lit(0L)))
           .withColumn("rt", sum(col("cr")).over(all))
           .withColumn("tt", sum(col("ct")).over(all))
+          // LONG micro-units instead of DECIMAL(18,6) — the floored LLR
+          // is an exact integer and per-doc |sum| < 2^53, so
+          // sum_long.cast(double)/1e6 reproduces the decimal-sum cast
+          // bit-for-bit without BigDecimal adds (the q_lm_score r16
+          // treatment)
           .withColumn("llr",
-            (floor(log(((col("ct") + 1).cast("double") * (col("rt") + DsirBuckets).cast("double")) /
-              ((col("cr") + 1).cast("double") * (col("tt") + DsirBuckets).cast("double"))) * 1000000 + 0.5) / 1000000)
-              .cast("decimal(18,6)"))
+            floor(log(((col("ct") + 1).cast("double") * (col("rt") + DsirBuckets).cast("double")) /
+              ((col("cr") + 1).cast("double") * (col("tt") + DsirBuckets).cast("double"))) * 1000000 + 0.5)
+              .cast("long"))
           .select("b", "llr")
         db.join(model, "b")
           .groupBy("doc_id")
-          .agg(sum(col("llr") * col("c")).cast("double").as("sc"))
+          .agg((sum(col("llr") * col("c")).cast("double") / 1000000.0).as("sc"))
           .join(nd, "doc_id")
           .withColumn("dsir_score", r4(col("sc") / col("n_tok")))
           .select("doc_id", "n_tok", "dsir_score")

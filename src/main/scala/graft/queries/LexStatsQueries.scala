@@ -203,9 +203,14 @@ object LexStatsQueries {
           .crossJoin(totals) // |langs| rows: scale-invariant fan-out
           .join(prof, Seq("lang", "w"), "left")
           .crossJoin(vsz)
-          .withColumn("term", col("cd").cast("decimal(18,6)") *
-            f6(log((coalesce(col("cw"), lit(0L)) + lit(1)).cast("double") /
-              (col("tl") + col("v")).cast("double"))))
+          // LONG micro-units: score only RANKS (never emitted), and the
+          // long sum Σ cd·l_mic orders identically to the old
+          // decimal(scale 12) sum while keeping the aggregation buffer
+          // a compact long (the q_lm_score r16 treatment)
+          .withColumn("term", col("cd") *
+            floor(log((coalesce(col("cw"), lit(0L)) + lit(1)).cast("double") /
+              (col("tl") + col("v")).cast("double")) * 1000000 + 0.5)
+              .cast("long"))
           .groupBy("doc_id", "true_lang", "lang")
           .agg(sum(col("term")).as("score"))
         val pred = scored

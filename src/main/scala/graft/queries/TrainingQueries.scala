@@ -447,15 +447,23 @@ object TrainingQueries {
         val uc = bc
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
           .groupBy("w1").agg(sum("cb").as("cu"))
+        // r16: the 1e-6-floored log is summed in LONG micro-units
+        // instead of DECIMAL(18,6) — floor output is an exact integer,
+        // per-doc |sum| < 2^53 (|ln p| <= ~25 -> |l_mic| <= 2.5e7, sum c
+        // per doc <= tokens), so sum_long.cast(double)/1e6 is the SAME
+        // correctly-rounded double the decimal-sum cast produced, while
+        // the aggregation buffer stays a compact long (the old
+        // decimal(38,6) buffer paid a BigDecimal add per row — 11.7 s
+        // of the query's 12.6 s aggregate time at sf0.1).
         docBg
           .join(bc, Seq("bigram"))
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
           .join(uc, Seq("w1"))
-          .withColumn("l",
-            (floor(log(col("cb") / col("cu")) * 1000000 + 0.5) / 1000000)
-              .cast("decimal(18,6)"))
+          .withColumn("lmic",
+            floor(log(col("cb") / col("cu")) * 1000000 + 0.5).cast("long"))
           .groupBy("doc_id")
-          .agg(r4(sum(col("l") * col("c")).cast("double") / sum("c"))
+          .agg(r4(sum(col("lmic") * col("c")).cast("double") / 1000000.0 /
+              sum("c"))
             .as("lm_score"))
           .orderBy("lm_score", "doc_id")
           .limit(25)
@@ -523,11 +531,13 @@ object TrainingQueries {
               col("cb").cast("double") / col("cu"))
               .otherwise(lit(0.4) *
                 (coalesce(col("c2"), lit(0L)) + 1).cast("double") / col("n1")))
-          .withColumn("l",
-            (floor(log(col("sv")) * 1000000 + 0.5) / 1000000)
-              .cast("decimal(18,6)"))
+          // LONG micro-units instead of DECIMAL(18,6) — same exactness
+          // argument as q_lm_score above (r16)
+          .withColumn("lmic",
+            floor(log(col("sv")) * 1000000 + 0.5).cast("long"))
           .groupBy("doc_id")
-          .agg(r4(sum(col("l") * col("c")).cast("double") / sum("c"))
+          .agg(r4(sum(col("lmic") * col("c")).cast("double") / 1000000.0 /
+              sum("c"))
             .as("sbo_score"))
           .orderBy("sbo_score", "doc_id")
           .limit(25)
