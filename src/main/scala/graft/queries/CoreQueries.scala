@@ -436,10 +436,14 @@ object CoreQueries {
         val w = Window.partitionBy("o_custkey")
           .orderBy("o_orderdate", "o_orderkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // LONG cent-units in the running window sum (the q_agg_pricing
+        // r16 treatment: <= 2-decimal inputs, per-customer running
+        // totals far under 2^53 — identical doubles, no BigDecimal in
+        // the per-row frame update)
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-              .cast("double").as("running_total"))
+            (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).over(w)
+              .cast("double") / 100.0).as("running_total"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey,
@@ -461,12 +465,25 @@ object CoreQueries {
             .filter(col("l_shipdate") <= lit("2001-09-01")),
           col("l_orderkey"))
         .groupBy("l_returnflag", "l_linestatus")
+        // r16: the three exact DECIMAL sums run in LONG cent-units.
+        // cast(decimal(18,2)) of these doubles is exact (the column
+        // values carry <= 2 decimal digits, so shortest-repr setScale
+        // never rounds), and floor(x*100 + 0.5) lands on the same
+        // integer (the float error in x*100 is orders of magnitude
+        // below the 0.5 slack). Every group sum stays under 2^53
+        // (disc-price worst case: 1.04e9/row x 600k rows ~ 6e14), so
+        // sum_long.cast(double)/100 (or /1e4) is the same
+        // correctly-rounded double the decimal-sum cast produced —
+        // while the old decimal(28,2)/(38,4) buffers paid a BigDecimal
+        // add per row (the q_lm_score r16 finding).
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("sum_disc_price"),
+          (sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+            .cast("double") / 100.0).as("sum_qty"),
+          (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("double") / 100.0).as("sum_base_price"),
+          (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+            .cast("double") / 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
