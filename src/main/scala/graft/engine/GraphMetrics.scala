@@ -68,16 +68,23 @@ object GraphMetrics {
     * rank_s = the template/hub members of the duplication graph.
     *
     * Each round is one keyed equi-join (contributions onto edges) plus
-    * one groupBy(v) — the Pregel topology on DataFrames. Rounds are
-    * MATERIALIZED with an eager localCheckpoint, exactly like
-    * Graph.largeStarSmallStar: prRound reads the rank table twice, so a
-    * lazily-chained iteration DAG doubles per round — by round 5
-    * Catalyst is analyzing a 2^5-copy logical tree (measured: round
-    * counts 0.75 -> 9.3 s even with every input cached, ~80 s for the
-    * whole query; checkpointed: flat per-round cost). Truncating
-    * lineage per round is how any iterative graph algorithm must run on
-    * Spark; on a cluster swap localCheckpoint for reliable
-    * checkpoint() if executor loss must not restart the query. */
+    * one groupBy(v) — the Pregel topology on DataFrames.
+    *
+    * Round chaining (r17, guide §2.4 "remove stages outright"): the
+    * per-round state is just (u, r); deg and base are ITERATION-
+    * INVARIANT, so they live in one checkpointed `nodeInfo` table and
+    * each round reads the previous rank table exactly ONCE. A
+    * single-read recurrence chains lazily with a LINEAR logical plan
+    * (the r9 blow-up — prRound then read `ranks` twice, so a lazy chain
+    * doubled per round into a 2^iters tree, measured 0.75 -> 9.3 s per
+    * round — cannot recur: every copy-prone reference now points at a
+    * checkpointed leaf). All `iters` rounds therefore plan and run as
+    * ONE AQE query materialized by a single final checkpoint, instead
+    * of paying a per-round job barrier + checkpoint (8 eager jobs per
+    * invocation down to 4; at sf0.1 the 36-job scheduling floor, not
+    * data, dominated the query's wall-clock). On a cluster
+    * swap localCheckpoint for reliable checkpoint() if executor loss
+    * must not restart the query. */
   def pagerank(edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
@@ -93,34 +100,47 @@ object GraphMetrics {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long)].toDF("v", "deg", "rank_s")
     }
-    var ranks = deg
+    val nodeInfo = deg
       .withColumn("base",
         lit(((dampDen - dampNum) * scale) / (dampDen * nNodes)))
-      .withColumn("r", lit(scale / nNodes))
-      .select("u", "deg", "base", "r")
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val next = prRound(ranks, e2, dampNum, dampDen).localCheckpoint(true)
-      ranks.unpersist()
-      ranks = next
-    }
-    e2.unpersist()
-    ranks.select(col("u").as("v"), col("deg"), col("r").as("rank_s"))
+    var ranks = nodeInfo.select(col("u"), lit(scale / nNodes).as("r"))
+    for (_ <- 1 to iters)
+      ranks = prRound(ranks, nodeInfo, e2, dampNum, dampDen)
+    // (an every-2-rounds intermediate checkpoint was tried to shrink
+    // the chained-plan task closures: 26 -> 34 jobs, wall worse —
+    // the one final materialization is the cheapest shape measured)
+    val out = nodeInfo
+      .join(ranks, Seq("u"))
+      .select(col("u").as("v"), col("deg"), col("r").as("rank_s"))
+      .localCheckpoint(true)
+    // the chained rounds are fully materialized in `out`, so the
+    // intermediate leaves can be dropped eagerly
+    e2.unpersist(); nodeInfo.unpersist()
+    out
   }
 
-  /** One PageRank round over a materialized rank table — the plan shape
-    * PlanAuditSpec pins (vertex-keyed join + groupBy + left join back;
-    * no cartesian, no unkeyed broadcast). */
-  private[graft] def prRound(ranks: DataFrame, e2: DataFrame,
-      dampNum: Long, dampDen: Long): DataFrame = {
-    val contrib = ranks.select(col("u"), expr("r div deg").as("c"))
+  /** One PageRank round — the plan shape PlanAuditSpec pins
+    * (vertex-keyed join + groupBy + left join back; no cartesian, no
+    * unkeyed broadcast). Reads `prevR` (u, r) exactly once so rounds
+    * chain with a linear plan; `nodeInfo` (u, deg, base) is the
+    * iteration-invariant checkpointed node table. */
+  private[graft] def prRound(prevR: DataFrame, nodeInfo: DataFrame,
+      e2: DataFrame, dampNum: Long, dampDen: Long): DataFrame = {
+    // no join hints: forcing sort-merge here was tried (r17) to kill
+    // the per-round broadcast-build jobs, but it re-sorts the edge
+    // table every round (summed task run 1.2 -> 7.4 s at sf0.1) —
+    // the hint-free plan (AQE broadcasts the vertex-sized sides while
+    // they measure small, shuffles at scale) is strictly better.
+    val contrib = prevR.join(nodeInfo, Seq("u"))
+      .select(col("u"), expr("r div deg").as("c"))
     val inbox = e2.join(contrib, "u")
       .groupBy(col("v").as("u"))
       .agg(sum("c").as("m"))
-    ranks.drop("r").join(inbox, Seq("u"), "left")
-      .withColumn("r",
-        col("base") + expr(s"(${dampNum} * coalesce(m, 0L)) div ${dampDen}"))
-      .select("u", "deg", "base", "r")
+    nodeInfo.join(inbox, Seq("u"), "left")
+      .select(col("u"),
+        (col("base") +
+          expr(s"(${dampNum} * coalesce(m, 0L)) div ${dampDen}")).as("r"))
   }
 
   /** Exact per-vertex triangle counts over an undirected edge list.
@@ -130,7 +150,14 @@ object GraphMetrics {
     * vertices for the per-node count. Output: (v, deg, n_tri) for
     * every vertex of the graph (n_tri = 0 for triangle-free nodes). */
   def triangles(edges: DataFrame): DataFrame = {
-    val e2 = symmetrize(edges)
+    // r17 (guide §5 / VERDICT r16 #5): materialize the LEAN (u, v)
+    // edge table once — the oriented edge list is read three times by
+    // the triangle self-join plus once for degrees, and without the
+    // checkpoint every task closure carries the full candidate-pair
+    // logical plan (measured 1.9 s summed task DESERIALIZATION at
+    // sf0.1). Blocks are freed by the ContextCleaner when the returned
+    // plan is GC'd (the Graph.connectedComponents precedent).
+    val e2 = symmetrize(edges).localCheckpoint(true)
     val e = e2.filter(col("u") < col("v"))
       .select(col("u").as("a"), col("v").as("b"))
     val deg = e2.groupBy(col("u").as("v")).agg(count(lit(1)).as("deg"))
@@ -192,12 +219,21 @@ object GraphMetrics {
       .partitionBy("sid").orderBy(desc("sim"), asc("tid"))
     val wt = org.apache.spark.sql.expressions.Window
       .partitionBy("tid").orderBy(desc("sim"), asc("sid"))
+    // r17 (guide §2.4 / VERDICT r16 #2): the scored+double-windowed
+    // pair table feeds THREE consumers (both top-k averages and the
+    // final margin probe) that prune different columns, so AQE
+    // exchange reuse never fires on them (the q_dsir r16 finding) and
+    // the in-cell dot-product scoring + two window sorts ran three
+    // times. One eager materialization; blocks are freed by the
+    // ContextCleaner when the plan is GC'd.
     val p = a.join(b, Seq("cell"))
       .withColumn("sim",
         round(expr("graft_dot(se, te)") / (col("sn") * col("tn")), 4))
       .withColumn("s", floor(col("sim") * 10000 + 0.5).cast("long"))
       .withColumn("rn_s", row_number().over(ws))
       .withColumn("rn_t", row_number().over(wt))
+      .select("cell", "sid", "tid", "sim", "s", "rn_s", "rn_t")
+      .localCheckpoint(true)
     val aS = p.filter(col("rn_s") <= k).groupBy("sid")
       .agg(sum("s").as("sa"), count(lit(1)).as("na"))
     val aT = p.filter(col("rn_t") <= k).groupBy("tid")

@@ -567,11 +567,19 @@ object AuditQueries {
       (s, d) => {
         val winS = org.apache.spark.sql.expressions.Window
           .partitionBy("source")
+        // r17 (guide §2.4): the (source, nt, ttr) doc-stats table feeds
+        // THREE consumers (both rank builders and the rank-attach join)
+        // whose pruning differs, so without materialization the corpus
+        // scan + split + array_distinct ran three times (11 jobs, 3
+        // document scans at sf0.1). One eager checkpoint of the lean
+        // numeric table; freed by the ContextCleaner when the plan is
+        // GC'd (the q_dsir precedent).
         val t = Tables.documents(s, d).select(col("source"),
             size(split(col("text"), " ")).cast("long").as("nt"),
             size(array_distinct(split(col("text"), " "))).cast("long")
               .as("nd"))
           .withColumn("ttr", col("nd").cast("double") / col("nt"))
+          .localCheckpoint(true)
         def ranks(valCol: String, out: String) = {
           val g = t.groupBy(col("source"), col(valCol))
             .agg(count(lit(1)).as("cnt"))

@@ -464,27 +464,54 @@ object CoreQueries {
           Tables.lineitem(s, d)
             .filter(col("l_shipdate") <= lit("2001-09-01")),
           col("l_orderkey"))
-        .groupBy("l_returnflag", "l_linestatus")
-        // r16: the three exact DECIMAL sums run in LONG cent-units.
+        // r16: the exact DECIMAL sums run in LONG cent-units per row.
         // cast(decimal(18,2)) of these doubles is exact (the column
         // values carry <= 2 decimal digits, so shortest-repr setScale
         // never rounds), and floor(x*100 + 0.5) lands on the same
         // integer (the float error in x*100 is orders of magnitude
-        // below the 0.5 slack). Every group sum stays under 2^53
-        // (disc-price worst case: 1.04e9/row x 600k rows ~ 6e14), so
-        // sum_long.cast(double)/100 (or /1e4) is the same
-        // correctly-rounded double the decimal-sum cast produced —
-        // while the old decimal(28,2)/(38,4) buffers paid a BigDecimal
-        // add per row (the q_lm_score r16 finding).
+        // below the 0.5 slack).
+        //
+        // r17 (VERDICT r16 #1): the aggregate has only ~6 (flag, status)
+        // groups, so a single-level long sum grows with CORPUS size —
+        // exactness past 2^53 and the long range past 2^63 both break at
+        // 10^10..10^11 rows/group, i.e. a 100 TB lineitem. Two-level
+        // combine instead: level 1 sums longs per (group, partition) —
+        // a compact primitive aggregation buffer, no BigDecimal per row
+        // (the whole point of the r16 change), and a PER-TASK bound that
+        // is corpus-independent: a partition is capped by the scan split
+        // (spark.sql.files.maxPartitionBytes / AQE advisory size), so at
+        // worst-case cent² magnitudes (1.04e9/row) even a 10^9-row
+        // partition stays < 1.1e18 < 2^63, with exactness not required
+        // until level 2. Level 2 sums the ~6-per-partition partials as
+        // DECIMAL (exact, unbounded) and converts once: multiplying by
+        // the exact decimal literal 0.01/0.0001 keeps scale 2/4 with no
+        // precision overflow (values <= ~1e20 fit decimal(38,2/4)), so
+        // the final cast(double) is the same single correctly-rounded
+        // conversion the oracle's CAST(SUM(DECIMAL) AS DOUBLE) performs.
+        // spark_partition_id() only SUBDIVIDES groups (never routes
+        // rows), so the grand total is invariant to the partitioning and
+        // to task retries (a retried partition recomputes the same id).
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("part_id"))
         .agg(
-          (sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
-            .cast("double") / 100.0).as("sum_qty"),
-          (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
-            .cast("double") / 100.0).as("sum_base_price"),
-          (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_c"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("base_c"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
             (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
-            .cast("double") / 10000.0).as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
+            .as("disc_c2"),
+          count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(col("qty_c").cast("decimal(28,0)")) *
+            lit(new java.math.BigDecimal("0.01"))).cast("double").as("sum_qty"),
+          (sum(col("base_c").cast("decimal(28,0)")) *
+            lit(new java.math.BigDecimal("0.01"))).cast("double")
+            .as("sum_base_price"),
+          (sum(col("disc_c2").cast("decimal(28,0)")) *
+            lit(new java.math.BigDecimal("0.0001"))).cast("double")
+            .as("sum_disc_price"),
+          sum("cnt").as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -367,12 +367,27 @@ object CurationQueries {
     Q("q_mad_outlier",
       (s, d) => {
         val e = Tables.events(s, d).select("event_type", "value")
-        // histogram excludes NULL values (percentile/quantile_cont
-        // semantics — a null row must not shift the ranks); the final
-        // screen still sees every row
-        val hist = e.filter(col("value").isNotNull)
-          .groupBy("event_type", "value")
+        // r17 (guide §2.4/§8 "decide with small rows"): ONE corpus
+        // aggregation builds the (type, value, cnt) histogram —
+        // INCLUDING the null-value group, which only the total count
+        // consumes — and every later phase (median, deviation
+        // histogram, MAD, the outlier screen itself) runs over the
+        // histogram, never the raw stream. The old form re-scanned the
+        // corpus for the final screen and broadcast-joined stats onto
+        // every raw row; robz depends only on (value, med, mad), so
+        // weighting each distinct value's screen by cnt reproduces the
+        // per-row sums and maxes EXACTLY (null values: robz is null,
+        // dropped by max and counted 0 by the outlier predicate — same
+        // as before). localCheckpoint because the three consumers prune
+        // different columns, so AQE exchange reuse never fires on them
+        // (the q_dsir r16 finding) and the corpus scan+agg would run
+        // three times; freed by the ContextCleaner when the plan is GC'd.
+        val histAll = e.groupBy("event_type", "value")
           .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        // median/MAD ranks exclude NULL values (percentile/
+        // quantile_cont semantics — a null row must not shift the ranks)
+        val hist = histAll.filter(col("value").isNotNull)
         val med = ExactPercentile.fromCounts(hist, Seq("event_type"),
             "value", "cnt", Seq(("med", 0.5)))
           .select("event_type", "med")
@@ -382,14 +397,19 @@ object CurationQueries {
         val mad = ExactPercentile.fromCounts(devHist, Seq("event_type"),
             "adev", "cnt", Seq(("mad", 0.5)))
           .select("event_type", "mad")
-        e.join(broadcast(med), "event_type")
+        // the screen runs over histAll (null group INCLUDED) so n =
+        // sum(cnt) counts every row of the type like the old raw-stream
+        // count(lit(1)) did; a null value's robz is null — skipped by
+        // max and counted 0 by the outlier predicate, exactly as before
+        histAll.join(broadcast(med), "event_type")
           .join(broadcast(mad), "event_type")
           .withColumn("robz",
             lit(0.6745) * (col("value") - col("med")) / col("mad"))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
+          .agg(sum(col("cnt")).as("n"),
             max(col("med")).as("m"), max(col("mad")).as("md"),
-            sum(when(abs(col("robz")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(abs(col("robz")) > 3.5, col("cnt")).otherwise(0L))
+              .as("n_outliers"),
             max(col("robz")).as("mz"))
           .select(col("event_type"), col("n"), r4(col("m")).as("med"),
             r4(col("md")).as("mad"), col("n_outliers"),

@@ -197,8 +197,16 @@ object GraphQueries {
     Q("q_assortativity",
       (s, d) => {
         val ed = edges(s, d)
+        // r17 (guide §5 / VERDICT r16 #5): materialize the lean (u, v)
+        // long-pair table once — it feeds the degree aggregate AND the
+        // two degree-attach joins, and without the checkpoint every
+        // task closure carries the full candidate-pair logical plan
+        // (measured 6.1 s summed task deserialization at sf0.1, the
+        // query's dominant cost). Freed by the ContextCleaner when the
+        // plan is GC'd (the GraphMetrics precedent).
         val e2 = ed.select(col("d1").as("u"), col("d2").as("v"))
           .union(ed.select(col("d2").as("u"), col("d1").as("v")))
+          .localCheckpoint(true)
         val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
         val x = col("x").cast("decimal(18,0)")
         val y = col("y").cast("decimal(18,0)")

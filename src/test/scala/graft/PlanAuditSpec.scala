@@ -803,10 +803,11 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q pairs without an equi key:\n$p")
     }
     import spark.implicits._
-    val ranks = Seq((1L, 2L, 100L, 500L), (2L, 1L, 100L, 500L))
-      .toDF("u", "deg", "base", "r")
+    val prevR = Seq((1L, 500L), (2L, 500L)).toDF("u", "r")
+    val nodeInfo = Seq((1L, 2L, 100L), (2L, 1L, 100L))
+      .toDF("u", "deg", "base")
     val e2 = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
-    val rp = graft.engine.GraphMetrics.prRound(ranks, e2, 85, 100)
+    val rp = graft.engine.GraphMetrics.prRound(prevR, nodeInfo, e2, 85, 100)
       .queryExecution.executedPlan.toString
     assert(!rp.contains("CartesianProduct"), s"pagerank round went all-pairs:\n$rp")
     assert(!rp.contains("BroadcastNestedLoopJoin"),
