@@ -86,28 +86,45 @@ object AuditQueries {
     * join quadratically). */
   val WinnowMaxDf = 5
 
-  /** (doc_id, source, tri, c) trigram counts, memoized+cached per
-    * (session, dir): q_boilerplate consumes it TWICE (frequency table
-    * + occurrence join). Caching makes the JOIN form affordable —
-    * chosen over a count-over-partition window because a UNIVERSAL
-    * boilerplate trigram ("all rights reserved" in 10⁹ docs) would
-    * funnel that window's hot partition into one task, while the
-    * groupBy's map-side partial aggregation and AQE's skew-join
-    * handling keep the join form balanced at any document frequency. */
+  /** (doc_id, source, tid, c) DICTIONARY-ENCODED trigram counts,
+    * memoized+cached per (session, dir): q_boilerplate consumes it
+    * TWICE (frequency table + occurrence join). Caching makes the JOIN
+    * form affordable — chosen over a count-over-partition window
+    * because a UNIVERSAL boilerplate trigram ("all rights reserved" in
+    * 10⁹ docs) would funnel that window's hot partition into one task,
+    * while the groupBy's map-side partial aggregation and AQE's
+    * skew-join handling keep the join form balanced at any document
+    * frequency.
+    *
+    * `tid` (r17, VERDICT r16 #4, guide §2.3 narrower types): a
+    * COLLISION-FREE long surrogate for the trigram string, assigned by
+    * monotonically_increasing_id over the distinct-trigram table — ids
+    * are unique by construction (not hashes: a 64-bit hash would
+    * collide at real-corpus vocab sizes and silently merge trigram
+    * counts), and retry-stable because the distinct table is the
+    * output of a deterministic hash-partitioned aggregate. The
+    * trigram STRING never leaves this build: q_boilerplate's two
+    * aggregates and its join key on the long (per-row string hashing
+    * was 4.6 of its 5.4 s summed task CPU at sf0.1), and the cached
+    * table itself shrinks by the string payload. The query's outputs
+    * are per-source counts, so no consumer needs the text back. */
   private val triCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
   private[queries] def docTrigrams(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     NorthStarQueries.memoize(triCache, s, d) {
-      Tables.documents(s, d)
+      val occ = Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .withColumn("tg", expr(
           "filter(zip_with(zip_with(ws, slice(ws, 2, size(ws)), " +
             "(x, y) -> concat(x, ' ', y)), slice(ws, 3, size(ws)), " +
             "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
         .select(col("doc_id"), col("source"), explode(col("tg")).as("tri"))
-        .groupBy("doc_id", "source", "tri").agg(count(lit(1)).as("c"))
+      val dict = occ.select("tri").distinct()
+        .withColumn("tid", monotonically_increasing_id())
+      occ.join(dict, "tri")
+        .groupBy("doc_id", "source", "tid").agg(count(lit(1)).as("c"))
     }
 
   /** Winnow selection pass WITH gram identities (doc_id, pos, g, m),
@@ -329,16 +346,18 @@ object AuditQueries {
     // hot key, no broadcast), aggregates are map-side-combinable.
     Q("q_boilerplate",
       (s, d) => {
-        // (doc, trigram, count) aggregate memoized+cached (see
+        // (doc, trigram-id, count) aggregate memoized+cached (see
         // docTrigrams): the frequency table needs no countDistinct
         // (one row per doc per trigram) and the occurrence join rides
-        // the cache, so the explode evaluates ONCE. The groupBy's
-        // map-side partial aggregation and AQE skew handling keep a
-        // universal boilerplate trigram from funneling into one task
-        // (the hazard of the count-over-partition window form).
+        // the cache, so the explode evaluates ONCE; both aggregates
+        // and the join key on the dictionary LONG, not the trigram
+        // string (r17 — see docTrigrams). The groupBy's map-side
+        // partial aggregation and AQE skew handling keep a universal
+        // boilerplate trigram from funneling into one task (the
+        // hazard of the count-over-partition window form).
         val dt = docTrigrams(s, d)
-        val freq = dt.groupBy("tri").agg(count(lit(1)).as("df"))
-        val perDoc = dt.join(freq, "tri")
+        val freq = dt.groupBy("tid").agg(count(lit(1)).as("df"))
+        val perDoc = dt.join(freq, "tid")
           .groupBy("doc_id", "source")
           .agg(sum("c").as("n_tri"),
             sum(when(col("df") >= BoilerDocFreq, col("c")).otherwise(0L))

@@ -191,6 +191,10 @@ object LexStatsQueries {
         val docs = Tables.documents(s, d)
         val tw = docs.filter(col("doc_id") % 2 === 0)
           .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        // r17: the q_lm_score materialize+size-aware-broadcast
+        // treatment was TRIED here and reverted — the checkpoint+count
+        // jobs cost more than the saved (already tiny, AQE-broadcast)
+        // probe shuffle (bench protocol A/B: 0.87 -> 0.96 s at sf0.1)
         val prof = tw.groupBy("lang", "w").agg(count(lit(1)).as("cw"))
         val totals = prof.groupBy("lang").agg(sum("cw").as("tl"))
         val vsz = prof.agg(countDistinct("w").as("v")) // 1 row

@@ -59,6 +59,24 @@ object TrainingQueries {
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
     }
 
+  /** Size-aware model-join branch (r17, VERDICT r16 #3): the LM model
+    * tables (bigram/unigram counts) are vocab-bounded but grow with
+    * corpus breadth, so their probe joins carry no STATIC broadcast
+    * hint — yet the hint-free sort-merge plan pays a full probe-side
+    * shuffle before AQE can downgrade to broadcast (measured r16:
+    * q_lm_score's model join 1.7 s hint-free vs 0.5 s broadcast at
+    * sf0.1; the blanket autoBroadcastJoinThreshold=64m experiment made
+    * the FULL bench worse, 62.6 -> 69.2 s, so the decision must be
+    * per-table). The branch measures the MATERIALIZED model table: at
+    * or under this row count it broadcasts (2M rows of short n-gram
+    * strings + a long ≈ low hundreds of MB framed — well inside the
+    * 8 GB / 512M-row broadcast cap and a trivial executor-memory
+    * footprint), above it the scale-correct shuffle plan is kept.
+    * Measured cardinalities: 931 distinct bigrams at sf0.1, ~116k on
+    * the 125-replica 100x probe corpus (both genuinely broadcastable);
+    * a real web-scale corpus has 1e9+ distinct bigrams and shuffles. */
+  private val ModelBroadcastMaxRows = 2000000L
+
   val all: Seq[Q] = Seq(
 
     // Context-window chunking: split each document into overlapping
@@ -443,7 +461,16 @@ object TrainingQueries {
         // sum(l*c)/sum(c) (l is DECIMAL, c integral, so the weighted
         // sum equals the occurrence sum term-for-term).
         val docBg = docBigramCounts(s, d)
+        // r17: materialize the bigram model once (its row count drives
+        // the size-aware broadcast branch, and the unigram model
+        // re-aggregates it instead of re-running the corpus aggregate —
+        // AQE exchange reuse never fired across the differently-pruned
+        // consumers); freed by the ContextCleaner when the plan is GC'd
         val bc = docBg.groupBy("bigram").agg(sum("c").as("cb"))
+          .localCheckpoint(true)
+        val modelSmall = bc.count() <= ModelBroadcastMaxRows
+        def sized(t: DataFrame): DataFrame =
+          if (modelSmall) broadcast(t) else t
         val uc = bc
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
           .groupBy("w1").agg(sum("cb").as("cu"))
@@ -456,9 +483,9 @@ object TrainingQueries {
         // decimal(38,6) buffer paid a BigDecimal add per row — 11.7 s
         // of the query's 12.6 s aggregate time at sf0.1).
         docBg
-          .join(bc, Seq("bigram"))
+          .join(sized(bc), Seq("bigram"))
           .withColumn("w1", expr("split(bigram, ' ')[0]"))
-          .join(uc, Seq("w1"))
+          .join(sized(uc), Seq("w1"))
           .withColumn("lmic",
             floor(log(col("cb") / col("cu")) * 1000000 + 0.5).cast("long"))
           .groupBy("doc_id")
@@ -507,6 +534,11 @@ object TrainingQueries {
         // stream is the already-aggregated eval rows.
         val docBg = docBigramCounts(s, d)
         val train = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+        // r17: the q_lm_score materialize+size-aware-broadcast
+        // treatment was TRIED on tb/tu/tw and reverted — with THREE
+        // model tables the extra checkpoint+count jobs outweigh the
+        // saved probe shuffles, which AQE already downgrades cheaply
+        // at this scale (bench protocol A/B: 0.70 -> 0.95 s at sf0.1)
         val tb = docBg.filter(col("doc_id") % 10 =!= 0)
           .groupBy("bigram").agg(sum("c").as("cb"))
         val tu = tb.withColumn("w1", expr("split(bigram, ' ')[0]"))
