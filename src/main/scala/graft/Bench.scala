@@ -15,53 +15,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      // r16 optimization round (guide §2.2/§2.4, measured on this box):
-      // with spark.sql.shuffle.partitions = cpus (<= 200), every SQL
-      // exchange used the BypassMergeSortShuffleWriter — which creates
-      // ONE FILE PER REDUCE PARTITION PER MAP TASK (32x32 = 1024 file
-      // creates + merges per shuffle). A 256k-row cached-table groupBy
-      // measured 0.55-0.64 s wall / ~12 s summed task time at 32x32,
-      // 0.08 s from one map task — the cost scaled with maps x reducers,
-      // not rows. bypassMergeThreshold=0 selects the single-file
-      // UnsafeShuffleWriter that production partition counts (> 200)
-      // would use anyway (the setting is a no-op at scale), and shuffle
-      // checksum files (a per-map-task extra file whose only role is
-      // diagnosing corrupted REMOTE fetches) are off in local mode —
-      // there is no network fetch to diagnose; keep the default true on
-      // a real cluster. Same-box A/B, full 166-query bench: 82.8 s ->
-      // 71.0 s with these two alone.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
-      .config("spark.shuffle.checksum.enabled", "false")
-      // With the per-file overhead gone, Spark's DEFAULT parallelismFirst
-      // (coalesce no further than the session's parallelism) beats the
-      // r13-era false (coalesce to advisory size -> ONE post-shuffle
-      // partition at bench scale, serializing every sort/join/agg on a
-      // 32-thread box): 71.0 s -> 62.1 s, 108 queries faster / 19
-      // slightly slower. The default is scale-adaptive by construction —
-      // at production shuffle sizes advisory-size partitioning dominates
-      // and the two settings agree. (The old false setting predates the
-      // bypass fix: per-task file overhead then made extra post-shuffle
-      // tasks a net loss; that tradeoff no longer exists.)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-      .config("spark.ui.enabled", "false")
-    // Optimization-round experiment hook (guide §1): semicolon-separated
-    // k=v pairs applied LAST, so a config A/B runs through the identical
-    // timing protocol without a code edit. Unset = byte-identical
-    // session to the committed defaults (the driver sets no such env).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
-      .filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k.trim, v.trim)
-      })
-    val spark = builder.getOrCreate()
+    // session config + rationale + SPARK_GRAFT_CONF A/B hook live in
+    // SessionDefaults (ADVICE r16 #2: ONE builder shared with every
+    // profiling main, so dumps/profiles explain the timed session)
+    val spark = SessionDefaults.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def execOnce(name: String): Long = {
@@ -192,8 +149,15 @@ object Bench {
     var prewarmDiskMb = -1.0
     var prewarmCapMb = -1.0
     var prewarmOverflow = false
+    // per-table prewarm build seconds (r17, VERDICT r16 #6): the
+    // untimed shared-cache builds travel IN the report JSON, so any
+    // growth of the untimed-precomputation set is a named field diff
+    // between rounds instead of stderr archaeology; PrewarmSpec pins
+    // the set itself.
+    var prewarmTimes: Seq[(String, Double)] = Seq.empty
     if (!sys.env.get("SPARK_GRAFT_PREWARM").map(_.trim).contains("0")) {
       val times = graft.queries.Prewarm.shared(spark, sfDir)
+      prewarmTimes = times
       System.err.println("[bench] prewarm " + times.map { case (n, t) =>
         f"$n=$t%.2fs" }.mkString(" "))
       // Residency audit — ACTIONABLE, not just logged (VERDICT r12): the
@@ -417,7 +381,10 @@ object Bench {
       else s""","prewarm_overflow":$prewarmOverflow""" +
         s""","prewarm_cached_mem_mb":${math.round(prewarmMemMb)}""" +
         s""","prewarm_cached_disk_mb":${math.round(prewarmDiskMb)}""" +
-        s""","prewarm_capacity_mb":${math.round(prewarmCapMb)}"""
+        s""","prewarm_capacity_mb":${math.round(prewarmCapMb)}""" +
+        s""","prewarm_n":${prewarmTimes.size}""" +
+        prewarmTimes.map { case (n, t) => "\"" + esc(n) + "\":" + t }
+          .mkString(""","prewarm_build_sec":{""", ",", "}")
     val annField =
       annDirEnv.map(r => s""","ann_dir":"${esc(r)}"""").getOrElse("")
     // calib (the run-START probe) travels with the report AND the

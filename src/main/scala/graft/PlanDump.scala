@@ -5,8 +5,14 @@ import java.nio.file.{Files, Paths}
 /** Optimization-round measurement tool (guide §1.2/§7.2): dumps
   * `explain("formatted")` for the named queries (or all) to
   * `<outDir>/<name>.txt`, using the SAME session configuration as Bench
-  * so the captured plan is the one the driver times. No data is
-  * executed — plans only (AQE initial plan, `isFinalPlan=false`).
+  * (SessionDefaults) so the captured plan is the one the driver times.
+  * No data is executed — plans only (AQE initial plan,
+  * `isFinalPlan=false`) — EXCEPT for queries whose construction runs an
+  * eager localCheckpoint (q_dsir, q_mad_outlier, q_spearman,
+  * q_pagerank, q_margin_nn, q_triangles, q_assortativity, q_lm_score):
+  * those materialize their checkpointed intermediates (real jobs) at
+  * construction time, and their dumps show LogicalRDD leaves where the
+  * checkpoint truncated the plan (ADVICE r16 #3).
   *
   * Usage: runMain graft.PlanDump <sfDir> <outDir> [q_a,q_b,...]
   */
@@ -18,19 +24,7 @@ object PlanDump {
       if (args.length > 2)
         Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
       else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
-      .config("spark.shuffle.checksum.enabled", "false")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SessionDefaults.builder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -17,17 +17,9 @@ object ProfilePlan {
       if (args.length > 1)
         Some(args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
       else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shared bench-session builder (ADVICE r16 #2 — this main was on a
+    // pre-r16 config, measuring a different session than the bench)
+    val spark = SessionDefaults.builder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // same warmup as Bench
     spark.sql(

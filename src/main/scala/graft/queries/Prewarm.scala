@@ -25,6 +25,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Prewarm {
 
+  /** The FROZEN name list of the shared prewarm set (r17, VERDICT r16
+    * #6) — one entry per memoized table below plus the BPE training
+    * run. PrewarmSpec pins [[shared]]'s output against this list, so
+    * growing the untimed-precomputation set requires a visible edit
+    * HERE (and shows up per-table in the bench report's
+    * `prewarm_build_sec` field), never a silent drift. */
+  val SharedTableNames: Seq[String] = Seq(
+    "cappedShingles", "hashedShingles", "trainedCentroids", "ivfAssigned",
+    "scoredPairs", "minhashPairs", "docTrigrams", "corpusFingerprints",
+    "winnowPairs", "wordCounts", "pqCodebook1", "pqCodebook2", "pqEncoded",
+    "docBigramCounts", "bpeLearned")
+
   /** The shared tables, in dependency order (centroids before
     * assignment; shingles before pairs) so each build reuses the
     * previous ones instead of racing them. */

@@ -159,12 +159,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // TPC-H core joins, with AQE still free to broadcast at test scale
     // (asserted above in "dimension joins broadcast").
     for (q <- Seq("q_dedup_keep", "q_minhash_est", "q_dup_rate_source",
-        "q_lm_score", "q_left_join", "q_join_topn")) {
+        "q_left_join", "q_join_topn")) {
       val lp = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString
       assert(!lp.toLowerCase.contains("hint"),
         s"$q still carries a forced join hint:\n$lp")
     }
+    // q_lm_score (r17): its two model joins are SIZE-GATED, not
+    // blanket — broadcast() is applied iff the materialized model's
+    // MEASURED row count is under the documented threshold
+    // (TrainingQueries.ModelBroadcastMaxRows), so at real-corpus vocab
+    // the hints are absent by construction and the plan degrades to
+    // the shuffle join this audit protects. At test scale the model is
+    // ~1k rows, so exactly the two model-side hints must appear.
+    val lm = SparkEntry.queries("q_lm_score")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert("hint".r.findAllIn(lm.toLowerCase).length <= 2,
+      s"q_lm_score hints beyond its two size-gated model sides:\n$lm")
     // q_inner_join keeps exactly one hint — the fixed 25-row nation
     // table (scale-invariant, safe); the customer side must be unhinted.
     val ij = SparkEntry.queries("q_inner_join")(spark, sf)
@@ -256,8 +267,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // the fan-out, the per-source hash agg (with a partial phase ahead
     // of it), and the final presentation sort. A fourth exchange means
     // the scrub left its stage.
+    // <= 3, not == 3 (ADVICE r16 #4): on a multi-row-group fixture or
+    // a narrower box the fan-out is a designed NO-OP and the plan has
+    // one exchange fewer — a range keeps the audit about the scrub
+    // staying a map pass, not about the fixture's file layout
     val p = plan("q_pii_scrub")
-    assert("Exchange".r.findAllIn(p).length == 3, p.take(600))
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx >= 2 && nEx <= 3, s"expected 2-3 exchanges, got $nEx: " +
+      p.take(600))
     assert(p.contains("partial_"),
       "per-source scrub aggregate lost its partial (map-side) phase")
   }
@@ -421,8 +438,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // exactly ONE hash exchange (the fan-out) + the output orderBy
     // (rangepartitioning); a second hash exchange means a rule stopped
     // being row-local
+    // <= 1, not == 1 (ADVICE r16 #4): the fan-out is a designed no-op
+    // on wide scans, so a regenerated multi-row-group fixture would
+    // legitimately plan ZERO hash exchanges here
     val p = plan("q_gopher")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
       s"gopher rules should not shuffle data beyond the fan-out:\n$p")
     assert(!p.contains("Generate"), s"gopher should not explode tokens:\n$p")
   }
@@ -502,8 +522,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (array_distinct); r16 fans the narrow scan out to core width
     // first, so exactly ONE hash exchange (the fan-out) precedes the
     // output orderBy
+    // <= 1 (ADVICE r16 #4): zero on a wide fixture where the fan-out
+    // no-ops
     val p = plan("q_ttr")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
       s"ttr should not shuffle data beyond the fan-out:\n$p")
     assert(!p.contains("Generate"), s"ttr should not explode tokens:\n$p")
   }
