@@ -418,11 +418,25 @@ object CoreQueries {
     // rollup subtotals (beyond the reference's flat group-bys; NULL
     // subtotal markers need explicit NULLS FIRST to match across engines)
     Q("q_rollup",
-      // fanoutIfNarrow: same single-row-group rationale as q_agg_pricing
-      (s, d) => Helpers.fanoutIfNarrow(Tables.lineitem(s, d),
-          col("l_orderkey"))
+      // r17: pre-aggregate to (flag, status, partition) base cells in
+      // LONG cent-units first (the q_cube treatment) — rollup's Expand
+      // multiplies the tiny cell table, not the corpus, and no per-row
+      // DECIMAL buffer remains. The r16 fan-out is DROPPED with it:
+      // once the per-row work is a long add, the highly-reductive
+      // map-side combine on the narrow scan task beats shipping the
+      // corpus through a fan-out exchange (the q_percentile rule;
+      // measured 0.62 -> 0.35 s at sf0.1)
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("part_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+            .as("qty_c"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(sum("cnt").as("n"),
+          (sum(col("qty_c").cast("decimal(28,0)")) *
+            lit(new java.math.BigDecimal("0.01"))).cast("double")
+            .as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -455,15 +469,13 @@ object CoreQueries {
 
     // ---- headline analytics (bench drivers; TPC-H Q1/Q3 shapes)
     Q("q_agg_pricing",
-      // fanoutIfNarrow (r16): the sf-tier lineitem file is ONE parquet
-      // row group, so scan + partial DECIMAL aggregation ran on a
-      // single task; fan out to core width first (no-op on wide scans —
-      // the production case). Decimal sums are order-independent, so
-      // the result is partitioning-invariant.
-      (s, d) => Helpers.fanoutIfNarrow(
-          Tables.lineitem(s, d)
-            .filter(col("l_shipdate") <= lit("2001-09-01")),
-          col("l_orderkey"))
+      // r17: the r16 fan-out is dropped — with the per-row work down
+      // to long adds, the highly-reductive map-side combine on the
+      // narrow scan task beats shipping 13 MB through a fan-out
+      // exchange (the q_percentile rule; measured 0.84 -> 0.43 s at
+      // sf0.1; the production wide-scan plan is identical either way).
+      (s, d) => Tables.lineitem(s, d)
+            .filter(col("l_shipdate") <= lit("2001-09-01"))
         // r16: the exact DECIMAL sums run in LONG cent-units per row.
         // cast(decimal(18,2)) of these doubles is exact (the column
         // values carry <= 2 decimal digits, so shortest-repr setScale

@@ -404,15 +404,28 @@ object ExtendedQueries {
     // one pass (Spark expands grouping sets before the single shuffle).
     // NULLS FIRST pinned — engines disagree on default null order.
     Q("q_cube",
-      // fanoutIfNarrow (r16): the single-row-group lineitem scan ran
-      // cube's Expand + partial DECIMAL aggregation on one task; fan
-      // out to core width (no-op on wide scans; decimal/integer
-      // aggregates are partitioning-invariant)
-      (s, d) => Helpers.fanoutIfNarrow(Tables.lineitem(s, d),
-          col("l_orderkey"))
+      // r17 (guide §2.3 "aggregate before you shuffle"):
+      // PRE-AGGREGATE to (flag, status, partition) base cells in LONG
+      // cent-units first — cube's Expand then multiplies the tiny cell
+      // table by 4, not the corpus, and the per-row DECIMAL buffer is
+      // gone (the q_agg_pricing two-level combine: per-task long sums
+      // are corpus-independently bounded, the DECIMAL merge is exact,
+      // and SUM/COUNT are associative so cube-over-cells is
+      // value-identical to cube-over-rows — a base cell with a REAL
+      // null key flows through Expand exactly like its raw rows did).
+      // The r16 fan-out is dropped with it: the long-cent map-side
+      // combine on the narrow scan beats a corpus fan-out exchange
+      // (the q_percentile rule; measured 0.71 -> 0.32 s at sf0.1).
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("part_id"))
+        .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+          .as("qty_c"), count(lit(1)).as("cnt"))
         .cube("l_returnflag", "l_linestatus")
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg((sum(col("qty_c").cast("decimal(28,0)")) *
+          lit(new java.math.BigDecimal("0.01"))).cast("double")
+          .as("sum_qty"),
+          sum("cnt").as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
@@ -426,13 +439,20 @@ object ExtendedQueries {
     // table (separate queries would scan it twice). grouping_id
     // disambiguates which set each output row belongs to.
     Q("q_grouping_sets",
-      // fanoutIfNarrow: same single-row-group rationale as q_cube
-      (s, d) => Helpers.fanoutIfNarrow(Tables.lineitem(s, d),
-          col("l_orderkey"))
+      // r17: same base-cell pre-aggregation (and fan-out drop) as
+      // q_cube — Expand runs over (flag, status, partition) long-cent
+      // cells, not the corpus (0.70 -> 0.42 s at sf0.1)
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("part_id"))
+        .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+          .as("qty_c"))
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
+        .agg((sum(col("qty_c").cast("decimal(28,0)")) *
+          lit(new java.math.BigDecimal("0.01"))).cast("double")
+          .as("sum_qty"),
           grouping_id().as("gid"))
         .orderBy(col("gid"),
           col("l_returnflag").asc_nulls_first,
@@ -484,18 +504,46 @@ object ExtendedQueries {
     // both engines. Single map-side-combinable shuffle.
     Q("q_corr_sums",
       (s, d) => {
-        val q = col("l_quantity").cast("decimal(18,2)")
-        val p = col("l_extendedprice").cast("decimal(18,2)")
-        // fanoutIfNarrow: six exact DECIMAL moment sums per row on the
-        // one-task scan — fan out to core width first
-        Helpers.fanoutIfNarrow(Tables.lineitem(s, d), col("l_orderkey"))
+        // r17 (guide §2.3 narrower types + the q_agg_pricing two-level
+        // combine): all six moment sums run in LONG integer units per
+        // (group, partition) — zero BigDecimal in the per-row path —
+        // and merge through exact DECIMAL. Units: qc/pc are exact cent
+        // integers (<= 2-decimal inputs, the established floor(x*100
+        // + 0.5) identity), so q*p == (qc*pc)/1e4 etc. The two BIG
+        // squares are held as TWO-WORD accumulators (hi = v div 2^24,
+        // lo = v mod 2^24 — r16 rejected a single long for syy because
+        // pc² alone is ~1.1e14 and a 1 GB scan partition would
+        // overflow 2^63): each word's per-partition sum stays under
+        // 2^63 up to ~5e11 rows PER TASK, a corpus-independent bound,
+        // and level 2 reassembles 2^24·Σhi + Σlo exactly in DECIMAL.
+        // sx (<= 5e3/row), sy (<= ~1.1e7/row) and sxx (<= 2.5e7/row)
+        // fit plain per-task longs with the same task-size bound.
+        val qc = floor(col("l_quantity") * 100 + 0.5).cast("long")
+        val pc = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        val W = 16777216L // 2^24
+        // (v - v % W) is an exact multiple of W below 2^53, so the
+        // double division yields the exact integer quotient
+        def lo(v: Column) = v % W
+        def hi(v: Column) = ((v - lo(v)) / W).cast("long")
+        def dec(c: Column) = sum(c.cast("decimal(28,0)"))
+        def word(h: String, l: String) = dec(col(h)) * W + dec(col(l))
+        val cent2 = lit(new java.math.BigDecimal("0.0001"))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), spark_partition_id().as("part_id"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(qc).as("sx_c"), sum(pc).as("sy_c"),
+            sum(hi(qc * pc)).as("sxy_h"), sum(lo(qc * pc)).as("sxy_l"),
+            sum(qc * qc).as("sxx_c2"),
+            sum(hi(pc * pc)).as("syy_h"), sum(lo(pc * pc)).as("syy_l"))
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"),
-            sum(q).cast("double").as("sx"),
-            sum(p).cast("double").as("sy"),
-            sum(q * p).cast("double").as("sxy"),
-            sum(q * q).cast("double").as("sxx"),
-            sum(p * p).cast("double").as("syy"))
+          .agg(sum("cnt").as("n"),
+            (dec(col("sx_c")) * lit(new java.math.BigDecimal("0.01")))
+              .cast("double").as("sx"),
+            (dec(col("sy_c")) * lit(new java.math.BigDecimal("0.01")))
+              .cast("double").as("sy"),
+            (word("sxy_h", "sxy_l") * cent2).cast("double").as("sxy"),
+            (dec(col("sxx_c2")) * cent2).cast("double").as("sxx"),
+            (word("syy_h", "syy_l") * cent2).cast("double").as("syy"))
           .select(col("l_returnflag"),
             r4((col("n") * col("sxy") - col("sx") * col("sy")) /
               sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
