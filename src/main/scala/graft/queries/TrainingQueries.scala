@@ -207,9 +207,15 @@ object TrainingQueries {
               e.filter(col("event_type") === stage), prev, "user_id")
             .filter(col("ts") > col(prevT))
             .groupBy("user_id").agg(min("ts").as(out))
+        // r17: checkpoint the lean per-stage (user_id, t) tables — each
+        // feeds BOTH the next stage's join and its own count branch, so
+        // the lazy union re-ran s1's subtree three times and s2's twice
+        // (15 sequential jobs at sf0.1, most of the query's wall); the
+        // blocks are freed by the ContextCleaner when the plan is GC'd
         val s1 = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("t1"))
-        val s2 = firstAfter("click", s1, "t1", "t2")
+          .localCheckpoint(true)
+        val s2 = firstAfter("click", s1, "t1", "t2").localCheckpoint(true)
         val s3 = firstAfter("purchase", s2, "t2", "t3")
         def stageCount(df: DataFrame, name: String): DataFrame =
           df.agg(count(lit(1)).as("n_users"))
