@@ -1742,29 +1742,31 @@ object NorthStarQueries {
           .filter(col("lo") =!= col("hi"))
           .select(col("doc_id"),
             explode(expr("sequence(i, i + 7)")).as("j"))
-          .distinct()
-        // ONE aggregation over marked token positions (left join keeps
-        // masked tokens with a marker): n_tokens, n_kept and the
-        // cleaned-text hash fall out of the same groupBy, and every doc
-        // appears (split of even an empty text yields one token), so no
-        // final re-scan join is needed
-        val tokPos = toks.select(col("doc_id"),
-          posexplode(col("ws")).as(Seq("j", "w")))
-        // Buffer bound: collect_list skips NULL inputs, so the CASE
-        // keeps only SURVIVING tokens in the aggregation buffer — no
-        // mask marker, no dead tokens, no post-hoc filter. The buffer
-        // is O(longest single document's kept tokens), never O(corpus):
-        // a pathological 10M-token document concentrates ~tens of MB in
-        // one buffer (an inherent cost of an exact in-order text hash —
-        // md5 needs the bytes in order); every other doc is untouched.
-        tokPos.join(bad.withColumn("b", lit(1)), Seq("doc_id", "j"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("n_tokens"),
-            sum(when(col("b").isNull, 1L).otherwise(0L))
-              .cast("long").as("n_kept"),
-            md5(expr("array_join(transform(array_sort(" +
-              "collect_list(CASE WHEN b IS NULL THEN struct(j, w) END)), " +
-              "x -> x.w), ' ')").cast("binary")).as("h_clean"))
+        // r17 (guide §8 "decide with small rows"): aggregate only the
+        // MASK — collect_set dedups the overlapping span positions, so
+        // the old separate distinct + its exchange are gone — and
+        // rebuild the cleaned text ROW-LOCALLY against the token array
+        // the fan-out already carries. The previous shape re-exploded
+        // every token (541k rows at sf0.1), left-joined the mask onto
+        // them, and re-assembled each document through a
+        // collect_list(struct)+array_sort+transform object aggregate —
+        // 3.3 s of the query's summed CPU; the indexed-lambda filter
+        // does the same reconstruction in place (lambda index and the
+        // span positions are both 0-based). Buffer bound unchanged:
+        // O(longest single document's masked positions), never
+        // O(corpus); docs with no duplicated span join null and keep
+        // every token.
+        val badPos = bad.groupBy("doc_id")
+          .agg(collect_set(col("j")).as("mask"))
+        toks.join(badPos, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            expr("CASE WHEN mask IS NULL THEN ws ELSE " +
+              "filter(ws, (x, i) -> NOT array_contains(mask, i)) END")
+              .as("kept"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("kept")).cast("long").as("n_kept"),
+            md5(expr("array_join(kept, ' ')").cast("binary")).as("h_clean"))
           .orderBy("doc_id")
       },
       // oracle note: DuckDB can't lateral generate_series on a column —
