@@ -114,17 +114,21 @@ object AuditQueries {
   private[queries] def docTrigrams(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     NorthStarQueries.memoize(triCache, s, d) {
-      val occ = Tables.documents(s, d)
+      val dt0 = Tables.documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .withColumn("tg", expr(
           "filter(zip_with(zip_with(ws, slice(ws, 2, size(ws)), " +
             "(x, y) -> concat(x, ' ', y)), slice(ws, 3, size(ws)), " +
             "(x, y) -> concat(x, ' ', y)), e -> e IS NOT NULL)"))
         .select(col("doc_id"), col("source"), explode(col("tg")).as("tri"))
-      val dict = occ.select("tri").distinct()
+        .groupBy("doc_id", "source", "tri").agg(count(lit(1)).as("c"))
+      // dictionary derived from (and attached to) the AGGREGATE, not
+      // the raw occurrence stream — the string-keyed dictionary work
+      // in the one-time build touches per-doc-distinct rows only
+      val dict = dt0.select("tri").distinct()
         .withColumn("tid", monotonically_increasing_id())
-      occ.join(dict, "tri")
-        .groupBy("doc_id", "source", "tid").agg(count(lit(1)).as("c"))
+      dt0.join(dict, "tri")
+        .select("doc_id", "source", "tid", "c")
     }
 
   /** Winnow selection pass WITH gram identities (doc_id, pos, g, m),
